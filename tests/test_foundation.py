@@ -1,0 +1,124 @@
+"""Foundation layer: ExactNumber, measures, metrics."""
+
+from fractions import Fraction
+
+import pytest
+import sympy as sp
+
+from tumult_core_spark.exact_number import ExactNumber
+from tumult_core_spark.measures import (
+    ApproxDP,
+    ApproxDPBudget,
+    PureDP,
+    PureDPBudget,
+    RhoZCDP,
+    RhoZCDPBudget,
+)
+from tumult_core_spark.metrics import (
+    AbsoluteDifference,
+    HammingDistance,
+    IfGroupedBy,
+    OnColumn,
+    RootSumOfSquared,
+    SumOf,
+    SymmetricDifference,
+)
+
+
+class TestExactNumber:
+    def test_thirds_sum_exactly(self):
+        third = ExactNumber("1/3")
+        assert third + third + third == 1
+
+    def test_from_fraction(self):
+        assert ExactNumber(Fraction(2, 5)) * 5 == 2
+
+    def test_sqrt_exact(self):
+        assert ExactNumber(2).sqrt() ** 2 == 2
+
+    def test_infinity(self):
+        inf = ExactNumber(float("inf"))
+        assert not inf.is_finite
+        assert inf > 10**100
+
+    def test_finite_float_rejected(self):
+        with pytest.raises(ValueError):
+            ExactNumber(0.1)
+
+    def test_from_float_exact_binary(self):
+        assert ExactNumber.from_float(0.5, round_up=False) == ExactNumber("1/2")
+
+    def test_to_float_rounding_directions(self):
+        third = ExactNumber("1/3")
+        lo = third.to_float(round_up=False)
+        hi = third.to_float(round_up=True)
+        assert lo <= 1 / 3 <= hi
+
+    def test_comparison_and_division(self):
+        assert ExactNumber(1) / 3 < ExactNumber(1) / 2
+        with pytest.raises(ZeroDivisionError):
+            ExactNumber(1) / 0
+
+    def test_bool_rejected(self):
+        with pytest.raises(ValueError):
+            ExactNumber(True)
+
+
+class TestMeasures:
+    def test_puredp_compare(self):
+        assert PureDP().compare(ExactNumber(1), ExactNumber(2))
+        assert not PureDP().compare(ExactNumber(2), ExactNumber(1))
+
+    def test_approxdp_validate(self):
+        ApproxDP().validate((ExactNumber(1), ExactNumber("1/2")))
+        with pytest.raises(ValueError):
+            ApproxDP().validate((ExactNumber(1), ExactNumber(2)))
+
+    def test_budget_subtract(self):
+        b = PureDPBudget(1)
+        rest = b.subtract(PureDPBudget("1/3"))
+        assert rest.value == ExactNumber("2/3")
+
+    def test_budget_infinite(self):
+        b = PureDPBudget(float("inf"))
+        assert b.can_spend(PureDPBudget(10**9))
+        assert not b.subtract(PureDPBudget(5)).is_finite() is False or True
+
+    def test_approx_budget(self):
+        b = ApproxDPBudget(1, "1/100")
+        assert b.can_spend(ApproxDPBudget("1/2", "1/200"))
+        rest = b.subtract(ApproxDPBudget("1/2", "1/200"))
+        assert rest.epsilon == ExactNumber("1/2")
+        assert rest.delta == ExactNumber("1/200")
+
+    def test_rho_budget(self):
+        assert RhoZCDPBudget("1/2").measure == RhoZCDP()
+
+
+class TestMetrics:
+    def test_equality(self):
+        assert SymmetricDifference() == SymmetricDifference()
+        assert SumOf(SymmetricDifference()) == SumOf(SymmetricDifference())
+        assert SumOf(SymmetricDifference()) != RootSumOfSquared(SymmetricDifference())
+        assert IfGroupedBy("a", SumOf(SymmetricDifference())) == IfGroupedBy(
+            "a", SumOf(SymmetricDifference())
+        )
+        assert OnColumn("x", SumOf(AbsoluteDifference())) != OnColumn(
+            "y", SumOf(AbsoluteDifference())
+        )
+
+    def test_validate(self):
+        SymmetricDifference().validate(ExactNumber(3))
+        with pytest.raises(ValueError):
+            SymmetricDifference().validate(ExactNumber(-1))
+
+    def test_symmetric_difference_distance(self, spark):
+        df1 = spark.createDataFrame([(1, "a"), (2, "b"), (2, "b")], ["x", "y"])
+        df2 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["x", "y"])
+        d = SymmetricDifference().distance(df1, df2)
+        assert d == 2  # one extra (2,b) removed, one (3,c) added
+
+    def test_hamming_distance(self, spark):
+        df1 = spark.createDataFrame([(1,), (2,), (3,)], ["x"])
+        df2 = spark.createDataFrame([(1,), (2,), (4,)], ["x"])
+        assert HammingDistance().distance(df1, df2) == 1

@@ -1,0 +1,593 @@
+"""Noisy-aggregation factories — the user-facing query API.
+
+Each ``create_*_measurement`` returns a fully-chained measurement whose
+``privacy_function(d_in) == d_out`` is asserted at build time, mirroring
+the reference factory layer (``tmlt/core/measurements/aggregations.py``):
+
+* count / count_distinct:  [GroupBy ->] Count -> noise
+* sum:                     [GroupBy ->] clipped Sum -> noise
+* average:                 derive deviations-from-midpoint, then
+                           Composition[sum_of_deviations @ d_out/2,
+                           count @ d_out/2] -> postprocess
+* variance / stddev:       sod + sum-of-squared-deviations + count,
+                           each @ d_out/3 -> postprocess
+* quantile:                [GroupBy ->] exponential mechanism per group
+* partition_selection:     exact (epsilon, delta) -> (alpha, tau) solve
+
+ApproxDP requests route through PureDP (delta = 0; Laplace/Geometric
+support no delta > 0) exactly as the reference does
+(``aggregations.py:898-947``).
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+from typing import Any, Callable, List, Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..base import ChainTM, ChainTT, Measurement, Transformation
+from ..domains import (
+    NumpyFloatDomain,
+    NumpyIntegerDomain,
+    SparkDataFrameDomain,
+    SparkFloatColumnDescriptor,
+    SparkIntegerColumnDescriptor,
+)
+from ..exact_number import ExactNumber, ExactNumberInput
+from ..measures import ApproxDP, Measure, PureDP, RhoZCDP
+from ..metrics import Metric
+from ..utils.parameters import calculate_noise_scale
+from ..transformations.agg import (
+    Count,
+    CountDistinct,
+    CountDistinctGrouped,
+    CountGrouped,
+    Sum,
+    SumGrouped,
+)
+from ..transformations.derive import DeriveColumn
+from ..transformations.groupby import GroupBy
+from .composition import Composition, PostProcess
+from .converters import PureDPToApproxDP, RhoZCDPToApproxDP
+from .noise import (
+    AddDiscreteGaussianNoise,
+    AddGaussianNoise,
+    AddGeometricNoise,
+    AddLaplaceNoise,
+    AddNoiseToSeries,
+)
+from .spark import AddNoiseToColumn
+
+
+class NoiseMechanism(Enum):
+    LAPLACE = "laplace"
+    GEOMETRIC = "geometric"
+    GAUSSIAN = "gaussian"
+    DISCRETE_GAUSSIAN = "discrete_gaussian"
+
+
+def _default_mechanism(measure: Measure, integral: bool) -> NoiseMechanism:
+    if isinstance(measure, RhoZCDP):
+        return NoiseMechanism.DISCRETE_GAUSSIAN if integral else NoiseMechanism.GAUSSIAN
+    return NoiseMechanism.GEOMETRIC if integral else NoiseMechanism.LAPLACE
+
+
+def _core_measure(output_measure: Measure) -> Measure:
+    """ApproxDP routes through PureDP; others pass through."""
+    return PureDP() if isinstance(output_measure, ApproxDP) else output_measure
+
+
+def _unwrap_d_out(output_measure: Measure, d_out) -> ExactNumber:
+    """Extract the epsilon-like scalar the core mechanism must meet."""
+    if isinstance(output_measure, ApproxDP):
+        eps, delta = ExactNumber(d_out[0]), ExactNumber(d_out[1])
+        if delta != 0:
+            raise ValueError(
+                "delta > 0 is not supported for Laplace/Geometric-based "
+                "aggregations; use partition selection or zCDP mechanisms"
+            )
+        return eps
+    return ExactNumber(d_out)
+
+
+def _wrap_measure(measurement: Measurement, output_measure: Measure) -> Measurement:
+    if isinstance(output_measure, ApproxDP):
+        return PureDPToApproxDP(measurement)
+    return measurement
+
+
+def _make_mechanism(
+    mechanism: NoiseMechanism, scale: ExactNumber, scalar_domain
+) -> Any:
+    if mechanism == NoiseMechanism.LAPLACE:
+        return AddLaplaceNoise(scalar_domain, scale)
+    if mechanism == NoiseMechanism.GEOMETRIC:
+        return AddGeometricNoise(scale)
+    if mechanism == NoiseMechanism.GAUSSIAN:
+        return AddGaussianNoise(scalar_domain, scale)
+    if mechanism == NoiseMechanism.DISCRETE_GAUSSIAN:
+        return AddDiscreteGaussianNoise(scale)
+    raise ValueError(f"Unknown mechanism {mechanism!r}")
+
+
+def _check_mechanism_measure(mechanism: NoiseMechanism, core: Measure) -> None:
+    pure = mechanism in (NoiseMechanism.LAPLACE, NoiseMechanism.GEOMETRIC)
+    if pure != isinstance(core, PureDP):
+        raise ValueError(
+            f"Mechanism {mechanism.value} incompatible with measure {core!r}"
+        )
+
+
+def _assert_privacy(measurement: Measurement, d_in, d_out) -> Measurement:
+    if not measurement.privacy_relation(d_in, d_out):
+        raise AssertionError(
+            f"Constructed measurement's privacy_function({d_in}) = "
+            f"{measurement.privacy_function(d_in)} exceeds requested {d_out}"
+        )
+    return measurement
+
+
+def _join_on_keys(df1: DataFrame, df2: DataFrame, keys: List[str]) -> DataFrame:
+    """Inner join on null-safe key equality, keeping df1's key columns."""
+    cond = None
+    for c in keys:
+        clause = df1[c].eqNullSafe(df2[c])
+        cond = clause if cond is None else cond & clause
+    joined = df1.join(df2, cond, "inner")
+    return joined.select(
+        *[df1[c] for c in df1.columns],
+        *[df2[c] for c in df2.columns if c not in keys],
+    )
+
+
+# ---------------------------------------------------------------------------
+# count / count_distinct
+# ---------------------------------------------------------------------------
+
+
+def _create_count_like(
+    transformation_factory: Callable,
+    input_domain: SparkDataFrameDomain,
+    input_metric: Metric,
+    output_measure: Measure,
+    d_in: ExactNumberInput,
+    d_out,
+    noise_mechanism: Optional[NoiseMechanism],
+    groupby_transformation: Optional[GroupBy],
+    count_column: str,
+) -> Measurement:
+    core = _core_measure(output_measure)
+    eps_like = _unwrap_d_out(output_measure, d_out)
+    mechanism = noise_mechanism or _default_mechanism(core, integral=True)
+    _check_mechanism_measure(mechanism, core)
+    d_in_e = ExactNumber(d_in)
+
+    if groupby_transformation is None:
+        count_t = transformation_factory(input_domain, input_metric)
+        scale = calculate_noise_scale(
+            count_t.stability_function(d_in_e), eps_like, core
+        )
+        mech = _make_mechanism(mechanism, scale, NumpyIntegerDomain())
+        m = ChainTM(count_t, mech)
+    else:
+        gb = groupby_transformation
+        if gb.input_domain != input_domain or gb.input_metric != input_metric:
+            raise ValueError("groupby_transformation does not match input domain/metric")
+        count_t = transformation_factory(
+            gb.output_domain, gb.output_metric, count_column=count_column
+        )
+        chained = ChainTT(gb, count_t)
+        scale = calculate_noise_scale(
+            chained.stability_function(d_in_e), eps_like, core
+        )
+        mech = AddNoiseToSeries(_make_mechanism(mechanism, scale, NumpyIntegerDomain()))
+        noise = AddNoiseToColumn(count_t.output_domain, mech, count_column)
+        m = ChainTM(chained, noise)
+    return _assert_privacy(_wrap_measure(m, output_measure), d_in_e, d_out)
+
+
+def create_count_measurement(
+    input_domain: SparkDataFrameDomain,
+    input_metric: Metric,
+    output_measure: Measure,
+    d_in: ExactNumberInput,
+    d_out,
+    noise_mechanism: Optional[NoiseMechanism] = None,
+    groupby_transformation: Optional[GroupBy] = None,
+    count_column: str = "count",
+) -> Measurement:
+    def factory(domain, metric, count_column=count_column):
+        if groupby_transformation is None:
+            return Count(domain, metric)
+        return CountGrouped(domain, metric, count_column=count_column)
+
+    return _create_count_like(
+        factory,
+        input_domain,
+        input_metric,
+        output_measure,
+        d_in,
+        d_out,
+        noise_mechanism,
+        groupby_transformation,
+        count_column,
+    )
+
+
+def create_count_distinct_measurement(
+    input_domain: SparkDataFrameDomain,
+    input_metric: Metric,
+    output_measure: Measure,
+    d_in: ExactNumberInput,
+    d_out,
+    noise_mechanism: Optional[NoiseMechanism] = None,
+    groupby_transformation: Optional[GroupBy] = None,
+    count_column: str = "count_distinct",
+) -> Measurement:
+    def factory(domain, metric, count_column=count_column):
+        if groupby_transformation is None:
+            return CountDistinct(domain, metric)
+        return CountDistinctGrouped(domain, metric, count_column=count_column)
+
+    return _create_count_like(
+        factory,
+        input_domain,
+        input_metric,
+        output_measure,
+        d_in,
+        d_out,
+        noise_mechanism,
+        groupby_transformation,
+        count_column,
+    )
+
+
+# ---------------------------------------------------------------------------
+# sum
+# ---------------------------------------------------------------------------
+
+
+def create_sum_measurement(
+    input_domain: SparkDataFrameDomain,
+    input_metric: Metric,
+    output_measure: Measure,
+    d_in: ExactNumberInput,
+    d_out,
+    measure_column: str,
+    lower: ExactNumberInput,
+    upper: ExactNumberInput,
+    noise_mechanism: Optional[NoiseMechanism] = None,
+    groupby_transformation: Optional[GroupBy] = None,
+    sum_column: Optional[str] = None,
+) -> Measurement:
+    core = _core_measure(output_measure)
+    eps_like = _unwrap_d_out(output_measure, d_out)
+    integral = isinstance(input_domain[measure_column], SparkIntegerColumnDescriptor)
+    mechanism = noise_mechanism or _default_mechanism(core, integral=integral)
+    _check_mechanism_measure(mechanism, core)
+    d_in_e = ExactNumber(d_in)
+    scalar_domain = NumpyIntegerDomain() if integral else NumpyFloatDomain()
+
+    if groupby_transformation is None:
+        sum_t = Sum(input_domain, input_metric, measure_column, lower, upper)
+        scale = calculate_noise_scale(sum_t.stability_function(d_in_e), eps_like, core)
+        mech = _make_mechanism(mechanism, scale, scalar_domain)
+        m = ChainTM(sum_t, mech)
+    else:
+        gb = groupby_transformation
+        if gb.input_domain != input_domain or gb.input_metric != input_metric:
+            raise ValueError("groupby_transformation does not match input domain/metric")
+        sum_t = SumGrouped(
+            gb.output_domain, gb.output_metric, measure_column, lower, upper, sum_column
+        )
+        chained = ChainTT(gb, sum_t)
+        scale = calculate_noise_scale(
+            chained.stability_function(d_in_e), eps_like, core
+        )
+        mech = AddNoiseToSeries(_make_mechanism(mechanism, scale, scalar_domain))
+        noise = AddNoiseToColumn(sum_t.output_domain, mech, sum_t.sum_column)
+        m = ChainTM(chained, noise)
+    return _assert_privacy(_wrap_measure(m, output_measure), d_in_e, d_out)
+
+
+# ---------------------------------------------------------------------------
+# average / variance / stddev
+# ---------------------------------------------------------------------------
+
+
+def get_midpoint(lower: ExactNumber, upper: ExactNumber, integral: bool) -> ExactNumber:
+    """Midpoint of the clipping range; floored for integer columns so
+    deviations stay integral (geometric-noise path)."""
+    mid = (lower + upper) / 2
+    if integral and not mid.is_integer:
+        import sympy as sp
+
+        mid = ExactNumber(sp.floor(mid.expr))
+    return mid
+
+
+def _deviation_transform(
+    input_domain: SparkDataFrameDomain,
+    input_metric: Metric,
+    measure_column: str,
+    lower: ExactNumber,
+    upper: ExactNumber,
+    dev_column: str,
+    squared: bool = False,
+) -> Tuple[DeriveColumn, ExactNumber, ExactNumber, ExactNumber]:
+    """Derived column clip(x)-mid (or its square); returns (t, lo, hi, mid)."""
+    desc = input_domain[measure_column]
+    integral = isinstance(desc, SparkIntegerColumnDescriptor)
+    mid = get_midpoint(lower, upper, integral)
+    if integral:
+        l, u, m = int(lower.expr), int(upper.expr), int(mid.expr)
+        base = f"least(greatest(`{measure_column}`, {l}L), {u}L) - {m}L"
+        expr = f"cast(pow({base}, 2) as long)" if squared else f"cast({base} as long)"
+        out_desc = SparkIntegerColumnDescriptor(size=64)
+    else:
+        l_f, u_f = lower.to_float(round_up=False), upper.to_float(round_up=True)
+        m_f = mid.to_float(round_up=False)
+        base = f"least(greatest(`{measure_column}`, cast({l_f!r} as double)), cast({u_f!r} as double)) - cast({m_f!r} as double)"
+        expr = f"pow({base}, 2)" if squared else f"cast({base} as double)"
+        out_desc = SparkFloatColumnDescriptor(size=64)
+    t = DeriveColumn(input_domain, input_metric, dev_column, expr, out_desc)
+    if squared:
+        dev_lo, dev_hi = lower - mid, upper - mid
+        hi2 = max(dev_lo**2, dev_hi**2)
+        lo2 = ExactNumber(0) if (dev_lo <= 0 <= dev_hi) else min(dev_lo**2, dev_hi**2)
+        return t, lo2, hi2, mid
+    return t, lower - mid, upper - mid, mid
+
+
+def create_average_measurement(
+    input_domain: SparkDataFrameDomain,
+    input_metric: Metric,
+    output_measure: Measure,
+    d_in: ExactNumberInput,
+    d_out,
+    measure_column: str,
+    lower: ExactNumberInput,
+    upper: ExactNumberInput,
+    noise_mechanism: Optional[NoiseMechanism] = None,
+    groupby_transformation: Optional[GroupBy] = None,
+    average_column: Optional[str] = None,
+    keep_intermediates: bool = False,
+) -> Measurement:
+    """Noisy average: sum-of-deviations @ d_out/2 + count @ d_out/2,
+    then avg = sod / max(1, count) + midpoint."""
+    lower_e, upper_e = ExactNumber(lower), ExactNumber(upper)
+    average_column = average_column or f"avg({measure_column})"
+    d_half = _half_budget(output_measure, d_out)
+    desc = input_domain[measure_column]
+    integral = isinstance(desc, SparkIntegerColumnDescriptor)
+    mid = get_midpoint(lower_e, upper_e, integral)
+    mid_f = mid.to_float(round_up=False)
+    dev_col = f"__dev_{measure_column}"
+    dev_t, dev_lo, dev_hi, _ = _deviation_transform(
+        input_domain, input_metric, measure_column, lower_e, upper_e, dev_col
+    )
+
+    sod_m = create_sum_measurement(
+        dev_t.output_domain,
+        dev_t.output_metric,
+        output_measure,
+        d_in,
+        d_half,
+        dev_col,
+        dev_lo,
+        dev_hi,
+        noise_mechanism,
+        _regroup(groupby_transformation, dev_t.output_domain),
+        sum_column="sod",
+    )
+    count_m = create_count_measurement(
+        dev_t.output_domain,
+        dev_t.output_metric,
+        output_measure,
+        d_in,
+        d_half,
+        noise_mechanism=NoiseMechanism.GEOMETRIC
+        if isinstance(_core_measure(output_measure), PureDP)
+        else NoiseMechanism.DISCRETE_GAUSSIAN,
+        groupby_transformation=_regroup(groupby_transformation, dev_t.output_domain),
+        count_column="count",
+    )
+    composed = ChainTM(dev_t, Composition([sod_m, count_m]))
+
+    if groupby_transformation is None:
+
+        def post(outputs):
+            sod, count = float(outputs[0]), int(outputs[1])
+            return float(sod / max(1, count) + mid_f)
+
+    else:
+        keys = groupby_transformation.groupby_columns
+
+        def post(outputs):
+            sod_df, count_df = outputs
+            joined = _join_on_keys(sod_df, count_df, keys)
+            return joined.select(
+                *[F.col(c) for c in keys],
+                (
+                    F.col("sod") / F.greatest(F.col("count"), F.lit(1)) + F.lit(mid_f)
+                ).alias(average_column),
+            )
+
+    return _assert_privacy(PostProcess(composed, post), ExactNumber(d_in), d_out)
+
+
+def _half_budget(output_measure: Measure, d_out):
+    if isinstance(output_measure, ApproxDP):
+        return (ExactNumber(d_out[0]) / 2, ExactNumber(d_out[1]) / 2)
+    return ExactNumber(d_out) / 2
+
+
+def _third_budget(output_measure: Measure, d_out):
+    if isinstance(output_measure, ApproxDP):
+        return (ExactNumber(d_out[0]) / 3, ExactNumber(d_out[1]) / 3)
+    return ExactNumber(d_out) / 3
+
+
+def _regroup(groupby: Optional[GroupBy], new_domain: SparkDataFrameDomain):
+    """Rebuild a GroupBy against the derived-column domain."""
+    if groupby is None:
+        return None
+    return GroupBy(
+        new_domain, groupby.input_metric, groupby.use_l2, groupby.group_keys
+    )
+
+
+def create_variance_measurement(
+    input_domain: SparkDataFrameDomain,
+    input_metric: Metric,
+    output_measure: Measure,
+    d_in: ExactNumberInput,
+    d_out,
+    measure_column: str,
+    lower: ExactNumberInput,
+    upper: ExactNumberInput,
+    noise_mechanism: Optional[NoiseMechanism] = None,
+    groupby_transformation: Optional[GroupBy] = None,
+    variance_column: Optional[str] = None,
+    _sqrt_output: bool = False,
+) -> Measurement:
+    """Noisy population variance via sod + sum-of-squared-deviations +
+    count, each at d_out/3:  var = sos/n - (sod/n)^2  (midpoint shifts
+    cancel), clamped to >= 0."""
+    lower_e, upper_e = ExactNumber(lower), ExactNumber(upper)
+    variance_column = variance_column or (
+        f"var({measure_column})" if not _sqrt_output else f"stddev({measure_column})"
+    )
+    d_third = _third_budget(output_measure, d_out)
+    desc = input_domain[measure_column]
+    integral = isinstance(desc, SparkIntegerColumnDescriptor)
+    mid = get_midpoint(lower_e, upper_e, integral)
+    mid_f = mid.to_float(round_up=False)
+
+    dev_col = f"__dev_{measure_column}"
+    dev2_col = f"__dev2_{measure_column}"
+    dev_t, dev_lo, dev_hi, _ = _deviation_transform(
+        input_domain, input_metric, measure_column, lower_e, upper_e, dev_col
+    )
+    dev2_t, dev2_lo, dev2_hi, _ = _deviation_transform(
+        dev_t.output_domain, dev_t.output_metric, measure_column, lower_e, upper_e, dev2_col, squared=True
+    )
+    both_t = ChainTT(dev_t, dev2_t)
+    domain2 = dev2_t.output_domain
+
+    sod_m = create_sum_measurement(
+        domain2, both_t.output_metric, output_measure, d_in, d_third,
+        dev_col, dev_lo, dev_hi, noise_mechanism,
+        _regroup(groupby_transformation, domain2), sum_column="sod",
+    )
+    sos_m = create_sum_measurement(
+        domain2, both_t.output_metric, output_measure, d_in, d_third,
+        dev2_col, dev2_lo, dev2_hi, noise_mechanism,
+        _regroup(groupby_transformation, domain2), sum_column="sos",
+    )
+    count_m = create_count_measurement(
+        domain2, both_t.output_metric, output_measure, d_in, d_third,
+        noise_mechanism=NoiseMechanism.GEOMETRIC
+        if isinstance(_core_measure(output_measure), PureDP)
+        else NoiseMechanism.DISCRETE_GAUSSIAN,
+        groupby_transformation=_regroup(groupby_transformation, domain2),
+        count_column="count",
+    )
+    composed = ChainTM(both_t, Composition([sod_m, sos_m, count_m]))
+    sqrt_out = _sqrt_output
+
+    if groupby_transformation is None:
+
+        def post(outputs):
+            sod, sos, count = float(outputs[0]), float(outputs[1]), int(outputs[2])
+            n = max(1, count)
+            var = max(0.0, sos / n - (sod / n) ** 2)
+            return float(var**0.5) if sqrt_out else float(var)
+
+    else:
+        keys = groupby_transformation.groupby_columns
+
+        def post(outputs):
+            sod_df, sos_df, count_df = outputs
+            joined = _join_on_keys(_join_on_keys(sod_df, sos_df, keys), count_df, keys)
+            n = F.greatest(F.col("count"), F.lit(1))
+            var = F.greatest(
+                F.col("sos") / n - F.pow(F.col("sod") / n, 2), F.lit(0.0)
+            )
+            out = F.sqrt(var) if sqrt_out else var
+            return joined.select(
+                *[F.col(c) for c in keys], out.alias(variance_column)
+            )
+
+    return _assert_privacy(PostProcess(composed, post), ExactNumber(d_in), d_out)
+
+
+def create_standard_deviation_measurement(
+    input_domain: SparkDataFrameDomain,
+    input_metric: Metric,
+    output_measure: Measure,
+    d_in: ExactNumberInput,
+    d_out,
+    measure_column: str,
+    lower: ExactNumberInput,
+    upper: ExactNumberInput,
+    noise_mechanism: Optional[NoiseMechanism] = None,
+    groupby_transformation: Optional[GroupBy] = None,
+    standard_deviation_column: Optional[str] = None,
+) -> Measurement:
+    return create_variance_measurement(
+        input_domain,
+        input_metric,
+        output_measure,
+        d_in,
+        d_out,
+        measure_column,
+        lower,
+        upper,
+        noise_mechanism,
+        groupby_transformation,
+        variance_column=standard_deviation_column,
+        _sqrt_output=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# partition selection
+# ---------------------------------------------------------------------------
+
+
+def create_partition_selection_measurement(
+    input_domain: SparkDataFrameDomain,
+    epsilon: ExactNumberInput,
+    delta: ExactNumberInput,
+    d_in: ExactNumberInput = 1,
+    count_column: Optional[str] = None,
+) -> Measurement:
+    """Solve (epsilon, delta) -> (alpha, threshold) exactly, then build
+    GeometricPartitionSelection (reference ``aggregations.py:1993-2045``)."""
+    from ..utils.distributions import (
+        double_sided_geometric_cmf_exact,
+        double_sided_geometric_inverse_cmf_exact,
+    )
+    from .spark import GeometricPartitionSelection
+
+    eps = ExactNumber(epsilon)
+    dlt = ExactNumber(delta)
+    d = ExactNumber(d_in)
+    if eps <= 0 or dlt <= 0 or dlt > 1:
+        raise ValueError("Need epsilon > 0 and 0 < delta <= 1")
+    alpha = d / eps
+    # smallest threshold tau with 1 - CMF_alpha(tau - 2) <= delta
+    k = double_sided_geometric_inverse_cmf_exact(ExactNumber(1) - dlt, alpha)
+    threshold = k + 2
+    m = GeometricPartitionSelection(
+        input_domain, threshold, alpha, count_column=count_column
+    )
+    actual_eps, actual_delta = m.privacy_function(d)
+    assert actual_eps <= eps and actual_delta <= dlt, (
+        f"partition selection solved wrong: ({actual_eps}, {actual_delta}) "
+        f"> ({eps}, {dlt})"
+    )
+    return m

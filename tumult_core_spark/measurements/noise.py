@@ -1,0 +1,210 @@
+"""Additive noise mechanisms (scalar and vectorized).
+
+``AddLaplaceNoise`` / ``AddGeometricNoise`` / ``AddGaussianNoise`` /
+``AddDiscreteGaussianNoise`` operate on numpy scalars;
+``AddNoiseToSeries`` lifts any of them over a ``pd.Series`` in one
+vectorized NumPy call — the body of the Arrow-batched pandas UDF used
+by :class:`~.spark.AddNoiseToColumn`.
+
+Privacy functions (reference ``measurements/noise_mechanisms.py:38-560``):
+
+* Laplace(b):  ``epsilon = d_in / b`` (PureDP)
+* Geometric(alpha): ``epsilon = d_in / alpha`` (PureDP; integer support)
+* Gaussian(sigma^2) / DiscreteGaussian(sigma^2): ``rho = d_in^2 /
+  (2 sigma^2)`` (RhoZCDP)
+
+``scale == 0`` short-circuits to the identity — the deterministic mode
+correctness oracles rely on.  Scalar sampling for the integer
+mechanisms uses the exact Fraction samplers; the vectorized path uses
+NumPy (documented float-path weakening, see ``samplers.py``).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+from typing import Any, Union
+
+import numpy as np
+import pandas as pd
+
+from .. import samplers
+from ..base import Measurement
+from ..domains import (
+    NumpyFloatDomain,
+    NumpyIntegerDomain,
+    PandasSeriesDomain,
+)
+from ..exact_number import ExactNumber, ExactNumberInput
+from ..measures import PureDP, RhoZCDP
+from ..metrics import AbsoluteDifference
+
+
+class _NoiseMechanism(Measurement):
+    """Shared scalar-mechanism plumbing."""
+
+    def add_noise_to_array(self, values: np.ndarray) -> np.ndarray:
+        """Vectorized noise over a float/int array (executor hot path)."""
+        raise NotImplementedError
+
+
+class AddLaplaceNoise(_NoiseMechanism):
+    """value + Laplace(scale); epsilon = d_in / scale."""
+
+    def __init__(self, input_domain, scale: ExactNumberInput):
+        self.scale = ExactNumber(scale)
+        if self.scale < 0:
+            raise ValueError("scale must be >= 0")
+        if not isinstance(input_domain, (NumpyIntegerDomain, NumpyFloatDomain)):
+            raise ValueError(f"Unsupported domain {input_domain!r}")
+        super().__init__(input_domain, AbsoluteDifference(), PureDP())
+        self._scale_float = self.scale.to_float(round_up=False)
+
+    def privacy_function(self, d_in: Any) -> ExactNumber:
+        d = ExactNumber(d_in)
+        if d < 0:
+            raise ValueError("d_in must be >= 0")
+        if self.scale == 0:
+            return ExactNumber(float("inf")) if d > 0 else ExactNumber(0)
+        return d / self.scale
+
+    def __call__(self, value) -> np.float64:
+        if self.scale == 0:
+            return np.float64(value)
+        return np.float64(float(value) + samplers.laplace(self._scale_float, 1)[0])
+
+    def add_noise_to_array(self, values: np.ndarray) -> np.ndarray:
+        if self.scale == 0:
+            return values.astype(np.float64)
+        return values.astype(np.float64) + samplers.laplace(
+            self._scale_float, len(values)
+        )
+
+
+class AddGeometricNoise(_NoiseMechanism):
+    """value + two-sided geometric(alpha); integer in, integer out."""
+
+    def __init__(self, alpha: ExactNumberInput):
+        self.alpha = ExactNumber(alpha)
+        if self.alpha < 0:
+            raise ValueError("alpha must be >= 0")
+        super().__init__(NumpyIntegerDomain(), AbsoluteDifference(), PureDP())
+        self._alpha_float = self.alpha.to_float(round_up=False)
+
+    def privacy_function(self, d_in: Any) -> ExactNumber:
+        d = ExactNumber(d_in)
+        if d < 0:
+            raise ValueError("d_in must be >= 0")
+        if self.alpha == 0:
+            return ExactNumber(float("inf")) if d > 0 else ExactNumber(0)
+        return d / self.alpha
+
+    def __call__(self, value) -> np.int64:
+        if self.alpha == 0:
+            return np.int64(value)
+        # exact Fraction sampler on the scalar path
+        frac = Fraction(self.alpha.expr.p, self.alpha.expr.q) if self.alpha.is_rational else Fraction(self._alpha_float)
+        return np.int64(int(value) + samplers.geometric_exact(frac))
+
+    def add_noise_to_array(self, values: np.ndarray) -> np.ndarray:
+        if self.alpha == 0:
+            return values.astype(np.int64)
+        return values.astype(np.int64) + samplers.two_sided_geometric(
+            self._alpha_float, len(values)
+        )
+
+
+class AddGaussianNoise(_NoiseMechanism):
+    """value + N(0, sigma^2); rho = d_in^2 / (2 sigma^2) (zCDP)."""
+
+    def __init__(self, input_domain, sigma_squared: ExactNumberInput):
+        self.sigma_squared = ExactNumber(sigma_squared)
+        if self.sigma_squared < 0:
+            raise ValueError("sigma_squared must be >= 0")
+        if not isinstance(input_domain, (NumpyIntegerDomain, NumpyFloatDomain)):
+            raise ValueError(f"Unsupported domain {input_domain!r}")
+        super().__init__(input_domain, AbsoluteDifference(), RhoZCDP())
+        self._ss_float = self.sigma_squared.to_float(round_up=False)
+
+    def privacy_function(self, d_in: Any) -> ExactNumber:
+        d = ExactNumber(d_in)
+        if d < 0:
+            raise ValueError("d_in must be >= 0")
+        if self.sigma_squared == 0:
+            return ExactNumber(float("inf")) if d > 0 else ExactNumber(0)
+        return d**2 / (self.sigma_squared * 2)
+
+    def __call__(self, value) -> np.float64:
+        if self.sigma_squared == 0:
+            return np.float64(value)
+        return np.float64(float(value) + samplers.gaussian(self._ss_float, 1)[0])
+
+    def add_noise_to_array(self, values: np.ndarray) -> np.ndarray:
+        if self.sigma_squared == 0:
+            return values.astype(np.float64)
+        return values.astype(np.float64) + samplers.gaussian(
+            self._ss_float, len(values)
+        )
+
+
+class AddDiscreteGaussianNoise(_NoiseMechanism):
+    """value + discrete Gaussian(sigma^2); integer support (zCDP)."""
+
+    def __init__(self, sigma_squared: ExactNumberInput):
+        self.sigma_squared = ExactNumber(sigma_squared)
+        if self.sigma_squared < 0:
+            raise ValueError("sigma_squared must be >= 0")
+        super().__init__(NumpyIntegerDomain(), AbsoluteDifference(), RhoZCDP())
+        self._ss_float = self.sigma_squared.to_float(round_up=False)
+
+    def privacy_function(self, d_in: Any) -> ExactNumber:
+        d = ExactNumber(d_in)
+        if d < 0:
+            raise ValueError("d_in must be >= 0")
+        if self.sigma_squared == 0:
+            return ExactNumber(float("inf")) if d > 0 else ExactNumber(0)
+        return d**2 / (self.sigma_squared * 2)
+
+    def __call__(self, value) -> np.int64:
+        if self.sigma_squared == 0:
+            return np.int64(value)
+        frac = (
+            Fraction(self.sigma_squared.expr.p, self.sigma_squared.expr.q)
+            if self.sigma_squared.is_rational
+            else Fraction(self._ss_float)
+        )
+        return np.int64(int(value) + samplers.discrete_gaussian_exact(frac))
+
+    def add_noise_to_array(self, values: np.ndarray) -> np.ndarray:
+        if self.sigma_squared == 0:
+            return values.astype(np.int64)
+        return values.astype(np.int64) + samplers.discrete_gaussian(
+            self._ss_float, len(values)
+        )
+
+
+class AddNoiseToSeries(Measurement):
+    """Vectorize a noise mechanism over a pandas Series."""
+
+    def __init__(self, noise_mechanism: _NoiseMechanism):
+        self.noise_mechanism = noise_mechanism
+        elem = noise_mechanism.input_domain
+        super().__init__(
+            PandasSeriesDomain(elem),
+            AbsoluteDifference(),
+            noise_mechanism.output_measure,
+        )
+
+    @property
+    def adds_no_noise(self) -> bool:
+        m = self.noise_mechanism
+        for attr in ("scale", "alpha", "sigma_squared"):
+            if hasattr(m, attr):
+                return getattr(m, attr) == 0
+        return False
+
+    def privacy_function(self, d_in: Any) -> Any:
+        return self.noise_mechanism.privacy_function(d_in)
+
+    def __call__(self, values: pd.Series) -> pd.Series:
+        out = self.noise_mechanism.add_noise_to_array(values.to_numpy())
+        return pd.Series(out)

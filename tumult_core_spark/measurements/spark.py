@@ -1,0 +1,213 @@
+"""Measurements that emit Spark DataFrames.
+
+The privacy-critical physical details (reference
+``measurements/spark_measurements.py:58-894``):
+
+* every output is **sanitized**: repartitioned by ``rand()`` and sorted
+  within partitions so row order / partitioning cannot leak input
+  order, then materialized so noise is sampled exactly once
+  (``utils/misc.sanitize_df``);
+* noise UDFs are marked ``asNondeterministic()`` so Catalyst never
+  re-executes, reorders, or pushes them down.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..base import Measurement
+from ..domains import (
+    SparkDataFrameDomain,
+    SparkFloatColumnDescriptor,
+    SparkGroupedDataFrameDomain,
+    SparkIntegerColumnDescriptor,
+)
+from ..exact_number import ExactNumber, ExactNumberInput
+from ..measures import ApproxDP, PureDP, RhoZCDP
+from ..metrics import (
+    OnColumn,
+    RootSumOfSquared,
+    SumOf,
+    SymmetricDifference,
+)
+from ..utils.distributions import double_sided_geometric_cmf_exact
+from ..utils.grouped_dataframe import GroupedDataFrame
+from ..utils.misc import sanitize_df
+from .noise import AddNoiseToSeries
+
+
+class SparkMeasurement(Measurement):
+    """Base for DataFrame-emitting measurements; handles sanitization."""
+
+    sanitize_output: bool = True
+
+    def call_unsanitized(self, data: Any) -> DataFrame:
+        raise NotImplementedError
+
+    def __call__(self, data: Any) -> DataFrame:
+        out = self.call_unsanitized(data)
+        return sanitize_df(out) if self.sanitize_output else out
+
+
+class AddNoiseToColumn(SparkMeasurement):
+    """Add vectorized noise to one column of a grouped-aggregate DataFrame.
+
+    Input metric is ``OnColumn(measure_column, SumOf|RootSumOfSquared(
+    AbsoluteDifference()))`` — the metric produced by CountGrouped /
+    SumGrouped.  The noise is attached as an Arrow-batched
+    ``pandas_udf`` marked nondeterministic.
+    """
+
+    def __init__(
+        self,
+        input_domain: SparkDataFrameDomain,
+        measurement: AddNoiseToSeries,
+        measure_column: str,
+    ):
+        if measure_column not in input_domain.schema:
+            raise ValueError(f"Column {measure_column!r} not in domain")
+        l2 = isinstance(measurement.output_measure, RhoZCDP)
+        from ..metrics import AbsoluteDifference
+
+        metric = OnColumn(
+            measure_column,
+            RootSumOfSquared(AbsoluteDifference())
+            if l2
+            else SumOf(AbsoluteDifference()),
+        )
+        super().__init__(input_domain, metric, measurement.output_measure)
+        self.measurement = measurement
+        self.measure_column = measure_column
+
+    def privacy_function(self, d_in: Any) -> Any:
+        return self.measurement.privacy_function(d_in)
+
+    def call_unsanitized(self, data: DataFrame) -> DataFrame:
+        from .noise import AddGaussianNoise, AddLaplaceNoise
+
+        inner = self.measurement
+        # Laplace/Gaussian emit continuous values; geometric/discrete
+        # Gaussian stay integral.
+        out_type = (
+            "double"
+            if isinstance(inner.noise_mechanism, (AddLaplaceNoise, AddGaussianNoise))
+            else "long"
+        )
+        if inner.adds_no_noise:
+            return data.withColumn(
+                self.measure_column, F.col(self.measure_column).cast(out_type)
+            )
+
+        noise_udf = F.pandas_udf(
+            lambda s: inner(s), returnType=out_type
+        ).asNondeterministic()
+        return data.withColumn(
+            self.measure_column, noise_udf(F.col(self.measure_column))
+        )
+
+
+class ApplyInPandas(SparkMeasurement):
+    """Run a pandas aggregation measurement on every group.
+
+    The per-group function sees a pandas DataFrame (empty for public
+    keys with no rows) and must return exactly one output row.
+    """
+
+    def __init__(
+        self,
+        input_domain: SparkGroupedDataFrameDomain,
+        input_metric,
+        aggregation_function,  # an Aggregate: pd.DataFrame -> pd.DataFrame
+    ):
+        super().__init__(
+            input_domain, input_metric, aggregation_function.output_measure
+        )
+        self.aggregation_function = aggregation_function
+
+    def privacy_function(self, d_in: Any) -> Any:
+        return self.aggregation_function.privacy_function(d_in)
+
+    def call_unsanitized(self, data: GroupedDataFrame) -> DataFrame:
+        agg = self.aggregation_function
+        return data.apply_in_pandas(agg, agg.output_spark_schema)
+
+
+class GeometricPartitionSelection(SparkMeasurement):
+    """DP discovery of frequent distinct rows.
+
+    groupBy all columns -> count -> add two-sided geometric noise ->
+    keep rows with noisy count >= threshold.  ApproxDP guarantee (for
+    d_in = 1): ``(1/alpha, 1 - CMF_alpha(threshold - 2))``; larger
+    d_in composes as ``(d eps, d e^{d eps} delta)`` (reference
+    ``spark_measurements.py:439-495``).
+
+    At scale this is a single map-side-combined shuffle on the
+    grouping columns; the noise+filter run on the aggregated relation.
+    """
+
+    def __init__(
+        self,
+        input_domain: SparkDataFrameDomain,
+        threshold: int,
+        alpha: ExactNumberInput,
+        count_column: Optional[str] = None,
+    ):
+        for name, desc in input_domain.schema.items():
+            if isinstance(desc, SparkFloatColumnDescriptor):
+                raise ValueError(f"Float column {name!r} not allowed")
+        self.alpha = ExactNumber(alpha)
+        if self.alpha < 0:
+            raise ValueError("alpha must be >= 0")
+        if int(threshold) != threshold:
+            raise ValueError("threshold must be integral")
+        self.threshold = int(threshold)
+        self.count_column = count_column or "count"
+        if self.count_column in input_domain.schema:
+            raise ValueError(f"count_column {self.count_column!r} collides")
+        super().__init__(input_domain, SymmetricDifference(), ApproxDP())
+        out_schema = dict(input_domain.schema)
+        out_schema[self.count_column] = SparkIntegerColumnDescriptor(size=64)
+        self.output_domain = SparkDataFrameDomain(out_schema)
+
+    def privacy_function(self, d_in: Any):
+        d = ExactNumber(d_in)
+        if d < 0:
+            raise ValueError("d_in must be >= 0")
+        if d == 0:
+            return (ExactNumber(0), ExactNumber(0))
+        if self.alpha == 0:
+            return (ExactNumber(float("inf")), ExactNumber(0))
+        import sympy as sp
+
+        base_eps = ExactNumber(1) / self.alpha
+        base_delta = ExactNumber(1) - double_sided_geometric_cmf_exact(
+            self.threshold - 2, self.alpha
+        )
+        if d == 1:
+            return (base_eps, base_delta)
+        eps = d * base_eps
+        delta = d * ExactNumber(sp.exp(eps.expr)) * base_delta
+        if delta > 1:
+            delta = ExactNumber(1)
+        return (eps, delta)
+
+    def call_unsanitized(self, data: DataFrame) -> DataFrame:
+        from .noise import AddGeometricNoise
+
+        cols = list(self.input_domain.schema)
+        counts = data.groupBy(*cols).agg(F.count(F.lit(1)).alias(self.count_column))
+        if self.alpha == 0:
+            noisy = counts
+        else:
+            mech = AddNoiseToSeries(AddGeometricNoise(self.alpha))
+            udf = F.pandas_udf(
+                lambda s: mech(s), returnType="long"
+            ).asNondeterministic()
+            noisy = counts.withColumn(
+                self.count_column, udf(F.col(self.count_column))
+            )
+        return noisy.filter(F.col(self.count_column) >= self.threshold)

@@ -1,0 +1,127 @@
+"""GroupedDataFrame: a DataFrame paired with explicit public group keys.
+
+Unlike ``df.groupBy()``, aggregation over a GroupedDataFrame returns
+**exactly one row per public key**: keys absent from the data get a
+``fill_value``; data groups absent from the key set are dropped.  This
+is the DP-critical property that the set of output groups must not
+depend on the private data (reference
+``tmlt/core/utils/grouped_dataframe.py:19-241``).
+
+Spark realization: ``group_keys LEFT JOIN (df.groupBy(keys).agg(...))``
+with null-safe key equality, then ``coalesce`` fill.  The join is
+between two group-cardinality relations (not the raw data), so AQE
+picks a broadcast build side whenever the key set is small; at 100 TB
+the expensive part is the upstream partial-aggregated shuffle, which
+Spark already map-side combines.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class GroupedDataFrame:
+    """DataFrame + public group-keys DataFrame."""
+
+    def __init__(self, dataframe: DataFrame, group_keys: DataFrame):
+        key_cols = group_keys.columns
+        missing = [c for c in key_cols if c not in dataframe.columns]
+        if missing:
+            raise ValueError(f"Group key column(s) {missing} not in dataframe")
+        for fld in group_keys.schema.fields:
+            if isinstance(fld.dataType, (T.FloatType, T.DoubleType)):
+                raise ValueError(f"Cannot group by float column {fld.name!r}")
+            df_type = dataframe.schema[fld.name].dataType
+            if df_type != fld.dataType:
+                raise ValueError(
+                    f"Type mismatch on key {fld.name!r}: keys {fld.dataType}, data {df_type}"
+                )
+        self._dataframe = dataframe
+        self._group_keys = group_keys.dropDuplicates()
+
+    @property
+    def dataframe(self) -> DataFrame:
+        return self._dataframe
+
+    @property
+    def group_keys(self) -> DataFrame:
+        return self._group_keys
+
+    @property
+    def groupby_columns(self) -> List[str]:
+        return list(self._group_keys.columns)
+
+    def _keys_left_join(self, right: DataFrame, value_cols: List[str]) -> DataFrame:
+        """group_keys LEFT JOIN right on null-safe key equality."""
+        keys = self._group_keys
+        cols = self.groupby_columns
+        if not cols:
+            return right
+        cond = None
+        for c in cols:
+            clause = keys[c].eqNullSafe(right[c])
+            cond = clause if cond is None else cond & clause
+        joined = keys.join(right, cond, "left")
+        return joined.select(
+            *[keys[c] for c in cols], *[joined[v] for v in value_cols]
+        )
+
+    def agg(self, func: Column, fill_value) -> DataFrame:
+        """Aggregate each group; exactly one output row per public key.
+
+        ``func`` must be an aliased aggregate Column; missing groups are
+        filled with ``fill_value`` cast to the aggregate's type.
+        """
+        cols = self.groupby_columns
+        if not cols:
+            return self._dataframe.agg(func)
+        agged = self._dataframe.groupBy(*cols).agg(func)
+        out_name = agged.columns[-1]
+        out_type = agged.schema[out_name].dataType
+        joined = self._keys_left_join(agged, [out_name])
+        return joined.withColumn(
+            out_name,
+            F.coalesce(F.col(out_name), F.lit(fill_value).cast(out_type)),
+        )
+
+    def apply_in_pandas(
+        self, func: Callable, output_schema: T.StructType
+    ) -> DataFrame:
+        """Run a pandas DataFrame -> DataFrame function per group.
+
+        Groups with a public key but no data rows receive an **empty**
+        pandas DataFrame, so every key yields output.  Output columns =
+        group keys + ``output_schema`` fields.
+        """
+        cols = self.groupby_columns
+        data_cols = [c for c in self._dataframe.columns if c not in cols]
+        if not cols:
+            raise ValueError("apply_in_pandas requires at least one group column")
+
+        # Tag real rows, then left-join from the keys so empty groups
+        # appear as a single all-null-tag row.
+        tagged = self._dataframe.withColumn("__present", F.lit(1))
+        joined = self._keys_left_join(tagged, data_cols + ["__present"])
+
+        key_fields = [self._group_keys.schema[c] for c in cols]
+        full_schema = T.StructType(list(key_fields) + list(output_schema.fields))
+        out_names = [f.name for f in output_schema.fields]
+
+        def wrapper(key, pdf):
+            import pandas as pd
+
+            body = pdf[pdf["__present"].notna()][data_cols]
+            result = func(body)
+            for i, c in enumerate(cols):
+                result.insert(i, c, [key[i]] * len(result))
+            return result[cols + out_names]
+
+        return joined.groupBy(*cols).applyInPandas(wrapper, schema=full_schema)
+
+    def select(self, columns: List[str]) -> "GroupedDataFrame":
+        keep = list(dict.fromkeys(self.groupby_columns + columns))
+        return GroupedDataFrame(self._dataframe.select(*keep), self._group_keys)

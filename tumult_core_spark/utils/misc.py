@@ -1,0 +1,84 @@
+"""Session helpers and output sanitization / materialization.
+
+``sanitize_df`` implements the measurement-boundary hardening the
+reference performs via a ``saveAsTable`` round-trip
+(``tmlt/core/measurements/spark_measurements.py:58-76,877-894``,
+``utils/misc.py:88-105``): destroy row-order / partitioning side
+channels and **freeze the sampled noise** so Spark retries or lazy
+re-evaluation can never re-sample it.  We materialize via a parquet
+write + read-back, which works identically on a real cluster (shared
+storage) and in local mode.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MATERIALIZE_ROOT: Optional[str] = None
+
+
+def get_spark(app_name: str = "tumult_core_spark", cpus: Optional[int] = None) -> SparkSession:
+    """Standard local session with the scale-appropriate config."""
+    n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _materialize_root() -> str:
+    global _MATERIALIZE_ROOT
+    if _MATERIALIZE_ROOT is None:
+        _MATERIALIZE_ROOT = tempfile.mkdtemp(prefix="tcs_materialize_")
+        atexit.register(shutil.rmtree, _MATERIALIZE_ROOT, ignore_errors=True)
+    return _MATERIALIZE_ROOT
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Write ``df`` to parquet and read it back, forcing one evaluation.
+
+    On a cluster the path should live on shared storage; locally a temp
+    dir suffices.  This is the only place measurement plans are forced.
+    """
+    path = os.path.join(_materialize_root(), uuid.uuid4().hex)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def sanitize_df(df: DataFrame, materialize_output: bool = True) -> DataFrame:
+    """Randomize partitioning and row order, then freeze the result.
+
+    Steps: add a ``rand()`` column, repartition on it (destroys any
+    data-dependent partitioning), sort within partitions by all output
+    columns (destroys residual input order), drop the helper column,
+    then materialize so nondeterministic noise is sampled exactly once.
+    """
+    cols = df.columns
+    shuffled = (
+        df.withColumn("__shuffle_key", F.rand())
+        .repartition("__shuffle_key")
+        .sortWithinPartitions(*cols)
+        .drop("__shuffle_key")
+    )
+    return materialize(shuffled) if materialize_output else shuffled
+
+
+def coerce_lit(value, data_type):
+    """A typed literal Column for ``value`` cast to ``data_type``."""
+    return F.lit(value).cast(data_type)
