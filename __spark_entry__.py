@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship DP query; ``queries`` exposes one entry
+per implemented operator family (SURVEY.md §2 + extensions), each
+deterministic (noise scale 0 / infinite budget) so the DuckDB oracle
+in ``oracle_sql`` hash-matches; genuinely random or non-SQL operators
+(noisy quantile, minhash/simhash/xxhash-based, streaming sessions,
+multimodal stubs) omit the oracle and get rows-only checks.
 """
 
 from __future__ import annotations
@@ -12,27 +13,719 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+INF = float("inf")  # infinite budget -> zero noise -> deterministic
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dom(df: DataFrame, strict: bool = True):
+    from tumult_core_spark.domains import SparkDataFrameDomain
+
+    return SparkDataFrameDomain.from_spark_schema(df.schema, strict=strict)
+
+
+def _flag_keys_groupby(domain, extra_missing_key: bool = True, use_l2: bool = False):
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.transformations.groupby import (
+        create_groupby_from_list_of_keys,
+    )
+
+    keys = [("A",), ("N",), ("R",)] + ([("X",)] if extra_missing_key else [])
+    return create_groupby_from_list_of_keys(
+        domain, SymmetricDifference(), use_l2, ["l_returnflag"], keys
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: eps=1 DP count of lineitem per return flag (sf0.001)."""
+    from tumult_core_spark.measures import PureDP
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.measurements.aggregations import create_count_measurement
+
+    li = _load(spark, "/root/testdata/sf0.001", "lineitem")
+    dom = _dom(li)
+    m = create_count_measurement(
+        dom,
+        SymmetricDifference(),
+        PureDP(),
+        d_in=1,
+        d_out=1,
+        groupby_transformation=_flag_keys_groupby(dom),
+    )
+    return m(li)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_filter_select(spark, sf_dir):
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.transformations.rows import Filter, Select
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    t = Filter(dom, SymmetricDifference(), "l_quantity < 25") | Select(
+        dom, SymmetricDifference(), ["l_orderkey", "l_quantity"]
+    )
+    return t(li)
+
+
+def q_rename(spark, sf_dir):
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.transformations.rows import Rename, Select
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    sel = Select(dom, SymmetricDifference(), ["l_orderkey", "l_returnflag"])
+    ren = Rename(sel.output_domain, SymmetricDifference(), {"l_returnflag": "flag"})
+    return (sel | ren)(li)
+
+
+def q_groupby_count(spark, sf_dir):
+    from tumult_core_spark.measures import PureDP
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.measurements.aggregations import create_count_measurement
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    m = create_count_measurement(
+        dom, SymmetricDifference(), PureDP(), 1, INF,
+        groupby_transformation=_flag_keys_groupby(dom),
+    )
+    return m(li)
+
+
+def q_groupby_count_distinct(spark, sf_dir):
+    from tumult_core_spark.measures import PureDP
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.measurements.aggregations import (
+        create_count_distinct_measurement,
+    )
+    from tumult_core_spark.transformations.rows import Select
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    sel = Select(dom, SymmetricDifference(), ["l_returnflag", "l_orderkey"])
+    sub = sel(li)
+    sub_dom = sel.output_domain
+    m = create_count_distinct_measurement(
+        sub_dom, SymmetricDifference(), PureDP(), 1, INF,
+        groupby_transformation=_flag_keys_groupby(sub_dom),
+        count_column="n_distinct",
+    )
+    return m(sub)
+
+
+def _with_qty_long(li, dom):
+    from tumult_core_spark.domains import SparkIntegerColumnDescriptor
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.transformations.derive import DeriveColumn
+
+    t = DeriveColumn(
+        dom,
+        SymmetricDifference(),
+        "qty",
+        "cast(floor(l_quantity) as long)",
+        SparkIntegerColumnDescriptor(size=64),
+    )
+    return t, t.output_domain
+
+
+def q_groupby_sum(spark, sf_dir):
+    from tumult_core_spark.base import ChainTM
+    from tumult_core_spark.measures import PureDP
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.measurements.aggregations import create_sum_measurement
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    derive, dom2 = _with_qty_long(li, dom)
+    m = create_sum_measurement(
+        dom2, SymmetricDifference(), PureDP(), 1, INF,
+        measure_column="qty", lower=0, upper=50,
+        groupby_transformation=_flag_keys_groupby(dom2),
+        sum_column="sum_qty",
+    )
+    return ChainTM(derive, m)(li)
+
+
+def q_total_counts(spark, sf_dir):
+    from tumult_core_spark.measures import PureDP
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.measurements.aggregations import (
+        create_count_distinct_measurement,
+        create_count_measurement,
+    )
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    n = int(create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, INF)(li))
+    nd = int(
+        create_count_distinct_measurement(
+            dom, SymmetricDifference(), PureDP(), 1, INF
+        )(li)
+    )
+    return spark.createDataFrame([(n, nd)], "n_rows long, n_distinct long")
+
+
+def q_average(spark, sf_dir):
+    from tumult_core_spark.base import ChainTM
+    from tumult_core_spark.measures import PureDP
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.measurements.aggregations import create_average_measurement
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    derive, dom2 = _with_qty_long(li, dom)
+    m = create_average_measurement(
+        dom2, SymmetricDifference(), PureDP(), 1, INF,
+        measure_column="qty", lower=0, upper=50,
+        groupby_transformation=_flag_keys_groupby(dom2),
+        average_column="avg_qty",
+    )
+    return ChainTM(derive, m)(li)
+
+
+def q_variance(spark, sf_dir):
+    from tumult_core_spark.base import ChainTM
+    from tumult_core_spark.measures import PureDP
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.measurements.aggregations import create_variance_measurement
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    derive, dom2 = _with_qty_long(li, dom)
+    m = create_variance_measurement(
+        dom2, SymmetricDifference(), PureDP(), 1, INF,
+        measure_column="qty", lower=0, upper=50,
+    )
+    var = float(ChainTM(derive, m)(li))
+    out = spark.createDataFrame([(var,)], "var_qty double")
+    return out.select(F.round("var_qty", 6).alias("var_qty"))
+
+
+def q_public_join(spark, sf_dir):
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.transformations.join import PublicJoin
+    from tumult_core_spark.transformations.rows import Rename, Select
+
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    dom = _dom(orders)
+    ren = Rename(dom, SymmetricDifference(), {"o_custkey": "c_custkey"})
+    pj = PublicJoin(ren.output_domain, SymmetricDifference(), cust)
+    sel = Select(
+        pj.output_domain,
+        SymmetricDifference(),
+        ["c_custkey", "o_orderkey", "o_totalprice", "c_name"],
+    )
+    return (ren | pj | sel)(orders)
+
+
+def q_private_join_drop(spark, sf_dir):
+    from tumult_core_spark.domains import DictDomain
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.transformations.join import (
+        PrivateJoin,
+        TruncationStrategy,
+    )
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_linenumber"
+    )
+    orders = _load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    dd = DictDomain({"l": _dom(li), "r": _dom(orders)})
+    t = PrivateJoin(
+        dd, "l", "r",
+        TruncationStrategy.DROP, TruncationStrategy.DROP,
+        4, 2,
+    )
+    return t({"l": li, "r": orders})
+
+
+def q_limit_rows_per_group(spark, sf_dir):
+    from tumult_core_spark.metrics import IfGroupedBy, SymmetricDifference
+    from tumult_core_spark.transformations.truncation import LimitRowsPerGroup
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    t = LimitRowsPerGroup(dom, IfGroupedBy("l_orderkey", SymmetricDifference()), 3)
+    out = t(li)
+    return out.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_limit_keys_per_group(spark, sf_dir):
+    from tumult_core_spark.metrics import IfGroupedBy, SymmetricDifference
+    from tumult_core_spark.transformations.truncation import LimitKeysPerGroup
+
+    orders = _load(spark, sf_dir, "orders")
+    dom = _dom(orders)
+    t = LimitKeysPerGroup(
+        dom, IfGroupedBy("o_custkey", SymmetricDifference()), "o_orderkey", 2
+    )
+    out = t(orders)
+    return out.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderkey").alias("n_keys")
+    )
+
+
+def q_partition_selection(spark, sf_dir):
+    from tumult_core_spark.domains import SparkDataFrameDomain
+    from tumult_core_spark.measurements.spark import GeometricPartitionSelection
+
+    li = _load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus")
+    dom = _dom(li)
+    m = GeometricPartitionSelection(dom, threshold=20, alpha=0, count_column="count")
+    return m(li)
+
+
+def q_bounds(spark, sf_dir):
+    from tumult_core_spark.measures import PureDP
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.measurements.aggregations import create_bounds_measurement
+
+    li = _load(spark, sf_dir, "lineitem").select("l_partkey")
+    dom = _dom(li)
+    m = create_bounds_measurement(
+        dom, SymmetricDifference(), PureDP(), INF, "l_partkey", threshold=0.95
+    )
+    lo, hi = m(li)
+    return spark.createDataFrame([(int(lo), int(hi))], "lower long, upper long")
+
+
+def q_quantile_median(spark, sf_dir):
+    # rows-only: the exponential mechanism samples within an interval
+    from tumult_core_spark.measures import PureDP
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.measurements.quantile import create_quantile_measurement
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    m = create_quantile_measurement(
+        dom, SymmetricDifference(), PureDP(), 1, 100,
+        measure_column="l_quantity", quantile=0.5, lower=0, upper=50,
+        groupby_transformation=_flag_keys_groupby(dom, extra_missing_key=False),
+        quantile_column="median_qty",
+    )
+    return m(li)
+
+
+def q_partition_by_keys(spark, sf_dir):
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.transformations.partition import PartitionByKeys
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    t = PartitionByKeys(
+        dom, SymmetricDifference(), False, ["l_returnflag"], [("A",), ("N",), ("R",)]
+    )
+    parts = t(li)
+    counts = [(flag, p.count()) for (flag,), p in zip([("A",), ("N",), ("R",)], parts)]
+    return spark.createDataFrame(counts, "l_returnflag string, n long")
+
+
+def q_map_derive(spark, sf_dir):
+    """Row-UDF Map (mapInPandas) computing revenue per lineitem row."""
+    from tumult_core_spark.domains import (
+        SparkFloatColumnDescriptor,
+        SparkRowDomain,
+    )
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.transformations.map import Map, RowToRowTransformation
+    from tumult_core_spark.transformations.rows import Select
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    sel = Select(
+        dom, SymmetricDifference(), ["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    in_schema = dict(sel.output_domain.schema)
+    out_schema = dict(in_schema)
+    out_schema["revenue"] = SparkFloatColumnDescriptor(size=64)
+    rt = RowToRowTransformation(
+        SparkRowDomain(in_schema),
+        SparkRowDomain(out_schema),
+        lambda row: {"revenue": row["l_extendedprice"] * (1.0 - row["l_discount"])},
+        augment=True,
+    )
+    m = Map(SymmetricDifference(), rt)
+    out = (sel | m)(li)
+    return out.select(
+        "l_orderkey", F.round("revenue", 4).alias("revenue")
+    )
+
+
+def q_flatmap_by_key(spark, sf_dir):
+    """FlatMapByKey: per-order line count + max quantity via applyInPandas."""
+    from tumult_core_spark.domains import (
+        SparkFloatColumnDescriptor,
+        SparkIntegerColumnDescriptor,
+        SparkRowDomain,
+    )
+    from tumult_core_spark.metrics import IfGroupedBy, SymmetricDifference
+    from tumult_core_spark.transformations.map import (
+        FlatMapByKey,
+        RowsToRowsTransformation,
+    )
+
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    dom = _dom(li)
+    rt = RowsToRowsTransformation(
+        SparkRowDomain({"l_quantity": dom["l_quantity"]}),
+        SparkRowDomain(
+            {
+                "n_lines": SparkIntegerColumnDescriptor(size=64),
+                "max_qty": SparkFloatColumnDescriptor(size=64),
+            }
+        ),
+        lambda rows: [
+            {
+                "n_lines": len(rows),
+                "max_qty": max(r["l_quantity"] for r in rows) if rows else 0.0,
+            }
+        ],
+    )
+    t = FlatMapByKey(dom, IfGroupedBy("l_orderkey", SymmetricDifference()), rt)
+    return t(li)
+
+
+def q_replace_nulls(spark, sf_dir):
+    """Left join creates nulls; ReplaceNulls fills them (events x dims)."""
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.transformations.join import PublicJoin
+    from tumult_core_spark.transformations.rows import ReplaceNulls, Select
+
+    cust = _load(spark, sf_dir, "customer")
+    nat = _load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    ).filter("c_nationkey < 10")
+    dom = _dom(cust)
+    pj = PublicJoin(dom, SymmetricDifference(), nat, how="left")
+    rn = ReplaceNulls(pj.output_domain, SymmetricDifference(), {"n_name": "UNKNOWN"})
+    sel = Select(
+        rn.output_domain, SymmetricDifference(), ["c_custkey", "n_name"]
+    )
+    return (pj | rn | sel)(cust)
+
+
+def q_dedup_exact(spark, sf_dir):
+    from tumult_core_spark.extensions.dedup import exact_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return exact_dedup(docs.select("text"), ["text"])
+
+
+def q_dedup_minhash(spark, sf_dir):
+    # rows-only: xxhash64 signatures are not reproducible in DuckDB
+    from tumult_core_spark.extensions.dedup import minhash_lsh_candidate_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    dup = docs.limit(50).withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    both = docs.union(dup)
+    return minhash_lsh_candidate_pairs(
+        both, "doc_id", "text", num_hashes=32, bands=8
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    # rows-only
+    from tumult_core_spark.extensions.dedup import simhash_near_duplicates
+
+    docs = _load(spark, sf_dir, "documents")
+    dup = docs.limit(50).withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    both = docs.union(dup)
+    return simhash_near_duplicates(both, "doc_id", "text", max_hamming=0)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    # rows-only: duplicated docs must appear as jaccard-1 pairs
+    from tumult_core_spark.extensions.dedup import ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents").limit(100)
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    both = docs.union(dup)
+    out = ngram_jaccard_pairs(both, "doc_id", "text", n=3, threshold=0.99)
+    return out.select("id_a", "id_b")
+
+
+def q_ann_topk(spark, sf_dir):
+    from tumult_core_spark.extensions.similarity import brute_force_knn
+
+    embs = _load(spark, sf_dir, "embeddings")
+    queries = embs.filter("vec_id < 20").select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = brute_force_knn(embs, queries, "vec_id", "qid", "embedding", k=3)
+    return out.select("qid", "vec_id", "rank")
+
+
+def q_token_counts(spark, sf_dir):
+    from tumult_core_spark.extensions.text import token_count
+
+    docs = _load(spark, sf_dir, "documents")
+    return token_count(docs, "text").select("doc_id", "n_tokens")
+
+
+def q_lang_id(spark, sf_dir):
+    from tumult_core_spark.extensions.text import language_id
+
+    docs = _load(spark, sf_dir, "documents")
+    return language_id(docs, "text").select("doc_id", "lang_pred")
+
+
+def q_fingerprint_distinct(spark, sf_dir):
+    from tumult_core_spark.extensions.text import document_fingerprint
+
+    docs = _load(spark, sf_dir, "documents")
+    out = document_fingerprint(docs, "text")
+    n = out.select("fingerprint").distinct().count()
+    return spark.createDataFrame([(n,)], "n_distinct long")
+
+
+def q_quality_scores(spark, sf_dir):
+    # rows-only: regex character-class semantics differ across engines
+    from tumult_core_spark.extensions.text import quality_score
+
+    docs = _load(spark, sf_dir, "documents")
+    return quality_score(docs, "text").select("doc_id", "quality")
+
+
+def q_streaming_window_counts(spark, sf_dir):
+    from tumult_core_spark.streaming import (
+        read_stream_parquet,
+        windowed_counts,
+        write_stream_memory,
+    )
+
+    stream = read_stream_parquet(
+        spark, f"{sf_dir}/events.parquet", nanos_ts_cols=["ts"]
+    )
+    agg = windowed_counts(stream, "ts", "24 hours", "48 hours", ["event_type"])
+    name = "q_stream_win_counts"
+    q = write_stream_memory(agg, name, output_mode="complete")
+    q.awaitTermination(300)
+    return spark.sql(
+        f"select cast(window_start as date) as day, event_type, count from {name}"
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    # rows-only: stubbed decode produces hash-derived features
+    from tumult_core_spark.extensions.multimodal import extract_image_features
+
+    docs = _load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    out = extract_image_features(media, "payload", "doc_id", dim=16)
+    return out.select("doc_id", F.size("features").alias("dim"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "filter_select": q_filter_select,
+        "rename": q_rename,
+        "groupby_count": q_groupby_count,
+        "groupby_count_distinct": q_groupby_count_distinct,
+        "groupby_sum": q_groupby_sum,
+        "total_counts": q_total_counts,
+        "average": q_average,
+        "variance": q_variance,
+        "public_join": q_public_join,
+        "private_join_drop": q_private_join_drop,
+        "limit_rows_per_group": q_limit_rows_per_group,
+        "limit_keys_per_group": q_limit_keys_per_group,
+        "partition_selection": q_partition_selection,
+        "bounds": q_bounds,
+        "quantile_median": q_quantile_median,
+        "partition_by_keys": q_partition_by_keys,
+        "map_revenue": q_map_derive,
+        "flatmap_by_key": q_flatmap_by_key,
+        "replace_nulls": q_replace_nulls,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_topk": q_ann_topk,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "fingerprint_distinct": q_fingerprint_distinct,
+        "quality_scores": q_quality_scores,
+        "streaming_window_counts": q_streaming_window_counts,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_EN = "['the','and','of','to','in','is','that','with','for','was']"
+_DE = "['der','die','und','das','ist','nicht','mit','ein','von','zu']"
+_FR = "['le','la','les','et','des','est','une','dans','que','pour']"
+_ES = "['el','la','los','que','de','en','una','es','por','con']"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    flags_cte = "keys(l_returnflag) AS (VALUES ('A'),('N'),('R'),('X'))"
+    return {
+        "filter_select": (
+            "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity < 25"
+        ),
+        "rename": "SELECT l_orderkey, l_returnflag AS flag FROM lineitem",
+        "groupby_count": f"""
+            WITH {flags_cte},
+            c AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1)
+            SELECT k.l_returnflag, CAST(COALESCE(c.n, 0) AS BIGINT) AS count
+            FROM keys k LEFT JOIN c USING (l_returnflag)
+        """,
+        "groupby_count_distinct": f"""
+            WITH {flags_cte},
+            c AS (SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n
+                  FROM lineitem GROUP BY 1)
+            SELECT k.l_returnflag, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_distinct
+            FROM keys k LEFT JOIN c USING (l_returnflag)
+        """,
+        "groupby_sum": f"""
+            WITH {flags_cte},
+            c AS (SELECT l_returnflag,
+                         SUM(LEAST(GREATEST(CAST(FLOOR(l_quantity) AS BIGINT), 0), 50)) AS s
+                  FROM lineitem GROUP BY 1)
+            SELECT k.l_returnflag, CAST(COALESCE(c.s, 0) AS BIGINT) AS sum_qty
+            FROM keys k LEFT JOIN c USING (l_returnflag)
+        """,
+        "total_counts": """
+            SELECT (SELECT COUNT(*) FROM lineitem) AS n_rows,
+                   (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM lineitem)) AS n_distinct
+        """,
+        "average": f"""
+            WITH {flags_cte},
+            c AS (SELECT l_returnflag,
+                         SUM(LEAST(GREATEST(CAST(FLOOR(l_quantity) AS BIGINT), 0), 50)) AS s,
+                         COUNT(*) AS n
+                  FROM lineitem GROUP BY 1)
+            SELECT k.l_returnflag,
+                   CAST(COALESCE(c.s, 0) - 25 * COALESCE(c.n, 0) AS DOUBLE)
+                       / GREATEST(COALESCE(c.n, 0), 1) + 25 AS avg_qty
+            FROM keys k LEFT JOIN c USING (l_returnflag)
+        """,
+        "variance": """
+            WITH b AS (SELECT LEAST(GREATEST(CAST(FLOOR(l_quantity) AS BIGINT), 0), 50) - 25 AS d
+                       FROM lineitem),
+            s AS (SELECT SUM(d) AS sod, SUM(d * d) AS sos, COUNT(*) AS n FROM b)
+            SELECT ROUND(CAST(sos AS DOUBLE) / n
+                         - (CAST(sod AS DOUBLE) / n) * (CAST(sod AS DOUBLE) / n),
+                         6) AS var_qty
+            FROM s
+        """,
+        "public_join": """
+            SELECT o.o_custkey AS c_custkey, o.o_orderkey, o.o_totalprice, c.c_name
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "private_join_drop": """
+            WITH lk AS (SELECT l_orderkey AS okey, l_linenumber FROM lineitem),
+            ok AS (SELECT o_orderkey AS okey, o_orderpriority FROM orders),
+            keep_l AS (SELECT okey FROM lk GROUP BY okey HAVING COUNT(*) <= 4),
+            keep_r AS (SELECT okey FROM ok GROUP BY okey HAVING COUNT(*) <= 2)
+            SELECT lk.okey, lk.l_linenumber, ok.o_orderpriority
+            FROM lk JOIN keep_l USING (okey) JOIN ok USING (okey) JOIN keep_r USING (okey)
+        """,
+        "limit_rows_per_group": """
+            SELECT l_orderkey, CAST(LEAST(COUNT(*), 3) AS BIGINT) AS n
+            FROM lineitem GROUP BY 1
+        """,
+        "limit_keys_per_group": """
+            SELECT o_custkey, CAST(LEAST(COUNT(DISTINCT o_orderkey), 2) AS BIGINT) AS n_keys
+            FROM orders GROUP BY 1
+        """,
+        "partition_selection": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS count
+            FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) >= 20
+        """,
+        "bounds": """
+            WITH bins AS (
+                SELECT CAST(LEAST(GREATEST(
+                    CASE WHEN l_partkey = 0 THEN 0
+                         ELSE CEIL(LOG2(ABS(CAST(l_partkey AS DOUBLE)))) END,
+                    0), 62) AS INTEGER) AS r, COUNT(*) AS n
+                FROM lineitem GROUP BY 1),
+            t AS (SELECT SUM(n) AS total FROM bins),
+            c AS (SELECT r, SUM(n) OVER (ORDER BY r) AS prefix FROM bins),
+            pick AS (SELECT MIN(r) AS r FROM c, t WHERE c.prefix >= 0.95 * t.total)
+            SELECT CAST(-POWER(2, r) AS BIGINT) AS lower,
+                   CAST(POWER(2, r) AS BIGINT) AS upper FROM pick
+        """,
+        "partition_by_keys": """
+            SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+            WHERE l_returnflag IN ('A','N','R') GROUP BY 1
+        """,
+        "map_revenue": """
+            SELECT l_orderkey,
+                   ROUND(l_extendedprice * (1.0 - l_discount), 4) AS revenue
+            FROM lineitem
+        """,
+        "flatmap_by_key": """
+            SELECT l_orderkey, COUNT(*) AS n_lines, MAX(l_quantity) AS max_qty
+            FROM lineitem GROUP BY 1
+        """,
+        "replace_nulls": """
+            SELECT c.c_custkey,
+                   COALESCE(CASE WHEN n.n_nationkey < 10 THEN n.n_name END,
+                            'UNKNOWN') AS n_name
+            FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "dedup_exact": "SELECT DISTINCT text FROM documents",
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+                       FROM embeddings WHERE vec_id < 20),
+            scored AS (
+                SELECT q.qid, e.vec_id,
+                       list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])) AS score
+                FROM q CROSS JOIN embeddings e),
+            ranked AS (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY score DESC, vec_id ASC) AS rank
+                FROM scored)
+            SELECT qid, vec_id, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        x -> x <> '')) AS INTEGER) AS n_tokens
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split_regex(lower(text), '\\s+'),
+                                          x -> x <> '') AS toks
+                       FROM documents),
+            h AS (SELECT doc_id,
+                         len(list_intersect(list_distinct(toks), {_EN})) AS he,
+                         len(list_intersect(list_distinct(toks), {_DE})) AS hd,
+                         len(list_intersect(list_distinct(toks), {_FR})) AS hf,
+                         len(list_intersect(list_distinct(toks), {_ES})) AS hs
+                  FROM t)
+            SELECT doc_id,
+                   CASE WHEN GREATEST(he, hd, hf, hs) = 0 THEN 'unknown'
+                        WHEN he >= hd AND he >= hf AND he >= hs THEN 'en'
+                        WHEN hd >= hf AND hd >= hs THEN 'de'
+                        WHEN hf >= hs THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM h
+        """,
+        "fingerprint_distinct": (
+            "SELECT COUNT(DISTINCT text) AS n_distinct FROM documents"
+        ),
+        "streaming_window_counts": """
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                   COUNT(*) AS count
+            FROM events GROUP BY 1, 2
+        """,
+    }

@@ -1,0 +1,306 @@
+"""Benchmark harness: headline operator workloads at $SPARK_GRAFT_SF_DIR.
+
+Mirrors the reference's benchmark workload families (BASELINE.md):
+groupby count+sum, noisy quantile, public join, private join (TRUNCATE),
+Map/FlatMap UDF throughput, partition selection, bounds/SVT, noise
+sampling rate — plus the extension workloads (minhash dedup, ANN,
+text stats).  Prints ONE JSON line with per-query wall-clock seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("tcs-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def bench_groupby_count_sum(spark):
+    """Reference benchmark/count_sum.py analogue: grouped DP count+sum."""
+    from pyspark.sql import functions as F
+
+    from tumult_core_spark.base import ChainTM
+    from tumult_core_spark.domains import SparkDataFrameDomain
+    from tumult_core_spark.measures import PureDP
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.measurements.aggregations import (
+        create_count_measurement,
+        create_sum_measurement,
+    )
+    from tumult_core_spark.transformations.derive import DeriveColumn
+    from tumult_core_spark.domains import SparkIntegerColumnDescriptor
+    from tumult_core_spark.transformations.groupby import (
+        create_groupby_from_list_of_keys,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    dom = SparkDataFrameDomain.from_spark_schema(li.schema, strict=True)
+    keys = [(a, b) for a in ["A", "N", "R"] for b in ["F", "O"]]
+    gb = create_groupby_from_list_of_keys(
+        dom, SymmetricDifference(), False, ["l_returnflag", "l_linestatus"], keys
+    )
+    mc = create_count_measurement(
+        dom, SymmetricDifference(), PureDP(), 1, 1, groupby_transformation=gb
+    )
+    mc(li).collect()
+
+    derive = DeriveColumn(
+        dom, SymmetricDifference(), "qty", "cast(floor(l_quantity) as long)",
+        SparkIntegerColumnDescriptor(size=64),
+    )
+    gb2 = create_groupby_from_list_of_keys(
+        derive.output_domain, SymmetricDifference(), False,
+        ["l_returnflag", "l_linestatus"], keys,
+    )
+    ms = create_sum_measurement(
+        derive.output_domain, SymmetricDifference(), PureDP(), 1, 1,
+        measure_column="qty", lower=0, upper=50,
+        groupby_transformation=gb2, sum_column="sum_qty",
+    )
+    ChainTM(derive, ms)(li).collect()
+
+
+def bench_quantile(spark):
+    from tumult_core_spark.domains import SparkDataFrameDomain
+    from tumult_core_spark.measures import PureDP
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.measurements.quantile import create_quantile_measurement
+    from tumult_core_spark.transformations.groupby import (
+        create_groupby_from_list_of_keys,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    dom = SparkDataFrameDomain.from_spark_schema(li.schema, strict=True)
+    gb = create_groupby_from_list_of_keys(
+        dom, SymmetricDifference(), False, ["l_returnflag"],
+        [("A",), ("N",), ("R",)],
+    )
+    m = create_quantile_measurement(
+        dom, SymmetricDifference(), PureDP(), 1, 1,
+        measure_column="l_extendedprice", quantile=0.5, lower=0, upper=100000,
+        groupby_transformation=gb,
+    )
+    m(li).collect()
+
+
+def bench_public_join(spark):
+    from tumult_core_spark.domains import SparkDataFrameDomain
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.transformations.join import PublicJoin
+    from tumult_core_spark.transformations.rows import Rename
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    dom = SparkDataFrameDomain.from_spark_schema(orders.schema)
+    ren = Rename(dom, SymmetricDifference(), {"o_custkey": "c_custkey"})
+    pj = PublicJoin(ren.output_domain, SymmetricDifference(), cust)
+    (ren | pj)(orders).count()
+
+
+def bench_private_join(spark):
+    from tumult_core_spark.domains import DictDomain, SparkDataFrameDomain
+    from tumult_core_spark.transformations.join import (
+        PrivateJoin,
+        TruncationStrategy,
+    )
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("okey"), "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.col("o_orderkey").alias("okey"), "o_totalprice"
+    )
+    dd = DictDomain(
+        {
+            "l": SparkDataFrameDomain.from_spark_schema(li.schema),
+            "r": SparkDataFrameDomain.from_spark_schema(orders.schema),
+        }
+    )
+    t = PrivateJoin(
+        dd, "l", "r", TruncationStrategy.TRUNCATE, TruncationStrategy.TRUNCATE, 4, 2
+    )
+    t({"l": li, "r": orders}).count()
+
+
+def bench_map_flatmap(spark):
+    from tumult_core_spark.domains import (
+        SparkDataFrameDomain,
+        SparkFloatColumnDescriptor,
+        SparkRowDomain,
+    )
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.transformations.map import (
+        FlatMap,
+        Map,
+        RowToRowsTransformation,
+        RowToRowTransformation,
+    )
+    from tumult_core_spark.transformations.rows import Select
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    dom = SparkDataFrameDomain.from_spark_schema(li.schema, strict=True)
+    sel = Select(dom, SymmetricDifference(), ["l_extendedprice", "l_discount"])
+    in_schema = dict(sel.output_domain.schema)
+    out_schema = dict(in_schema)
+    out_schema["revenue"] = SparkFloatColumnDescriptor(size=64)
+    m = Map(
+        SymmetricDifference(),
+        RowToRowTransformation(
+            SparkRowDomain(in_schema),
+            SparkRowDomain(out_schema),
+            lambda r: {"revenue": r["l_extendedprice"] * (1 - r["l_discount"])},
+            augment=True,
+        ),
+    )
+    (sel | m)(li).count()
+
+    fm = FlatMap(
+        SymmetricDifference(),
+        RowToRowsTransformation(
+            SparkRowDomain(in_schema),
+            SparkRowDomain({"v": SparkFloatColumnDescriptor(size=64)}),
+            lambda r: [{"v": r["l_extendedprice"]}, {"v": r["l_discount"]}],
+        ),
+        max_num_rows=2,
+    )
+    (sel | fm)(li).count()
+
+
+def bench_partition_selection(spark):
+    from tumult_core_spark.domains import SparkDataFrameDomain
+    from tumult_core_spark.measurements.aggregations import (
+        create_partition_selection_measurement,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_suppkey", "l_returnflag"
+    )
+    dom = SparkDataFrameDomain.from_spark_schema(li.schema)
+    m = create_partition_selection_measurement(dom, 1, "1/1000000")
+    m(li).count()
+
+
+def bench_bounds(spark):
+    from tumult_core_spark.domains import SparkDataFrameDomain
+    from tumult_core_spark.measures import PureDP
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.measurements.aggregations import create_bounds_measurement
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select("l_partkey")
+    dom = SparkDataFrameDomain.from_spark_schema(li.schema, strict=True)
+    m = create_bounds_measurement(
+        dom, SymmetricDifference(), PureDP(), 10, "l_partkey"
+    )
+    m(li)
+
+
+def bench_noise_sampling(spark):
+    """Vectorized noise throughput: 10M samples per mechanism."""
+    import numpy as np
+
+    from tumult_core_spark import samplers
+
+    n = 10_000_000
+    samplers.laplace(1.0, n)
+    samplers.two_sided_geometric(1.0, n)
+    samplers.gaussian(1.0, n)
+    samplers.discrete_gaussian(1.0, n)
+
+
+def bench_dedup_minhash(spark):
+    from tumult_core_spark.extensions.dedup import minhash_lsh_candidate_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    minhash_lsh_candidate_pairs(docs, "doc_id", "text", 64, 16).count()
+
+
+def bench_ann(spark):
+    from pyspark.sql import functions as F
+
+    from tumult_core_spark.extensions.similarity import brute_force_knn
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = embs.filter("vec_id < 100").select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    brute_force_knn(embs, queries, "vec_id", "qid", "embedding", k=10).count()
+
+
+def bench_text_stats(spark):
+    from tumult_core_spark.extensions.text import language_id, quality_score, token_count
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    language_id(quality_score(token_count(docs))).count()
+
+
+BENCHES = {
+    "groupby_count_sum": bench_groupby_count_sum,
+    "quantile": bench_quantile,
+    "public_join": bench_public_join,
+    "private_join": bench_private_join,
+    "map_flatmap": bench_map_flatmap,
+    "partition_selection": bench_partition_selection,
+    "bounds": bench_bounds,
+    "noise_sampling": bench_noise_sampling,
+    "dedup_minhash": bench_dedup_minhash,
+    "ann_topk": bench_ann,
+    "text_stats": bench_text_stats,
+}
+
+
+def main():
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM + parquet footer cache so timings measure the operators
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings = {}
+    for name, fn in BENCHES.items():
+        start = time.perf_counter()
+        try:
+            fn(spark)
+            timings[name] = round(time.perf_counter() - start, 3)
+        except Exception as exc:  # pragma: no cover
+            timings[name] = None
+            print(f"# bench {name} failed: {exc}", file=sys.stderr)
+    total = round(sum(v for v in timings.values() if v is not None), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,208 @@
+"""Dedup / similarity / text / multimodal / streaming extensions on the
+driver's documents + embeddings + events tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tumult_core_spark.extensions.dedup import (
+    exact_dedup,
+    minhash_lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    simhash_signatures,
+)
+from tumult_core_spark.extensions.similarity import (
+    brute_force_knn,
+    ivf_knn,
+)
+from tumult_core_spark.extensions.text import (
+    document_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from tumult_core_spark.extensions.multimodal import (
+    attach_media_metadata,
+    audio_features,
+    extract_image_features,
+    resize_images,
+    sample_video_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+class TestDedup:
+    def test_exact_dedup(self, spark, docs):
+        doubled = docs.union(docs)
+        out = exact_dedup(doubled, ["text"])
+        assert out.count() == docs.select("text").distinct().count()
+
+    def test_minhash_signatures_deterministic(self, spark, docs):
+        s1 = minhash_signatures(docs.limit(50), "doc_id", "text", num_hashes=16)
+        a = {r["doc_id"]: tuple(r["minhash"]) for r in s1.collect()}
+        b = {r["doc_id"]: tuple(r["minhash"]) for r in s1.collect()}
+        assert a == b
+        assert all(len(v) == 16 for v in a.values())
+
+    def test_minhash_lsh_finds_exact_dups(self, spark, docs):
+        base = docs.limit(30)
+        dup = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        both = base.union(dup)
+        pairs = minhash_lsh_candidate_pairs(
+            both, "doc_id", "text", num_hashes=32, bands=8
+        )
+        found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        expected = {
+            (r["doc_id"], r["doc_id"] + 1_000_000) for r in base.collect()
+        }
+        assert expected <= found  # every exact duplicate pair is a candidate
+
+    def test_ngram_jaccard(self, spark, docs):
+        base = docs.limit(20)
+        dup = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        both = base.union(dup)
+        pairs = ngram_jaccard_pairs(both, "doc_id", "text", n=3, threshold=0.99)
+        found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        expected = {(r["doc_id"], r["doc_id"] + 1_000_000) for r in base.collect()}
+        assert expected <= found
+
+    def test_simhash_near_dups(self, spark, docs):
+        base = docs.limit(30)
+        dup = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        both = base.union(dup)
+        sigs = simhash_signatures(both, "doc_id", "text")
+        assert sigs.count() == both.count()
+        pairs = simhash_near_duplicates(both, "doc_id", "text", max_hamming=0)
+        found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        expected = {(r["doc_id"], r["doc_id"] + 1_000_000) for r in base.collect()}
+        assert expected <= found
+
+
+class TestSimilarity:
+    def test_brute_force_self_top1(self, spark, embs):
+        corpus = embs.limit(100)
+        queries = corpus.limit(10).withColumnRenamed("vec_id", "qid")
+        out = brute_force_knn(
+            corpus, queries, "vec_id", "qid", "embedding", k=3
+        )
+        top1 = {r["qid"]: r["vec_id"] for r in out.filter("rank = 1").collect()}
+        # each query's nearest neighbour is itself (cosine 1.0)
+        assert all(q == c for q, c in top1.items())
+        assert out.filter("rank <= 3").groupBy("qid").count().filter(
+            "count != 3"
+        ).count() == 0
+
+    def test_ivf_recall_of_self(self, spark, embs):
+        corpus = embs.limit(200)
+        queries = corpus.limit(10).withColumnRenamed("vec_id", "qid")
+        out = ivf_knn(
+            corpus, queries, "vec_id", "qid", "embedding",
+            k=3, num_centroids=8, nprobe=8,  # probe all cells -> exact
+        )
+        top1 = {r["qid"]: r["vec_id"] for r in out.filter("rank = 1").collect()}
+        assert all(q == c for q, c in top1.items())
+
+
+class TestText:
+    def test_token_count(self, spark, docs):
+        out = token_count(docs.limit(20), "text")
+        rows = out.select("text", "n_tokens").collect()
+        for r in rows:
+            assert r["n_tokens"] == len(r["text"].split())
+
+    def test_language_id_and_quality(self, spark, docs):
+        out = language_id(quality_score(docs.limit(50)))
+        rows = out.select("quality", "lang_pred").collect()
+        assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+        assert all(r["lang_pred"] is not None for r in rows)
+
+    def test_fingerprint_stability(self, spark, docs):
+        out = document_fingerprint(docs.limit(20))
+        a = {r["doc_id"]: (r["fingerprint"], r["fingerprint_robust"]) for r in out.collect()}
+        b = {r["doc_id"]: (r["fingerprint"], r["fingerprint_robust"]) for r in out.collect()}
+        assert a == b
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [(i, bytes([i % 256]) * 100) for i in range(20)]
+        return spark.createDataFrame(rows, "media_id long, payload binary")
+
+    def test_metadata_and_features(self, spark, media):
+        tagged = attach_media_metadata(media, "payload", "image", "image/png")
+        assert "payload_meta" in tagged.columns
+        feats = extract_image_features(media, "payload", "media_id", dim=16)
+        rows = feats.collect()
+        assert len(rows) == 20
+        assert all(len(r["features"]) == 16 for r in rows)
+        # deterministic fake features
+        again = {r["media_id"]: r["features"] for r in feats.collect()}
+        first = {r["media_id"]: r["features"] for r in rows}
+        assert first == again
+
+    def test_resize_and_frames(self, spark, media):
+        resized = resize_images(media, "payload", "media_id", 224, 224)
+        assert resized.filter("width = 224 and height = 224").count() == 20
+        frames = sample_video_frames(media, "payload", "media_id", num_frames=3)
+        assert frames.count() == 60
+        assert frames.select("media_id").distinct().count() == 20
+
+    def test_audio(self, spark, media):
+        out = audio_features(media, "payload", "media_id", dim=8)
+        assert out.filter(F.size("features") == 8).count() == 20
+
+    def test_real_decode_raises(self, spark, media):
+        import pytest as _pytest
+
+        feats = extract_image_features(media, "payload", "media_id", fake=False)
+        with _pytest.raises(Exception):
+            feats.collect()
+
+
+class TestStreaming:
+    def test_windowed_counts_available_now(self, spark, sf_dir):
+        from tumult_core_spark.streaming import (
+            read_stream_parquet,
+            windowed_counts,
+            write_stream_memory,
+        )
+
+        stream = read_stream_parquet(spark, f"{sf_dir}/events.parquet", nanos_ts_cols=["ts"])
+        agg = windowed_counts(stream, "ts", "24 hours", "48 hours", ["event_type"])
+        q = write_stream_memory(agg, "win_counts", output_mode="complete")
+        q.awaitTermination(120)
+        from tumult_core_spark.sources import read_parquet
+        from tumult_core_spark.sources.io import read_parquet_nanos_ts
+        static = read_parquet_nanos_ts(spark, f"{sf_dir}/events.parquet", ["ts"])
+        total = static.count()
+        got = spark.sql("select sum(count) as s from win_counts").first()["s"]
+        assert got == total
+
+    def test_streaming_dedup(self, spark, sf_dir):
+        from tumult_core_spark.streaming import (
+            read_stream_parquet,
+            streaming_dedup,
+            write_stream_memory,
+        )
+
+        stream = read_stream_parquet(spark, f"{sf_dir}/events.parquet", nanos_ts_cols=["ts"])
+        deduped = streaming_dedup(stream, ["user_id"], "ts")
+        q = write_stream_memory(deduped, "dedup_events")
+        q.awaitTermination(120)
+        from tumult_core_spark.sources import read_parquet
+        from tumult_core_spark.sources.io import read_parquet_nanos_ts
+        static = read_parquet_nanos_ts(spark, f"{sf_dir}/events.parquet", ["ts"])
+        n_users = static.select("user_id").distinct().count()
+        got = spark.sql("select count(*) as c from dedup_events").first()["c"]
+        assert got == n_users

@@ -1,0 +1,223 @@
+"""Quantile, bounds/SVT, interactive accountant, dictionary ops."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tumult_core_spark.domains import (
+    DictDomain,
+    ListDomain,
+    SparkDataFrameDomain,
+    SparkIntegerColumnDescriptor,
+    SparkStringColumnDescriptor,
+)
+from tumult_core_spark.exact_number import ExactNumber
+from tumult_core_spark.measures import PureDP, PureDPBudget
+from tumult_core_spark.metrics import (
+    DictMetric,
+    SumOf,
+    SymmetricDifference,
+)
+from tumult_core_spark.measurements.aggregations import (
+    create_bounds_measurement,
+    create_count_measurement,
+)
+from tumult_core_spark.measurements.quantile import create_quantile_measurement
+from tumult_core_spark.measurements.interactive import (
+    AccountantState,
+    PrivacyAccountant,
+    SequentialComposition,
+)
+from tumult_core_spark.transformations.dictionary import (
+    CreateDictFromValue,
+    GetValue,
+    Subset,
+    TransformValue,
+)
+from tumult_core_spark.transformations.groupby import (
+    create_groupby_from_list_of_keys,
+)
+from tumult_core_spark.transformations.rows import Filter
+
+INT = SparkIntegerColumnDescriptor(size=64)
+STR = SparkStringColumnDescriptor()
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    rows = [("a", i) for i in range(1, 101)] + [("b", i) for i in range(50, 151)]
+    return spark.createDataFrame(rows, "g string, x long")
+
+
+def v_domain():
+    return SparkDataFrameDomain({"g": STR, "x": INT})
+
+
+class TestQuantile:
+    def test_grouped_quantile_high_eps(self, spark, values):
+        gb = create_groupby_from_list_of_keys(
+            v_domain(), SymmetricDifference(), False, ["g"], [("a",), ("b",)]
+        )
+        m = create_quantile_measurement(
+            v_domain(),
+            SymmetricDifference(),
+            PureDP(),
+            d_in=1,
+            d_out=100,
+            measure_column="x",
+            quantile=0.5,
+            lower=0,
+            upper=200,
+            groupby_transformation=gb,
+            quantile_column="median_x",
+        )
+        assert m.privacy_function(1) == 100
+        got = {r["g"]: r["median_x"] for r in m(values).collect()}
+        # with eps=100 the median is tightly concentrated
+        assert abs(got["a"] - 50) < 10
+        assert abs(got["b"] - 100) < 10
+
+    def test_ungrouped_quantile(self, spark, values):
+        m = create_quantile_measurement(
+            v_domain(),
+            SymmetricDifference(),
+            PureDP(),
+            d_in=1,
+            d_out=100,
+            measure_column="x",
+            quantile=0.9,
+            lower=0,
+            upper=200,
+        )
+        out = float(m(values))
+        assert 100 < out < 160
+
+
+class TestBounds:
+    def test_scalar_bounds(self, spark, values):
+        m = create_bounds_measurement(
+            v_domain(),
+            SymmetricDifference(),
+            PureDP(),
+            d_out=50,
+            measure_column="x",
+        )
+        lo, hi = m(values)
+        assert hi >= 128  # max is 150 -> rank 8 = 256 likely; at least 2^7
+        assert lo == -hi
+
+    def test_grouped_bounds(self, spark, values):
+        gb = create_groupby_from_list_of_keys(
+            v_domain(), SymmetricDifference(), False, ["g"], [("a",), ("b",)]
+        )
+        m = create_bounds_measurement(
+            v_domain(),
+            SymmetricDifference(),
+            PureDP(),
+            d_out=50,
+            measure_column="x",
+            groupby_transformation=gb,
+            lower_bound_column="lo",
+            upper_bound_column="hi",
+        )
+        rows = {r["g"]: (r["lo"], r["hi"]) for r in m(values).collect()}
+        assert set(rows) == {"a", "b"}
+        for lo, hi in rows.values():
+            assert lo == -hi and hi >= 64
+
+
+class TestInteractive:
+    def test_accountant_lifecycle(self, spark, values):
+        dom = v_domain()
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), PureDP(), d_in=1,
+            privacy_budget=PureDPBudget(3),
+        )
+        acct = PrivacyAccountant.launch(sc, values)
+        m1 = create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 1)
+        out1 = acct.measure(m1)
+        assert isinstance(out1, np.int64)
+        assert acct.privacy_budget.value == 2
+
+        # transform then measure
+        acct.transform_in_place(Filter(dom, SymmetricDifference(), "x > 100"))
+        out2 = acct.measure(
+            create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 2)
+        )
+        assert acct.privacy_budget.value == 0
+
+        # budget exhausted
+        with pytest.raises(ValueError, match="Insufficient budget"):
+            acct.measure(
+                create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 1)
+            )
+
+    def test_accountant_split(self, spark, values):
+        from tumult_core_spark.transformations.partition import PartitionByKeys
+
+        dom = v_domain()
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), PureDP(), d_in=1,
+            privacy_budget=PureDPBudget(2),
+        )
+        acct = PrivacyAccountant.launch(sc, values)
+        part = PartitionByKeys(
+            dom, SymmetricDifference(), False, ["g"], [("a",), ("b",)]
+        )
+        children = acct.split(part, PureDPBudget(1))
+        assert acct.state == AccountantState.WAITING_FOR_CHILDREN
+        counts = []
+        for child in children:
+            counts.append(
+                int(
+                    child.measure(
+                        create_count_measurement(
+                            dom, SymmetricDifference(), PureDP(), 1, 1
+                        )
+                    )
+                )
+            )
+            child.retire()
+        assert acct.state == AccountantState.ACTIVE
+        assert acct.privacy_budget.value == 1
+        assert abs(counts[0] - 100) < 50 and abs(counts[1] - 101) < 50
+
+    def test_queryable(self, spark, values):
+        dom = v_domain()
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), PureDP(), d_in=1,
+            privacy_budget=PureDPBudget(1),
+        )
+        q = sc(values)
+        out = q(create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 1))
+        assert isinstance(out, np.int64)
+        with pytest.raises(ValueError):
+            q(create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 1))
+
+
+class TestDictionary:
+    def test_create_subset_get(self, spark, values):
+        dom = v_domain()
+        c = CreateDictFromValue(dom, SymmetricDifference(), "t")
+        d = c(values)
+        assert set(d) == {"t"}
+        assert c.stability_function(1) == {"t": 1}
+
+        dict_dom = DictDomain({"t": dom})
+        dict_metric = DictMetric({"t": SymmetricDifference()})
+        g = GetValue(dict_dom, dict_metric, "t")
+        assert g(d) is values
+
+        s = Subset(dict_dom, dict_metric, ["t"])
+        assert set(s(d)) == {"t"}
+
+    def test_transform_value(self, spark, values):
+        dom = v_domain()
+        dict_dom = DictDomain({"t": dom})
+        dict_metric = DictMetric({"t": SymmetricDifference()})
+        f = Filter(dom, SymmetricDifference(), "x <= 100")
+        tv = TransformValue(dict_dom, dict_metric, f, "t", "t2")
+        out = tv({"t": values})
+        assert set(out) == {"t", "t2"}
+        assert out["t2"].count() == 151
+        assert tv.stability_function({"t": 1}) == {"t": 1, "t2": 1}

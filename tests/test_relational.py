@@ -1,0 +1,247 @@
+"""Joins, truncation, partition, maps, row ops."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tumult_core_spark.domains import (
+    DictDomain,
+    SparkDataFrameDomain,
+    SparkIntegerColumnDescriptor,
+    SparkRowDomain,
+    SparkStringColumnDescriptor,
+)
+from tumult_core_spark.metrics import (
+    DictMetric,
+    IfGroupedBy,
+    SumOf,
+    SymmetricDifference,
+)
+from tumult_core_spark.transformations.join import (
+    PrivateJoin,
+    PublicJoin,
+    TruncationStrategy,
+)
+from tumult_core_spark.transformations.map import (
+    FlatMap,
+    FlatMapByKey,
+    Map,
+    RowsToRowsTransformation,
+    RowToRowsTransformation,
+    RowToRowTransformation,
+)
+from tumult_core_spark.transformations.partition import PartitionByKeys
+from tumult_core_spark.transformations.rows import (
+    AddUniqueColumn,
+    DropNulls,
+    Filter,
+    Rename,
+    ReplaceNulls,
+    Select,
+)
+from tumult_core_spark.transformations.truncation import (
+    LimitKeysPerGroup,
+    LimitRowsPerGroup,
+)
+from tumult_core_spark.utils.truncation import (
+    drop_large_groups,
+    truncate_large_groups,
+)
+
+INT = SparkIntegerColumnDescriptor(size=64)
+INT_N = SparkIntegerColumnDescriptor(size=64, allow_null=True)
+STR = SparkStringColumnDescriptor()
+
+
+@pytest.fixture(scope="module")
+def kv(spark):
+    return spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "d"), (2, "e"), (3, "f")],
+        "k long, v string",
+    )
+
+
+def kv_domain():
+    return SparkDataFrameDomain({"k": INT, "v": STR})
+
+
+class TestRowOps:
+    def test_filter(self, spark, kv):
+        t = Filter(kv_domain(), SymmetricDifference(), "k > 1")
+        assert t(kv).count() == 3
+        assert t.stability_function(2) == 2
+
+    def test_select_rename(self, spark, kv):
+        t = Select(kv_domain(), SymmetricDifference(), ["k"])
+        assert t(kv).columns == ["k"]
+        r = Rename(kv_domain(), SymmetricDifference(), {"v": "val"})
+        assert r(kv).columns == ["k", "val"]
+        assert list(r.output_domain.schema) == ["k", "val"]
+
+    def test_drop_replace_nulls(self, spark):
+        df = spark.createDataFrame([(1, "x"), (None, "y")], "a long, v string")
+        dom = SparkDataFrameDomain({"a": INT_N, "v": STR})
+        d = DropNulls(dom, SymmetricDifference(), ["a"])
+        assert d(df).count() == 1
+        r = ReplaceNulls(dom, SymmetricDifference(), {"a": 0})
+        vals = sorted([row["a"] for row in r(df).collect()])
+        assert vals == [0, 1]
+
+    def test_add_unique_column(self, spark, kv):
+        dup = kv.union(kv)  # duplicate rows must still get distinct ids
+        t = AddUniqueColumn(kv_domain(), "id")
+        out = t(dup)
+        assert out.select("id").distinct().count() == dup.count()
+        # deterministic across runs
+        a = sorted([r["id"] for r in t(dup).collect()])
+        b = sorted([r["id"] for r in t(dup).collect()])
+        assert a == b
+
+
+class TestTruncation:
+    def test_truncate_large_groups(self, spark, kv):
+        out = truncate_large_groups(kv, ["k"], 2)
+        counts = {r["k"]: r["n"] for r in out.groupBy("k").agg(F.count("*").alias("n")).collect()}
+        assert counts == {1: 2, 2: 2, 3: 1}
+        # deterministic / order-independent
+        shuffled = kv.orderBy(F.rand(7))
+        rows1 = sorted(map(tuple, truncate_large_groups(kv, ["k"], 2).collect()))
+        rows2 = sorted(map(tuple, truncate_large_groups(shuffled, ["k"], 2).collect()))
+        assert rows1 == rows2
+
+    def test_drop_large_groups(self, spark, kv):
+        out = drop_large_groups(kv, ["k"], 2)
+        assert sorted([r["k"] for r in out.select("k").distinct().collect()]) == [2, 3]
+
+    def test_limit_rows_per_group_transformation(self, spark, kv):
+        t = LimitRowsPerGroup(
+            kv_domain(), IfGroupedBy("k", SymmetricDifference()), threshold=2
+        )
+        assert t.stability_function(1) == 2
+        assert t.output_metric == SymmetricDifference()
+        assert t(kv).count() == 5
+
+    def test_limit_keys_per_group(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10), (1, 20), (1, 30), (2, 10)], "g long, u long"
+        )
+        dom = SparkDataFrameDomain({"g": INT, "u": INT})
+        t = LimitKeysPerGroup(
+            dom, IfGroupedBy("g", SymmetricDifference()), "u", 2
+        )
+        out = t(df)
+        per_group = (
+            out.groupBy("g").agg(F.countDistinct("u").alias("n")).collect()
+        )
+        assert all(r["n"] <= 2 for r in per_group)
+
+
+class TestJoins:
+    def test_public_join_natural(self, spark, kv):
+        pub = spark.createDataFrame([(1, "one"), (2, "two")], "k long, name string")
+        t = PublicJoin(kv_domain(), SymmetricDifference(), pub)
+        out = t(kv)
+        assert out.columns == ["k", "v", "name"]
+        assert out.count() == 5  # k=3 dropped
+        assert t.stability_function(1) == 1  # max multiplicity 1
+
+    def test_public_join_multiplicity_stability(self, spark, kv):
+        pub = spark.createDataFrame(
+            [(1, "x"), (1, "y"), (2, "z")], "k long, tag string"
+        )
+        t = PublicJoin(kv_domain(), SymmetricDifference(), pub)
+        assert t.stability_function(1) == 2
+
+    def test_public_join_suffixes(self, spark, kv):
+        pub = spark.createDataFrame([(1, "p")], "k long, v string")
+        t = PublicJoin(kv_domain(), SymmetricDifference(), pub, join_cols=["k"])
+        out = t(kv)
+        assert out.columns == ["k", "v_left", "v_right"]
+
+    def test_public_join_left(self, spark, kv):
+        pub = spark.createDataFrame([(1, "one")], "k long, name string")
+        t = PublicJoin(kv_domain(), SymmetricDifference(), pub, how="left")
+        out = t(kv)
+        assert out.count() == 6
+        assert out.filter(F.col("name").isNull()).count() == 3
+
+    def test_public_join_null_keys(self, spark):
+        df = spark.createDataFrame([(None, "a"), (1, "b")], "k long, v string")
+        dom = SparkDataFrameDomain({"k": INT_N, "v": STR})
+        pub = spark.createDataFrame([(None, "nn"), (1, "one")], "k long, name string")
+        t_eq = PublicJoin(
+            dom, SymmetricDifference(), pub, join_on_nulls=True
+        )
+        assert t_eq(df).count() == 2
+        t_ne = PublicJoin(dom, SymmetricDifference(), pub, join_on_nulls=False)
+        assert t_ne(df).count() == 1
+
+    def test_private_join(self, spark, kv):
+        other = spark.createDataFrame(
+            [(1, 100), (1, 200), (2, 300)], "k long, w long"
+        )
+        dom = DictDomain(
+            {"l": kv_domain(), "r": SparkDataFrameDomain({"k": INT, "w": INT})}
+        )
+        t = PrivateJoin(
+            dom,
+            "l",
+            "r",
+            TruncationStrategy.TRUNCATE,
+            TruncationStrategy.TRUNCATE,
+            2,
+            2,
+        )
+        out = t({"l": kv, "r": other})
+        assert out.columns == ["k", "v", "w"]
+        # l truncated to 2 rows/key, r to 2: k=1 gives 2*2=4, k=2 gives 2*1=2
+        assert out.count() == 6
+        # stability: tau_l*s_r*d_r + tau_r*s_l*d_l = 2*2*1 + 2*2*1 = 8
+        assert t.stability_function({"l": 1, "r": 1}) == 8
+
+
+class TestPartition:
+    def test_partition_by_keys(self, spark, kv):
+        t = PartitionByKeys(
+            kv_domain(), SymmetricDifference(), False, ["k"], [(1,), (2,), (9,)]
+        )
+        parts = t(kv)
+        assert [p.count() for p in parts] == [3, 2, 0]
+        assert t.stability_function(1) == 1
+
+
+class TestMaps:
+    def test_map(self, spark, kv):
+        rt = RowToRowTransformation(
+            SparkRowDomain({"k": INT, "v": STR}),
+            SparkRowDomain({"k": INT, "v": STR, "klen": INT}),
+            lambda row: {"klen": row["k"] * 10},
+            augment=True,
+        )
+        t = Map(SymmetricDifference(), rt)
+        out = t(kv)
+        assert out.columns == ["k", "v", "klen"]
+        assert out.filter("klen = k * 10").count() == kv.count()
+
+    def test_flatmap_truncates(self, spark, kv):
+        rt = RowToRowsTransformation(
+            SparkRowDomain({"k": INT, "v": STR}),
+            SparkRowDomain({"n": INT}),
+            lambda row: [{"n": i} for i in range(row["k"])],
+        )
+        t = FlatMap(SymmetricDifference(), rt, max_num_rows=2)
+        assert t.stability_function(1) == 2
+        out = t(kv)
+        # per row min(k, 2) outputs: k=1 x3 ->3, k=2 x2 ->4, k=3 ->2
+        assert out.count() == 9
+
+    def test_flatmap_by_key(self, spark, kv):
+        rt = RowsToRowsTransformation(
+            SparkRowDomain({"v": STR}),
+            SparkRowDomain({"cat": STR}),
+            lambda rows: [{"cat": "".join(sorted(r["v"] for r in rows))}],
+        )
+        dom = kv_domain()
+        t = FlatMapByKey(dom, IfGroupedBy("k", SymmetricDifference()), rt)
+        out = t(kv)
+        got = {r["k"]: r["cat"] for r in out.collect()}
+        assert got == {1: "abc", 2: "de", 3: "f"}

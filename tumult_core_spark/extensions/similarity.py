@@ -1,0 +1,158 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+* ``brute_force_knn`` — exact cosine top-k per query: broadcast the
+  query set, one JVM-side ``zip_with``/``aggregate`` dot product per
+  (query, corpus) pair, window top-k.  Baseline and verification
+  oracle.
+* ``ivf_knn`` — the scale path: partition the corpus into Voronoi
+  cells around sampled centroids (IVF coarse quantizer), probe only
+  the ``nprobe`` nearest cells per query.  Corpus assignment is one
+  broadcast-join pass; the probe join touches ~nprobe/ncells of the
+  corpus instead of all of it.
+
+Vectors are ``array<float/double>`` columns; all arithmetic is
+Catalyst higher-order functions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    return dot(a, b) / (
+        F.greatest(l2_norm(a) * l2_norm(b), F.lit(1e-30))
+    )
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vector_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, corpus_id, score, rank).
+
+    The query side is broadcast (queries are assumed small relative to
+    the corpus); scoring is a single pass over the corpus with no
+    shuffle except the per-query top-k window.
+    """
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(vector_col).cast("array<double>").alias("__qvec"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(vector_col).cast("array<double>").alias("__cvec"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        F.col("__qid").alias(query_id),
+        F.col("__cid").alias(corpus_id),
+        cosine(F.col("__qvec"), F.col("__cvec")).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.desc("score"), F.asc(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sample_centroids(
+    corpus: DataFrame, vector_col: str, num_centroids: int, seed: int = 7
+) -> DataFrame:
+    """Deterministic centroid sample: the first ``num_centroids``
+    corpus vectors by a hash ordering (cheap coarse quantizer; a
+    k-means refinement can replace this without changing the plan)."""
+    return (
+        corpus.select(F.col(vector_col).cast("array<double>").alias("__centroid"))
+        .orderBy(F.xxhash64(F.col("__centroid").cast("string"), F.lit(seed)))
+        .limit(num_centroids)
+        .withColumn("__centroid_id", F.monotonically_increasing_id())
+    )
+
+
+def _nearest_centroids(
+    df: DataFrame,
+    id_alias: str,
+    vector_col: str,
+    centroids: DataFrame,
+    n_nearest: int,
+) -> DataFrame:
+    """Assign each vector to its n nearest centroids (broadcast join)."""
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_alias),
+        F.col(vector_col),
+        F.col("__centroid_id"),
+        cosine(F.col(vector_col), F.col("__centroid")).alias("__csim"),
+    )
+    w = Window.partitionBy(id_alias).orderBy(F.desc("__csim"))
+    return (
+        scored.withColumn("__crank", F.row_number().over(w))
+        .filter(F.col("__crank") <= n_nearest)
+        .drop("__csim", "__crank")
+    )
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vector_col: str = "embedding",
+    k: int = 10,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: probe only nprobe/num_centroids cells.
+
+    Recall < 1 by construction; raise ``nprobe`` to trade cost for
+    recall.  Corpus cell assignment is reusable across query batches
+    (write it out once for a static corpus).
+    """
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(vector_col).cast("array<double>").alias("__cvec"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(vector_col).cast("array<double>").alias("__qvec"),
+    )
+    centroids = sample_centroids(c, "__cvec", num_centroids)
+    c_assigned = _nearest_centroids(c, "__cid", "__cvec", centroids, 1)
+    q_assigned = _nearest_centroids(q, "__qid", "__qvec", centroids, nprobe)
+
+    joined = c_assigned.join(
+        F.broadcast(q_assigned.select("__qid", "__qvec", "__centroid_id")),
+        on="__centroid_id",
+    )
+    scored = joined.select(
+        F.col("__qid").alias(query_id),
+        F.col("__cid").alias(corpus_id),
+        cosine(F.col("__qvec"), F.col("__cvec")).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

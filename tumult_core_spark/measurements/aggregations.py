@@ -591,3 +591,147 @@ def create_partition_selection_measurement(
         f"> ({eps}, {dlt})"
     )
     return m
+
+
+# ---------------------------------------------------------------------------
+# bounds (magnitude estimation via SVT)
+# ---------------------------------------------------------------------------
+
+
+def create_bounds_measurement(
+    input_domain: SparkDataFrameDomain,
+    input_metric: Metric,
+    output_measure: Measure,
+    d_out,
+    measure_column: str,
+    threshold: float = 0.95,
+    d_in: ExactNumberInput = 1,
+    groupby_transformation: Optional[GroupBy] = None,
+    upper_bound_column: Optional[str] = None,
+    lower_bound_column: Optional[str] = None,
+) -> Measurement:
+    """DP estimate of symmetric magnitude bounds (-2^r, 2^r) for a column.
+
+    Recipe (reference ``aggregations.py:2059-2210``): map each value to
+    its power-of-two magnitude bin (``rank = ceil(log2(|x|))``,
+    clamped), count per (group, rank) over the full public rank
+    domain, then :class:`SparseVectorPrefixSums` releases the first
+    rank whose noisy prefix sum crosses ``threshold`` of the noisy
+    total; bounds are ``(-2^rank, 2^rank)``.
+
+    The bin-index map is a JVM SQL expression here (the reference uses
+    a Python row Map); everything up to the noise UDFs stays in
+    WholeStageCodegen.
+
+    zCDP / ApproxDP requests route through PureDP: ``eps =
+    sqrt(2 rho)`` or ``(eps, 0)``.
+    """
+    import sympy as sp
+
+    from pyspark.sql import SparkSession
+    from ..domains import SparkIntegerColumnDescriptor as _Int
+    from .converters import PureDPToRhoZCDP
+    from .spark import SparseVectorPrefixSums
+
+    if isinstance(output_measure, ApproxDP):
+        eps, delta = ExactNumber(d_out[0]), ExactNumber(d_out[1])
+        if delta != 0:
+            raise ValueError("delta > 0 unsupported for bounds; use zCDP or PureDP")
+        return PureDPToApproxDP(
+            create_bounds_measurement(
+                input_domain, input_metric, PureDP(), eps, measure_column,
+                threshold, d_in, groupby_transformation,
+                upper_bound_column, lower_bound_column,
+            )
+        )
+    if isinstance(output_measure, RhoZCDP):
+        rho = ExactNumber(d_out)
+        eps = ExactNumber(sp.sqrt((2 * rho).expr))
+        return PureDPToRhoZCDP(
+            create_bounds_measurement(
+                input_domain, input_metric, PureDP(), eps, measure_column,
+                threshold, d_in, groupby_transformation,
+                upper_bound_column, lower_bound_column,
+            )
+        )
+
+    d_in_e = ExactNumber(d_in)
+    eps = ExactNumber(d_out)
+    if d_in_e < 1:
+        raise ValueError("bounds requires d_in >= 1")
+    upper_bound_column = upper_bound_column or f"upper_bound({measure_column})"
+    lower_bound_column = lower_bound_column or f"lower_bound({measure_column})"
+
+    desc = input_domain[measure_column]
+    integral = isinstance(desc, _Int)
+    rank_col = "__rank"
+    lo_rank, hi_rank = (0, 62) if integral else (-100, 100)
+
+    # bin index: ceil(log2(|x|)) clamped; 0 maps to the lowest rank
+    col = f"`{measure_column}`"
+    expr = (
+        f"cast(least(greatest(CASE WHEN {col} = 0 THEN {lo_rank} ELSE "
+        f"ceil(log2(abs(cast({col} as double)))) END, {lo_rank}), {hi_rank}) as int)"
+    )
+    from ..transformations.derive import DeriveColumn
+    from ..domains import SparkIntegerColumnDescriptor
+
+    derive = DeriveColumn(
+        input_domain,
+        input_metric,
+        rank_col,
+        expr,
+        SparkIntegerColumnDescriptor(size=32),
+    )
+
+    spark = SparkSession.active()
+    rank_keys = spark.createDataFrame(
+        [(i,) for i in range(lo_rank, hi_rank + 1)], f"{rank_col} int"
+    )
+    if groupby_transformation is None:
+        keys = rank_keys
+        group_cols: List[str] = []
+    else:
+        gb = groupby_transformation
+        if gb.input_domain != input_domain or gb.input_metric != input_metric:
+            raise ValueError("groupby_transformation does not match input")
+        keys = gb.group_keys.crossJoin(rank_keys)
+        group_cols = gb.groupby_columns
+
+    full_gb = GroupBy(derive.output_domain, input_metric, False, keys)
+    count_t = CountGrouped(full_gb.output_domain, full_gb.output_metric, "__count")
+    pre = ChainTT(ChainTT(derive, full_gb), count_t)
+    stability = pre.stability_function(d_in_e)
+    # SVT privacy = 4 d / alpha  =>  alpha = 4 d / eps
+    alpha = ExactNumber(4) * stability / eps
+    svt = SparseVectorPrefixSums(
+        count_t.output_domain,
+        count_column="__count",
+        rank_column=rank_col,
+        alpha=alpha,
+        grouping_columns=group_cols,
+        threshold_fraction=float(threshold),
+    )
+    m = ChainTM(pre, svt)
+
+    if groupby_transformation is None:
+
+        def post(df: DataFrame):
+            r = df.first()[rank_col]
+            bound = float(2**r) if not integral else int(2**r)
+            return (-bound, bound)
+
+    else:
+
+        def post(df: DataFrame):
+            bound = F.pow(F.lit(2.0), F.col(rank_col))
+            if integral:
+                bound = bound.cast("long")
+            return df.select(
+                *[F.col(c) for c in group_cols],
+                (-bound).alias(lower_bound_column),
+                bound.alias(upper_bound_column),
+            )
+
+    result = PostProcess(m, post)
+    return _assert_privacy(result, d_in_e, eps)

@@ -1,0 +1,291 @@
+"""Interactive measurements and the privacy accountant.
+
+Driver-side state machines mirroring the reference's interactive layer
+(``measurements/interactive_measurements.py:199-1900``):
+
+* ``SequentialComposition`` — an interactive measurement that yields a
+  ``SequentialQueryable`` holding the private data and a remaining
+  budget; queries are answered adaptively, each deducting its cost.
+* ``ParallelComposition`` — answers one measurement per element of a
+  partition list; because partitions are disjoint under
+  SumOf/RootSumOfSquared metrics, the whole round costs the *maximum*
+  (not the sum) of the per-partition losses.
+* ``PrivacyAccountant`` — user-facing ledger over a queryable:
+  ``transform_in_place`` / ``measure`` / ``split``, with the
+  ACTIVE -> WAITING_FOR_CHILDREN / WAITING_FOR_SIBLING -> RETIRED
+  lifecycle that enforces sequential-adaptive ordering.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+from typing import Any, List, Optional, Sequence
+
+from ..base import Measurement, Transformation
+from ..domains import Domain, ListDomain
+from ..exact_number import ExactNumber
+from ..measures import ApproxDP, Measure, PrivacyBudget
+from ..metrics import Metric, RootSumOfSquared, SumOf
+
+
+def _loss_to_budget(measure: Measure, loss: Any) -> PrivacyBudget:
+    return PrivacyBudget.cast(measure, loss)
+
+
+class SequentialQueryable:
+    """Holds private data + remaining budget; answers queries adaptively."""
+
+    def __init__(
+        self,
+        input_domain: Domain,
+        input_metric: Metric,
+        output_measure: Measure,
+        d_in: Any,
+        budget: PrivacyBudget,
+        data: Any,
+    ):
+        self._input_domain = input_domain
+        self._input_metric = input_metric
+        self._output_measure = output_measure
+        self._d_in = d_in
+        self._remaining = budget
+        self._data = data
+
+    @property
+    def remaining_budget(self) -> PrivacyBudget:
+        return self._remaining
+
+    def __call__(self, measurement: Measurement) -> Any:
+        if measurement.input_domain != self._input_domain:
+            raise ValueError("Measurement input domain does not match")
+        if measurement.input_metric != self._input_metric:
+            raise ValueError("Measurement input metric does not match")
+        if measurement.output_measure != self._output_measure:
+            raise ValueError("Measurement output measure does not match")
+        cost = _loss_to_budget(
+            self._output_measure, measurement.privacy_function(self._d_in)
+        )
+        if not self._remaining.can_spend(cost):
+            raise ValueError(
+                f"Insufficient budget: need {cost}, have {self._remaining}"
+            )
+        self._remaining = self._remaining.subtract(cost)
+        return measurement(self._data)
+
+    def transform(self, transformation: Transformation) -> None:
+        """Replace the data in place; d_in updates via stability."""
+        if transformation.input_domain != self._input_domain:
+            raise ValueError("Transformation input domain does not match")
+        if transformation.input_metric != self._input_metric:
+            raise ValueError("Transformation input metric does not match")
+        self._data = transformation(self._data)
+        self._d_in = transformation.stability_function(self._d_in)
+        self._input_domain = transformation.output_domain
+        self._input_metric = transformation.output_metric
+
+
+class SequentialComposition(Measurement):
+    """Interactive measurement: spend an overall budget adaptively."""
+
+    def __init__(
+        self,
+        input_domain: Domain,
+        input_metric: Metric,
+        output_measure: Measure,
+        d_in: Any,
+        privacy_budget: PrivacyBudget,
+    ):
+        super().__init__(
+            input_domain, input_metric, output_measure, is_interactive=True
+        )
+        self.d_in = d_in
+        self.privacy_budget = privacy_budget
+
+    def privacy_function(self, d_in: Any) -> Any:
+        if not self.input_metric.compare(d_in, self.d_in):
+            raise ValueError(f"d_in {d_in} exceeds declared {self.d_in}")
+        v = self.privacy_budget.value
+        return v
+
+    def __call__(self, data: Any) -> SequentialQueryable:
+        return SequentialQueryable(
+            self.input_domain,
+            self.input_metric,
+            self.output_measure,
+            self.d_in,
+            self.privacy_budget,
+            data,
+        )
+
+
+class ParallelComposition(Measurement):
+    """One measurement per element of a partition list.
+
+    Partitions are disjoint, so a single neighboring-row change lands
+    in exactly one element: the round costs max_i(loss_i).
+    """
+
+    def __init__(
+        self,
+        input_domain: ListDomain,
+        input_metric: Metric,
+        measurements: Sequence[Measurement],
+    ):
+        if not isinstance(input_metric, (SumOf, RootSumOfSquared)):
+            raise ValueError("input metric must be SumOf or RootSumOfSquared")
+        if input_domain.length is not None and input_domain.length != len(measurements):
+            raise ValueError("One measurement per partition required")
+        first = measurements[0]
+        for m in measurements:
+            if m.input_domain != input_domain.element_domain:
+                raise ValueError("Measurement domain != element domain")
+            if m.output_measure != first.output_measure:
+                raise ValueError("All measurements must share an output measure")
+        super().__init__(input_domain, input_metric, first.output_measure)
+        self.measurements = list(measurements)
+
+    def privacy_function(self, d_in: Any) -> Any:
+        losses = [m.privacy_function(d_in) for m in self.measurements]
+        if isinstance(self.output_measure, ApproxDP):
+            eps = max(ExactNumber(l[0]) for l in losses)
+            delta = max(ExactNumber(l[1]) for l in losses)
+            return (eps, delta)
+        return max(ExactNumber(l) for l in losses)
+
+    def __call__(self, data: List[Any]) -> List[Any]:
+        if len(data) != len(self.measurements):
+            raise ValueError("Partition count mismatch")
+        return [m(d) for m, d in zip(self.measurements, data)]
+
+
+class AccountantState(Enum):
+    ACTIVE = "active"
+    WAITING_FOR_CHILDREN = "waiting_for_children"
+    RETIRED = "retired"
+
+
+class PrivacyAccountant:
+    """Budget ledger over private data with a sequential-adaptive
+    lifecycle.  ``launch`` binds data; ``measure`` answers queries
+    while deducting budget; ``split`` partitions into child
+    accountants (budget counts once across disjoint partitions);
+    children must retire before the parent resumes."""
+
+    def __init__(
+        self,
+        input_domain: Domain,
+        input_metric: Metric,
+        output_measure: Measure,
+        d_in: Any,
+        privacy_budget: PrivacyBudget,
+        data: Any,
+        _parent: Optional["PrivacyAccountant"] = None,
+    ):
+        self.input_domain = input_domain
+        self.input_metric = input_metric
+        self.output_measure = output_measure
+        self.d_in = d_in
+        self._budget = privacy_budget
+        self._data = data
+        self._state = AccountantState.ACTIVE
+        self._parent = _parent
+        self._children: List[PrivacyAccountant] = []
+
+    @classmethod
+    def launch(
+        cls, measurement: SequentialComposition, data: Any
+    ) -> "PrivacyAccountant":
+        measurement.input_domain.validate(data)
+        return cls(
+            measurement.input_domain,
+            measurement.input_metric,
+            measurement.output_measure,
+            measurement.d_in,
+            measurement.privacy_budget,
+            data,
+        )
+
+    @property
+    def state(self) -> AccountantState:
+        return self._state
+
+    @property
+    def privacy_budget(self) -> PrivacyBudget:
+        return self._budget
+
+    def _require_active(self) -> None:
+        if self._state != AccountantState.ACTIVE:
+            raise RuntimeError(f"Accountant is {self._state.value}, not active")
+
+    def transform_in_place(self, transformation: Transformation) -> None:
+        self._require_active()
+        if transformation.input_domain != self.input_domain:
+            raise ValueError("Transformation input domain does not match")
+        if transformation.input_metric != self.input_metric:
+            raise ValueError("Transformation input metric does not match")
+        self._data = transformation(self._data)
+        self.d_in = transformation.stability_function(self.d_in)
+        self.input_domain = transformation.output_domain
+        self.input_metric = transformation.output_metric
+
+    def measure(self, measurement: Measurement, d_out: Any = None) -> Any:
+        self._require_active()
+        if measurement.input_domain != self.input_domain:
+            raise ValueError("Measurement input domain does not match")
+        if measurement.input_metric != self.input_metric:
+            raise ValueError("Measurement input metric does not match")
+        if measurement.output_measure != self.output_measure:
+            raise ValueError("Measurement output measure does not match")
+        loss = measurement.privacy_function(self.d_in)
+        if d_out is not None and not measurement.output_measure.compare(loss, d_out):
+            raise ValueError(f"Measurement loss {loss} exceeds claimed {d_out}")
+        cost = _loss_to_budget(self.output_measure, loss)
+        if not self._budget.can_spend(cost):
+            raise ValueError(f"Insufficient budget: need {cost}, have {self._budget}")
+        self._budget = self._budget.subtract(cost)
+        return measurement(self._data)
+
+    def split(
+        self, partition_transformation: Transformation, privacy_budget: PrivacyBudget
+    ) -> List["PrivacyAccountant"]:
+        """Partition the data; children share one budget deduction."""
+        self._require_active()
+        if partition_transformation.input_domain != self.input_domain:
+            raise ValueError("Partition input domain does not match")
+        out_domain = partition_transformation.output_domain
+        if not isinstance(out_domain, ListDomain):
+            raise ValueError("Partition transformation must output a ListDomain")
+        if not self._budget.can_spend(privacy_budget):
+            raise ValueError(
+                f"Insufficient budget: need {privacy_budget}, have {self._budget}"
+            )
+        self._budget = self._budget.subtract(privacy_budget)
+        parts = partition_transformation(self._data)
+        child_d_in = partition_transformation.stability_function(self.d_in)
+        self._children = [
+            PrivacyAccountant(
+                out_domain.element_domain,
+                partition_transformation.output_metric.inner_metric
+                if hasattr(partition_transformation.output_metric, "inner_metric")
+                else partition_transformation.output_metric,
+                self.output_measure,
+                child_d_in,
+                privacy_budget,
+                part,
+                _parent=self,
+            )
+            for part in parts
+        ]
+        self._state = AccountantState.WAITING_FOR_CHILDREN
+        return self._children
+
+    def retire(self) -> None:
+        """Finish this accountant; reactivate the parent when all
+        siblings are retired."""
+        if self._state == AccountantState.RETIRED:
+            return
+        self._state = AccountantState.RETIRED
+        if self._parent is not None and all(
+            c._state == AccountantState.RETIRED for c in self._parent._children
+        ):
+            self._parent._state = AccountantState.ACTIVE

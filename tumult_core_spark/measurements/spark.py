@@ -211,3 +211,123 @@ class GeometricPartitionSelection(SparkMeasurement):
                 self.count_column, udf(F.col(self.count_column))
             )
         return noisy.filter(F.col(self.count_column) >= self.threshold)
+
+
+class SparseVectorPrefixSums(SparkMeasurement):
+    """AboveThreshold / SVT over ranked per-group bin counts.
+
+    For each group: compute the noisy total (geometric noise at scale
+    ``alpha/2``), set the threshold to ``threshold_fraction`` of it,
+    add geometric noise at scale ``alpha`` to every rank-ordered prefix
+    sum, and release the first rank whose noisy prefix crosses the
+    threshold.  PureDP: ``privacy_function(d) = 4 d / alpha``
+    (reference ``spark_measurements.py:590-736``).
+
+    Physical plan: one windowed prefix sum partitioned by group (the
+    input here is already a tiny bin-count relation, <=201 rows per
+    group), one per-group aggregate for totals joined back, noise via
+    nondeterministic pandas UDFs, then a min() pick per group.
+    """
+
+    def __init__(
+        self,
+        input_domain: SparkDataFrameDomain,
+        count_column: str,
+        rank_column: str,
+        alpha,
+        grouping_columns=None,
+        threshold_fraction: float = 0.95,
+    ):
+        from ..metrics import AbsoluteDifference as _AD
+
+        grouping_columns = list(grouping_columns or [])
+        for c in (count_column, rank_column, *grouping_columns):
+            if c not in input_domain.schema:
+                raise ValueError(f"Column {c!r} not in domain")
+        if count_column in grouping_columns or rank_column in grouping_columns:
+            raise ValueError("Grouping columns cannot contain count/rank columns")
+        self.alpha = ExactNumber(alpha)
+        if self.alpha < 0:
+            raise ValueError("alpha must be >= 0")
+        if not 0 < threshold_fraction <= 1:
+            raise ValueError("threshold_fraction must be in (0, 1]")
+        super().__init__(
+            input_domain,
+            OnColumn(count_column, SumOf(_AD())),
+            PureDP(),
+        )
+        self.count_column = count_column
+        self.rank_column = rank_column
+        self.grouping_columns = grouping_columns
+        self.threshold_fraction = threshold_fraction
+
+    def privacy_function(self, d_in: Any) -> ExactNumber:
+        d = ExactNumber(d_in)
+        if d < 0:
+            raise ValueError("d_in must be >= 0")
+        if d == 0:
+            return ExactNumber(0)
+        if self.alpha == 0:
+            return ExactNumber(float("inf"))
+        return ExactNumber(4) * d / self.alpha
+
+    def call_unsanitized(self, data: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        from .noise import AddGeometricNoise, AddNoiseToSeries
+
+        gcols = self.grouping_columns
+        rank, cnt = self.rank_column, self.count_column
+        frac = self.threshold_fraction
+
+        if self.alpha == 0:
+            noise_total = noise_prefix = lambda c: c
+        else:
+            total_mech = AddNoiseToSeries(AddGeometricNoise(self.alpha / 2))
+            prefix_mech = AddNoiseToSeries(AddGeometricNoise(self.alpha))
+            total_udf = F.pandas_udf(
+                lambda s: total_mech(s), returnType="long"
+            ).asNondeterministic()
+            prefix_udf = F.pandas_udf(
+                lambda s: prefix_mech(s), returnType="long"
+            ).asNondeterministic()
+            noise_total = total_udf
+            noise_prefix = prefix_udf
+
+        # per-group noisy totals (one noise draw per group)
+        agg_exprs = [F.sum(cnt).alias("__total")]
+        if gcols:
+            totals = data.groupBy(*gcols).agg(*agg_exprs)
+        else:
+            totals = data.agg(*agg_exprs)
+        totals = totals.withColumn(
+            "__noisy_threshold",
+            (F.lit(frac) * noise_total(F.col("__total"))).cast("double"),
+        ).drop("__total")
+
+        w = (
+            Window.partitionBy(*gcols).orderBy(rank)
+            if gcols
+            else Window.partitionBy().orderBy(rank)
+        )
+        prefixed = data.withColumn(
+            "__prefix", noise_prefix(F.sum(cnt).over(w).cast("long"))
+        )
+        if gcols:
+            joined = prefixed.join(F.broadcast(totals), on=gcols, how="inner")
+        else:
+            joined = prefixed.crossJoin(F.broadcast(totals))
+
+        crossing = F.when(
+            F.col("__prefix") >= F.col("__noisy_threshold"), F.col(rank)
+        )
+        max_rank = F.max(rank)
+        if gcols:
+            picked = joined.groupBy(*gcols).agg(
+                F.coalesce(F.min(crossing), max_rank).alias(rank)
+            )
+        else:
+            picked = joined.agg(
+                F.coalesce(F.min(crossing), max_rank).alias(rank)
+            )
+        return picked

@@ -1,0 +1,105 @@
+"""Typed source/sink pass-throughs.
+
+The reference has no file-format operators (data arrives as in-memory
+DataFrames; SURVEY §2.7) — these thin wrappers bind Spark's native
+scans to the domain layer so a pipeline can declare "parquet at PATH
+conforming to DOMAIN" and get schema enforcement plus the scan-level
+optimizations (column pruning, predicate pushdown, partition pruning)
+for free.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..domains import SparkDataFrameDomain
+
+
+def _conform(df: DataFrame, domain: Optional[SparkDataFrameDomain]) -> DataFrame:
+    if domain is None:
+        return df
+    # project to the domain's columns in order and validate types
+    out = df.select(*domain.columns)
+    domain.validate(out)
+    return out
+
+
+def read_parquet(
+    spark: SparkSession, path: str, domain: Optional[SparkDataFrameDomain] = None
+) -> DataFrame:
+    """Parquet scan; with a domain, projects/validates to it (column
+    pruning reaches the reader via the projection)."""
+    return _conform(spark.read.parquet(path), domain)
+
+
+def read_parquet_nanos_ts(
+    spark: SparkSession, path: str, ts_cols: Optional[list] = None
+) -> DataFrame:
+    """Parquet scan tolerating TIMESTAMP(NANOS) columns.
+
+    Spark rejects nanosecond parquet timestamps outright; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` they arrive as epoch-nano
+    longs, which this helper converts back to (microsecond) timestamps.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ts_cols or []:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(
+                c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+            )
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    domain: Optional[SparkDataFrameDomain] = None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV scan; the domain's schema (when given) is applied at read
+    time so no inference pass runs."""
+    reader = spark.read.option("header", str(header).lower())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if domain is not None:
+        reader = reader.schema(domain.spark_schema)
+    return _conform(reader.csv(path), domain)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    domain: Optional[SparkDataFrameDomain] = None,
+    **options,
+) -> DataFrame:
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if domain is not None:
+        reader = reader.schema(domain.spark_schema)
+    return _conform(reader.json(path), domain)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "error") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list,
+    mode: str = "error",
+    max_records_per_file: Optional[int] = None,
+) -> None:
+    """Hive-partitioned sink: downstream scans on the partition
+    columns prune directories instead of reading data."""
+    writer = df.write.mode(mode).partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)

@@ -1,0 +1,7 @@
+from .ops import (
+    read_stream_parquet,
+    sessionize,
+    streaming_dedup,
+    windowed_counts,
+    write_stream_memory,
+)

@@ -1,0 +1,127 @@
+"""Structured Streaming operators.
+
+The reference has no streaming surface (SURVEY §2.7); these expose the
+Spark-native streaming patterns a training-data pipeline needs over
+the ``events`` table shape: watermarked windowed aggregation,
+streaming dedup, and watermark-bounded sessionization.  All are
+``readStream -> transform -> writeStream`` compositions; tests drive
+them with ``trigger(availableNow=True)`` over the static parquet so
+they run without a live source.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def read_stream_parquet(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    max_files_per_trigger: int = 16,
+    nanos_ts_cols: Optional[List[str]] = None,
+) -> DataFrame:
+    """Incremental parquet source (micro-batched by files).
+
+    ``nanos_ts_cols`` converts TIMESTAMP(NANOS) columns (read as
+    epoch-nano longs under ``nanosAsLong``) back to timestamps.
+    """
+    if schema is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.parquet(path).schema
+    import os
+
+    if os.path.isfile(path):
+        # the file-stream source requires a directory; expose a single
+        # parquet file through a temp dir symlink
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="tcs_stream_")
+        os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+        path = d
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    for c in nanos_ts_cols or []:
+        if dict(stream.dtypes).get(c) == "bigint":
+            stream = stream.withColumn(
+                c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+            )
+    return stream
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: Optional[List[str]] = None,
+) -> DataFrame:
+    """Tumbling-window counts with late-data handling via watermark."""
+    group_cols = group_cols or []
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), *group_cols)
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *group_cols,
+            "count",
+        )
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame, key_cols: List[str], ts_col: str, watermark: str = "24 hours"
+) -> DataFrame:
+    """Exactly-once keys within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state store by
+    the watermark instead of growing forever.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def sessionize(
+    stream: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user: events closer than ``gap`` merge."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            F.col(user_col),
+            "n_events",
+        )
+    )
+
+
+def write_stream_memory(
+    stream: DataFrame, query_name: str, output_mode: str = "append"
+) -> StreamingQuery:
+    """Drain all available input into an in-memory table (test sink)."""
+    return (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

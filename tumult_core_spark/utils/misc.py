@@ -73,7 +73,8 @@ def sanitize_df(df: DataFrame, materialize_output: bool = True) -> DataFrame:
     shuffled = (
         df.withColumn("__shuffle_key", F.rand())
         .repartition("__shuffle_key")
-        .sortWithinPartitions(*cols)
+        # backticks: column names may contain dots/parens (e.g. "q0.9(x)")
+        .sortWithinPartitions(*[F.col(f"`{c}`") for c in cols])
         .drop("__shuffle_key")
     )
     return materialize(shuffled) if materialize_output else shuffled
