@@ -1,0 +1,153 @@
+"""Distributional tests: sampler outputs match the analytic PMFs/CDFs
+(chi-squared for discrete, Kolmogorov-Smirnov for continuous), plus one
+full-Spark-path check drawing many iid noisy counts via a grouped
+query (the reference's FixedGroupDataSet technique)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from tumult_core_spark import samplers
+from tumult_core_spark.utils.distributions import (
+    discrete_gaussian_cmf,
+    discrete_gaussian_pmf,
+    double_sided_geometric_cmf,
+    double_sided_geometric_pmf,
+)
+
+N = 200_000
+P_THRESHOLD = 1e-4  # reject only on overwhelming evidence
+
+
+def ks_statistic(samples: np.ndarray, cdf) -> float:
+    x = np.sort(samples)
+    n = len(x)
+    d_plus = np.max(np.arange(1, n + 1) / n - cdf(x))
+    d_minus = np.max(cdf(x) - np.arange(0, n) / n)
+    return max(d_plus, d_minus)
+
+
+def ks_pvalue(d: float, n: int) -> float:
+    # asymptotic Kolmogorov distribution
+    t = (math.sqrt(n) + 0.12 + 0.11 / math.sqrt(n)) * d
+    s = 0.0
+    for k in range(1, 101):
+        s += (-1) ** (k - 1) * math.exp(-2 * k * k * t * t)
+    return max(0.0, min(1.0, 2 * s))
+
+
+def chi2_pvalue(observed, expected):
+    mask = expected > 5
+    stat = float(((observed[mask] - expected[mask]) ** 2 / expected[mask]).sum())
+    dof = int(mask.sum()) - 1
+    # Wilson-Hilferty approximation of the chi-squared tail
+    if dof <= 0:
+        return 1.0
+    z = ((stat / dof) ** (1 / 3) - (1 - 2 / (9 * dof))) / math.sqrt(2 / (9 * dof))
+    return 0.5 * math.erfc(z / math.sqrt(2))
+
+
+class TestSamplerDistributions:
+    def test_laplace_ks(self):
+        scale = 2.5
+        s = samplers.laplace(scale, N)
+
+        def cdf(x):
+            x = np.asarray(x, dtype=float)
+            return np.where(
+                x < 0, 0.5 * np.exp(x / scale), 1 - 0.5 * np.exp(-x / scale)
+            )
+
+        p = ks_pvalue(ks_statistic(s, cdf), N)
+        assert p > P_THRESHOLD, f"KS p={p}"
+
+    def test_gaussian_ks(self):
+        s = samplers.gaussian(4.0, N)
+
+        def cdf(x):
+            return 0.5 * (1 + np.vectorize(math.erf)(np.asarray(x) / (2 * math.sqrt(2))))
+
+        p = ks_pvalue(ks_statistic(s, cdf), N)
+        assert p > P_THRESHOLD, f"KS p={p}"
+
+    def test_two_sided_geometric_chi2(self):
+        alpha = 3.0
+        s = samplers.two_sided_geometric(alpha, N)
+        lo, hi = -30, 30
+        support = np.arange(lo, hi + 1)
+        observed = np.array([(s == k).sum() for k in support], dtype=float)
+        expected = double_sided_geometric_pmf(support, alpha) * N
+        p = chi2_pvalue(observed, expected)
+        assert p > P_THRESHOLD, f"chi2 p={p}"
+
+    def test_discrete_gaussian_chi2(self):
+        s2 = 6.0
+        s = samplers.discrete_gaussian(s2, N)
+        lo, hi = -15, 15
+        support = np.arange(lo, hi + 1)
+        observed = np.array([(s == k).sum() for k in support], dtype=float)
+        expected = discrete_gaussian_pmf(support, s2) * N
+        p = chi2_pvalue(observed, expected)
+        assert p > P_THRESHOLD, f"chi2 p={p}"
+
+    def test_exact_geometric_matches_distribution(self):
+        from fractions import Fraction
+
+        s = np.array([samplers.geometric_exact(Fraction(2)) for _ in range(4000)])
+        support = np.arange(-8, 9)
+        observed = np.array([(s == k).sum() for k in support], dtype=float)
+        expected = double_sided_geometric_pmf(support, 2.0) * len(s)
+        p = chi2_pvalue(observed, expected)
+        assert p > P_THRESHOLD, f"chi2 p={p}"
+
+    def test_exact_discrete_gaussian_matches_distribution(self):
+        from fractions import Fraction
+
+        s = np.array(
+            [samplers.discrete_gaussian_exact(Fraction(3)) for _ in range(4000)]
+        )
+        support = np.arange(-8, 9)
+        observed = np.array([(s == k).sum() for k in support], dtype=float)
+        expected = discrete_gaussian_pmf(support, 3.0) * len(s)
+        p = chi2_pvalue(observed, expected)
+        assert p > P_THRESHOLD, f"chi2 p={p}"
+
+
+class TestFullSparkPathNoise:
+    def test_grouped_count_noise_is_geometric(self, spark):
+        """Draw 2000 iid noisy counts through the complete measurement
+        path (one group per sample) and chi-square them against the
+        two-sided geometric law."""
+        from tumult_core_spark.domains import SparkDataFrameDomain
+        from tumult_core_spark.measures import PureDP
+        from tumult_core_spark.metrics import SymmetricDifference
+        from tumult_core_spark.measurements.aggregations import (
+            create_count_measurement,
+        )
+        from tumult_core_spark.transformations.groupby import (
+            create_groupby_from_list_of_keys,
+        )
+
+        n_groups = 2000
+        rows_per_group = 3
+        df = spark.createDataFrame(
+            [(g,) for g in range(n_groups) for _ in range(rows_per_group)],
+            "g long",
+        )
+        dom = SparkDataFrameDomain.from_spark_schema(df.schema, strict=True)
+        gb = create_groupby_from_list_of_keys(
+            dom, SymmetricDifference(), False, ["g"], [(g,) for g in range(n_groups)]
+        )
+        m = create_count_measurement(
+            dom, SymmetricDifference(), PureDP(), 1, 1,
+            groupby_transformation=gb,
+        )
+        noise = np.array(
+            [r["count"] - rows_per_group for r in m(df).collect()]
+        )
+        support = np.arange(-8, 9)
+        observed = np.array([(noise == k).sum() for k in support], dtype=float)
+        expected = double_sided_geometric_pmf(support, 1.0) * n_groups
+        p = chi2_pvalue(observed, expected)
+        assert p > P_THRESHOLD, f"chi2 p={p}"

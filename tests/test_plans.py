@@ -1,0 +1,75 @@
+"""Physical-plan quality gates: predicate pushdown reaches the parquet
+scan, public-join dimensions broadcast, column pruning works, and the
+relational hot path stays inside WholeStageCodegen."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tumult_core_spark.domains import SparkDataFrameDomain
+from tumult_core_spark.metrics import SymmetricDifference
+from tumult_core_spark.transformations.join import PublicJoin
+from tumult_core_spark.transformations.rows import Filter, Rename, Select
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def test_filter_pushes_down_to_scan(spark, lineitem):
+    dom = SparkDataFrameDomain.from_spark_schema(lineitem.schema)
+    t = Filter(dom, SymmetricDifference(), "l_quantity < 25") | Select(
+        dom, SymmetricDifference(), ["l_orderkey", "l_quantity"]
+    )
+    plan = plan_of(t(lineitem))
+    assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,25.0)]" in plan
+
+
+def test_select_prunes_scan_columns(spark, lineitem):
+    dom = SparkDataFrameDomain.from_spark_schema(lineitem.schema)
+    t = Select(dom, SymmetricDifference(), ["l_orderkey", "l_quantity"])
+    plan = plan_of(t(lineitem))
+    # ReadSchema should only list the two projected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_public_join_broadcasts_dimension(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dom = SparkDataFrameDomain.from_spark_schema(orders.schema)
+    ren = Rename(dom, SymmetricDifference(), {"o_custkey": "c_custkey"})
+    pj = PublicJoin(ren.output_domain, SymmetricDifference(), cust)
+    plan = plan_of((ren | pj)(orders))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_grouped_count_is_partial_aggregated(spark, lineitem):
+    """The groupBy-count must map-side combine (HashAggregate twice)
+    and stay in codegen."""
+    from tumult_core_spark.measures import PureDP
+    from tumult_core_spark.measurements.aggregations import create_count_measurement
+    from tumult_core_spark.transformations.groupby import (
+        create_groupby_from_list_of_keys,
+    )
+
+    dom = SparkDataFrameDomain.from_spark_schema(lineitem.schema, strict=True)
+    gb = create_groupby_from_list_of_keys(
+        dom, SymmetricDifference(), False, ["l_returnflag"], [("A",), ("N",), ("R",)]
+    )
+    m = create_count_measurement(
+        dom, SymmetricDifference(), PureDP(), 1, 1, groupby_transformation=gb
+    )
+    # inspect the pre-sanitize plan (sanitize materializes)
+    agged = m.measurement.call_unsanitized(m.transformation(lineitem))
+    plan = plan_of(agged)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    # the keys fill-join runs as a broadcast hash join, not SMJ/NLJ
+    assert "BroadcastHashJoin" in plan

@@ -38,26 +38,12 @@ def exact_dedup(df: DataFrame, columns: Optional[List[str]] = None) -> DataFrame
     return df.dropDuplicates(columns) if columns else df.dropDuplicates()
 
 
-def char_shingles(text_col: str, shingle_size: int = 5) -> F.Column:
-    """Array of distinct character shingles of the (lowercased) text.
+def _shingle_expr(text_col: str, shingle_size: int) -> F.Column:
+    """Array of distinct character shingles of the lowercased text.
 
     Pure JVM: ``sequence`` over start offsets + ``transform`` +
     ``substring`` — no Python crossing.
     """
-    lowered = F.lower(F.col(text_col))
-    n = F.greatest(F.length(lowered) - (shingle_size - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.substring(lowered, 1, 0).__class__ is None
-            or F.expr("1")  # placeholder, replaced below
-        )
-    )
-
-
-def _shingle_expr(text_col: str, shingle_size: int) -> F.Column:
-    lowered = F.lower(F.col(text_col))
-    n = F.greatest(F.length(lowered) - (shingle_size - 1), F.lit(1))
     return F.array_distinct(
         F.expr(
             f"transform(sequence(1, greatest(length(lower(`{text_col}`)) - "
@@ -90,16 +76,20 @@ def minhash_signatures(
     minhash_i = min over shingles of xxhash64(shingle, seed=i); each
     hash is a JVM expression, the whole signature is one project.
     """
-    shingles = _shingle_expr(text_col, shingle_size).alias("__sh")
+    # Hash each shingle string ONCE to a long, then derive the k
+    # signature components by re-hashing the longs — k string hashes
+    # per document instead of k per shingle (~shingle_count x cheaper).
+    shingles = _shingle_expr(text_col, shingle_size)
+    base = F.transform(shingles, lambda s: F.xxhash64(s)).alias("__h")
     sig = F.array(
         *[
             F.array_min(
-                F.transform(F.col("__sh"), lambda s, i=i: F.xxhash64(s, F.lit(i)))
+                F.transform(F.col("__h"), lambda h, i=i: F.xxhash64(h, F.lit(i)))
             )
             for i in range(num_hashes)
         ]
     ).alias("minhash")
-    return df.select(F.col(id_col), shingles).select(F.col(id_col), sig)
+    return df.select(F.col(id_col), base).select(F.col(id_col), sig)
 
 
 def minhash_lsh_candidate_pairs(

@@ -289,3 +289,74 @@ class PrivacyAccountant:
             c._state == AccountantState.RETIRED for c in self._parent._children
         ):
             self._parent._state = AccountantState.ACTIVE
+
+
+class MakeInteractive(Measurement):
+    """Wrap a non-interactive measurement as an interactive one whose
+    queryable answers it exactly once (reference
+    ``interactive_measurements.py:724``)."""
+
+    def __init__(self, measurement: Measurement):
+        if measurement.is_interactive:
+            raise ValueError("Measurement is already interactive")
+        super().__init__(
+            measurement.input_domain,
+            measurement.input_metric,
+            measurement.output_measure,
+            is_interactive=True,
+        )
+        self.measurement = measurement
+
+    def privacy_function(self, d_in: Any) -> Any:
+        return self.measurement.privacy_function(d_in)
+
+    def __call__(self, data: Any) -> "SingleUseQueryable":
+        return SingleUseQueryable(self.measurement, data)
+
+
+class SingleUseQueryable:
+    """Answers the wrapped measurement once, then refuses."""
+
+    def __init__(self, measurement: Measurement, data: Any):
+        self._measurement = measurement
+        self._data = data
+        self._used = False
+
+    def __call__(self) -> Any:
+        if self._used:
+            raise RuntimeError("Queryable already answered its measurement")
+        self._used = True
+        result = self._measurement(self._data)
+        self._data = None
+        return result
+
+
+class DecorateQueryable(Measurement):
+    """Post-process the queryable created by an interactive measurement
+    (reference ``interactive_measurements.py:413``)."""
+
+    def __init__(self, measurement: Measurement, preprocess_query, postprocess_answer):
+        if not measurement.is_interactive:
+            raise ValueError("DecorateQueryable requires an interactive measurement")
+        super().__init__(
+            measurement.input_domain,
+            measurement.input_metric,
+            measurement.output_measure,
+            is_interactive=True,
+        )
+        self.measurement = measurement
+        self.preprocess_query = preprocess_query
+        self.postprocess_answer = postprocess_answer
+
+    def privacy_function(self, d_in: Any) -> Any:
+        return self.measurement.privacy_function(d_in)
+
+    def __call__(self, data: Any):
+        inner = self.measurement(data)
+        pre, post = self.preprocess_query, self.postprocess_answer
+
+        class _Decorated:
+            def __call__(self, query):
+                return post(inner(pre(query)))
+
+        return _Decorated()

@@ -96,31 +96,65 @@ class GroupedDataFrame:
         Groups with a public key but no data rows receive an **empty**
         pandas DataFrame, so every key yields output.  Output columns =
         group keys + ``output_schema`` fields.
+
+        Physical plan: broadcast **semi-join** to drop non-key groups
+        (no wide join against the raw data), one shuffle for
+        ``applyInPandas``, and driver-side evaluation of ``func`` on an
+        empty frame for the (public) keys absent from the data.  The
+        reference instead left-joins the keys against the full tagged
+        dataset (``grouped_dataframe.py:133-186``) — a second full
+        shuffle this avoids.
         """
         cols = self.groupby_columns
         data_cols = [c for c in self._dataframe.columns if c not in cols]
         if not cols:
             raise ValueError("apply_in_pandas requires at least one group column")
 
-        # Tag real rows, then left-join from the keys so empty groups
-        # appear as a single all-null-tag row.
-        tagged = self._dataframe.withColumn("__present", F.lit(1))
-        joined = self._keys_left_join(tagged, data_cols + ["__present"])
+        keys = self._group_keys
+        cond = None
+        for c in cols:
+            clause = self._dataframe[c].eqNullSafe(keys[c])
+            cond = clause if cond is None else cond & clause
+        present = self._dataframe.join(F.broadcast(keys), cond, "left_semi")
 
         key_fields = [self._group_keys.schema[c] for c in cols]
         full_schema = T.StructType(list(key_fields) + list(output_schema.fields))
         out_names = [f.name for f in output_schema.fields]
 
         def wrapper(key, pdf):
-            import pandas as pd
-
-            body = pdf[pdf["__present"].notna()][data_cols]
-            result = func(body)
+            result = func(pdf[data_cols])
             for i, c in enumerate(cols):
                 result.insert(i, c, [key[i]] * len(result))
             return result[cols + out_names]
 
-        return joined.groupBy(*cols).applyInPandas(wrapper, schema=full_schema)
+        result = present.groupBy(*cols).applyInPandas(wrapper, schema=full_schema)
+
+        # Public keys with no data rows: evaluate func on an empty
+        # frame per key on the driver (key set is public and small
+        # relative to the data; one tiny aggregation finds them).
+        import pandas as pd
+
+        present_keys = self._dataframe.select(*cols).dropDuplicates()
+        cond2 = None
+        for c in cols:
+            clause = keys[c].eqNullSafe(present_keys[c])
+            cond2 = clause if cond2 is None else cond2 & clause
+        missing = keys.join(present_keys, cond2, "left_anti").collect()
+        if missing:
+            frames = []
+            for krow in missing:
+                empty = pd.DataFrame(
+                    {c: pd.Series(dtype=object) for c in data_cols}
+                )
+                out = func(empty)
+                for i, c in enumerate(cols):
+                    out.insert(i, c, [krow[c]] * len(out))
+                frames.append(out[cols + out_names])
+            fill = self._dataframe.sparkSession.createDataFrame(
+                pd.concat(frames, ignore_index=True), schema=full_schema
+            )
+            result = result.unionByName(fill)
+        return result
 
     def select(self, columns: List[str]) -> "GroupedDataFrame":
         keep = list(dict.fromkeys(self.groupby_columns + columns))

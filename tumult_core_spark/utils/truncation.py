@@ -2,16 +2,28 @@
 
 DP joins and per-user contribution bounding need "keep at most k rows
 per key" where the *choice* of kept rows must not depend on row order
-or partitioning (those are adversary-influenceable).  The reference's
-trick (``tmlt/core/utils/truncation.py:24-313``): order rows within a
-group by a SHA-256 hash of the full row plus a within-duplicate index,
-then keep the first k by ``row_number`` / ``dense_rank``.
+or partitioning (those are adversary-influenceable).  Mechanism
+(reference ``tmlt/core/utils/truncation.py:24-313``): order rows
+within a group by a content hash, keep the first k by ``row_number`` /
+``dense_rank``.
 
-All pure built-in Spark: ``sha2`` / ``to_json`` / window functions —
-one shuffle on the grouping key, no Python.  Skew note: a single hot
-key concentrates its group in one task; AQE skew-join handling does
-not apply to windows, so extreme skew is bounded by the truncation
-threshold itself after the first pass.
+Physical deltas vs the reference, for 100 TB scale:
+
+* The hash is multi-column ``xxhash64(*cols)`` instead of SHA-256 over
+  a JSON rendering of the row — no per-row string serialization, and
+  the hash evaluates inside WholeStageCodegen.  Neither hash is keyed,
+  so both are equally predictable to an adversary; the property that
+  matters (independence from row order / partitioning) is preserved.
+* The reference adds a within-duplicate index via an extra window over
+  *all* columns so the sort key is a total order
+  (``utils/truncation.py:24-88``).  For truncation that extra shuffle
+  is unnecessary: hash ties only occur between identical rows (or
+  vanishing-probability collisions), and identical rows are
+  interchangeable — any k of them is the same multiset.  Dropping it
+  halves the shuffles: one window per truncation.
+
+Skew note: a single hot key concentrates its group in one task; the
+window shuffle is bounded by the threshold after the first pass.
 """
 
 from __future__ import annotations
@@ -22,18 +34,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _row_hash(df: DataFrame, columns: List[str]) -> F.Column:
-    """Deterministic per-row hash over ``columns`` + duplicate index.
-
-    Identical rows get distinct hashes via a within-duplicate
-    ``row_number``, so ties are broken stably no matter the input
-    order.
-    """
-    payload = F.to_json(F.struct(*[F.col(c) for c in columns]))
-    dup_index = F.row_number().over(
-        Window.partitionBy(*columns).orderBy(F.lit(1))
-    )
-    return F.sha2(F.concat(payload, F.lit("#"), dup_index.cast("string")), 256)
+def _row_hash(df: DataFrame) -> F.Column:
+    """Deterministic per-row content hash over all columns (JVM-side)."""
+    return F.xxhash64(*[F.col(c) for c in df.columns])
 
 
 def truncate_large_groups(
@@ -45,10 +48,9 @@ def truncate_large_groups(
     if threshold == 0:
         return df.limit(0)
     cols = df.columns
-    hashed = df.withColumn("__hash", _row_hash(df, cols))
-    w = Window.partitionBy(*grouping_columns).orderBy("__hash")
+    w = Window.partitionBy(*grouping_columns).orderBy(_row_hash(df))
     return (
-        hashed.withColumn("__rn", F.row_number().over(w))
+        df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= threshold)
         .select(*cols)
     )
@@ -87,9 +89,8 @@ def limit_keys_per_group(
     if threshold == 0:
         return df.limit(0)
     cols = df.columns
-    key_hash = F.sha2(
-        F.to_json(F.struct(*[F.col(c) for c in grouping_columns + key_columns])),
-        256,
+    key_hash = F.xxhash64(
+        *[F.col(c) for c in grouping_columns + key_columns]
     )
     w = Window.partitionBy(*grouping_columns).orderBy(
         key_hash, *[F.col(c) for c in key_columns]
