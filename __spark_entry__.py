@@ -529,6 +529,260 @@ def q_multimodal_features(spark, sf_dir):
     return out.select("doc_id", F.size("features").alias("dim"))
 
 
+
+def q_zcdp_groupby_count(spark, sf_dir):
+    """Grouped count under zCDP (discrete Gaussian path, noise off)."""
+    from tumult_core_spark.measures import RhoZCDP
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.measurements.aggregations import create_count_measurement
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    m = create_count_measurement(
+        dom, SymmetricDifference(), RhoZCDP(), 1, INF,
+        groupby_transformation=_flag_keys_groupby(dom, use_l2=True),
+        count_column="count",
+    )
+    return m(li)
+
+
+def q_groupby_sum_cents(spark, sf_dir):
+    """Float-money sum made exact: clip, convert to integer cents, sum."""
+    from tumult_core_spark.base import ChainTM
+    from tumult_core_spark.domains import SparkIntegerColumnDescriptor
+    from tumult_core_spark.measures import PureDP
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.measurements.aggregations import create_sum_measurement
+    from tumult_core_spark.transformations.derive import DeriveColumn
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    derive = DeriveColumn(
+        dom, SymmetricDifference(), "price_cents",
+        "cast(round(least(greatest(l_extendedprice, 0.0), 10000.0) * 100) as long)",
+        SparkIntegerColumnDescriptor(size=64),
+    )
+    m = create_sum_measurement(
+        derive.output_domain, SymmetricDifference(), PureDP(), 1, INF,
+        measure_column="price_cents", lower=0, upper=1000000,
+        groupby_transformation=_flag_keys_groupby(derive.output_domain),
+        sum_column="sum_cents",
+    )
+    return ChainTM(derive, m)(li)
+
+
+def q_groupby_column_domains(spark, sf_dir):
+    """Keys = Cartesian product of per-column value domains."""
+    from tumult_core_spark.measures import PureDP
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.measurements.aggregations import create_count_measurement
+    from tumult_core_spark.transformations.groupby import (
+        create_groupby_from_column_domains,
+    )
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    gb = create_groupby_from_column_domains(
+        dom, SymmetricDifference(), False,
+        {"l_returnflag": ["A", "N", "R", "X"], "l_linestatus": ["F", "O"]},
+    )
+    m = create_count_measurement(
+        dom, SymmetricDifference(), PureDP(), 1, INF,
+        groupby_transformation=gb,
+    )
+    return m(li)
+
+
+def q_drop_nulls_nans(spark, sf_dir):
+    """Derive null/NaN values, then DropNulls + DropNaNs."""
+    from tumult_core_spark.base import ChainTT
+    from tumult_core_spark.domains import SparkFloatColumnDescriptor
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.transformations.derive import DeriveColumn
+    from tumult_core_spark.transformations.rows import DropNaNs, DropNulls, Select
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    d1 = DeriveColumn(
+        dom, SymmetricDifference(), "v1",
+        "CASE WHEN l_quantity > 40 THEN NULL ELSE l_quantity END",
+        SparkFloatColumnDescriptor(size=64, allow_null=True),
+    )
+    d2 = DeriveColumn(
+        d1.output_domain, SymmetricDifference(), "v2",
+        "CASE WHEN l_quantity < 10 THEN cast('NaN' as double) ELSE l_quantity END",
+        SparkFloatColumnDescriptor(size=64, allow_nan=True),
+    )
+    dn = DropNulls(d2.output_domain, SymmetricDifference(), ["v1"])
+    dnan = DropNaNs(dn.output_domain, SymmetricDifference(), ["v2"])
+    sel = Select(dnan.output_domain, SymmetricDifference(), ["l_orderkey", "v1", "v2"])
+    t = ChainTT(ChainTT(ChainTT(ChainTT(d1, d2), dn), dnan), sel)
+    return t(li)
+
+
+def q_replace_nans_infs(spark, sf_dir):
+    """Derive NaN/Inf values, then ReplaceNaNs + ReplaceInfs."""
+    from tumult_core_spark.base import ChainTT
+    from tumult_core_spark.domains import SparkFloatColumnDescriptor
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.transformations.derive import DeriveColumn
+    from tumult_core_spark.transformations.rows import ReplaceInfs, ReplaceNaNs, Select
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    d1 = DeriveColumn(
+        dom, SymmetricDifference(), "v",
+        "CASE WHEN l_quantity < 5 THEN cast('NaN' as double) "
+        "WHEN l_quantity > 45 THEN cast('Infinity' as double) "
+        "ELSE l_quantity END",
+        SparkFloatColumnDescriptor(size=64, allow_nan=True, allow_inf=True),
+    )
+    rn = ReplaceNaNs(d1.output_domain, SymmetricDifference(), {"v": 0.0})
+    ri = ReplaceInfs(rn.output_domain, SymmetricDifference(), {"v": (-50.0, 50.0)})
+    sel = Select(ri.output_domain, SymmetricDifference(), ["l_orderkey", "v"])
+    return ChainTT(ChainTT(ChainTT(d1, rn), ri), sel)(li)
+
+
+def q_flatmap_explode(spark, sf_dir):
+    """FlatMap each row into min(l_linenumber, 3) indexed rows."""
+    from tumult_core_spark.domains import (
+        SparkIntegerColumnDescriptor,
+        SparkRowDomain,
+    )
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.transformations.map import (
+        FlatMap,
+        RowToRowsTransformation,
+    )
+    from tumult_core_spark.transformations.rows import Select
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    sel = Select(dom, SymmetricDifference(), ["l_orderkey", "l_linenumber"])
+    rt = RowToRowsTransformation(
+        SparkRowDomain(dict(sel.output_domain.schema)),
+        SparkRowDomain(
+            {
+                "l_orderkey": sel.output_domain["l_orderkey"],
+                "idx": SparkIntegerColumnDescriptor(size=64),
+            }
+        ),
+        lambda row: [
+            {"l_orderkey": row["l_orderkey"], "idx": i}
+            for i in range(row["l_linenumber"])
+        ],
+    )
+    fm = FlatMap(SymmetricDifference(), rt, max_num_rows=3)
+    return (sel | fm)(li)
+
+
+def q_grouping_flatmap(spark, sf_dir):
+    """GroupingFlatMap: replicate each row under 2 distinct replica ids,
+    then count per replica (equals table count each)."""
+    from tumult_core_spark.domains import (
+        SparkIntegerColumnDescriptor,
+        SparkRowDomain,
+    )
+    from tumult_core_spark.metrics import RootSumOfSquared, SymmetricDifference
+    from tumult_core_spark.transformations.map import (
+        GroupingFlatMap,
+        RowToRowsTransformation,
+    )
+    from tumult_core_spark.transformations.rows import Select
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    sel = Select(dom, SymmetricDifference(), ["l_orderkey"])
+    rt = RowToRowsTransformation(
+        SparkRowDomain(dict(sel.output_domain.schema)),
+        SparkRowDomain(
+            {
+                "l_orderkey": sel.output_domain["l_orderkey"],
+                "replica": SparkIntegerColumnDescriptor(size=64),
+            }
+        ),
+        lambda row: [{"replica": 0}, {"replica": 1}],
+        augment=True,
+    )
+    gfm = GroupingFlatMap(RootSumOfSquared(SymmetricDifference()), rt, 2)
+    out = (sel | gfm)(li)
+    return out.groupBy("replica").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_add_unique_column(spark, sf_dir):
+    """AddUniqueColumn assigns distinct ids even to duplicate rows."""
+    from tumult_core_spark.transformations.rows import AddUniqueColumn, Select
+    from tumult_core_spark.metrics import SymmetricDifference
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    sel = Select(dom, SymmetricDifference(), ["l_returnflag"])  # heavy dups
+    t = AddUniqueColumn(sel.output_domain, "row_id")
+    out = t(sel(li))
+    n = out.select("row_id").distinct().count()
+    return spark.createDataFrame([(n,)], "n_unique long")
+
+
+def q_join_on_nulls(spark, sf_dir):
+    """PublicJoin with null-safe key equality on a derived nullable key."""
+    from tumult_core_spark.base import ChainTT
+    from tumult_core_spark.domains import SparkStringColumnDescriptor
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.transformations.derive import DeriveColumn
+    from tumult_core_spark.transformations.join import PublicJoin
+    from tumult_core_spark.transformations.rows import Select
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    d = DeriveColumn(
+        dom, SymmetricDifference(), "flag_or_null",
+        "CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_returnflag END",
+        SparkStringColumnDescriptor(allow_null=True),
+    )
+    sel = Select(d.output_domain, SymmetricDifference(), ["l_orderkey", "flag_or_null"])
+    pub = spark.createDataFrame(
+        [("A", "accepted"), (None, "none"), ("R", "returned")],
+        "flag_or_null string, label string",
+    )
+    pj = PublicJoin(
+        sel.output_domain, SymmetricDifference(), pub, join_on_nulls=True
+    )
+    return ChainTT(ChainTT(d, sel), pj)(li)
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN probing every cell == exact brute-force result."""
+    from tumult_core_spark.extensions.similarity import ivf_knn
+
+    embs = _load(spark, sf_dir, "embeddings")
+    queries = embs.filter("vec_id < 20").select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = ivf_knn(
+        embs, queries, "vec_id", "qid", "embedding",
+        k=3, num_centroids=8, nprobe=8,
+    )
+    return out.select("qid", "vec_id", "rank")
+
+
+def q_sessionize(spark, sf_dir):
+    # rows-only: session window assembly over the events stream
+    from tumult_core_spark.streaming import (
+        read_stream_parquet,
+        sessionize,
+        write_stream_memory,
+    )
+
+    stream = read_stream_parquet(
+        spark, f"{sf_dir}/events.parquet", nanos_ts_cols=["ts"]
+    )
+    sess = sessionize(stream, "user_id", "ts", gap="30 minutes")
+    name = "q_sessions"
+    q = write_stream_memory(sess, name, output_mode="complete")
+    q.awaitTermination(300)
+    return spark.sql(f"select user_id, n_events from {name}")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "filter_select": q_filter_select,
@@ -561,6 +815,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "streaming_window_counts": q_streaming_window_counts,
         "multimodal_features": q_multimodal_features,
+        "zcdp_groupby_count": q_zcdp_groupby_count,
+        "groupby_sum_cents": q_groupby_sum_cents,
+        "groupby_column_domains": q_groupby_column_domains,
+        "drop_nulls_nans": q_drop_nulls_nans,
+        "replace_nans_infs": q_replace_nans_infs,
+        "flatmap_explode": q_flatmap_explode,
+        "grouping_flatmap": q_grouping_flatmap,
+        "add_unique_column": q_add_unique_column,
+        "join_on_nulls": q_join_on_nulls,
+        "ann_ivf": q_ann_ivf,
+        "sessionize": q_sessionize,
     }
 
 
@@ -727,5 +992,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
                    COUNT(*) AS count
             FROM events GROUP BY 1, 2
+        """,
+        "zcdp_groupby_count": f"""
+            WITH {flags_cte},
+            c AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1)
+            SELECT k.l_returnflag, CAST(COALESCE(c.n, 0) AS BIGINT) AS count
+            FROM keys k LEFT JOIN c USING (l_returnflag)
+        """,
+        "groupby_sum_cents": f"""
+            WITH {flags_cte},
+            c AS (SELECT l_returnflag,
+                         SUM(CAST(ROUND(LEAST(GREATEST(l_extendedprice, 0.0), 10000.0) * 100) AS BIGINT)) AS s
+                  FROM lineitem GROUP BY 1)
+            SELECT k.l_returnflag, CAST(COALESCE(c.s, 0) AS BIGINT) AS sum_cents
+            FROM keys k LEFT JOIN c USING (l_returnflag)
+        """,
+        "groupby_column_domains": """
+            WITH flags(l_returnflag) AS (VALUES ('A'),('N'),('R'),('X')),
+            stats(l_linestatus) AS (VALUES ('F'),('O')),
+            keys AS (SELECT * FROM flags CROSS JOIN stats),
+            c AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+                  FROM lineitem GROUP BY 1, 2)
+            SELECT k.l_returnflag, k.l_linestatus,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS count
+            FROM keys k LEFT JOIN c USING (l_returnflag, l_linestatus)
+        """,
+        "drop_nulls_nans": """
+            SELECT l_orderkey,
+                   l_quantity AS v1,
+                   l_quantity AS v2
+            FROM lineitem WHERE l_quantity <= 40 AND l_quantity >= 10
+        """,
+        "replace_nans_infs": """
+            SELECT l_orderkey,
+                   CASE WHEN l_quantity < 5 THEN 0.0
+                        WHEN l_quantity > 45 THEN 50.0
+                        ELSE l_quantity END AS v
+            FROM lineitem
+        """,
+        "flatmap_explode": """
+            SELECT l_orderkey, CAST(u.i AS BIGINT) AS idx
+            FROM lineitem, UNNEST(range(LEAST(l_linenumber, 3))) AS u(i)
+        """,
+        "grouping_flatmap": """
+            SELECT CAST(r.replica AS BIGINT) AS replica, COUNT(*) AS n
+            FROM lineitem CROSS JOIN (VALUES (0), (1)) AS r(replica)
+            GROUP BY 1
+        """,
+        "add_unique_column": "SELECT COUNT(*) AS n_unique FROM lineitem",
+        "join_on_nulls": """
+            WITH d AS (SELECT l_orderkey,
+                              CASE WHEN l_returnflag = 'N' THEN NULL
+                                   ELSE l_returnflag END AS flag_or_null
+                       FROM lineitem),
+            pub(flag_or_null, label) AS (
+                VALUES ('A', 'accepted'), (NULL, 'none'), ('R', 'returned'))
+            SELECT d.flag_or_null, d.l_orderkey, pub.label
+            FROM d JOIN pub ON d.flag_or_null IS NOT DISTINCT FROM pub.flag_or_null
+        """,
+        "ann_ivf": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+                       FROM embeddings WHERE vec_id < 20),
+            scored AS (
+                SELECT q.qid, e.vec_id,
+                       list_cosine_similarity(CAST(q.qvec AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])) AS score
+                FROM q CROSS JOIN embeddings e),
+            ranked AS (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY score DESC, vec_id ASC) AS rank
+                FROM scored)
+            SELECT qid, vec_id, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 3
         """,
     }

@@ -218,12 +218,13 @@ def bench_bounds(spark):
 
 
 def bench_noise_sampling(spark):
-    """Vectorized noise throughput: 10M samples per mechanism."""
+    """Vectorized noise throughput: 2M samples per mechanism (the
+    realistic per-batch magnitude for grouped-aggregate noise)."""
     import numpy as np
 
     from tumult_core_spark import samplers
 
-    n = 10_000_000
+    n = 2_000_000
     samplers.laplace(1.0, n)
     samplers.two_sided_geometric(1.0, n)
     samplers.gaussian(1.0, n)
