@@ -783,6 +783,18 @@ def q_sessionize(spark, sf_dir):
     return spark.sql(f"select user_id, n_events from {name}")
 
 
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Hyperplane-LSH cosine near-dups: duplicated vectors must pair."""
+    from tumult_core_spark.extensions.similarity import embedding_near_duplicates
+
+    embs = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = embs.withColumn("vec_id", F.col("vec_id") + 1000000)
+    both = embs.union(dup)
+    out = embedding_near_duplicates(both, "vec_id", "embedding", threshold=0.999)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "filter_select": q_filter_select,
@@ -826,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_on_nulls": q_join_on_nulls,
         "ann_ivf": q_ann_ivf,
         "sessionize": q_sessionize,
+        "embedding_near_dups": q_embedding_near_dups,
     }
 
 
@@ -1065,5 +1078,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             SELECT qid, vec_id, CAST(rank AS INTEGER) AS rank
             FROM ranked WHERE rank <= 3
+        """,
+        "embedding_near_dups": """
+            WITH both_sets AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[])) AS c
+                FROM both_sets a JOIN both_sets b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, ROUND(c, 6) AS cosine
+            FROM pairs WHERE c >= 0.999
         """,
     }

@@ -156,3 +156,87 @@ def ivf_knn(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vector_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold.
+
+    Scale path: random-hyperplane LSH — sign-pattern signatures over
+    ``num_planes`` fixed pseudo-random hyperplanes, banded so near-
+    parallel vectors collide; candidates are verified with the exact
+    cosine.  The hyperplanes are derived deterministically from
+    ``seed`` via xxhash64, so signatures are reproducible with no
+    driver-side randomness.  One shuffle on band keys; the exact
+    cosine runs only on candidate pairs.
+    """
+    if num_planes % bands != 0:
+        raise ValueError("num_planes must be divisible by bands")
+    planes_per_band = num_planes // bands
+
+    v = F.col("__vec")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vector_col).cast("array<double>").alias("__vec"),
+    )
+    # bit p = sign of dot(vec, h_p) where h_p[i] is a deterministic
+    # pseudo-random +-1 weight from xxhash64(i, p, seed)
+    bits = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(v) - 1),
+                        lambda i, p=p: (
+                            (F.xxhash64(i, F.lit(p), F.lit(seed)) % 2) * 2 - 1
+                        ).cast("double"),
+                    ),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0
+        ).cast("long")
+        for p in range(num_planes)
+    ]
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                *[bits[b * planes_per_band + j] for j in range(planes_per_band)],
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    signed = base.select("__id", "__vec", F.posexplode(band_keys).alias("band", "bkey"))
+    a, b = signed.alias("a"), signed.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__vec").alias("va"),
+            F.col("b.__vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
