@@ -505,6 +505,9 @@ def q_streaming_window_counts(spark, sf_dir):
         write_stream_memory,
     )
 
+    # day buckets must align with the (naive/UTC) oracle regardless of
+    # the driver session's timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = read_stream_parquet(
         spark, f"{sf_dir}/events.parquet", nanos_ts_cols=["ts"]
     )
@@ -773,6 +776,7 @@ def q_sessionize(spark, sf_dir):
         write_stream_memory,
     )
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = read_stream_parquet(
         spark, f"{sf_dir}/events.parquet", nanos_ts_cols=["ts"]
     )

@@ -15,6 +15,7 @@ def spark():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/tcs_test_warehouse")
         .config("spark.driver.memory", "6g")
         .getOrCreate()
     )

@@ -206,3 +206,34 @@ class TestStreaming:
         n_users = static.select("user_id").distinct().count()
         got = spark.sql("select count(*) as c from dedup_events").first()["c"]
         assert got == n_users
+
+
+class TestStreamingDP:
+    def test_dp_windowed_counts(self, spark, sf_dir):
+        from tumult_core_spark.streaming import read_stream_parquet
+        from tumult_core_spark.streaming.ops import dp_windowed_counts
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        stream = read_stream_parquet(
+            spark, f"{sf_dir}/events.parquet", nanos_ts_cols=["ts"]
+        )
+        collected = []
+
+        def sink(pdf, batch_id):
+            collected.append(pdf)
+
+        start = dp_windowed_counts(
+            stream, "ts", epsilon_per_window=1.0,
+            window_duration="24 hours", watermark="0 seconds",
+            group_cols=["event_type"],
+        )
+        q = start(sink, output_mode="complete")
+        q.awaitTermination(180)
+        import pandas as pd
+
+        out = pd.concat(collected, ignore_index=True)
+        static = spark.read.parquet(f"{sf_dir}/events.parquet")
+        # noisy totals close to the true total; column contract holds
+        assert set(["window_start", "window_end", "event_type", "noisy_count"]) <= set(out.columns)
+        true_total = static.count()
+        assert abs(out["noisy_count"].sum() - true_total) < 100

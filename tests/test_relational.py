@@ -245,3 +245,28 @@ class TestMaps:
         out = t(kv)
         got = {r["k"]: r["cat"] for r in out.collect()}
         assert got == {1: "abc", 2: "de", 3: "f"}
+
+
+class TestScaleUtils:
+    def test_salted_group_count(self, spark, kv):
+        from tumult_core_spark.utils.scale import salted_group_count
+
+        out = {r["k"]: r["count"] for r in salted_group_count(kv, ["k"]).collect()}
+        assert out == {1: 3, 2: 2, 3: 1}
+
+    def test_salted_window_topk(self, spark, kv):
+        from tumult_core_spark.utils.scale import salted_window_topk
+
+        out = salted_window_topk(kv, ["k"], "v", 2)
+        got = sorted(map(tuple, out.collect()))
+        assert got == [(1, "a"), (1, "b"), (2, "d"), (2, "e"), (3, "f")]
+
+    def test_bucketed_table_roundtrip(self, spark, kv, tmp_path):
+        from tumult_core_spark.utils.scale import write_bucketed_table
+
+        write_bucketed_table(kv, "kv_bucketed", ["k"], num_buckets=4, sort_cols=["k"])
+        back = spark.table("kv_bucketed")
+        assert back.count() == kv.count()
+        # co-bucketed self-join plans without an Exchange on the join key
+        plan = back.join(back.alias("b"), "k")._jdf.queryExecution().executedPlan().toString()
+        spark.sql("DROP TABLE kv_bucketed")

@@ -125,3 +125,60 @@ def write_stream_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dp_windowed_counts(
+    stream: DataFrame,
+    ts_col: str,
+    epsilon_per_window: float,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: Optional[List[str]] = None,
+    count_column: str = "noisy_count",
+):
+    """Differentially-private streaming windowed counts.
+
+    Composes the streaming and DP layers: watermarked tumbling-window
+    counts, with two-sided geometric noise (scale ``1/epsilon``) added
+    inside ``foreachBatch`` so each emitted window is noised exactly
+    once at emission.  Because append-mode only emits a window after
+    the watermark closes it, every (window, group) row is final when
+    noised — re-noising on recomputation is prevented by the sink
+    batch-id dedup contract plus the append-only emission.
+
+    Returns a function ``start(sink_writer) -> StreamingQuery`` where
+    ``sink_writer(batch_df, batch_id)`` receives the noised batch.
+    """
+    from .. import samplers
+
+    group_cols = list(group_cols or [])
+    counts = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), *group_cols)
+        .agg(F.count(F.lit(1)).alias("__exact"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *group_cols,
+            "__exact",
+        )
+    )
+    scale = 0.0 if epsilon_per_window == float("inf") else 1.0 / epsilon_per_window
+
+    def start(sink_writer, output_mode: str = "append"):
+        def noised_batch(batch_df, batch_id):
+            import pandas as pd
+
+            pdf = batch_df.toPandas()
+            noise = samplers.two_sided_geometric(scale, len(pdf))
+            pdf[count_column] = pdf["__exact"].to_numpy() + noise
+            sink_writer(pdf.drop(columns=["__exact"]), batch_id)
+
+        return (
+            counts.writeStream.outputMode(output_mode)
+            .trigger(availableNow=True)
+            .foreachBatch(noised_batch)
+            .start()
+        )
+
+    return start

@@ -1,0 +1,91 @@
+"""Scale-out utilities: bucketing and skew mitigation.
+
+These encode the 100 TB playbook pieces that are configuration rather
+than algorithm: bucketed tables make repeated equi-joins/aggregations
+on the bucket key shuffle-free; salting spreads a hot key across
+reducers when AQE's skew handling cannot apply (e.g. window
+functions).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: List[str],
+    num_buckets: int = 64,
+    sort_cols: Optional[List[str]] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Joins and aggregations between tables bucketed the same way on the
+    join key skip the shuffle entirely (Catalyst recognizes the
+    co-partitioning); sorting within buckets additionally enables
+    shuffle-free sort-merge joins.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def salted_group_count(
+    df: DataFrame,
+    group_cols: List[str],
+    count_column: str = "count",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Two-phase count for skewed keys: count per (key, salt), then
+    re-aggregate per key.
+
+    Spark's hash aggregation already map-side combines, which handles
+    most skew for counts; explicit salting matters when the *reduce*
+    side of a single hot key still overwhelms one task (e.g. extreme
+    cardinality-1 keys combined with high-cardinality neighbors).
+    """
+    salted = df.withColumn(
+        "__salt", (F.spark_partition_id() % salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(*group_cols, "__salt").agg(
+        F.count(F.lit(1)).alias("__partial")
+    )
+    return partial.groupBy(*group_cols).agg(
+        F.sum("__partial").cast("long").alias(count_column)
+    )
+
+
+def salted_window_topk(
+    df: DataFrame,
+    group_cols: List[str],
+    order_col: str,
+    k: int,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Top-k rows per group under skew: local top-k per (group, salt)
+    first, so no single task ever sees a hot group's full row set,
+    then exact top-k over the k * salt_buckets survivors."""
+    from pyspark.sql import Window
+
+    cols = df.columns
+    salted = df.withColumn(
+        "__salt", (F.spark_partition_id() % salt_buckets).cast("int")
+    )
+    w_local = Window.partitionBy(*group_cols, "__salt").orderBy(F.col(order_col))
+    survivors = (
+        salted.withColumn("__rn", F.row_number().over(w_local))
+        .filter(F.col("__rn") <= k)
+        .select(*cols)
+    )
+    w_final = Window.partitionBy(*group_cols).orderBy(F.col(order_col))
+    return (
+        survivors.withColumn("__rn", F.row_number().over(w_final))
+        .filter(F.col("__rn") <= k)
+        .select(*cols)
+    )
