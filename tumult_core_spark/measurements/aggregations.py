@@ -37,7 +37,7 @@ from ..domains import (
 )
 from ..exact_number import ExactNumber, ExactNumberInput
 from ..measures import ApproxDP, Measure, PureDP, RhoZCDP
-from ..metrics import Metric
+from ..metrics import HammingDistance, Metric
 from ..utils.parameters import calculate_noise_scale
 from ..transformations.agg import (
     Count,
@@ -355,67 +355,45 @@ def create_average_measurement(
     average_column: Optional[str] = None,
     keep_intermediates: bool = False,
 ) -> Measurement:
-    """Noisy average: sum-of-deviations @ d_out/2 + count @ d_out/2,
-    then avg = sod / max(1, count) + midpoint."""
+    """Noisy average = (noisy sum-of-deviations)/(max(1, noisy count))
+    + midpoint, each statistic at half the budget.
+
+    Single-pass: both statistics come from ONE aggregation scan
+    (:class:`FusedMomentsMeasurement`) — the compositional reference
+    recipe costs two full scans (``aggregations.py:829-1117``).
+    """
     lower_e, upper_e = ExactNumber(lower), ExactNumber(upper)
     average_column = average_column or f"avg({measure_column})"
-    d_half = _half_budget(output_measure, d_out)
     desc = input_domain[measure_column]
     integral = isinstance(desc, SparkIntegerColumnDescriptor)
-    mid = get_midpoint(lower_e, upper_e, integral)
-    mid_f = mid.to_float(round_up=False)
-    dev_col = f"__dev_{measure_column}"
-    dev_t, dev_lo, dev_hi, _ = _deviation_transform(
-        input_domain, input_metric, measure_column, lower_e, upper_e, dev_col
-    )
-
-    sod_m = create_sum_measurement(
-        dev_t.output_domain,
-        dev_t.output_metric,
-        output_measure,
-        d_in,
-        d_half,
-        dev_col,
-        dev_lo,
-        dev_hi,
-        noise_mechanism,
-        _regroup(groupby_transformation, dev_t.output_domain),
-        sum_column="sod",
-    )
-    count_m = create_count_measurement(
-        dev_t.output_domain,
-        dev_t.output_metric,
-        output_measure,
-        d_in,
-        d_half,
-        noise_mechanism=NoiseMechanism.GEOMETRIC
-        if isinstance(_core_measure(output_measure), PureDP)
-        else NoiseMechanism.DISCRETE_GAUSSIAN,
-        groupby_transformation=_regroup(groupby_transformation, dev_t.output_domain),
-        count_column="count",
-    )
-    composed = ChainTM(dev_t, Composition([sod_m, count_m]))
+    mid_f = get_midpoint(lower_e, upper_e, integral).to_float(round_up=False)
 
     if groupby_transformation is None:
 
-        def post(outputs):
-            sod, count = float(outputs[0]), int(outputs[1])
-            return float(sod / max(1, count) + mid_f)
+        def post(stats):
+            return float(
+                stats["sod"] / max(1.0, stats["count"]) + mid_f
+            )
 
     else:
         keys = groupby_transformation.groupby_columns
 
-        def post(outputs):
-            sod_df, count_df = outputs
-            joined = _join_on_keys(sod_df, count_df, keys)
-            return joined.select(
-                *[F.col(c) for c in keys],
+        def post(df):
+            return df.select(
+                *[F.col(f"`{c}`") for c in keys],
                 (
-                    F.col("sod") / F.greatest(F.col("count"), F.lit(1)) + F.lit(mid_f)
+                    F.col("sod") / F.greatest(F.col("count"), F.lit(1))
+                    + F.lit(mid_f)
                 ).alias(average_column),
             )
 
-    return _assert_privacy(PostProcess(composed, post), ExactNumber(d_in), d_out)
+    m = FusedMomentsMeasurement(
+        input_domain, input_metric, output_measure, d_in, d_out,
+        measure_column, lower_e, upper_e, include_squares=False,
+        groupby_transformation=groupby_transformation,
+        postprocess=post, noise_mechanism=noise_mechanism,
+    )
+    return _assert_privacy(m, ExactNumber(d_in), d_out)
 
 
 def _half_budget(output_measure: Measure, d_out):
@@ -454,74 +432,41 @@ def create_variance_measurement(
     _sqrt_output: bool = False,
 ) -> Measurement:
     """Noisy population variance via sod + sum-of-squared-deviations +
-    count, each at d_out/3:  var = sos/n - (sod/n)^2  (midpoint shifts
-    cancel), clamped to >= 0."""
+    count (each at d_out/3): var = sos/n - (sod/n)^2 (midpoint shifts
+    cancel), clamped to >= 0 — all three statistics from ONE scan."""
     lower_e, upper_e = ExactNumber(lower), ExactNumber(upper)
     variance_column = variance_column or (
         f"var({measure_column})" if not _sqrt_output else f"stddev({measure_column})"
     )
-    d_third = _third_budget(output_measure, d_out)
-    desc = input_domain[measure_column]
-    integral = isinstance(desc, SparkIntegerColumnDescriptor)
-    mid = get_midpoint(lower_e, upper_e, integral)
-    mid_f = mid.to_float(round_up=False)
-
-    dev_col = f"__dev_{measure_column}"
-    dev2_col = f"__dev2_{measure_column}"
-    dev_t, dev_lo, dev_hi, _ = _deviation_transform(
-        input_domain, input_metric, measure_column, lower_e, upper_e, dev_col
-    )
-    dev2_t, dev2_lo, dev2_hi, _ = _deviation_transform(
-        dev_t.output_domain, dev_t.output_metric, measure_column, lower_e, upper_e, dev2_col, squared=True
-    )
-    both_t = ChainTT(dev_t, dev2_t)
-    domain2 = dev2_t.output_domain
-
-    sod_m = create_sum_measurement(
-        domain2, both_t.output_metric, output_measure, d_in, d_third,
-        dev_col, dev_lo, dev_hi, noise_mechanism,
-        _regroup(groupby_transformation, domain2), sum_column="sod",
-    )
-    sos_m = create_sum_measurement(
-        domain2, both_t.output_metric, output_measure, d_in, d_third,
-        dev2_col, dev2_lo, dev2_hi, noise_mechanism,
-        _regroup(groupby_transformation, domain2), sum_column="sos",
-    )
-    count_m = create_count_measurement(
-        domain2, both_t.output_metric, output_measure, d_in, d_third,
-        noise_mechanism=NoiseMechanism.GEOMETRIC
-        if isinstance(_core_measure(output_measure), PureDP)
-        else NoiseMechanism.DISCRETE_GAUSSIAN,
-        groupby_transformation=_regroup(groupby_transformation, domain2),
-        count_column="count",
-    )
-    composed = ChainTM(both_t, Composition([sod_m, sos_m, count_m]))
     sqrt_out = _sqrt_output
 
     if groupby_transformation is None:
 
-        def post(outputs):
-            sod, sos, count = float(outputs[0]), float(outputs[1]), int(outputs[2])
-            n = max(1, count)
-            var = max(0.0, sos / n - (sod / n) ** 2)
+        def post(stats):
+            n = max(1.0, stats["count"])
+            var = max(0.0, stats["sos"] / n - (stats["sod"] / n) ** 2)
             return float(var**0.5) if sqrt_out else float(var)
 
     else:
         keys = groupby_transformation.groupby_columns
 
-        def post(outputs):
-            sod_df, sos_df, count_df = outputs
-            joined = _join_on_keys(_join_on_keys(sod_df, sos_df, keys), count_df, keys)
+        def post(df):
             n = F.greatest(F.col("count"), F.lit(1))
             var = F.greatest(
                 F.col("sos") / n - F.pow(F.col("sod") / n, 2), F.lit(0.0)
             )
             out = F.sqrt(var) if sqrt_out else var
-            return joined.select(
-                *[F.col(c) for c in keys], out.alias(variance_column)
+            return df.select(
+                *[F.col(f"`{c}`") for c in keys], out.alias(variance_column)
             )
 
-    return _assert_privacy(PostProcess(composed, post), ExactNumber(d_in), d_out)
+    m = FusedMomentsMeasurement(
+        input_domain, input_metric, output_measure, d_in, d_out,
+        measure_column, lower_e, upper_e, include_squares=True,
+        groupby_transformation=groupby_transformation,
+        postprocess=post, noise_mechanism=noise_mechanism,
+    )
+    return _assert_privacy(m, ExactNumber(d_in), d_out)
 
 
 def create_standard_deviation_measurement(
@@ -735,3 +680,189 @@ def create_bounds_measurement(
 
     result = PostProcess(m, post)
     return _assert_privacy(result, d_in_e, eps)
+
+
+# ---------------------------------------------------------------------------
+# fused single-pass moments (average / variance at scale)
+# ---------------------------------------------------------------------------
+
+
+class FusedMomentsMeasurement(Measurement):
+    """Noisy (sum-of-deviations [, sum-of-squared-deviations], count) in
+    ONE aggregation pass, with independent noise per statistic.
+
+    The compositional recipe (reference ``aggregations.py:829-1330``)
+    runs one measurement per statistic — i.e. 2-3 full scans of the
+    input.  Here a single groupBy computes all clipped moments at once
+    (map-side combined), then per-column nondeterministic noise UDFs
+    run over the group-cardinality relation.  The privacy analysis is
+    unchanged: the statistics receive independent noise, so the total
+    loss is the sum of the per-statistic losses at their assigned
+    budget shares.
+
+    ``postprocess(noisy_df_or_row) -> output`` shapes the final result
+    (average / variance / stddev).
+    """
+
+    def __init__(
+        self,
+        input_domain: SparkDataFrameDomain,
+        input_metric: Metric,
+        output_measure: Measure,
+        d_in: ExactNumberInput,
+        d_out,
+        measure_column: str,
+        lower: ExactNumberInput,
+        upper: ExactNumberInput,
+        include_squares: bool,
+        groupby_transformation: Optional[GroupBy],
+        postprocess,
+        noise_mechanism: Optional[NoiseMechanism] = None,
+    ):
+        core = _core_measure(output_measure)
+        eps_like = _unwrap_d_out(output_measure, d_out)
+        n_stats = 3 if include_squares else 2
+        share = eps_like / n_stats
+        d_in_e = ExactNumber(d_in)
+        lower_e, upper_e = ExactNumber(lower), ExactNumber(upper)
+        desc = input_domain[measure_column]
+        integral = isinstance(desc, SparkIntegerColumnDescriptor)
+        mid = get_midpoint(lower_e, upper_e, integral)
+        dev_lo, dev_hi = lower_e - mid, upper_e - mid
+        hi2 = max(dev_lo**2, dev_hi**2)
+        mechanism = noise_mechanism or _default_mechanism(core, integral=integral)
+        _check_mechanism_measure(mechanism, core)
+
+        gb = groupby_transformation
+        if gb is not None and (
+            gb.input_domain != input_domain or gb.input_metric != input_metric
+        ):
+            raise ValueError("groupby_transformation does not match input")
+        stability = (
+            gb.stability_function(d_in_e) if gb is not None else d_in_e * (
+                2 if isinstance(input_metric, HammingDistance) else 1
+            )
+        )
+        # per-statistic sensitivities at the (possibly grouped) distance
+        sens_sod = stability * max(abs(dev_lo), abs(dev_hi))
+        sens_sos = stability * hi2
+        sens_count = stability
+        self._mechs = {
+            "sod": _make_mechanism(
+                mechanism, calculate_noise_scale(sens_sod, share, core),
+                NumpyIntegerDomain() if integral else NumpyFloatDomain(),
+            ),
+            "count": _make_mechanism(
+                NoiseMechanism.GEOMETRIC
+                if isinstance(core, PureDP)
+                else NoiseMechanism.DISCRETE_GAUSSIAN,
+                calculate_noise_scale(sens_count, share, core),
+                NumpyIntegerDomain(),
+            ),
+        }
+        if include_squares:
+            self._mechs["sos"] = _make_mechanism(
+                mechanism, calculate_noise_scale(sens_sos, share, core),
+                NumpyIntegerDomain() if integral else NumpyFloatDomain(),
+            )
+        super().__init__(input_domain, input_metric, output_measure)
+        self.groupby = gb
+        self.measure_column = measure_column
+        self.include_squares = include_squares
+        self.postprocess = postprocess
+        self._integral = integral
+        self._lower, self._upper, self._mid = lower_e, upper_e, mid
+        self._core = core
+        self._output_measure_outer = output_measure
+
+    def privacy_function(self, d_in: Any):
+        from ..transformations.agg import _clip_expr  # sensitivity math shared
+
+        d = ExactNumber(d_in)
+        stability = (
+            self.groupby.stability_function(d)
+            if self.groupby is not None
+            else d * (2 if isinstance(self.input_metric, HammingDistance) else 1)
+        )
+        total = ExactNumber(0)
+        for key, mech in self._mechs.items():
+            dev_lo = self._lower - self._mid
+            dev_hi = self._upper - self._mid
+            if key == "sod":
+                s = stability * max(abs(dev_lo), abs(dev_hi))
+            elif key == "sos":
+                s = stability * max(dev_lo**2, dev_hi**2)
+            else:
+                s = stability
+            total = total + ExactNumber(mech.privacy_function(s))
+        if isinstance(self._output_measure_outer, ApproxDP):
+            return (total, ExactNumber(0))
+        return total
+
+    def _agg_exprs(self):
+        from ..transformations.agg import _clip_expr
+
+        clip = _clip_expr(self.measure_column, self._lower, self._upper, self._integral)
+        if self._integral:
+            mid = int(self._mid.expr)
+            dev = clip - F.lit(mid)
+            cast_t = "long"
+        else:
+            mid = self._mid.to_float(round_up=False)
+            dev = clip - F.lit(mid)
+            cast_t = "double"
+        exprs = [
+            F.sum(dev).cast(cast_t).alias("sod"),
+            F.count(F.lit(1)).alias("count"),
+        ]
+        if self.include_squares:
+            exprs.insert(1, F.sum(dev * dev).cast(cast_t).alias("sos"))
+        return exprs
+
+    def __call__(self, data: DataFrame):
+        from ..utils.misc import sanitize_df
+
+        exprs = self._agg_exprs()
+        if self.groupby is not None:
+            gdf = self.groupby(data)
+            keys = self.groupby.groupby_columns
+            agged = gdf.dataframe.groupBy(*keys).agg(*exprs)
+            # one row per public key with 0-fill (null-safe key join)
+            cond = None
+            for c in keys:
+                clause = gdf.group_keys[c].eqNullSafe(agged[c])
+                cond = clause if cond is None else cond & clause
+            stat_cols = ["sod", "sos", "count"] if self.include_squares else ["sod", "count"]
+            joined = gdf.group_keys.join(agged, cond, "left").select(
+                *[gdf.group_keys[c] for c in keys],
+                *[
+                    F.coalesce(agged[s], F.lit(0)).alias(s)
+                    for s in stat_cols
+                ],
+            )
+            noisy = joined
+            for s in stat_cols:
+                mech = self._mechs[s]
+                from .noise import AddNoiseToSeries
+
+                series_mech = AddNoiseToSeries(mech)
+                if series_mech.adds_no_noise:
+                    continue
+                out_type = (
+                    "double"
+                    if type(mech).__name__ in ("AddLaplaceNoise", "AddGaussianNoise")
+                    else "long"
+                )
+                udf = F.pandas_udf(
+                    lambda col, m=series_mech: m(col), returnType=out_type
+                ).asNondeterministic()
+                noisy = noisy.withColumn(s, udf(F.col(s)))
+            return self.postprocess(sanitize_df(noisy))
+        row = data.agg(*exprs).first()
+        stats = {}
+        for s in ("sod", "sos", "count"):
+            if s in row.asDict():
+                mech = self._mechs.get(s)
+                val = row[s] or 0
+                stats[s] = float(mech(val)) if mech else float(val)
+        return self.postprocess(stats)
