@@ -6,11 +6,10 @@ the reference factory layer (``tmlt/core/measurements/aggregations.py``):
 
 * count / count_distinct:  [GroupBy ->] Count -> noise
 * sum:                     [GroupBy ->] clipped Sum -> noise
-* average:                 derive deviations-from-midpoint, then
-                           Composition[sum_of_deviations @ d_out/2,
-                           count @ d_out/2] -> postprocess
-* variance / stddev:       sod + sum-of-squared-deviations + count,
-                           each @ d_out/3 -> postprocess
+* average:                 fused single-scan (sum-of-deviations @ d/2,
+                           count @ d/2) -> postprocess
+* variance / stddev:       fused single-scan (sod, sum-of-squared-
+                           deviations, count, each @ d/3) -> postprocess
 * quantile:                [GroupBy ->] exponential mechanism per group
 * partition_selection:     exact (epsilon, delta) -> (alpha, tau) solve
 
@@ -127,19 +126,6 @@ def _assert_privacy(measurement: Measurement, d_in, d_out) -> Measurement:
             f"{measurement.privacy_function(d_in)} exceeds requested {d_out}"
         )
     return measurement
-
-
-def _join_on_keys(df1: DataFrame, df2: DataFrame, keys: List[str]) -> DataFrame:
-    """Inner join on null-safe key equality, keeping df1's key columns."""
-    cond = None
-    for c in keys:
-        clause = df1[c].eqNullSafe(df2[c])
-        cond = clause if cond is None else cond & clause
-    joined = df1.join(df2, cond, "inner")
-    return joined.select(
-        *[df1[c] for c in df1.columns],
-        *[df2[c] for c in df2.columns if c not in keys],
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -308,39 +294,6 @@ def get_midpoint(lower: ExactNumber, upper: ExactNumber, integral: bool) -> Exac
     return mid
 
 
-def _deviation_transform(
-    input_domain: SparkDataFrameDomain,
-    input_metric: Metric,
-    measure_column: str,
-    lower: ExactNumber,
-    upper: ExactNumber,
-    dev_column: str,
-    squared: bool = False,
-) -> Tuple[DeriveColumn, ExactNumber, ExactNumber, ExactNumber]:
-    """Derived column clip(x)-mid (or its square); returns (t, lo, hi, mid)."""
-    desc = input_domain[measure_column]
-    integral = isinstance(desc, SparkIntegerColumnDescriptor)
-    mid = get_midpoint(lower, upper, integral)
-    if integral:
-        l, u, m = int(lower.expr), int(upper.expr), int(mid.expr)
-        base = f"least(greatest(`{measure_column}`, {l}L), {u}L) - {m}L"
-        expr = f"cast(pow({base}, 2) as long)" if squared else f"cast({base} as long)"
-        out_desc = SparkIntegerColumnDescriptor(size=64)
-    else:
-        l_f, u_f = lower.to_float(round_up=False), upper.to_float(round_up=True)
-        m_f = mid.to_float(round_up=False)
-        base = f"least(greatest(`{measure_column}`, cast({l_f!r} as double)), cast({u_f!r} as double)) - cast({m_f!r} as double)"
-        expr = f"pow({base}, 2)" if squared else f"cast({base} as double)"
-        out_desc = SparkFloatColumnDescriptor(size=64)
-    t = DeriveColumn(input_domain, input_metric, dev_column, expr, out_desc)
-    if squared:
-        dev_lo, dev_hi = lower - mid, upper - mid
-        hi2 = max(dev_lo**2, dev_hi**2)
-        lo2 = ExactNumber(0) if (dev_lo <= 0 <= dev_hi) else min(dev_lo**2, dev_hi**2)
-        return t, lo2, hi2, mid
-    return t, lower - mid, upper - mid, mid
-
-
 def create_average_measurement(
     input_domain: SparkDataFrameDomain,
     input_metric: Metric,
@@ -394,27 +347,6 @@ def create_average_measurement(
         postprocess=post, noise_mechanism=noise_mechanism,
     )
     return _assert_privacy(m, ExactNumber(d_in), d_out)
-
-
-def _half_budget(output_measure: Measure, d_out):
-    if isinstance(output_measure, ApproxDP):
-        return (ExactNumber(d_out[0]) / 2, ExactNumber(d_out[1]) / 2)
-    return ExactNumber(d_out) / 2
-
-
-def _third_budget(output_measure: Measure, d_out):
-    if isinstance(output_measure, ApproxDP):
-        return (ExactNumber(d_out[0]) / 3, ExactNumber(d_out[1]) / 3)
-    return ExactNumber(d_out) / 3
-
-
-def _regroup(groupby: Optional[GroupBy], new_domain: SparkDataFrameDomain):
-    """Rebuild a GroupBy against the derived-column domain."""
-    if groupby is None:
-        return None
-    return GroupBy(
-        new_domain, groupby.input_metric, groupby.use_l2, groupby.group_keys
-    )
 
 
 def create_variance_measurement(
