@@ -94,35 +94,102 @@ class NoisyQuantile(Aggregate):
             return (self.epsilon * d) ** 2 / 8
         return self.epsilon * d
 
-    def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
-        values = pdf[self.measure_column].to_numpy(dtype=float) if len(pdf) else np.array([])
-        return pd.DataFrame({self.output_column: [self._quantile(values)]})
+    # When ``count_column`` is set, the input frame carries
+    # pre-aggregated (value, count) pairs instead of raw rows — the
+    # sufficient statistic for the mechanism: duplicate points only
+    # create zero-width intervals, which log(0)-weight out, so the
+    # weighted form is exactly equivalent while shuffling one row per
+    # DISTINCT value instead of one per data row.
+    count_column: Optional[str] = None
 
-    def _quantile(self, values: np.ndarray) -> float:
+    def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {self.output_column: [self._quantile(np.array([]), np.array([]))]}
+            )
+        values = pdf[self.measure_column].to_numpy(dtype=float)
+        if self.count_column is not None:
+            counts = pdf[self.count_column].to_numpy(dtype=float)
+        else:
+            counts = np.ones(len(values))
+        return pd.DataFrame(
+            {self.output_column: [self._quantile(values, counts)]}
+        )
+
+    def _quantile(self, values: np.ndarray, counts: np.ndarray) -> float:
         lo, hi = self.lower, self.upper
-        v = np.clip(values[~np.isnan(values)], lo, hi) if len(values) else values
-        v = np.sort(v)
-        n = len(v)
-        edges = np.concatenate(([lo], v, [hi]))
-        widths = np.diff(edges)  # n+1 intervals
+        if len(values):
+            keep = ~np.isnan(values)
+            values, counts = values[keep], counts[keep]
+            values = np.clip(values, lo, hi)
+            order = np.argsort(values)
+            values, counts = values[order], counts[order]
+            # merge duplicates created by clipping
+            uniq, inv = np.unique(values, return_inverse=True)
+            counts = np.bincount(inv, weights=counts)
+            values = uniq
+        n = float(counts.sum()) if len(counts) else 0.0
+        edges = np.concatenate(([lo], values, [hi]))
+        widths = np.diff(edges)  # m+1 intervals between distinct values
+        # rank of interval i = number of data points strictly below it
+        ranks = np.concatenate(([0.0], np.cumsum(counts))) if len(counts) else np.array([0.0])
         target = self.quantile * n
-        ranks = np.arange(n + 1, dtype=float)
         eps = self._eps_float
         if np.isinf(eps):
-            # degenerate: pick the interval containing the target rank
-            idx = int(np.clip(np.floor(target), 0, n))
+            idx = int(np.searchsorted(ranks, target, side="right") - 1)
+            idx = int(np.clip(idx, 0, len(widths) - 1))
             if widths[idx] == 0:
                 nz = np.nonzero(widths)[0]
                 if len(nz) == 0:
                     return float(edges[0])
-                idx = nz[np.argmin(np.abs(nz - target))]
+                idx = nz[np.argmin(np.abs(ranks[nz] - target))]
         else:
             scores = -(eps / 2.0) * np.abs(ranks - target)
             with np.errstate(divide="ignore"):
                 log_weights = np.log(widths) + scores
-            gumbel = samplers.rng().gumbel(0.0, 1.0, n + 1)
+            gumbel = samplers.rng().gumbel(0.0, 1.0, len(widths))
             idx = int(np.argmax(log_weights + gumbel))
         return samplers.uniform(float(edges[idx]), float(edges[idx + 1]))
+
+
+class _PreAggregatedQuantile(Measurement):
+    """Per-group exponential-mechanism quantile over pre-aggregated
+    (group, value) counts.
+
+    The per-value count relation is the mechanism's sufficient
+    statistic, so the applyInPandas shuffle carries one row per
+    DISTINCT value per group instead of one per data row — for
+    discrete/low-cardinality measure columns this collapses the
+    group-task input by orders of magnitude at 100 TB.
+    """
+
+    def __init__(self, groupby, agg: NoisyQuantile):
+        self.groupby = groupby
+        self.agg = agg
+        agg.count_column = "__cnt"
+        super().__init__(
+            groupby.input_domain, groupby.input_metric, agg.output_measure
+        )
+
+    def privacy_function(self, d_in: Any):
+        return self.agg.privacy_function(self.groupby.stability_function(d_in))
+
+    def __call__(self, data):
+        from pyspark.sql import functions as F
+
+        from ..utils.grouped_dataframe import GroupedDataFrame
+        from ..utils.misc import sanitize_df
+
+        gdf = self.groupby(data)
+        keys = self.groupby.groupby_columns
+        counts = (
+            gdf.dataframe.groupBy(
+                *keys, F.col(f"`{self.agg.measure_column}`")
+            ).agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        regrouped = GroupedDataFrame(counts, gdf.group_keys)
+        out = regrouped.apply_in_pandas(self.agg, self.agg.output_spark_schema)
+        return sanitize_df(out)
 
 
 def create_quantile_measurement(
@@ -138,7 +205,9 @@ def create_quantile_measurement(
     groupby_transformation=None,
     quantile_column: Optional[str] = None,
 ) -> Measurement:
-    """[GroupBy ->] per-group exponential-mechanism quantile.
+    """[GroupBy ->] per-group exponential-mechanism quantile over the
+    per-value count sufficient statistic (see
+    :class:`_PreAggregatedQuantile`).
 
     Ungrouped inputs are routed through a constant synthetic group so
     the data never leaves executors (the reference pulls ungrouped
@@ -147,18 +216,18 @@ def create_quantile_measurement(
     from ..base import ChainTM, ChainTT
     from ..transformations.groupby import GroupBy
     from .composition import PostProcess
-    from .spark import ApplyInPandas
 
     d_in_e = ExactNumber(d_in)
     d_out_e = ExactNumber(d_out)
     quantile_column = quantile_column or f"q{quantile}({measure_column})"
 
+    pre_t = None
     if groupby_transformation is None:
         from ..transformations.derive import DeriveColumn
         from ..domains import SparkIntegerColumnDescriptor
         from pyspark.sql import SparkSession, functions as F
 
-        const = DeriveColumn(
+        pre_t = DeriveColumn(
             input_domain,
             input_metric,
             "__g",
@@ -167,22 +236,21 @@ def create_quantile_measurement(
         )
         spark = SparkSession.active()
         keys = spark.range(1).select(F.lit(0).cast("long").alias("__g"))
-        gb = GroupBy(const.output_domain, input_metric, False, keys)
-        pre = ChainTT(const, gb)
+        gb = GroupBy(pre_t.output_domain, input_metric, False, keys)
 
-        def strip(df):
+        def post(df):
             row = df.select(F.col(f"`{quantile_column}`")).first()
             return np.float64(row[0])
 
-        post_fn = strip
     else:
         gb = groupby_transformation
         if gb.input_domain != input_domain or gb.input_metric != input_metric:
             raise ValueError("groupby_transformation does not match input")
-        pre = gb
-        post_fn = None
+        post = None
 
-    stability = pre.stability_function(d_in_e)
+    stability = gb.stability_function(
+        pre_t.stability_function(d_in_e) if pre_t is not None else d_in_e
+    )
     if isinstance(output_measure, RhoZCDP):
         # (eps*d)^2/8 = rho  =>  eps = sqrt(8 rho)/d
         eps = (ExactNumber(8) * d_out_e).sqrt() / stability if stability > 0 else ExactNumber(0)
@@ -198,9 +266,10 @@ def create_quantile_measurement(
         output_measure,
         output_column=quantile_column,
     )
-    m = ChainTM(pre, ApplyInPandas(pre.output_domain, pre.output_metric, agg))
-    if post_fn is not None:
-        m = PostProcess(m, post_fn)
+    core = _PreAggregatedQuantile(gb, agg)
+    m = ChainTM(pre_t, core) if pre_t is not None else core
+    if post is not None:
+        m = PostProcess(m, post)
     if not m.privacy_relation(d_in_e, d_out_e):
         raise AssertionError(
             f"quantile privacy {m.privacy_function(d_in_e)} > requested {d_out_e}"
