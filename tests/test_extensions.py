@@ -87,6 +87,43 @@ class TestDedup:
         expected = {(r["doc_id"], r["doc_id"] + 1_000_000) for r in base.collect()}
         assert expected <= found
 
+    def test_simhash_signatures_repartition_invariant(self, spark, docs):
+        # Deterministic token hashing: signatures must not depend on
+        # which executor/partition computed them (regression for the
+        # per-process-salted builtin hash() bug).
+        base = docs.limit(50)
+        s1 = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(base.repartition(1), "doc_id", "text").collect()
+        }
+        s16 = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(base.repartition(16), "doc_id", "text").collect()
+        }
+        assert s1 == s16
+        assert any(v != 0 for v in s1.values())
+
+    def test_simhash_band_bucket_cap(self, spark, docs):
+        # A degenerate corpus (every doc identical) must not produce a
+        # quadratic pair set: with cap c the per-band pair count is
+        # bounded by bands * C(c, 2).
+        same = docs.limit(40).withColumn("text", F.lit("same same same"))
+        pairs = simhash_near_duplicates(
+            same, "doc_id", "text", max_hamming=0, max_band_bucket=5
+        )
+        assert pairs.count() <= 4 * 10  # 4 bands * C(5,2)
+
+    def test_embedding_near_dup_bucket_cap(self, spark, embs):
+        from tumult_core_spark.extensions.similarity import embedding_near_duplicates
+
+        zeros = embs.limit(30).withColumn(
+            "embedding", F.expr("transform(embedding, x -> cast(0.0 as float))")
+        )
+        out = embedding_near_duplicates(
+            zeros, "vec_id", "embedding", threshold=-1.0, max_band_bucket=4
+        )
+        assert out.count() <= 4 * 6  # bands * C(4,2)
+
 
 class TestSimilarity:
     def test_brute_force_self_top1(self, spark, embs):

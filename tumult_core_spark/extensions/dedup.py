@@ -238,13 +238,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def _token_hashes(text: str) -> np.ndarray:
+    """Per-whitespace-token 64-bit hashes, vectorized and deterministic.
+
+    Same modular-inverse cumsum polynomial hash as the shingle path,
+    but windowed on token boundaries instead of fixed width: token
+    [s, e) hashes to (C[e-1] - C[s-1]) * BASE^(e-1), then splitmix64.
+    Deterministic across executors and runs — unlike Python's builtin
+    ``hash``, which is salted per process (PYTHONHASHSEED).  UTF-8
+    multibyte tokens are safe: continuation bytes are >= 0x80, so the
+    ASCII-whitespace boundary scan never splits inside a codepoint.
+    """
+    b = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8)
+    if not len(b):
+        return np.empty(0, dtype=np.uint64)
+    nz = ~np.isin(b, (32, 9, 10, 13, 11, 12))
+    prev = np.concatenate(([False], nz[:-1]))
+    nxt = np.concatenate((nz[1:], [False]))
+    starts = np.flatnonzero(nz & ~prev)
+    if not len(starts):
+        return np.empty(0, dtype=np.uint64)
+    ends = np.flatnonzero(nz & ~nxt) + 1
+    bu = b.astype(np.uint64)
+    n = len(bu)
+    inv_powers = np.empty(n, dtype=np.uint64)
+    inv_powers[0] = 1
+    np.cumprod(np.full(n - 1, _HASH_BASE_INV, dtype=np.uint64), out=inv_powers[1:])
+    powers = np.empty(n, dtype=np.uint64)
+    powers[0] = 1
+    np.cumprod(np.full(n - 1, _HASH_BASE, dtype=np.uint64), out=powers[1:])
+    C = np.concatenate(([np.uint64(0)], np.cumsum(bu * inv_powers, dtype=np.uint64)))
+    return _splitmix64((C[ends] - C[starts]) * powers[ends - 1])
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """(id, simhash long) — 64-bit SimHash over whitespace tokens.
 
     Token hashing and the 64 bit-plane majority votes run vectorized
-    in NumPy inside an Arrow-batched ``mapInPandas``.
+    in NumPy inside an Arrow-batched ``mapInPandas``.  Token hashes
+    use the deterministic splitmix64 polynomial hash shared with the
+    minhash path, so signatures are identical across executors, runs,
+    and repartitionings.
     """
     out_schema = f"{id_col} long, simhash long"
 
@@ -253,13 +289,10 @@ def simhash_signatures(
             ids = pdf[id_col].to_numpy()
             sigs = np.empty(len(pdf), dtype=np.int64)
             for i, text in enumerate(pdf[text_col].astype(str)):
-                tokens = text.lower().split()
-                if not tokens:
+                hashes = _token_hashes(text)
+                if not len(hashes):
                     sigs[i] = 0
                     continue
-                hashes = np.array(
-                    [hash(t) & 0xFFFFFFFFFFFFFFFF for t in tokens], dtype=np.uint64
-                )
                 bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
                     np.int64
                 )
@@ -280,12 +313,17 @@ def simhash_near_duplicates(
     text_col: str,
     max_hamming: int = 3,
     band_bits: int = 16,
+    max_band_bucket: int = 200,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Pigeonhole blocking: split the 64-bit signature into 4 16-bit
     bands; any pair within Hamming <= 3 shares at least one exact
     band, so candidates = band-bucket join, verified by popcount.
+    Buckets larger than ``max_band_bucket`` (e.g. a degenerate band
+    of empty/boilerplate docs) are truncated with a window so the
+    per-bucket self-join stays O(cap^2) instead of quadratic in the
+    hot bucket — same guard as ``minhash_lsh_candidate_pairs``.
     """
     sigs = simhash_signatures(df, id_col, text_col)
     bands = sigs.select(
@@ -300,6 +338,12 @@ def simhash_near_duplicates(
                 ]
             )
         ).alias("band", "band_key"),
+    )
+    w = Window.partitionBy("band", "band_key").orderBy(id_col)
+    bands = (
+        bands.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_band_bucket)
+        .drop("__rn")
     )
     a, b = bands.alias("a"), bands.alias("b")
     cands = (

@@ -189,6 +189,7 @@ def embedding_near_duplicates(
     num_planes: int = 16,
     bands: int = 4,
     seed: int = 11,
+    max_band_bucket: int = 200,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
@@ -241,6 +242,15 @@ def embedding_near_duplicates(
         ]
     )
     signed = base.select("__id", "__vec", F.posexplode(band_keys).alias("band", "bkey"))
+    # Degenerate buckets (zero / constant embeddings all landing on one
+    # band key) would make the self-join quadratic; cap each bucket with
+    # a window, mirroring minhash_lsh_candidate_pairs.
+    bw = Window.partitionBy("band", "bkey").orderBy("__id")
+    signed = (
+        signed.withColumn("__rn", F.row_number().over(bw))
+        .filter(F.col("__rn") <= max_band_bucket)
+        .drop("__rn")
+    )
     a, b = signed.alias("a"), signed.alias("b")
     cands = (
         a.join(
