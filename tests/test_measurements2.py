@@ -77,6 +77,41 @@ class TestQuantile:
         assert abs(got["a"] - 50) < 10
         assert abs(got["b"] - 100) < 10
 
+    def test_inf_branch_rank_closest(self):
+        # eps=inf selection is argmin |rank - target| over nonzero-width
+        # intervals (reference series.py:398-407), NOT the interval
+        # containing the target rank.  values [2, 9], q=0.9 -> target
+        # rank 1.8 -> interval (9, 10), never (2, 9).
+        from tumult_core_spark.measurements.quantile import NoisyQuantile
+
+        nq = NoisyQuantile("x", 0.9, 0.0, 10.0, float("inf"), PureDP())
+        out = nq._quantile(np.array([2.0, 9.0]), np.array([1.0, 1.0]))
+        assert 9.0 <= out <= 10.0
+
+    def test_inf_branch_duplicates(self):
+        # [5,5,5] q=0.6: target 1.8; candidate ranks 0 and 3 -> rank 3
+        # is closer -> interval (5, 10).  The duplicate-merged counts
+        # must carry multiplicity into the rank distances.
+        from tumult_core_spark.measurements.quantile import NoisyQuantile
+
+        nq = NoisyQuantile("x", 0.6, 0.0, 10.0, float("inf"), PureDP())
+        out = nq._quantile(np.array([5.0]), np.array([3.0]))
+        assert 5.0 <= out <= 10.0
+        # q=0.4: target 1.2 -> rank 0 closer -> interval (0, 5)
+        nq = NoisyQuantile("x", 0.4, 0.0, 10.0, float("inf"), PureDP())
+        out = nq._quantile(np.array([5.0]), np.array([3.0]))
+        assert 0.0 <= out <= 5.0
+
+    def test_inf_branch_tie_prefers_later_interval(self):
+        # Exact tie (q=0.5 over [5,5,5]): the reference's descending
+        # (score, lower, upper) sort breaks ties toward the larger
+        # lower endpoint -> interval (5, 10).
+        from tumult_core_spark.measurements.quantile import NoisyQuantile
+
+        nq = NoisyQuantile("x", 0.5, 0.0, 10.0, float("inf"), PureDP())
+        out = nq._quantile(np.array([5.0]), np.array([3.0]))
+        assert 5.0 <= out <= 10.0
+
     def test_ungrouped_quantile(self, spark, values):
         m = create_quantile_measurement(
             v_domain(),

@@ -135,16 +135,29 @@ class NoisyQuantile(Aggregate):
         ranks = np.concatenate(([0.0], np.cumsum(counts))) if len(counts) else np.array([0.0])
         target = self.quantile * n
         eps = self._eps_float
+        # Zero-width intervals are not candidates — the reference's
+        # interval list only keeps gaps between *distinct* values
+        # (series.py:344-372 `if left_float < right_float`), carrying
+        # the raw-row rank across duplicate runs, which is exactly the
+        # per-value-count form used here.
+        nz = np.nonzero(widths)[0]
+        if len(nz) == 0:
+            return float(edges[0])
         if np.isinf(eps):
-            idx = int(np.searchsorted(ranks, target, side="right") - 1)
-            idx = int(np.clip(idx, 0, len(widths) - 1))
-            if widths[idx] == 0:
-                nz = np.nonzero(widths)[0]
-                if len(nz) == 0:
-                    return float(edges[0])
-                idx = nz[np.argmin(np.abs(ranks[nz] - target))]
+            # Reference eps=inf branch (series.py:398-407) sorts
+            # (-|rank - target|, lower, upper) descending: minimum rank
+            # distance wins, ties broken toward the larger lower
+            # endpoint, i.e. the later interval.
+            dists = np.abs(ranks[nz] - target)
+            idx = int(nz[np.flatnonzero(dists == dists.min())[-1]])
         else:
-            scores = -(eps / 2.0) * np.abs(ranks - target)
+            # Score scale eps / (2 * delta_u) with utility sensitivity
+            # delta_u = max(q, 1-q) (reference series.py:409 delta_u);
+            # one record moves |rank - target| by at most max(q, 1-q),
+            # so the mechanism still satisfies eps-DP while being up to
+            # 2x less noisy than the naive eps/2 scale at q=0.5.
+            delta_u = max(self.quantile, 1.0 - self.quantile)
+            scores = -(eps / (2.0 * delta_u)) * np.abs(ranks - target)
             with np.errstate(divide="ignore"):
                 log_weights = np.log(widths) + scores
             gumbel = samplers.rng().gumbel(0.0, 1.0, len(widths))
