@@ -113,6 +113,21 @@ class TestSamplerDistributions:
         p = chi2_pvalue(observed, expected)
         assert p > P_THRESHOLD, f"chi2 p={p}"
 
+    def test_exact_samplers_huge_denominators(self):
+        # Fraction(float) parameters have ~2^52 denominators, squared to
+        # ~2^104 inside the acceptance gamma; the exact Bernoulli must
+        # handle arbitrary-precision denominators (regression: NumPy
+        # integers() raised ValueError past int64).
+        from fractions import Fraction
+
+        s2 = Fraction(2.3456789012345)  # denominator ~2^51
+        draws = [samplers.discrete_gaussian_exact(s2) for _ in range(50)]
+        assert all(isinstance(d, int) for d in draws)
+        assert any(d != 0 for d in draws)
+        g = [samplers.geometric_exact(Fraction(1.9999999999991)) for _ in range(50)]
+        assert any(x != 0 for x in g)
+        assert samplers._randbelow(1 << 200) < (1 << 200)
+
 
 class TestFullSparkPathNoise:
     def test_grouped_count_noise_is_geometric(self, spark):

@@ -127,12 +127,35 @@ def discrete_gaussian(sigma_squared: float, size: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _randbelow(d: int) -> int:
+    """Uniform integer in [0, d) for arbitrary-precision ``d``.
+
+    NumPy's ``integers`` is capped at int64; denominators of
+    ``Fraction``-exact parameters routinely exceed that (e.g. a
+    ``Fraction(float)`` sigma^2 has denominator ~2^52, squared to
+    ~2^104 inside the discrete-Gaussian acceptance gamma).  Assemble
+    the draw from 63-bit chunks and reject values >= d.
+    """
+    bits = d.bit_length()
+    g = rng()
+    if bits <= 63:
+        return int(g.integers(0, d))
+    while True:
+        r = 0
+        remaining = bits
+        while remaining > 0:
+            take = min(remaining, 63)
+            r = (r << take) | int(g.integers(0, 1 << take))
+            remaining -= take
+        if r < d:
+            return r
+
+
 def _bernoulli(p: Fraction) -> bool:
     """Exact Bernoulli(p) using rejection-free integer comparison."""
     assert 0 <= p <= 1
     # draw a uniform integer in [0, denominator) and compare to numerator
-    d = p.denominator
-    return int(rng().integers(0, d)) < p.numerator
+    return _randbelow(p.denominator) < p.numerator
 
 
 def _bernoulli_exp_frac(gamma: Fraction) -> bool:
