@@ -77,6 +77,40 @@ class TestQuantile:
         assert abs(got["a"] - 50) < 10
         assert abs(got["b"] - 100) < 10
 
+    def test_grouped_quantile_absent_key_no_driver_collect(self, spark, values):
+        # A public key with no data rows still yields a row (uniform
+        # over [lower, upper] from the empty-frame mechanism), and the
+        # missing-key fill runs through applyInPandas on executors —
+        # constructing the plan must not trigger any driver collect().
+        from pyspark.sql import DataFrame
+
+        gb = create_groupby_from_list_of_keys(
+            v_domain(), SymmetricDifference(), False, ["g"],
+            [("a",), ("b",), ("zz",)],
+        )
+        m = create_quantile_measurement(
+            v_domain(), SymmetricDifference(), PureDP(), d_in=1, d_out=100,
+            measure_column="x", quantile=0.5, lower=0, upper=200,
+            groupby_transformation=gb, quantile_column="median_x",
+        )
+        orig_collect = DataFrame.collect
+        calls = []
+
+        def counting_collect(self_df):
+            calls.append(1)
+            return orig_collect(self_df)
+
+        DataFrame.collect = counting_collect
+        try:
+            out = m(values)
+        finally:
+            DataFrame.collect = orig_collect
+        # sanitize materializes via parquet write, not collect
+        assert not calls, "apply_in_pandas path must not collect() on the driver"
+        rows = {r["g"]: r["median_x"] for r in out.collect()}
+        assert set(rows) == {"a", "b", "zz"}
+        assert 0 <= rows["zz"] <= 200
+
     def test_inf_branch_rank_closest(self):
         # eps=inf selection is argmin |rank - target| over nonzero-width
         # intervals (reference series.py:398-407), NOT the interval

@@ -99,11 +99,14 @@ class GroupedDataFrame:
 
         Physical plan: broadcast **semi-join** to drop non-key groups
         (no wide join against the raw data), one shuffle for
-        ``applyInPandas``, and driver-side evaluation of ``func`` on an
-        empty frame for the (public) keys absent from the data.  The
-        reference instead left-joins the keys against the full tagged
-        dataset (``grouped_dataframe.py:133-186``) — a second full
-        shuffle this avoids.
+        ``applyInPandas``, and a key-only **anti-join** relation for
+        the public keys absent from the data, evaluated by the same
+        ``applyInPandas`` machinery on executors (``func`` sees an
+        empty pandas frame per missing key).  The reference instead
+        left-joins the keys against the full tagged dataset
+        (``grouped_dataframe.py:133-186``) — a second full shuffle this
+        avoids — and nothing here runs on the driver, so a ~1e6-key
+        public key set over sparse data stays distributed.
         """
         cols = self.groupby_columns
         data_cols = [c for c in self._dataframe.columns if c not in cols]
@@ -129,32 +132,26 @@ class GroupedDataFrame:
 
         result = present.groupBy(*cols).applyInPandas(wrapper, schema=full_schema)
 
-        # Public keys with no data rows: evaluate func on an empty
-        # frame per key on the driver (key set is public and small
-        # relative to the data; one tiny aggregation finds them).
-        import pandas as pd
-
+        # Public keys with no data rows: anti-join them out as a
+        # key-only relation and feed func an empty pandas frame per
+        # key through the same applyInPandas path, on executors.
         present_keys = self._dataframe.select(*cols).dropDuplicates()
         cond2 = None
         for c in cols:
             clause = keys[c].eqNullSafe(present_keys[c])
             cond2 = clause if cond2 is None else cond2 & clause
-        missing = keys.join(present_keys, cond2, "left_anti").collect()
-        if missing:
-            frames = []
-            for krow in missing:
-                empty = pd.DataFrame(
-                    {c: pd.Series(dtype=object) for c in data_cols}
-                )
-                out = func(empty)
-                for i, c in enumerate(cols):
-                    out.insert(i, c, [krow[c]] * len(out))
-                frames.append(out[cols + out_names])
-            fill = self._dataframe.sparkSession.createDataFrame(
-                pd.concat(frames, ignore_index=True), schema=full_schema
-            )
-            result = result.unionByName(fill)
-        return result
+        missing = keys.join(present_keys, cond2, "left_anti")
+
+        def empty_wrapper(key, pdf):
+            import pandas as pd
+
+            out = func(pd.DataFrame({c: pd.Series(dtype=object) for c in data_cols}))
+            for i, c in enumerate(cols):
+                out.insert(i, c, [key[i]] * len(out))
+            return out[cols + out_names]
+
+        fill = missing.groupBy(*cols).applyInPandas(empty_wrapper, schema=full_schema)
+        return result.unionByName(fill)
 
     def select(self, columns: List[str]) -> "GroupedDataFrame":
         keep = list(dict.fromkeys(self.groupby_columns + columns))
