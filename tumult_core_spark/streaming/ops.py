@@ -15,6 +15,7 @@ from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -146,6 +147,13 @@ def dp_windowed_counts(
     noised — re-noising on recomputation is prevented by the sink
     batch-id dedup contract plus the append-only emission.
 
+    The noise runs in an Arrow-batched ``mapInPandas`` on executors
+    (the foreachBatch boundary evaluates each batch exactly once per
+    batch id, so the noise cannot be re-executed by Catalyst); the
+    driver only relays the already-noised, group-cardinality batch to
+    the sink, so a high-cardinality group set never bottlenecks on
+    per-row driver work.
+
     Returns a function ``start(sink_writer) -> StreamingQuery`` where
     ``sink_writer(batch_df, batch_id)`` receives the noised batch.
     """
@@ -165,14 +173,26 @@ def dp_windowed_counts(
     )
     scale = 0.0 if epsilon_per_window == float("inf") else 1.0 / epsilon_per_window
 
+    out_fields = [f for f in counts.schema.fields if f.name != "__exact"]
+    out_schema = T.StructType(
+        list(out_fields) + [T.StructField(count_column, T.LongType(), True)]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def add_noise(batches):
+        for pdf in batches:
+            pdf[count_column] = pdf["__exact"].to_numpy() + samplers.two_sided_geometric(
+                scale, len(pdf)
+            )
+            yield pdf[out_cols]
+
     def start(sink_writer, output_mode: str = "append"):
         def noised_batch(batch_df, batch_id):
-            import pandas as pd
-
-            pdf = batch_df.toPandas()
-            noise = samplers.two_sided_geometric(scale, len(pdf))
-            pdf[count_column] = pdf["__exact"].to_numpy() + noise
-            sink_writer(pdf.drop(columns=["__exact"]), batch_id)
+            noised = batch_df.mapInPandas(add_noise, schema=out_schema)
+            # mapInPandas over a foreachBatch frame runs on executors;
+            # collect only the (already noised, group-cardinality) rows
+            # for the user's sink callback.
+            sink_writer(noised.toPandas(), batch_id)
 
         return (
             counts.writeStream.outputMode(output_mode)
