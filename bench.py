@@ -295,17 +295,36 @@ def main():
             print(f"# bench {name} failed: {exc}", file=sys.stderr)
     total = round(sum(v for v in timings.values() if v is not None), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    out = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Per-workload rebuild/reference ratio against the measured reference
+    # baseline (benchmarks/reference_bench.py -> REFERENCE_BENCH.json).
+    # The reference numbers are a lower bound (its shims only speed it
+    # up), so these ratios are an upper bound; the gate is <= 2.0.
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "REFERENCE_BENCH.json")
+    if os.path.exists(ref_path):
+        with open(ref_path) as f:
+            ref = json.load(f)
+        if ref.get("sf") == out["sf"]:
+            ratios = {}
+            for name, mine in timings.items():
+                theirs = ref["queries"].get(name)
+                if mine is not None and theirs:
+                    ratios[name] = round(mine / theirs, 3)
+            out["vs_reference"] = {
+                "ratios": ratios,
+                "max_ratio": max(ratios.values()) if ratios else None,
+                "reference_total_sec": ref["value"],
+                "note": "reference measured via benchmarks/reference_bench.py "
+                "(shimmed: ratios are upper bounds)",
             }
-        )
-    )
+    print(json.dumps(out))
     spark.stop()
 
 
