@@ -113,6 +113,78 @@ class TestSamplerDistributions:
         p = chi2_pvalue(observed, expected)
         assert p > P_THRESHOLD, f"chi2 p={p}"
 
+    def test_exact_laplace_ks(self):
+        from tumult_core_spark import exact_sampling as es
+
+        scale = 2.5
+        n = 3000
+        s = np.array([es.sample_laplace(0.0, scale) for _ in range(n)])
+
+        def cdf(x):
+            x = np.asarray(x, dtype=float)
+            return np.where(
+                x < 0, 0.5 * np.exp(x / scale), 1 - 0.5 * np.exp(-x / scale)
+            )
+
+        p = ks_pvalue(ks_statistic(s, cdf), n)
+        assert p > P_THRESHOLD, f"KS p={p}"
+
+    def test_exact_gaussian_ks(self):
+        from tumult_core_spark import exact_sampling as es
+
+        n = 400
+        s = np.array([es.sample_gaussian(4.0) for _ in range(n)])
+
+        def cdf(x):
+            return 0.5 * (
+                1 + np.vectorize(math.erf)(np.asarray(x) / (2 * math.sqrt(2)))
+            )
+
+        p = ks_pvalue(ks_statistic(s, cdf), n)
+        assert p > P_THRESHOLD, f"KS p={p}"
+
+    def test_exact_uniform_ks(self):
+        from tumult_core_spark import exact_sampling as es
+
+        n = 5000
+        s = np.array([es.sample_uniform(-1.5, 2.5) for _ in range(n)])
+        p = ks_pvalue(
+            ks_statistic(s, lambda x: np.clip((np.asarray(x) + 1.5) / 4.0, 0, 1)), n
+        )
+        assert p > P_THRESHOLD, f"KS p={p}"
+
+    def test_exact_argmax_selection_stable_under_ties(self):
+        # Float-rounding regression: two intervals with *identical* exact
+        # scores must be decided by the refinement loop (never an
+        # arbitrary float comparison) and picked ~uniformly.
+        from fractions import Fraction
+
+        from tumult_core_spark import exact_sampling as es
+
+        picks = [
+            es.select_noisy_argmax(
+                np.array([1.0, 1.0]),
+                np.array([0.25, 0.25]),
+                lambda i: Fraction(1),
+                lambda i: Fraction(1, 4),
+            )
+            for _ in range(600)
+        ]
+        r = sum(p == 0 for p in picks) / len(picks)
+        assert 0.4 < r < 0.6
+        # Near-tie below float resolution: still terminates, still valid
+        tiny = Fraction(1, 10**40)
+        picks2 = {
+            es.select_noisy_argmax(
+                np.array([1.0, 1.0]),
+                np.array([0.0, 0.0]),
+                lambda i: Fraction(1),
+                lambda i: tiny if i else Fraction(0),
+            )
+            for _ in range(20)
+        }
+        assert picks2 <= {0, 1}
+
     def test_exact_samplers_huge_denominators(self):
         # Fraction(float) parameters have ~2^52 denominators, squared to
         # ~2^104 inside the acceptance gamma; the exact Bernoulli must

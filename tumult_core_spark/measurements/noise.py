@@ -70,7 +70,11 @@ class AddLaplaceNoise(_NoiseMechanism):
     def __call__(self, value) -> np.float64:
         if self.scale == 0:
             return np.float64(value)
-        return np.float64(float(value) + samplers.laplace(self._scale_float, 1)[0])
+        # scalar path: floating-point-safe interval inverse-CDF sampler
+        # (reference random/laplace.py:12-49)
+        from .. import exact_sampling
+
+        return np.float64(exact_sampling.sample_laplace(float(value), self._scale_float))
 
     def add_noise_to_array(self, values: np.ndarray) -> np.ndarray:
         if self.scale == 0:
@@ -136,7 +140,13 @@ class AddGaussianNoise(_NoiseMechanism):
     def __call__(self, value) -> np.float64:
         if self.sigma_squared == 0:
             return np.float64(value)
-        return np.float64(float(value) + samplers.gaussian(self._ss_float, 1)[0])
+        # scalar path: certified interval inverse-CDF sampler
+        # (reference random/continuous_gaussian.py:13-97)
+        from .. import exact_sampling
+
+        return np.float64(
+            exact_sampling.sample_gaussian(self._ss_float, mu=float(value))
+        )
 
     def add_noise_to_array(self, values: np.ndarray) -> np.ndarray:
         if self.sigma_squared == 0:

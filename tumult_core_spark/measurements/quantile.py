@@ -4,10 +4,12 @@ Mechanism (reference ``pandas_measurements/series.py:90-484``): clip
 values to [lower, upper], form the n+1 gap intervals between sorted
 values, score interval i by ``-eps/2 * |i - q*n|`` (rank error), weight
 by ``log(width) + score``, select with the Gumbel-max trick, return a
-uniform sample within the winning interval.  All NumPy-vectorized per
-group inside ``applyInPandas`` — the reference evaluates scores in an
-Arb precision-doubling loop per value (float-path weakening documented
-in ``samplers.py``).
+uniform sample within the winning interval.  Scoring is NumPy-
+vectorized per group inside ``applyInPandas``; the winner is decided
+exactly (``exact_sampling.select_noisy_argmax``: vectorized float
+shortlist + interval-arithmetic refinement, the analogue of the
+reference's Arb precision-doubling loop) and the winning interval is
+sampled with the exact Fraction uniform sampler.
 
 Privacy: eps-DP per group; ``privacy_function(d) = eps * d`` under
 SumOf / PureDP, ``(eps * d)^2 / 8`` under RootSumOfSquared / zCDP
@@ -22,7 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import types as T
 
-from .. import samplers
+from .. import exact_sampling, samplers
 from ..base import Measurement
 from ..domains import (
     PandasDataFrameDomain,
@@ -156,13 +158,39 @@ class NoisyQuantile(Aggregate):
             # one record moves |rank - target| by at most max(q, 1-q),
             # so the mechanism still satisfies eps-DP while being up to
             # 2x less noisy than the naive eps/2 scale at q=0.5.
+            # Selection runs through the exact Gumbel-max (vectorized
+            # float shortlist + interval-arithmetic refinement,
+            # exact_sampling.select_noisy_argmax), mirroring the
+            # reference's Arb precision-doubling loop
+            # (series.py:409-484) without the float-rounding artifacts.
+            from fractions import Fraction
+
             delta_u = max(self.quantile, 1.0 - self.quantile)
-            scores = -(eps / (2.0 * delta_u)) * np.abs(ranks - target)
-            with np.errstate(divide="ignore"):
-                log_weights = np.log(widths) + scores
-            gumbel = samplers.rng().gumbel(0.0, 1.0, len(widths))
-            idx = int(np.argmax(log_weights + gumbel))
-        return samplers.uniform(float(edges[idx]), float(edges[idx + 1]))
+            coeff = eps / (2.0 * delta_u)
+            dists = np.abs(ranks[nz] - target)
+            eps_frac = Fraction(
+                self.epsilon.expr.p, self.epsilon.expr.q
+            ) if self.epsilon.is_rational else Fraction(eps)
+            q_frac = Fraction(self.quantile)
+            coeff_frac = eps_frac / (2 * max(q_frac, 1 - q_frac))
+            target_frac = q_frac * Fraction(n)
+            edges_nz = edges[nz]
+            edges_nz1 = edges[nz + 1]
+            ranks_nz = ranks[nz]
+
+            def exact_width(i):
+                return Fraction(float(edges_nz1[i])) - Fraction(float(edges_nz[i]))
+
+            def exact_penalty(i):
+                return coeff_frac * abs(Fraction(float(ranks_nz[i])) - target_frac)
+
+            sel = exact_sampling.select_noisy_argmax(
+                widths[nz], coeff * dists, exact_width, exact_penalty
+            )
+            idx = int(nz[sel])
+        # exact uniform within the winning interval (reference
+        # random/uniform.py:34; pure-Fraction inverse CDF)
+        return exact_sampling.sample_uniform(float(edges[idx]), float(edges[idx + 1]))
 
 
 class _PreAggregatedQuantile(Measurement):

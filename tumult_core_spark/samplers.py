@@ -15,9 +15,12 @@ Two tiers, same distributions:
   floating-point attacks matter most (cf. reference
   ``tmlt/core/random/discrete_gaussian.py``).
 
-Continuous Laplace/Gaussian sampling here is float-based (NumPy); the
-reference instead uses MPFR/Arb interval-arithmetic inverse CDFs.  The
-float variant is a documented, upgradeable weakening (reference
+Continuous Laplace/Gaussian sampling here is float-based (NumPy) and
+feeds the *vectorized column* path only; the scalar measurement paths
+use the floating-point-safe interval inverse-CDF samplers in
+:mod:`tumult_core_spark.exact_sampling` (the analogue of the
+reference's MPFR/Arb samplers).  The vectorized float path remains a
+documented, upgradeable weakening for column noise (reference
 ``doc/topic-guides/known-vulnerabilities.rst``).
 
 Every sampler treats ``scale == 0`` as "no noise" and returns the
