@@ -162,6 +162,135 @@ class TestQuantile:
         assert 100 < out < 160
 
 
+class TestSurfaceParity:
+    """Round-2 surface additions: generic Partition base,
+    NonInteractivePostProcess, AggregateByColumn, keep_intermediates."""
+
+    def test_partition_base_contract(self, spark, values):
+        from tumult_core_spark.transformations.partition import (
+            Partition,
+            PartitionByKeys,
+        )
+
+        p = PartitionByKeys(
+            v_domain(), SymmetricDifference(), False, ["g"], [("a",), ("b",)]
+        )
+        assert isinstance(p, Partition)
+        assert p.num_partitions == 2
+        assert p.stability_function(3) == 3
+        base = Partition(v_domain(), SymmetricDifference(), True, num_partitions=5)
+        assert base.stability_function(2) == 2
+        with pytest.raises(NotImplementedError):
+            base(values)
+
+    def test_non_interactive_postprocess(self, spark, values):
+        from tumult_core_spark.measurements.composition import (
+            NonInteractivePostProcess,
+            PostProcess,
+        )
+        from tumult_core_spark.measurements.interactive import (
+            SequentialComposition,
+        )
+
+        dom = v_domain()
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), PureDP(), d_in=1,
+            privacy_budget=PureDPBudget(3),
+        )
+        m1 = create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 1)
+        m2 = create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 2)
+
+        def drive(queryable):
+            a = queryable(m1)
+            b = queryable(m2)
+            return int(a) + int(b)
+
+        closed = NonInteractivePostProcess(sc, drive)
+        assert not closed.is_interactive
+        assert closed.privacy_function(1) == 3
+        out = closed(values)
+        assert isinstance(out, int)
+        # non-interactive measurements are rejected
+        with pytest.raises(ValueError):
+            NonInteractivePostProcess(m1, lambda q: q)
+        # and the plain PostProcess rejects interactive ones
+        with pytest.raises(ValueError):
+            PostProcess(sc, lambda x: x)
+
+    def test_aggregate_by_column(self):
+        import pandas as pd
+
+        from tumult_core_spark.measurements.quantile import (
+            AggregateByColumn,
+            NoisyQuantile,
+        )
+
+        abc = AggregateByColumn(
+            {
+                "x": NoisyQuantile("x", 0.5, 0, 100, float("inf"), PureDP(),
+                                   output_column="med_x"),
+                "y": NoisyQuantile("y", 0.9, 0, 10, float("inf"), PureDP(),
+                                   output_column="p90_y"),
+            }
+        )
+        pdf = pd.DataFrame({"x": [10.0, 20.0, 30.0], "y": [1.0, 2.0, 3.0]})
+        out = abc(pdf)
+        assert list(out.columns) == ["med_x", "p90_y"]
+        assert len(out) == 1
+        assert 10 <= out["med_x"].iloc[0] <= 30
+        # eps=inf per column: privacy adds to inf; finite case adds
+        abc2 = AggregateByColumn(
+            {
+                "x": NoisyQuantile("x", 0.5, 0, 100, 1, PureDP()),
+                "y": NoisyQuantile("y", 0.9, 0, 10, 2, PureDP()),
+            }
+        )
+        assert abc2.privacy_function(1) == 3
+
+    def test_average_keep_intermediates(self, spark, values):
+        from tumult_core_spark.measurements.aggregations import (
+            create_average_measurement,
+        )
+
+        dom = v_domain()
+        m = create_average_measurement(
+            dom, SymmetricDifference(), PureDP(), 1, float("inf"),
+            measure_column="x", lower=0, upper=200,
+            keep_intermediates=True,
+        )
+        out = m(values)
+        assert set(out) == {"average", "sum_of_deviations", "count", "midpoint"}
+        assert out["count"] == 201
+        gb = create_groupby_from_list_of_keys(
+            dom, SymmetricDifference(), False, ["g"], [("a",), ("b",)]
+        )
+        mg = create_average_measurement(
+            dom, SymmetricDifference(), PureDP(), 1, float("inf"),
+            measure_column="x", lower=0, upper=200,
+            groupby_transformation=gb, average_column="avg_x",
+            keep_intermediates=True, sum_column="sod_x", count_column="n",
+        )
+        df = mg(values)
+        assert set(df.columns) == {"g", "avg_x", "sod_x", "n"}
+        rows = {r["g"]: r for r in df.collect()}
+        assert rows["a"]["n"] == 100 and rows["b"]["n"] == 101
+
+    def test_fused_moments_rejects_nullable_measure_column(self):
+        from tumult_core_spark.domains import SparkIntegerColumnDescriptor
+        from tumult_core_spark.measurements.aggregations import (
+            create_average_measurement,
+        )
+
+        dom = SparkDataFrameDomain(
+            {"g": STR, "x": SparkIntegerColumnDescriptor(size=64, allow_null=True)}
+        )
+        with pytest.raises(ValueError, match="null"):
+            create_average_measurement(
+                dom, SymmetricDifference(), PureDP(), 1, 1,
+                measure_column="x", lower=0, upper=10,
+            )
+
+
 class TestBounds:
     def test_scalar_bounds(self, spark, values):
         m = create_bounds_measurement(

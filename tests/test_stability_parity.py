@@ -91,7 +91,11 @@ class TestStabilityValues:
         t = LimitRowsPerKeyPerGroup(
             d, IfGroupedBy("g", SymmetricDifference()), "u", 4
         )
-        assert t.stability_function(2) == 8
+        # IfGroupedBy(g, SymmetricDifference) counts changed *groups*;
+        # deterministic truncation maps a changed group to one changed
+        # group, so stability is d_in, not d_in * threshold
+        # (reference truncation.py:553-570)
+        assert t.stability_function(2) == 2
         assert t.output_metric == IfGroupedBy("g", SymmetricDifference())
 
     def test_converters(self):

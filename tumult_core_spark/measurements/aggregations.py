@@ -307,6 +307,8 @@ def create_average_measurement(
     groupby_transformation: Optional[GroupBy] = None,
     average_column: Optional[str] = None,
     keep_intermediates: bool = False,
+    sum_column: Optional[str] = None,
+    count_column: Optional[str] = None,
 ) -> Measurement:
     """Noisy average = (noisy sum-of-deviations)/(max(1, noisy count))
     + midpoint, each statistic at half the budget.
@@ -314,9 +316,16 @@ def create_average_measurement(
     Single-pass: both statistics come from ONE aggregation scan
     (:class:`FusedMomentsMeasurement`) — the compositional reference
     recipe costs two full scans (``aggregations.py:829-1117``).
+
+    With ``keep_intermediates`` the noisy sum-of-deviations and noisy
+    count accompany the average: extra dict entries ungrouped, extra
+    ``sum_column`` / ``count_column`` columns grouped (reference
+    ``aggregations.py:1029-1035, 1110-1112``).
     """
     lower_e, upper_e = ExactNumber(lower), ExactNumber(upper)
     average_column = average_column or f"avg({measure_column})"
+    sum_column = sum_column or f"sum({measure_column})"
+    count_column = count_column or "count"
     desc = input_domain[measure_column]
     integral = isinstance(desc, SparkIntegerColumnDescriptor)
     mid_f = get_midpoint(lower_e, upper_e, integral).to_float(round_up=False)
@@ -324,21 +333,31 @@ def create_average_measurement(
     if groupby_transformation is None:
 
         def post(stats):
-            return float(
-                stats["sod"] / max(1.0, stats["count"]) + mid_f
-            )
+            average = float(stats["sod"] / max(1.0, stats["count"]) + mid_f)
+            if keep_intermediates:
+                return {
+                    "average": average,
+                    "sum_of_deviations": stats["sod"],
+                    "count": stats["count"],
+                    "midpoint": mid_f,
+                }
+            return average
 
     else:
         keys = groupby_transformation.groupby_columns
 
         def post(df):
-            return df.select(
-                *[F.col(f"`{c}`") for c in keys],
-                (
-                    F.col("sod") / F.greatest(F.col("count"), F.lit(1))
-                    + F.lit(mid_f)
-                ).alias(average_column),
-            )
+            avg = (
+                F.col("sod") / F.greatest(F.col("count"), F.lit(1)) + F.lit(mid_f)
+            ).alias(average_column)
+            if keep_intermediates:
+                return df.select(
+                    *[F.col(f"`{c}`") for c in keys],
+                    avg,
+                    F.col("sod").alias(sum_column),
+                    F.col("count").alias(count_column),
+                )
+            return df.select(*[F.col(f"`{c}`") for c in keys], avg)
 
     m = FusedMomentsMeasurement(
         input_domain, input_metric, output_measure, d_in, d_out,
@@ -657,7 +676,12 @@ class FusedMomentsMeasurement(Measurement):
         share = eps_like / n_stats
         d_in_e = ExactNumber(d_in)
         lower_e, upper_e = ExactNumber(lower), ExactNumber(upper)
-        desc = input_domain[measure_column]
+        # nulls would be skipped by sum() but counted by count(1),
+        # silently biasing the ratio — reject them like Sum does
+        # (reference _check_measure_column discipline)
+        from ..transformations.agg import _check_measure_column
+
+        desc = _check_measure_column(input_domain, measure_column)
         integral = isinstance(desc, SparkIntegerColumnDescriptor)
         mid = get_midpoint(lower_e, upper_e, integral)
         dev_lo, dev_hi = lower_e - mid, upper_e - mid

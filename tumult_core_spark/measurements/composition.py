@@ -74,4 +74,32 @@ class PostProcess(Measurement):
         return self.f(self.measurement(data))
 
 
-NonInteractivePostProcess = PostProcess
+class NonInteractivePostProcess(Measurement):
+    """Close an *interactive* measurement behind a driver function.
+
+    ``f`` receives the queryable produced by the interactive
+    measurement, drives the whole interaction internally, and returns
+    a plain value — it must not leak the queryable.  The result is a
+    non-interactive measurement at the interactive measurement's
+    budget (reference ``measurements/postprocess.py:93-150``).
+    """
+
+    def __init__(self, measurement: Measurement, f: Callable[[Any], Any]):
+        if not measurement.is_interactive:
+            raise ValueError(
+                "Measurement must be interactive; use PostProcess instead"
+            )
+        super().__init__(
+            measurement.input_domain,
+            measurement.input_metric,
+            measurement.output_measure,
+            is_interactive=False,
+        )
+        self.measurement = measurement
+        self.f = f
+
+    def privacy_function(self, d_in: Any) -> Any:
+        return self.measurement.privacy_function(d_in)
+
+    def __call__(self, data: Any) -> Any:
+        return self.f(self.measurement(data))

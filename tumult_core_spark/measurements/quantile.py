@@ -51,6 +51,56 @@ class Aggregate(Measurement):
         raise NotImplementedError
 
 
+class AggregateByColumn(Aggregate):
+    """Apply per-column scalar aggregations to a pandas DataFrame
+    (reference ``pandas_measurements/dataframe.py:78-160``).
+
+    ``column_to_aggregation`` maps column names to series-level
+    aggregation measurements (e.g. :class:`NoisyQuantile`); the output
+    is one row with one column per aggregation.  Privacy losses add
+    (sequential composition over the same group of rows).
+    """
+
+    def __init__(self, column_to_aggregation):
+        if not column_to_aggregation:
+            raise ValueError("No aggregations provided")
+        aggs = dict(column_to_aggregation)
+        first = next(iter(aggs.values()))
+        fields = []
+        for col, agg in aggs.items():
+            if not isinstance(agg, Aggregate):
+                raise ValueError(f"Aggregation for {col!r} is not an Aggregate")
+            if type(agg.output_measure) is not type(first.output_measure):
+                raise ValueError("All aggregations must share an output measure")
+            fields.extend(agg.output_spark_schema.fields)
+        names = [f.name for f in fields]
+        if len(set(names)) != len(names):
+            raise ValueError(f"Duplicate output column names: {names}")
+        self.column_to_aggregation = aggs
+        self.output_spark_schema = T.StructType(fields)
+        super().__init__(
+            PandasDataFrameDomain({}), SymmetricDifference(), first.output_measure
+        )
+
+    def privacy_function(self, d_in: Any):
+        losses = [
+            agg.privacy_function(d_in)
+            for agg in self.column_to_aggregation.values()
+        ]
+        return sum(losses[1:], losses[0])
+
+    def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {}
+        for col, agg in self.column_to_aggregation.items():
+            sub = pdf[[col]].rename(columns={col: agg.measure_column}) if hasattr(
+                agg, "measure_column"
+            ) else pdf
+            row = agg(sub)
+            for name in row.columns:
+                out[name] = row[name].iloc[0]
+        return pd.DataFrame({k: [v] for k, v in out.items()})
+
+
 class NoisyQuantile(Aggregate):
     """Exponential-mechanism quantile of one column of a pandas DataFrame."""
 

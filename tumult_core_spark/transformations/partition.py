@@ -30,7 +30,47 @@ from ..metrics import (
 )
 
 
-class PartitionByKeys(Transformation):
+class Partition(Transformation):
+    """Base for transformations splitting one dataset into a disjoint
+    list (reference ``partition.py:27-76``).
+
+    Subclasses implement ``__call__`` producing ``num_partitions``
+    DataFrames whose rows partition the input; because the pieces are
+    disjoint, one changed input row changes one piece, so stability
+    under a ``SumOf`` / ``RootSumOfSquared`` output metric is ``d_in``.
+    """
+
+    def __init__(
+        self,
+        input_domain: SparkDataFrameDomain,
+        input_metric: Metric,
+        use_l2: bool,
+        num_partitions: int = None,
+    ):
+        if not isinstance(input_metric, (SymmetricDifference, IfGroupedBy)):
+            raise ValueError(f"Unsupported metric {input_metric!r}")
+        output_metric = (
+            RootSumOfSquared(SymmetricDifference())
+            if use_l2
+            else SumOf(SymmetricDifference())
+        )
+        super().__init__(
+            input_domain,
+            input_metric,
+            ListDomain(input_domain, length=num_partitions),
+            output_metric,
+        )
+        self.num_partitions = num_partitions
+
+    def stability_function(self, d_in: Any) -> ExactNumber:
+        self.input_metric.validate(d_in)
+        return ExactNumber(d_in)
+
+    def __call__(self, data: DataFrame) -> List[DataFrame]:
+        raise NotImplementedError
+
+
+class PartitionByKeys(Partition):
     """Split into one DataFrame per key-tuple in ``keys`` order."""
 
     def __init__(
@@ -44,8 +84,6 @@ class PartitionByKeys(Transformation):
         for c in keys:
             if c not in input_domain.schema:
                 raise ValueError(f"Partition key {c!r} not in domain")
-        if not isinstance(input_metric, (SymmetricDifference, IfGroupedBy)):
-            raise ValueError(f"Unsupported metric {input_metric!r}")
         seen = set()
         for v in list_values:
             t = tuple(v)
@@ -54,23 +92,11 @@ class PartitionByKeys(Transformation):
             if t in seen:
                 raise ValueError(f"Duplicate partition key {t}")
             seen.add(t)
-        output_metric = (
-            RootSumOfSquared(SymmetricDifference())
-            if use_l2
-            else SumOf(SymmetricDifference())
-        )
         super().__init__(
-            input_domain,
-            input_metric,
-            ListDomain(input_domain, length=len(list_values)),
-            output_metric,
+            input_domain, input_metric, use_l2, num_partitions=len(list_values)
         )
         self.keys = list(keys)
         self.list_values = [tuple(v) for v in list_values]
-
-    def stability_function(self, d_in: Any) -> ExactNumber:
-        self.input_metric.validate(d_in)
-        return ExactNumber(d_in)
 
     def __call__(self, data: DataFrame) -> List[DataFrame]:
         out = []

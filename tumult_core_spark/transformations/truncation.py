@@ -104,8 +104,10 @@ class LimitRowsPerKeyPerGroup(Transformation):
     """Keep at most ``threshold`` rows per (group, key) pair.
 
     Metric: ``IfGroupedBy(group, SymmetricDifference) ->
-    IfGroupedBy(group, SymmetricDifference)`` with stability
-    ``threshold * d_in`` when distances count keys.
+    IfGroupedBy(group, SymmetricDifference)``.  The metric counts
+    *groups* whose contents differ, and deterministic per-group
+    truncation maps a changed group to a changed group, so stability
+    is ``d_in`` (reference ``truncation.py:553-570``).
     """
 
     def __init__(
@@ -137,7 +139,7 @@ class LimitRowsPerKeyPerGroup(Transformation):
 
     def stability_function(self, d_in: Any) -> ExactNumber:
         self.input_metric.validate(d_in)
-        return ExactNumber(d_in) * self.threshold
+        return ExactNumber(d_in)
 
     def __call__(self, data: DataFrame) -> DataFrame:
         return truncate_large_groups(
