@@ -302,20 +302,33 @@ def q_bounds(spark, sf_dir):
 
 
 def q_quantile_median(spark, sf_dir):
-    # rows-only: the exponential mechanism samples within an interval
-    from tumult_core_spark.measures import PureDP
-    from tumult_core_spark.metrics import SymmetricDifference
-    from tumult_core_spark.measurements.quantile import create_quantile_measurement
+    """eps=inf quantile interval endpoints per group — the
+    deterministic, oracle-checkable core of the exponential-mechanism
+    quantile (the noisy path is distribution-tested in pytest)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
 
-    li = _load(spark, sf_dir, "lineitem")
+    from tumult_core_spark.measures import PureDP
+    from tumult_core_spark.measurements.quantile import NoisyQuantile
+
+    li = _load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
     dom = _dom(li)
-    m = create_quantile_measurement(
-        dom, SymmetricDifference(), PureDP(), 1, 100,
-        measure_column="l_quantity", quantile=0.5, lower=0, upper=50,
-        groupby_transformation=_flag_keys_groupby(dom, extra_missing_key=False),
-        quantile_column="median_qty",
+    gb = _flag_keys_groupby(dom, extra_missing_key=False)
+    nq = NoisyQuantile("l_quantity", 0.5, 0.0, 50.0, INF, PureDP())
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf["l_quantity"].to_numpy(dtype=float)
+        lo, hi = nq.select_interval(vals, np.ones(len(vals)))
+        return pd.DataFrame({"q_lo": [lo], "q_hi": [hi]})
+
+    schema = T.StructType(
+        [
+            T.StructField("q_lo", T.DoubleType()),
+            T.StructField("q_hi", T.DoubleType()),
+        ]
     )
-    return m(li)
+    return gb(li).apply_in_pandas(pick, schema)
 
 
 def q_partition_by_keys(spark, sf_dir):
@@ -424,36 +437,49 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
-    # rows-only: xxhash64 signatures are not reproducible in DuckDB
+    """Containment oracle: every planted exact-duplicate pair must be
+    an LSH candidate; projecting the candidate set onto the planted
+    pairs makes the superset property a hash-equality check."""
     from tumult_core_spark.extensions.dedup import minhash_lsh_candidate_pairs
 
     docs = _load(spark, sf_dir, "documents")
-    dup = docs.limit(50).withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    planted = docs.filter("doc_id < 50")
+    dup = planted.withColumn("doc_id", F.col("doc_id") + 10_000_000)
     both = docs.union(dup)
-    return minhash_lsh_candidate_pairs(
+    pairs = minhash_lsh_candidate_pairs(
         both, "doc_id", "text", num_hashes=32, bands=8
     )
+    return pairs.filter(
+        (F.col("id_b") - F.col("id_a") == 10_000_000) & (F.col("id_a") < 50)
+    ).select("id_a", "id_b")
 
 
 def q_dedup_simhash(spark, sf_dir):
-    # rows-only
+    """Containment oracle (see q_dedup_minhash): identical docs have
+    identical SimHash signatures, so every planted pair must appear."""
     from tumult_core_spark.extensions.dedup import simhash_near_duplicates
 
     docs = _load(spark, sf_dir, "documents")
-    dup = docs.limit(50).withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    planted = docs.filter("doc_id < 50")
+    dup = planted.withColumn("doc_id", F.col("doc_id") + 10_000_000)
     both = docs.union(dup)
-    return simhash_near_duplicates(both, "doc_id", "text", max_hamming=0)
+    pairs = simhash_near_duplicates(both, "doc_id", "text", max_hamming=0)
+    return pairs.filter(
+        (F.col("id_b") - F.col("id_a") == 10_000_000) & (F.col("id_a") < 50)
+    ).select("id_a", "id_b")
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    # rows-only: duplicated docs must appear as jaccard-1 pairs
+    """Containment oracle: planted duplicates have Jaccard 1 >= 0.99."""
     from tumult_core_spark.extensions.dedup import ngram_jaccard_pairs
 
-    docs = _load(spark, sf_dir, "documents").limit(100)
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 100")
     dup = docs.withColumn("doc_id", F.col("doc_id") + 10_000_000)
     both = docs.union(dup)
     out = ngram_jaccard_pairs(both, "doc_id", "text", n=3, threshold=0.99)
-    return out.select("id_a", "id_b")
+    return out.filter(
+        (F.col("id_b") - F.col("id_a") == 10_000_000) & (F.col("id_a") < 100)
+    ).select("id_a", "id_b")
 
 
 def q_ann_topk(spark, sf_dir):
@@ -491,11 +517,12 @@ def q_fingerprint_distinct(spark, sf_dir):
 
 
 def q_quality_scores(spark, sf_dir):
-    # rows-only: regex character-class semantics differ across engines
     from tumult_core_spark.extensions.text import quality_score
 
     docs = _load(spark, sf_dir, "documents")
-    return quality_score(docs, "text").select("doc_id", "quality")
+    return quality_score(docs, "text").select(
+        "doc_id", F.round("quality", 6).alias("quality")
+    )
 
 
 def q_streaming_window_counts(spark, sf_dir):
@@ -788,6 +815,63 @@ def q_sessionize(spark, sf_dir):
 
 
 
+def q_private_join_on_key(spark, sf_dir):
+    """Inner join of two private tables under AddRemoveKeys."""
+    from tumult_core_spark.domains import DictDomain
+    from tumult_core_spark.metrics import AddRemoveKeys
+    from tumult_core_spark.transformations.join import PrivateJoinOnKey
+
+    orders = _load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    cust = _load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    dd = DictDomain({"o": _dom(orders), "c": _dom(cust)})
+    metric = AddRemoveKeys({"o": "custkey", "c": "custkey"})
+    t = PrivateJoinOnKey(dd, metric, "o", "c", "oc")
+    out = t({"o": orders, "c": cust})["oc"]
+    return out.select("custkey", "o_orderkey", "o_totalprice", "c_name")
+
+
+def q_limit_rows_per_key_per_group(spark, sf_dir):
+    """Per-(group, key) truncation; per-group row counts are invariant
+    to the hash ordering, so they oracle-check."""
+    from tumult_core_spark.metrics import IfGroupedBy, SymmetricDifference
+    from tumult_core_spark.transformations.truncation import (
+        LimitRowsPerKeyPerGroup,
+    )
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    t = LimitRowsPerKeyPerGroup(
+        dom, IfGroupedBy("l_returnflag", SymmetricDifference()), "l_orderkey", 2
+    )
+    out = t(li)
+    return out.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_groupby_stddev(spark, sf_dir):
+    from tumult_core_spark.base import ChainTM
+    from tumult_core_spark.measures import PureDP
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.measurements.aggregations import (
+        create_standard_deviation_measurement,
+    )
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    derive, dom2 = _with_qty_long(li, dom)
+    m = create_standard_deviation_measurement(
+        dom2, SymmetricDifference(), PureDP(), 1, INF,
+        measure_column="qty", lower=0, upper=50,
+        groupby_transformation=_flag_keys_groupby(dom2),
+        standard_deviation_column="std_qty",
+    )
+    out = ChainTM(derive, m)(li)
+    return out.select("l_returnflag", F.round("std_qty", 6).alias("std_qty"))
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Hyperplane-LSH cosine near-dups: duplicated vectors must pair."""
     from tumult_core_spark.extensions.similarity import embedding_near_duplicates
@@ -795,7 +879,9 @@ def q_embedding_near_dups(spark, sf_dir):
     embs = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dup = embs.withColumn("vec_id", F.col("vec_id") + 1000000)
     both = embs.union(dup)
-    out = embedding_near_duplicates(both, "vec_id", "embedding", threshold=0.999)
+    out = embedding_near_duplicates(
+        both, "vec_id", "embedding", threshold=0.999, num_planes=32, bands=4
+    )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -843,6 +929,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "sessionize": q_sessionize,
         "embedding_near_dups": q_embedding_near_dups,
+        "private_join_on_key": q_private_join_on_key,
+        "limit_rows_per_key_per_group": q_limit_rows_per_key_per_group,
+        "groupby_stddev": q_groupby_stddev,
     }
 
 
@@ -919,6 +1008,119 @@ def oracle_sql() -> dict[str, str]:
         "limit_rows_per_group": """
             SELECT l_orderkey, CAST(LEAST(COUNT(*), 3) AS BIGINT) AS n
             FROM lineitem GROUP BY 1
+        """,
+        "limit_rows_per_key_per_group": """
+            WITH c AS (SELECT l_returnflag, l_orderkey, COUNT(*) AS c
+                       FROM lineitem GROUP BY 1, 2)
+            SELECT l_returnflag, CAST(SUM(LEAST(c, 2)) AS BIGINT) AS n
+            FROM c GROUP BY 1
+        """,
+        "private_join_on_key": """
+            SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_totalprice, c.c_name
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "groupby_stddev": """
+            WITH keys(l_returnflag) AS (VALUES ('A'),('N'),('R'),('X')),
+            b AS (SELECT l_returnflag,
+                         LEAST(GREATEST(CAST(FLOOR(l_quantity) AS BIGINT), 0), 50) - 25 AS d
+                  FROM lineitem),
+            s AS (SELECT l_returnflag, SUM(d) AS sod, SUM(d * d) AS sos,
+                         COUNT(*) AS n
+                  FROM b GROUP BY 1),
+            j AS (SELECT k.l_returnflag,
+                         COALESCE(s.sod, 0) AS sod, COALESCE(s.sos, 0) AS sos,
+                         GREATEST(COALESCE(s.n, 0), 1) AS n
+                  FROM keys k LEFT JOIN s USING (l_returnflag))
+            SELECT l_returnflag,
+                   ROUND(SQRT(GREATEST(
+                       CAST(sos AS DOUBLE) / n
+                       - (CAST(sod AS DOUBLE) / n) * (CAST(sod AS DOUBLE) / n),
+                       0)), 6) AS std_qty
+            FROM j
+        """,
+        "quantile_median": """
+            WITH vals AS (
+                SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS v,
+                       COUNT(*) AS c
+                FROM lineitem GROUP BY 1, 2),
+            ranked AS (
+                SELECT g, v, c,
+                       COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+                       SUM(c) OVER (PARTITION BY g) AS n
+                FROM vals),
+            intervals AS (
+                SELECT g, LEAST(GREATEST(v, 0.0), 50.0) AS lo,
+                       COALESCE(LEAD(LEAST(GREATEST(v, 0.0), 50.0))
+                           OVER (PARTITION BY g ORDER BY v), 50.0) AS hi,
+                       before + c AS rank, n
+                FROM ranked
+                UNION ALL
+                SELECT g, 0.0 AS lo, MIN(LEAST(GREATEST(v, 0.0), 50.0)) AS hi,
+                       0 AS rank, MAX(n) AS n
+                FROM ranked GROUP BY g)
+            SELECT g AS l_returnflag, lo AS q_lo, hi AS q_hi
+            FROM intervals WHERE hi > lo
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY g
+                ORDER BY ABS(rank - 0.5 * n) ASC, lo DESC) = 1
+        """,
+        "sessionize": """
+            WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+            f AS (SELECT user_id, ts,
+                         CASE WHEN LAG(ts) OVER w IS NULL
+                                   OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                              THEN 1 ELSE 0 END AS brk
+                  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id,
+                         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                  FROM f)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sid
+        """,
+        "quality_scores": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            m AS (
+                SELECT doc_id,
+                       CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+                       CAST(len(toks) AS DOUBLE) AS n_tokens,
+                       CAST(LENGTH(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                            AS DOUBLE) AS n_punct,
+                       CAST(len(list_filter(list_distinct(toks),
+                           x -> list_contains(
+                               ['the','and','of','to','in','is','that','with','for','was'],
+                               x))) AS DOUBLE) AS n_stop
+                FROM t)
+            SELECT m.doc_id,
+                   ROUND(
+                       LEAST(n_chars / 1000.0, 1.0) * 0.3
+                       + (CASE WHEN n_chars / GREATEST(n_tokens, 1.0) >= 3
+                                    AND n_chars / GREATEST(n_tokens, 1.0) <= 12
+                               THEN 1.0 ELSE 0.3 END) * 0.2
+                       + (CASE WHEN n_punct / GREATEST(n_chars, 1.0) < 0.2 THEN 1.0
+                               ELSE GREATEST(1.0 - (n_punct / GREATEST(n_chars, 1.0)
+                                                    - 0.2) * 2, 0.0) END) * 0.2
+                       + LEAST(n_stop / GREATEST(LEAST(n_tokens, 10.0), 1.0),
+                               1.0) * 0.3,
+                       6) AS quality
+            FROM m
+        """,
+        "dedup_minhash": """
+            SELECT doc_id AS id_a, doc_id + 10000000 AS id_b
+            FROM documents WHERE doc_id < 50
+        """,
+        "dedup_simhash": """
+            SELECT doc_id AS id_a, doc_id + 10000000 AS id_b
+            FROM documents WHERE doc_id < 50
+        """,
+        "ngram_jaccard": """
+            SELECT doc_id AS id_a, doc_id + 10000000 AS id_b
+            FROM documents WHERE doc_id < 100
         """,
         "limit_keys_per_group": """
             SELECT o_custkey, CAST(LEAST(COUNT(DISTINCT o_orderkey), 2) AS BIGINT) AS n_keys

@@ -174,7 +174,13 @@ def minhash_lsh_candidate_pairs(
             )
         ).alias("band", "band_key"),
     )
-    w = Window.partitionBy("band", "band_key").orderBy(id_col)
+    # cap ordered by a hash of the id, not the id itself: an id-ordered
+    # cap systematically drops the highest ids from hot buckets (e.g.
+    # every renumbered duplicate), a hash order keeps an unbiased,
+    # deterministic subset
+    w = Window.partitionBy("band", "band_key").orderBy(
+        F.xxhash64(F.col(id_col), F.lit(0x5EED)), id_col
+    )
     capped = (
         banded.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_band_bucket)
@@ -339,7 +345,9 @@ def simhash_near_duplicates(
             )
         ).alias("band", "band_key"),
     )
-    w = Window.partitionBy("band", "band_key").orderBy(id_col)
+    w = Window.partitionBy("band", "band_key").orderBy(
+        F.xxhash64(F.col(id_col), F.lit(0x5EED)), id_col
+    )
     bands = (
         bands.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_band_bucket)

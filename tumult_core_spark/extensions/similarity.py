@@ -244,8 +244,12 @@ def embedding_near_duplicates(
     signed = base.select("__id", "__vec", F.posexplode(band_keys).alias("band", "bkey"))
     # Degenerate buckets (zero / constant embeddings all landing on one
     # band key) would make the self-join quadratic; cap each bucket with
-    # a window, mirroring minhash_lsh_candidate_pairs.
-    bw = Window.partitionBy("band", "bkey").orderBy("__id")
+    # a window, mirroring minhash_lsh_candidate_pairs.  The order is a
+    # hash of the id so the kept subset is unbiased (an id order would
+    # systematically evict the highest ids from hot buckets).
+    bw = Window.partitionBy("band", "bkey").orderBy(
+        F.xxhash64(F.col("__id"), F.lit(0x5EED)), "__id"
+    )
     signed = (
         signed.withColumn("__rn", F.row_number().over(bw))
         .filter(F.col("__rn") <= max_band_bucket)

@@ -403,9 +403,11 @@ def create_variance_measurement(
 
         def post(df):
             n = F.greatest(F.col("count"), F.lit(1))
-            var = F.greatest(
-                F.col("sos") / n - F.pow(F.col("sod") / n, 2), F.lit(0.0)
-            )
+            # (sod/n) * (sod/n), not F.pow(..., 2): Math.pow is only
+            # 1-ulp-accurate, a plain double multiply is exact and
+            # bitwise-reproducible across engines (oracle parity)
+            ratio = F.col("sod") / n
+            var = F.greatest(F.col("sos") / n - ratio * ratio, F.lit(0.0))
             out = F.sqrt(var) if sqrt_out else var
             return df.select(
                 *[F.col(f"`{c}`") for c in keys], out.alias(variance_column)

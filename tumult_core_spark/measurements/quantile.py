@@ -169,6 +169,15 @@ class NoisyQuantile(Aggregate):
         )
 
     def _quantile(self, values: np.ndarray, counts: np.ndarray) -> float:
+        lo, hi = self.select_interval(values, counts)
+        # exact uniform within the winning interval (reference
+        # random/uniform.py:34; pure-Fraction inverse CDF)
+        return exact_sampling.sample_uniform(lo, hi)
+
+    def select_interval(self, values: np.ndarray, counts: np.ndarray):
+        """(lower, upper) of the selected gap interval.  Deterministic
+        when epsilon is infinite — the oracle-checkable part of the
+        mechanism; :meth:`_quantile` samples uniformly within it."""
         lo, hi = self.lower, self.upper
         if len(values):
             keep = ~np.isnan(values)
@@ -194,7 +203,7 @@ class NoisyQuantile(Aggregate):
         # per-value-count form used here.
         nz = np.nonzero(widths)[0]
         if len(nz) == 0:
-            return float(edges[0])
+            return float(edges[0]), float(edges[0])
         if np.isinf(eps):
             # Reference eps=inf branch (series.py:398-407) sorts
             # (-|rank - target|, lower, upper) descending: minimum rank
@@ -238,9 +247,7 @@ class NoisyQuantile(Aggregate):
                 widths[nz], coeff * dists, exact_width, exact_penalty
             )
             idx = int(nz[sel])
-        # exact uniform within the winning interval (reference
-        # random/uniform.py:34; pure-Fraction inverse CDF)
-        return exact_sampling.sample_uniform(float(edges[idx]), float(edges[idx + 1]))
+        return float(edges[idx]), float(edges[idx + 1])
 
 
 class _PreAggregatedQuantile(Measurement):
