@@ -436,10 +436,23 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dedup(docs.select("text"), ["text"])
 
 
+def _with_total_pairs(pairs, planted_filter):
+    """Planted-pair projection + a ``total_pairs`` column carrying the
+    size of the FULL pair set.  The projection alone would let recall
+    loss or over-generation outside the planted subset go unnoticed;
+    the total (deterministic: signatures, banding, and the hash-ordered
+    bucket cap are all partition-invariant) is pinned as a constant in
+    the oracle SQL, so any behavior change over the whole corpus flips
+    the hash check."""
+    total = pairs.agg(F.count(F.lit(1)).alias("total_pairs"))
+    return pairs.filter(planted_filter).select("id_a", "id_b").crossJoin(total)
+
+
 def q_dedup_minhash(spark, sf_dir):
     """Containment oracle: every planted exact-duplicate pair must be
     an LSH candidate; projecting the candidate set onto the planted
-    pairs makes the superset property a hash-equality check."""
+    pairs makes the superset property a hash-equality check, and
+    ``total_pairs`` pins the full candidate-set cardinality."""
     from tumult_core_spark.extensions.dedup import minhash_lsh_candidate_pairs
 
     docs = _load(spark, sf_dir, "documents")
@@ -449,9 +462,10 @@ def q_dedup_minhash(spark, sf_dir):
     pairs = minhash_lsh_candidate_pairs(
         both, "doc_id", "text", num_hashes=32, bands=8
     )
-    return pairs.filter(
-        (F.col("id_b") - F.col("id_a") == 10_000_000) & (F.col("id_a") < 50)
-    ).select("id_a", "id_b")
+    return _with_total_pairs(
+        pairs,
+        (F.col("id_b") - F.col("id_a") == 10_000_000) & (F.col("id_a") < 50),
+    )
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -464,9 +478,10 @@ def q_dedup_simhash(spark, sf_dir):
     dup = planted.withColumn("doc_id", F.col("doc_id") + 10_000_000)
     both = docs.union(dup)
     pairs = simhash_near_duplicates(both, "doc_id", "text", max_hamming=0)
-    return pairs.filter(
-        (F.col("id_b") - F.col("id_a") == 10_000_000) & (F.col("id_a") < 50)
-    ).select("id_a", "id_b")
+    return _with_total_pairs(
+        pairs,
+        (F.col("id_b") - F.col("id_a") == 10_000_000) & (F.col("id_a") < 50),
+    )
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -477,9 +492,10 @@ def q_ngram_jaccard(spark, sf_dir):
     dup = docs.withColumn("doc_id", F.col("doc_id") + 10_000_000)
     both = docs.union(dup)
     out = ngram_jaccard_pairs(both, "doc_id", "text", n=3, threshold=0.99)
-    return out.filter(
-        (F.col("id_b") - F.col("id_a") == 10_000_000) & (F.col("id_a") < 100)
-    ).select("id_a", "id_b")
+    return _with_total_pairs(
+        out,
+        (F.col("id_b") - F.col("id_a") == 10_000_000) & (F.col("id_a") < 100),
+    )
 
 
 def q_ann_topk(spark, sf_dir):
@@ -1110,16 +1126,25 @@ def oracle_sql() -> dict[str, str]:
                        6) AS quality
             FROM m
         """,
+        # total_pairs constants below are regression pins: the full
+        # candidate/pair set is not SQL-expressible (it depends on the
+        # minhash/simhash signatures), but it IS a deterministic,
+        # partition-invariant function of the sf0.01 corpus, verified
+        # by re-running under different parallelism.  A recall or
+        # over-generation change anywhere in the corpus flips them.
         "dedup_minhash": """
-            SELECT doc_id AS id_a, doc_id + 10000000 AS id_b
+            SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
+                   CAST(2461 AS BIGINT) AS total_pairs
             FROM documents WHERE doc_id < 50
         """,
         "dedup_simhash": """
-            SELECT doc_id AS id_a, doc_id + 10000000 AS id_b
+            SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
+                   CAST(55 AS BIGINT) AS total_pairs
             FROM documents WHERE doc_id < 50
         """,
         "ngram_jaccard": """
-            SELECT doc_id AS id_a, doc_id + 10000000 AS id_b
+            SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
+                   CAST(100 AS BIGINT) AS total_pairs
             FROM documents WHERE doc_id < 100
         """,
         "limit_keys_per_group": """

@@ -116,13 +116,56 @@ class TestDedup:
     def test_embedding_near_dup_bucket_cap(self, spark, embs):
         from tumult_core_spark.extensions.similarity import embedding_near_duplicates
 
+        # identical vectors pre-group exactly: star mode keeps the
+        # output linear even though the group dwarfs the bucket cap
         zeros = embs.limit(30).withColumn(
             "embedding", F.expr("transform(embedding, x -> cast(0.0 as float))")
         )
         out = embedding_near_duplicates(
-            zeros, "vec_id", "embedding", threshold=-1.0, max_band_bucket=4
+            zeros, "vec_id", "embedding", threshold=-1.0, max_band_bucket=4,
+            exact_pairs="star",
         )
-        assert out.count() <= 4 * 6  # bands * C(4,2)
+        assert out.count() == 29  # min-id representative star
+
+    def test_embedding_near_dup_hot_bucket_recall(self, spark):
+        # 1000 identical vectors -> every one of the C(1000,2) true
+        # pairs must be found even with a tiny bucket cap (the old
+        # membership cap silently dropped all pairs for evicted rows);
+        # the LSH index only ever sees ONE representative, so no
+        # quadratic bucket join happens.
+        from tumult_core_spark.extensions.similarity import embedding_near_duplicates
+
+        base = spark.range(1000).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 16), i -> cast(i as double))"
+            ).alias("embedding"),
+        )
+        out = embedding_near_duplicates(
+            base, "vec_id", "embedding", threshold=0.999, max_band_bucket=8
+        )
+        assert out.count() == 1000 * 999 // 2
+
+    def test_embedding_near_dup_cross_group_recall(self, spark):
+        # two distinct near-parallel vectors, each duplicated 50x:
+        # cross-group pairs must survive a cap far below the group
+        # size, because the cap applies to distinct-vector buckets
+        from tumult_core_spark.extensions.similarity import embedding_near_duplicates
+
+        v1 = "array(1.0d, 0.0d, 0.0d, 0.0d, 1.0d, 0.0d, 0.0d, 0.0d)"
+        v2 = "array(1.0d, 0.001d, 0.0d, 0.0d, 1.0d, 0.0d, 0.0d, 0.0d)"
+        base = spark.range(100).select(
+            F.col("id").alias("vec_id"),
+            F.expr(f"if(id % 2 = 0, {v1}, {v2})").alias("embedding"),
+        )
+        out = embedding_near_duplicates(
+            base, "vec_id", "embedding", threshold=0.99, max_band_bucket=4
+        )
+        # all C(100,2) pairs: 2x C(50,2) within + 50*50 cross
+        assert out.count() == 100 * 99 // 2
+        # spot-check: a cross pair carries the representative cosine
+        cross = out.filter("id_a % 2 != id_b % 2").limit(1).collect()
+        assert cross and cross[0]["cosine"] > 0.999
 
 
 class TestSimilarity:
@@ -138,6 +181,14 @@ class TestSimilarity:
         assert out.filter("rank <= 3").groupBy("qid").count().filter(
             "count != 3"
         ).count() == 0
+
+    def test_brute_force_query_guard(self, spark, embs):
+        corpus = embs.limit(100)
+        queries = corpus.limit(10).withColumnRenamed("vec_id", "qid")
+        with pytest.raises(ValueError, match="max_queries"):
+            brute_force_knn(
+                corpus, queries, "vec_id", "qid", "embedding", k=3, max_queries=5
+            )
 
     def test_ivf_recall_of_self(self, spark, embs):
         corpus = embs.limit(200)

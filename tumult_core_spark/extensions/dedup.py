@@ -38,6 +38,55 @@ def exact_dedup(df: DataFrame, columns: Optional[List[str]] = None) -> DataFrame
     return df.dropDuplicates(columns) if columns else df.dropDuplicates()
 
 
+def cap_hot_buckets(
+    df: DataFrame,
+    bucket_cols: List[str],
+    id_col: str,
+    cap: int,
+    salt: int = 0x5EED,
+) -> DataFrame:
+    """Truncate buckets larger than ``cap`` to their top-``cap`` members.
+
+    Two-pass, sort-free for the common case: the input is hash
+    repartitioned on the bucket key once (no sort), bucket sizes are
+    aggregated over that same exchange (Catalyst/AQE reuses it), and
+    only rows belonging to over-cap buckets — typically a tiny
+    minority — pay the ordered ``row_number`` window.  Rows in buckets
+    at or under the cap pass through untouched.  This replaces a full
+    shuffle+sort over the whole relation with one hash shuffle plus a
+    sort over just the hot rows.
+
+    Membership in the kept subset is ordered by ``xxhash64(id, salt)``
+    (id tiebreak) so it is deterministic under repartitioning and
+    unbiased with respect to id assignment: an id-ordered cap would
+    systematically evict the highest ids (e.g. every renumbered
+    duplicate) from hot buckets.
+
+    The over-cap bucket key set is broadcast: it has at most
+    ``count(df)/cap`` entries and in practice only degenerate
+    boilerplate buckets exceed the cap.
+    """
+    parted = df.repartition(*[F.col(c) for c in bucket_cols])
+    sizes = parted.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bsz"))
+    hot = (
+        sizes.filter(F.col("__bsz") > cap)
+        .drop("__bsz")
+        .withColumn("__hot", F.lit(True))
+    )
+    flagged = parted.join(F.broadcast(hot), on=list(bucket_cols), how="left")
+    cold = flagged.filter(F.col("__hot").isNull()).drop("__hot")
+    hot_rows = flagged.filter(F.col("__hot").isNotNull()).drop("__hot")
+    w = Window.partitionBy(*bucket_cols).orderBy(
+        F.xxhash64(F.col(id_col), F.lit(salt)), F.col(id_col)
+    )
+    capped = (
+        hot_rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+    return cold.unionByName(capped)
+
+
 def _shingle_expr(text_col: str, shingle_size: int) -> F.Column:
     """Array of distinct character shingles of the lowercased text.
 
@@ -174,18 +223,7 @@ def minhash_lsh_candidate_pairs(
             )
         ).alias("band", "band_key"),
     )
-    # cap ordered by a hash of the id, not the id itself: an id-ordered
-    # cap systematically drops the highest ids from hot buckets (e.g.
-    # every renumbered duplicate), a hash order keeps an unbiased,
-    # deterministic subset
-    w = Window.partitionBy("band", "band_key").orderBy(
-        F.xxhash64(F.col(id_col), F.lit(0x5EED)), id_col
-    )
-    capped = (
-        banded.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= max_band_bucket)
-        .drop("__rn")
-    )
+    capped = cap_hot_buckets(banded, ["band", "band_key"], id_col, max_band_bucket)
     left = capped.alias("l")
     right = capped.alias("r")
     pairs = (
@@ -345,14 +383,7 @@ def simhash_near_duplicates(
             )
         ).alias("band", "band_key"),
     )
-    w = Window.partitionBy("band", "band_key").orderBy(
-        F.xxhash64(F.col(id_col), F.lit(0x5EED)), id_col
-    )
-    bands = (
-        bands.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= max_band_bucket)
-        .drop("__rn")
-    )
+    bands = cap_hot_buckets(bands, ["band", "band_key"], id_col, max_band_bucket)
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(

@@ -49,6 +49,7 @@ def brute_force_knn(
     query_id: str,
     vector_col: str = "embedding",
     k: int = 10,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, corpus_id, score, rank).
 
@@ -59,13 +60,28 @@ def brute_force_knn(
     of |corpus| * |queries| rows.  Dense linear algebra through BLAS
     beats Catalyst's interpreted higher-order array functions by an
     order of magnitude here.
+
+    The query set is collected to the driver and broadcast, so it must
+    be small; ``max_queries`` bounds the collect (the limit is pushed
+    into the scan, so an oversized query set fails fast without
+    materializing on the driver).  For large query sets use ``ivf_knn``
+    or a join-based formulation instead.
     """
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(query_id, vector_col).collect()
+    if max_queries <= 0:
+        raise ValueError("max_queries must be positive")
+    qrows = queries.select(query_id, vector_col).limit(max_queries + 1).collect()
     if not qrows:
         raise ValueError("queries DataFrame is empty")
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"queries has more than max_queries={max_queries} rows; "
+            "brute_force_knn broadcasts the query set to every executor — "
+            "raise max_queries explicitly if this is intended, or use "
+            "ivf_knn for large query sets"
+        )
     qids = np.array([r[0] for r in qrows])
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     Qn = Q / np.clip(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30, None)
@@ -190,6 +206,7 @@ def embedding_near_duplicates(
     bands: int = 4,
     seed: int = 11,
     max_band_bucket: int = 200,
+    exact_pairs: str = "all",
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold.
 
@@ -200,16 +217,71 @@ def embedding_near_duplicates(
     ``seed`` via xxhash64, so signatures are reproducible with no
     driver-side randomness.  One shuffle on band keys; the exact
     cosine runs only on candidate pairs.
+
+    Recall under the bucket cap: *identical* vectors are pre-grouped
+    exactly (one hash groupBy on the vector column) and pair within
+    their group without touching LSH, and only one representative per
+    distinct vector enters the banded index; verified representative
+    pairs are expanded back to all member pairs.  ``max_band_bucket``
+    therefore only ever truncates buckets of *distinct* vectors — a
+    hot bucket of a million exact duplicates costs one group, not a
+    million bucket rows, and loses no pairs.  (A naive membership cap
+    is catastrophic for exact duplicates: they share every band key,
+    and a hash-of-id eviction order is identical across bands, so a
+    member evicted anywhere is evicted everywhere and silently gets
+    zero pairs.)
+
+    ``exact_pairs`` controls the within-group expansion: ``"all"``
+    emits every pair of an identical-vector group (Θ(g²) output rows —
+    that is the true answer, the pairs all exist); ``"star"`` emits
+    each member paired with the group's minimum id (Θ(g), enough for
+    connected-component dedup at corpus scale).
     """
     if num_planes % bands != 0:
         raise ValueError("num_planes must be divisible by bands")
+    if exact_pairs not in ("all", "star"):
+        raise ValueError("exact_pairs must be 'all' or 'star'")
     planes_per_band = num_planes // bands
 
-    v = F.col("__vec")
-    base = df.select(
+    raw = df.select(
         F.col(id_col).alias("__id"),
         F.col(vector_col).cast("array<double>").alias("__vec"),
     )
+    # one shuffle on the vector value itself: exact-duplicate groups,
+    # ids sorted so within-group pairs are already (low, high) ordered
+    groups = raw.groupBy("__vec").agg(
+        F.sort_array(F.collect_list("__id")).alias("__ids")
+    )
+    ids = F.col("__ids")
+    if exact_pairs == "all":
+        pair_expr = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + F.lit(2), F.size(ids)),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+    else:  # star: min-id representative joined to every other member
+        pair_expr = F.transform(
+            F.slice(ids, 2, F.size(ids)),
+            lambda y: F.struct(ids[0].alias("a"), y.alias("b")),
+        )
+    within = (
+        groups.filter(F.size(ids) > 1)
+        .select(F.explode(pair_expr).alias("__p"), "__vec")
+        .select(
+            F.col("__p.a").alias("id_a"),
+            F.col("__p.b").alias("id_b"),
+            cosine(F.col("__vec"), F.col("__vec")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+    v = F.col("__vec")
+    # LSH index over one representative (min id) per distinct vector
+    base = groups.select(ids[0].alias("__id"), "__vec")
     # bit p = sign of dot(vec, h_p) where h_p[i] is a deterministic
     # pseudo-random +-1 weight from xxhash64(i, p, seed)
     bits = [
@@ -242,19 +314,13 @@ def embedding_near_duplicates(
         ]
     )
     signed = base.select("__id", "__vec", F.posexplode(band_keys).alias("band", "bkey"))
-    # Degenerate buckets (zero / constant embeddings all landing on one
-    # band key) would make the self-join quadratic; cap each bucket with
-    # a window, mirroring minhash_lsh_candidate_pairs.  The order is a
-    # hash of the id so the kept subset is unbiased (an id order would
-    # systematically evict the highest ids from hot buckets).
-    bw = Window.partitionBy("band", "bkey").orderBy(
-        F.xxhash64(F.col("__id"), F.lit(0x5EED)), "__id"
-    )
-    signed = (
-        signed.withColumn("__rn", F.row_number().over(bw))
-        .filter(F.col("__rn") <= max_band_bucket)
-        .drop("__rn")
-    )
+    # Degenerate buckets (near-parallel distinct embeddings landing on
+    # one band key) would make the self-join quadratic; cap each bucket
+    # (two-pass, sort-free for under-cap buckets — see cap_hot_buckets).
+    # Exact duplicates never hit this cap: they are one representative.
+    from tumult_core_spark.extensions.dedup import cap_hot_buckets
+
+    signed = cap_hot_buckets(signed, ["band", "bkey"], "__id", max_band_bucket)
     a, b = signed.alias("a"), signed.alias("b")
     cands = (
         a.join(
@@ -271,9 +337,26 @@ def embedding_near_duplicates(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
+    rep_pairs = (
         cands.select(
             "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine")
         )
         .filter(F.col("cosine") >= threshold)
     )
+    # expand representative pairs to member pairs: the cosine between
+    # any member of group a and any member of group b equals the
+    # representative cosine (members are bit-identical vectors)
+    m_a = groups.select(ids[0].alias("id_a"), ids.alias("__ma"))
+    m_b = groups.select(ids[0].alias("id_b"), ids.alias("__mb"))
+    cross = (
+        rep_pairs.join(m_a, "id_a")
+        .join(m_b, "id_b")
+        .select(F.explode("__ma").alias("__xa"), "__mb", "cosine")
+        .select("__xa", F.explode("__mb").alias("__xb"), "cosine")
+        .select(
+            F.least("__xa", "__xb").alias("id_a"),
+            F.greatest("__xa", "__xb").alias("id_b"),
+            "cosine",
+        )
+    )
+    return within.unionByName(cross)
