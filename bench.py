@@ -219,16 +219,18 @@ def bench_bounds(spark):
 
 def bench_noise_sampling(spark):
     """Vectorized noise throughput: 2M samples per mechanism (the
-    realistic per-batch magnitude for grouped-aggregate noise)."""
-    import numpy as np
+    realistic per-batch magnitude for grouped-aggregate noise).
+    Integer mechanisms run the EXACT certified-inversion column
+    samplers — the ones AddNoiseToColumn actually executes."""
+    from fractions import Fraction
 
     from tumult_core_spark import samplers
 
     n = 2_000_000
     samplers.laplace(1.0, n)
-    samplers.two_sided_geometric(1.0, n)
+    samplers.two_sided_geometric_exact_vec(Fraction(1), n)
     samplers.gaussian(1.0, n)
-    samplers.discrete_gaussian(1.0, n)
+    samplers.discrete_gaussian_exact_vec(Fraction(1), n)
 
 
 def bench_dedup_minhash(spark):
@@ -278,20 +280,28 @@ def main():
     # warm the JVM + parquet footer cache so timings measure the operators
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
-    # Each workload runs twice: the first (untimed) run pays one-time
-    # costs that have nothing to do with the operators — Python UDF
-    # worker startup, codegen compilation, AQE statistics — and the
-    # second run is recorded as the steady-state number a long-lived
-    # cluster job would see.
+    # Each workload runs once untimed (Python UDF worker startup,
+    # codegen compilation, AQE statistics — one-time costs a long-lived
+    # cluster job would not see), then THREE timed runs.  The median is
+    # the headline number: single timed runs proved noise-dominated
+    # round-over-round (a workload "doubled" with untouched code while
+    # an idle re-run reproduced the old number), and the min is kept
+    # alongside as the contention-free floor.
     timings = {}
+    timings_min = {}
     for name, fn in BENCHES.items():
         try:
             fn(spark)  # warmup
-            start = time.perf_counter()
-            fn(spark)
-            timings[name] = round(time.perf_counter() - start, 3)
+            runs = []
+            for _ in range(3):
+                start = time.perf_counter()
+                fn(spark)
+                runs.append(time.perf_counter() - start)
+            timings[name] = round(sorted(runs)[1], 3)
+            timings_min[name] = round(min(runs), 3)
         except Exception as exc:  # pragma: no cover
             timings[name] = None
+            timings_min[name] = None
             print(f"# bench {name} failed: {exc}", file=sys.stderr)
     total = round(sum(v for v in timings.values() if v is not None), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -300,6 +310,9 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_min": timings_min,
+        "runs_per_query": 3,
+        "aggregation": "median",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Per-workload rebuild/reference ratio against the measured reference

@@ -91,6 +91,56 @@ class TestSamplerDistributions:
         p = chi2_pvalue(observed, expected)
         assert p > P_THRESHOLD, f"chi2 p={p}"
 
+    def test_exact_vec_geometric_chi2(self):
+        from fractions import Fraction
+
+        s = samplers.two_sided_geometric_exact_vec(Fraction(3), N)
+        support = np.arange(-30, 31)
+        observed = np.array([(s == k).sum() for k in support], dtype=float)
+        expected = double_sided_geometric_pmf(support, 3.0) * N
+        p = chi2_pvalue(observed, expected)
+        assert p > P_THRESHOLD, f"chi2 p={p}"
+
+    def test_exact_vec_geometric_irrational_scale_chi2(self):
+        # non-dyadic, non-integer scale exercises the enclosure margins
+        from fractions import Fraction
+
+        scale = Fraction(31415926535897932, 10**16)  # ~pi
+        s = samplers.two_sided_geometric_exact_vec(scale, N)
+        support = np.arange(-35, 36)
+        observed = np.array([(s == k).sum() for k in support], dtype=float)
+        expected = double_sided_geometric_pmf(support, float(scale)) * N
+        p = chi2_pvalue(observed, expected)
+        assert p > P_THRESHOLD, f"chi2 p={p}"
+
+    def test_exact_vec_discrete_gaussian_chi2(self):
+        from fractions import Fraction
+
+        s = samplers.discrete_gaussian_exact_vec(Fraction(6), N)
+        support = np.arange(-15, 16)
+        observed = np.array([(s == k).sum() for k in support], dtype=float)
+        expected = discrete_gaussian_pmf(support, 6.0) * N
+        p = chi2_pvalue(observed, expected)
+        assert p > P_THRESHOLD, f"chi2 p={p}"
+
+    def test_resolve_band_index_agrees_with_certified(self):
+        # the rigorous per-value fallback and the certified float pass
+        # must implement the same map u -> floor(-scale ln u)
+        import mpmath
+        from fractions import Fraction
+
+        scale = Fraction(5)
+        g = samplers.rng()
+        for m in map(int, g.integers(1, 1 << 53, size=50)):
+            r = samplers._resolve_band_index(m, 53, scale)
+            with mpmath.workprec(200):
+                a = -mpmath.log(mpmath.mpf(m) / 2**53) * 5
+                b = -mpmath.log((mpmath.mpf(m) + 1) / 2**53) * 5
+            ka, kb = int(mpmath.floor(a)), int(mpmath.floor(b))
+            # interval [b, a]; if it straddles band boundaries the
+            # resolution may land in any straddled band
+            assert kb <= r <= ka, (m, r, kb, ka)
+
     def test_exact_geometric_matches_distribution(self):
         from fractions import Fraction
 
@@ -236,5 +286,43 @@ class TestFullSparkPathNoise:
         support = np.arange(-8, 9)
         observed = np.array([(noise == k).sum() for k in support], dtype=float)
         expected = double_sided_geometric_pmf(support, 1.0) * n_groups
+        p = chi2_pvalue(observed, expected)
+        assert p > P_THRESHOLD, f"chi2 p={p}"
+
+    def test_grouped_count_noise_is_discrete_gaussian(self, spark):
+        """Same technique under zCDP: the grouped-count column noise
+        must follow the discrete Gaussian (exact certified-rejection
+        sampler on the column path)."""
+        from tumult_core_spark.domains import SparkDataFrameDomain
+        from tumult_core_spark.measures import RhoZCDP
+        from tumult_core_spark.metrics import SymmetricDifference
+        from tumult_core_spark.measurements.aggregations import (
+            create_count_measurement,
+        )
+        from tumult_core_spark.transformations.groupby import (
+            create_groupby_from_list_of_keys,
+        )
+
+        n_groups = 2000
+        rows_per_group = 3
+        df = spark.createDataFrame(
+            [(g,) for g in range(n_groups) for _ in range(rows_per_group)],
+            "g long",
+        )
+        dom = SparkDataFrameDomain.from_spark_schema(df.schema, strict=True)
+        gb = create_groupby_from_list_of_keys(
+            dom, SymmetricDifference(), True, ["g"], [(g,) for g in range(n_groups)]
+        )
+        # rho = d_in^2 / (2 sigma^2) = 1/8 -> sigma^2 = 4
+        m = create_count_measurement(
+            dom, SymmetricDifference(), RhoZCDP(), 1, "1/8",
+            groupby_transformation=gb,
+        )
+        noise = np.array(
+            [r["count"] - rows_per_group for r in m(df).collect()]
+        )
+        support = np.arange(-10, 11)
+        observed = np.array([(noise == k).sum() for k in support], dtype=float)
+        expected = discrete_gaussian_pmf(support, 4.0) * n_groups
         p = chi2_pvalue(observed, expected)
         assert p > P_THRESHOLD, f"chi2 p={p}"

@@ -104,7 +104,6 @@ def _iv_dyadic(iv, num: int, log2_den: int):
 def _laplace_icdf_enclosure(mu: float, b: float, num: int, n: int, iv):
     """Rigorous enclosure of the Laplace(mu, b) inverse CDF at the
     exact dyadic point num/2^n:  mu - b sgn(p-1/2) log(1-2|p-1/2|)."""
-    half = 1 << (n - 1) if n >= 1 else None
     if num * 2 == (1 << n):
         return iv.mpf(mu)
     p = _iv_dyadic(iv, num, n)
@@ -239,7 +238,7 @@ def select_noisy_argmax(
     exact_penalty=None,
     step_size: int = 63,
     refine_step: int = 15,
-    float_slack: float = 1e-9,
+    float_slack: Optional[float] = None,
 ) -> int:
     """Index of argmax_i of ``log(w_i) - c_i + G_i`` with iid standard
     Gumbel noise, decided exactly.
@@ -271,18 +270,48 @@ def select_noisy_argmax(
     bits = g.integers(0, 1 << step_size, size=m, dtype=np.uint64)
 
     # --- vectorized float shortlist ---
+    # The shortlist must never eliminate the true argmax, so every
+    # float bound is directed: the 63-bit ``bits`` round when cast to
+    # float64 (>2^53), so the dyadic p-interval is widened by that
+    # rounding error first; a p-interval touching 0 or 1 keeps its TRUE
+    # infinite Gumbel endpoint (a clipped finite stand-in could
+    # eliminate the real winner — the derivative of -log(-log p) blows
+    # up at both ends, where no finite slack is sound); and the
+    # residual slack is the propagated log-chain rounding bound
+    # ~2*eps*(1+|value|) per log, widened 64x, not a fixed heuristic.
     with np.errstate(divide="ignore", invalid="ignore"):
         base = np.log(np.asarray(widths, dtype=float)) - np.asarray(
             penalties, dtype=float
         )
         bits_f = bits.astype(np.float64)
-        p_lo = bits_f / float(1 << n)
-        p_hi = (bits_f + 1.0) / float(1 << n)
-        g_lo = -np.log(-np.log(np.clip(p_lo, 1e-300, None)))
-        g_hi = -np.log(-np.log(np.clip(p_hi, None, 1.0 - 1e-16)))
-    slack = float_slack * (1.0 + np.abs(base) + np.abs(g_lo) + np.abs(g_hi))
-    score_lo = base + g_lo - slack
-    score_hi = base + g_hi + slack
+        err_b = bits_f * 2.0**-52 + 2.0
+        den = float(1 << n)
+        p_lo = (bits_f - err_b) / den
+        p_hi = (bits_f + 1.0 + err_b) / den
+        # clipping p downward only lowers a lower bound (monotone), and
+        # upward only raises an upper bound — both directions stay sound
+        g_lo = np.where(
+            p_lo > 0.0,
+            -np.log(-np.log(np.minimum(p_lo, 1.0 - 1e-17))),
+            -np.inf,
+        )
+        g_hi = np.where(
+            p_hi < 1.0,
+            -np.log(-np.log(np.maximum(p_hi, 1e-300))),
+            np.inf,
+        )
+    mult = 64.0 * float(np.finfo(float).eps) if float_slack is None else float_slack
+    slack = mult * (1.0 + np.abs(base) + np.abs(g_lo) + np.abs(g_hi))
+    with np.errstate(invalid="ignore"):
+        score_lo = base + g_lo - slack
+        score_hi = base + g_hi + slack
+    # an infinite endpoint makes its own slack infinite and can NaN the
+    # sum; a zero-width candidate (base = -inf) truly scores -inf, any
+    # other NaN resolves conservatively to +inf
+    score_lo = np.where(np.isnan(score_lo), -np.inf, score_lo)
+    score_hi = np.where(
+        np.isnan(score_hi), np.where(np.isneginf(base), -np.inf, np.inf), score_hi
+    )
     best_lo = float(np.nanmax(score_lo))
     survivors: List[int] = [int(i) for i in np.flatnonzero(score_hi >= best_lo)]
     if len(survivors) == 1:

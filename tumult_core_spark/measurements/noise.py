@@ -14,9 +14,11 @@ Privacy functions (reference ``measurements/noise_mechanisms.py:38-560``):
   (2 sigma^2)`` (RhoZCDP)
 
 ``scale == 0`` short-circuits to the identity — the deterministic mode
-correctness oracles rely on.  Scalar sampling for the integer
-mechanisms uses the exact Fraction samplers; the vectorized path uses
-NumPy (documented float-path weakening, see ``samplers.py``).
+correctness oracles rely on.  The integer mechanisms are exact on BOTH
+paths: Fraction rejection samplers on the scalar path, certified-
+inversion vectorized samplers on the column path (see ``samplers.py``).
+Only the *continuous* column path (Laplace/Gaussian over float columns)
+remains float NumPy — a documented, upgradeable weakening.
 """
 
 from __future__ import annotations
@@ -93,6 +95,11 @@ class AddGeometricNoise(_NoiseMechanism):
             raise ValueError("alpha must be >= 0")
         super().__init__(NumpyIntegerDomain(), AbsoluteDifference(), PureDP())
         self._alpha_float = self.alpha.to_float(round_up=False)
+        self._alpha_frac = (
+            Fraction(self.alpha.expr.p, self.alpha.expr.q)
+            if self.alpha.is_rational
+            else Fraction(self._alpha_float)
+        )
 
     def privacy_function(self, d_in: Any) -> ExactNumber:
         d = ExactNumber(d_in)
@@ -106,14 +113,15 @@ class AddGeometricNoise(_NoiseMechanism):
         if self.alpha == 0:
             return np.int64(value)
         # exact Fraction sampler on the scalar path
-        frac = Fraction(self.alpha.expr.p, self.alpha.expr.q) if self.alpha.is_rational else Fraction(self._alpha_float)
-        return np.int64(int(value) + samplers.geometric_exact(frac))
+        return np.int64(int(value) + samplers.geometric_exact(self._alpha_frac))
 
     def add_noise_to_array(self, values: np.ndarray) -> np.ndarray:
         if self.alpha == 0:
             return values.astype(np.int64)
-        return values.astype(np.int64) + samplers.two_sided_geometric(
-            self._alpha_float, len(values)
+        # exact certified-inversion sampler, vectorized (the column
+        # path matches the scalar path's distribution exactly)
+        return values.astype(np.int64) + samplers.two_sided_geometric_exact_vec(
+            self._alpha_frac, len(values)
         )
 
 
@@ -165,6 +173,11 @@ class AddDiscreteGaussianNoise(_NoiseMechanism):
             raise ValueError("sigma_squared must be >= 0")
         super().__init__(NumpyIntegerDomain(), AbsoluteDifference(), RhoZCDP())
         self._ss_float = self.sigma_squared.to_float(round_up=False)
+        self._ss_frac = (
+            Fraction(self.sigma_squared.expr.p, self.sigma_squared.expr.q)
+            if self.sigma_squared.is_rational
+            else Fraction(self._ss_float)
+        )
 
     def privacy_function(self, d_in: Any) -> ExactNumber:
         d = ExactNumber(d_in)
@@ -177,18 +190,14 @@ class AddDiscreteGaussianNoise(_NoiseMechanism):
     def __call__(self, value) -> np.int64:
         if self.sigma_squared == 0:
             return np.int64(value)
-        frac = (
-            Fraction(self.sigma_squared.expr.p, self.sigma_squared.expr.q)
-            if self.sigma_squared.is_rational
-            else Fraction(self._ss_float)
-        )
-        return np.int64(int(value) + samplers.discrete_gaussian_exact(frac))
+        return np.int64(int(value) + samplers.discrete_gaussian_exact(self._ss_frac))
 
     def add_noise_to_array(self, values: np.ndarray) -> np.ndarray:
         if self.sigma_squared == 0:
             return values.astype(np.int64)
-        return values.astype(np.int64) + samplers.discrete_gaussian(
-            self._ss_float, len(values)
+        # exact certified-rejection sampler, vectorized
+        return values.astype(np.int64) + samplers.discrete_gaussian_exact_vec(
+            self._ss_frac, len(values)
         )
 
 

@@ -27,7 +27,9 @@ from pyspark.sql import types as T
 from .. import exact_sampling, samplers
 from ..base import Measurement
 from ..domains import (
+    NumpyFloatDomain,
     PandasDataFrameDomain,
+    PandasSeriesDomain,
     SparkDataFrameDomain,
     SparkFloatColumnDescriptor,
     SparkGroupedDataFrameDomain,
@@ -46,6 +48,9 @@ class Aggregate(Measurement):
     """Base for per-group pandas DataFrame -> one-row DataFrame measurements."""
 
     output_spark_schema: T.StructType
+    #: series domain the aggregation expects for its measured column
+    #: (used to assemble AggregateByColumn's input domain)
+    expected_series_domain: Optional[PandasSeriesDomain] = None
 
     def __call__(self, pdf: pd.DataFrame) -> pd.DataFrame:
         raise NotImplementedError
@@ -59,27 +64,53 @@ class AggregateByColumn(Aggregate):
     aggregation measurements (e.g. :class:`NoisyQuantile`); the output
     is one row with one column per aggregation.  Privacy losses add
     (sequential composition over the same group of rows).
+
+    The input domain carries one series domain per aggregated column
+    (from each aggregation's ``expected_series_domain``, as the
+    reference builds it from the aggregations' input domains); passing
+    an explicit ``input_domain`` validates the aggregated columns
+    exist in it with the expected element types at construction time
+    instead of failing inside an executor.
     """
 
-    def __init__(self, column_to_aggregation):
+    def __init__(self, column_to_aggregation, input_domain=None):
         if not column_to_aggregation:
             raise ValueError("No aggregations provided")
         aggs = dict(column_to_aggregation)
         first = next(iter(aggs.values()))
         fields = []
+        schema = {}
         for col, agg in aggs.items():
             if not isinstance(agg, Aggregate):
                 raise ValueError(f"Aggregation for {col!r} is not an Aggregate")
             if type(agg.output_measure) is not type(first.output_measure):
                 raise ValueError("All aggregations must share an output measure")
             fields.extend(agg.output_spark_schema.fields)
+            schema[col] = agg.expected_series_domain or PandasSeriesDomain(
+                NumpyFloatDomain(size=64)
+            )
         names = [f.name for f in fields]
         if len(set(names)) != len(names):
             raise ValueError(f"Duplicate output column names: {names}")
+        if input_domain is not None:
+            for col, expected in schema.items():
+                if col not in input_domain.schema:
+                    raise ValueError(
+                        f"Aggregated column {col!r} is not in the input domain "
+                        f"schema {list(input_domain.schema)}"
+                    )
+                if input_domain.schema[col] != expected:
+                    raise ValueError(
+                        f"Input domain for column {col!r} is "
+                        f"{input_domain.schema[col]!r}, aggregation expects "
+                        f"{expected!r}"
+                    )
         self.column_to_aggregation = aggs
         self.output_spark_schema = T.StructType(fields)
         super().__init__(
-            PandasDataFrameDomain({}), SymmetricDifference(), first.output_measure
+            input_domain if input_domain is not None else PandasDataFrameDomain(schema),
+            SymmetricDifference(),
+            first.output_measure,
         )
 
     def privacy_function(self, d_in: Any):
@@ -131,8 +162,11 @@ class NoisyQuantile(Aggregate):
         self.output_spark_schema = T.StructType(
             [T.StructField(self.output_column, T.DoubleType(), False)]
         )
+        self.expected_series_domain = PandasSeriesDomain(NumpyFloatDomain(size=64))
         super().__init__(
-            PandasDataFrameDomain({}), SymmetricDifference(), output_measure
+            PandasDataFrameDomain({measure_column: self.expected_series_domain}),
+            SymmetricDifference(),
+            output_measure,
         )
         self._eps_float = (
             self.epsilon.to_float(round_up=False) if self.epsilon.is_finite else float("inf")

@@ -15,13 +15,20 @@ Two tiers, same distributions:
   floating-point attacks matter most (cf. reference
   ``tmlt/core/random/discrete_gaussian.py``).
 
+* **Vectorized exact integer samplers** (certified inversion /
+  rejection, bottom of this module) — the column path for the
+  geometric and discrete-Gaussian mechanisms: whole-batch float
+  candidate + margin-widened certification, with the ~1e-15 uncertain
+  fraction finished per-value in rigorous ``mpmath.iv`` arithmetic.
+  Exactly the scalar distribution at near-NumPy throughput.
+
 Continuous Laplace/Gaussian sampling here is float-based (NumPy) and
-feeds the *vectorized column* path only; the scalar measurement paths
-use the floating-point-safe interval inverse-CDF samplers in
-:mod:`tumult_core_spark.exact_sampling` (the analogue of the
-reference's MPFR/Arb samplers).  The vectorized float path remains a
-documented, upgradeable weakening for column noise (reference
-``doc/topic-guides/known-vulnerabilities.rst``).
+feeds the *continuous vectorized column* path only; the scalar
+measurement paths use the floating-point-safe interval inverse-CDF
+samplers in :mod:`tumult_core_spark.exact_sampling` (the analogue of
+the reference's MPFR/Arb samplers).  The continuous column float path
+remains a documented, upgradeable weakening for column noise
+(reference ``doc/topic-guides/known-vulnerabilities.rst``).
 
 Every sampler treats ``scale == 0`` as "no noise" and returns the
 input unchanged — the deterministic mode used by correctness oracles.
@@ -239,3 +246,201 @@ def _discrete_laplace_exact(scale: Fraction) -> int:
 def uniform(lower: float, upper: float) -> float:
     """Uniform sample in [lower, upper] (float path)."""
     return float(rng().uniform(lower, upper))
+
+
+# ---------------------------------------------------------------------------
+# Vectorized EXACT integer samplers (executor column path)
+# ---------------------------------------------------------------------------
+#
+# Certified inversion: each draw starts as a 53-bit uniform prefix
+# ``u in [m, m+1) / 2^53``.  A whole-batch float pass computes the
+# candidate inverse-CDF band and *certifies* it against rigorous
+# (margin-widened) enclosures of the band boundaries ``exp(-k/scale)``;
+# the rare draws whose prefix interval straddles a boundary (or falls
+# inside the enclosure margin, ~1e-15 of the mass) are finished
+# per-value by extending the SAME prefix with fresh bits under
+# ``mpmath.iv`` interval arithmetic until the band is unambiguous.
+# Because every infinite-precision uniform is mapped to its true band,
+# the output distribution is exactly geometric — the float pass is an
+# accelerator, not an approximation.  This is the column analogue of
+# the reference's per-value exact samplers
+# (``pandas_measurements/series.py:305-309`` applying
+# ``noise_mechanisms.py``; ``random/discrete_gaussian.py``), at
+# vectorized-NumPy throughput.
+#
+# The float margins assume libm ``exp`` errs by well under ~1000 ulps
+# (every mainstream libm is <= 1 ulp); the enclosures widen by a
+# relative 1e-15 (~4500 ulps) on top of the propagated argument
+# rounding, so certified answers hold with enormous slack, and a draw
+# inside the widened band just takes the rigorous per-value path.
+
+_PREFIX_BITS = 53
+_TWO53 = float(1 << 53)
+
+
+def _resolve_band_index(m: int, bits: int, scale: Fraction) -> int:
+    """Finish one certified-inversion geometric draw exactly.
+
+    ``u in [m, m+1)/2^bits`` is the revealed uniform prefix; the band
+    index is ``floor(-scale * ln u)``.  Extend the prefix with fresh
+    bits and raise ``mpmath.iv`` working precision until the floor is
+    the same over the whole enclosure.
+    """
+    import mpmath
+
+    iv = mpmath.iv
+    g = rng()
+    prec = 96
+    while True:
+        while m == 0:  # all-zero prefix: u < 2^-bits, keep revealing
+            m = (m << _PREFIX_BITS) | int(g.integers(0, 1 << _PREFIX_BITS))
+            bits += _PREFIX_BITS
+        old_prec = iv.prec
+        try:
+            iv.prec = max(prec, bits + 64)
+            u = iv.mpf([m, m + 1]) / iv.mpf(1 << bits)
+            s_iv = iv.mpf(scale.numerator) / iv.mpf(scale.denominator)
+            k_iv = -s_iv * iv.log(u)
+            lo = int(mpmath.floor(mpmath.mpf(k_iv.a)))
+            hi = int(mpmath.floor(mpmath.mpf(k_iv.b)))
+            if lo == hi:
+                return lo
+        finally:
+            iv.prec = old_prec
+        m = (m << _PREFIX_BITS) | int(g.integers(0, 1 << _PREFIX_BITS))
+        bits += _PREFIX_BITS
+        prec += 64
+
+
+def _geometric_failures_exact_vec(scale: Fraction, size: int) -> np.ndarray:
+    """Exact geometric number-of-failures, P[X=k] = (1-q) q^k with
+    q = exp(-1/scale), by certified inversion (see module note above)."""
+    g = rng()
+    m = g.integers(0, 1 << _PREFIX_BITS, size=size, dtype=np.int64)
+    u_lo = m / _TWO53  # both exact: m < 2^53 and /2^53 is a scaling
+    u_hi = (m + 1) / _TWO53
+    s_float = scale.numerator / scale.denominator
+    inv_s = scale.denominator / scale.numerator
+
+    with np.errstate(divide="ignore"):
+        k = np.floor(-np.log((u_lo + u_hi) * 0.5) * s_float)
+    k = np.maximum(k, 0.0)
+
+    def bounds(j):
+        # enclosure of exp(-j/scale): relative margin covers the float
+        # rounding of j*inv_s and libm exp's ulp; absolute 1e-300
+        # covers subnormal/underflow truncation (u >= 2^-53 >> 1e-300)
+        arg = j * inv_s
+        v = np.exp(-arg)
+        marg = 1e-15 * (1.0 + arg)
+        return np.maximum(v * (1.0 - marg) - 1e-300, 0.0), v * (1.0 + marg) + 1e-300
+
+    bk_lo, _ = bounds(k)
+    _, bk1_hi = bounds(k + 1.0)
+    # certified iff the whole prefix interval sits inside [B(k+1), B(k))
+    ok = (m > 0) & (u_lo >= bk1_hi) & (u_hi <= bk_lo)
+    out = k.astype(np.int64)
+    for i in np.flatnonzero(~ok):
+        out[i] = _resolve_band_index(int(m[i]), _PREFIX_BITS, scale)
+    return out
+
+
+def two_sided_geometric_exact_vec(
+    scale: Union[int, Fraction], size: int
+) -> np.ndarray:
+    """Exact vectorized discrete Laplace, P[X=k] ∝ exp(-|k|/scale), as
+    the difference of two iid exact geometric number-of-failures (the
+    same identity as the float path, with certified sampling)."""
+    scale = Fraction(scale)
+    if scale == 0:
+        return np.zeros(size, dtype=np.int64)
+    if scale < 0:
+        raise ValueError("scale must be >= 0")
+    return _geometric_failures_exact_vec(scale, size) - _geometric_failures_exact_vec(
+        scale, size
+    )
+
+
+def _resolve_bernoulli_exp(m: int, bits: int, gamma: Fraction) -> bool:
+    """Exactly decide ``u < exp(-gamma)`` for the revealed uniform
+    prefix ``u in [m, m+1)/2^bits``, extending the prefix and raising
+    interval precision until the comparison is unambiguous."""
+    import mpmath
+
+    iv = mpmath.iv
+    g = rng()
+    prec = 96
+    while True:
+        old_prec = iv.prec
+        try:
+            iv.prec = max(prec, bits + 64)
+            u = iv.mpf([m, m + 1]) / iv.mpf(1 << bits)
+            p = iv.exp(-iv.mpf(gamma.numerator) / iv.mpf(gamma.denominator))
+            if mpmath.mpf(u.b) < mpmath.mpf(p.a):
+                return True
+            if mpmath.mpf(u.a) > mpmath.mpf(p.b):
+                return False
+        finally:
+            iv.prec = old_prec
+        m = (m << _PREFIX_BITS) | int(g.integers(0, 1 << _PREFIX_BITS))
+        bits += _PREFIX_BITS
+        prec += 64
+
+
+def discrete_gaussian_exact_vec(
+    sigma_squared: Union[int, Fraction], size: int
+) -> np.ndarray:
+    """Exact vectorized discrete Gaussian N_Z(0, sigma^2).
+
+    CKS'20 Algorithm 3 rejection from the exact discrete-Laplace
+    proposal (scale t = floor(sigma)+1), with the Bernoulli
+    ``exp(-gamma)`` acceptance decided by certified float comparison:
+    the uniform's 53-bit prefix is compared against a margin-widened
+    enclosure of ``exp(-gamma)``, and only prefix intervals inside the
+    margin fall back to the rigorous per-value comparison with the
+    exact rational gamma.
+    """
+    import math
+
+    s2 = Fraction(sigma_squared)
+    if s2 == 0:
+        return np.zeros(size, dtype=np.int64)
+    if s2 < 0:
+        raise ValueError("sigma_squared must be >= 0")
+    t = math.isqrt(int(s2)) + 1
+    t_frac = Fraction(t)
+    mu = s2 / t  # exact rational
+    mu_f = mu.numerator / mu.denominator
+    s2_f = s2.numerator / s2.denominator
+    g = rng()
+    out = np.empty(size, dtype=np.int64)
+    filled = 0
+    overdraw = 2.2
+    while filled < size:
+        n = max(1024, int((size - filled) * overdraw))
+        y = two_sided_geometric_exact_vec(t_frac, n)
+        m = g.integers(0, 1 << _PREFIX_BITS, size=n, dtype=np.int64)
+        u_lo = m / _TWO53
+        u_hi = (m + 1) / _TWO53
+        d = np.abs(y).astype(np.float64) - mu_f
+        gamma = d * d / (2.0 * s2_f)
+        p = np.exp(-gamma)
+        # margin: |y| is exact, mu_f/s2_f carry eps relative error that
+        # the |d|*mu/s2 term bounds through the cancellation, plus
+        # gamma's own rounding and exp's ulp
+        marg = 1e-15 * (np.abs(d) * mu_f / s2_f + 3.0 * gamma + 1.0)
+        p_lo = np.maximum(p * (1.0 - marg) - 1e-300, 0.0)
+        p_hi = p * (1.0 + marg) + 1e-300
+        accept = u_hi <= p_lo
+        uncertain = ~accept & ~(u_lo >= p_hi)
+        for i in np.flatnonzero(uncertain):
+            g_exact = (abs(Fraction(int(y[i]))) - mu) ** 2 / (2 * s2)
+            accept[i] = _resolve_bernoulli_exp(int(m[i]), _PREFIX_BITS, g_exact)
+        keep = y[accept]
+        if len(keep):
+            acc = len(keep) / n
+            overdraw = min(20.0, 1.2 / max(acc, 0.05))
+        take = min(len(keep), size - filled)
+        out[filled : filled + take] = keep[:take]
+        filled += take
+    return out
