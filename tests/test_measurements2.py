@@ -380,6 +380,70 @@ class TestInteractive:
         assert acct.privacy_budget.value == 1
         assert abs(counts[0] - 100) < 50 and abs(counts[1] - 101) < 50
 
+    def test_accountant_sibling_ordering(self, spark, values):
+        """Sequential-adaptive child order (reference
+        interactive_measurements.py:769-851): only child 0 starts
+        ACTIVE; measuring a later sibling out of order is rejected
+        until its predecessors retire or it is force-activated."""
+        from tumult_core_spark.transformations.partition import PartitionByKeys
+
+        dom = v_domain()
+        count = create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 1)
+
+        def fresh_children(budget=4):
+            sc = SequentialComposition(
+                dom, SymmetricDifference(), PureDP(), d_in=1,
+                privacy_budget=PureDPBudget(budget),
+            )
+            acct = PrivacyAccountant.launch(sc, values)
+            part = PartitionByKeys(
+                dom, SymmetricDifference(), False, ["g"], [("a",), ("b",)]
+            )
+            return acct, acct.split(part, PureDPBudget(2))
+
+        acct, (c0, c1) = fresh_children()
+        assert c0.state == AccountantState.ACTIVE
+        assert c1.state == AccountantState.WAITING_FOR_SIBLING
+        # out-of-order actions on the waiting sibling are rejected
+        with pytest.raises(RuntimeError, match="waiting_for_sibling"):
+            c1.measure(count)
+        with pytest.raises(RuntimeError, match="waiting_for_sibling"):
+            c1.transform_in_place(Filter(dom, SymmetricDifference(), "x > 0"))
+        # retiring the active child activates the next sibling
+        c0.measure(count)
+        c0.retire()
+        assert c0.state == AccountantState.RETIRED
+        assert c1.state == AccountantState.ACTIVE
+        c1.measure(count)
+        assert acct.state == AccountantState.WAITING_FOR_CHILDREN
+        c1.retire()
+        assert acct.state == AccountantState.ACTIVE
+
+        # force_activate on a waiting sibling retires its predecessors
+        acct, (c0, c1) = fresh_children()
+        c1.force_activate()
+        assert c0.state == AccountantState.RETIRED
+        assert c1.state == AccountantState.ACTIVE
+        with pytest.raises(RuntimeError, match="retired"):
+            c0.measure(count)
+
+        # retiring a waiting sibling warns (it never acted) and also
+        # clears its predecessors; the parent then resumes
+        acct, (c0, c1) = fresh_children()
+        with pytest.warns(RuntimeWarning, match="WAITING_FOR_SIBLING"):
+            c1.retire()
+        assert c0.state == AccountantState.RETIRED
+        assert acct.state == AccountantState.ACTIVE
+
+        # a parent waiting on children cannot retire without force
+        acct, (c0, c1) = fresh_children()
+        with pytest.raises(RuntimeError, match="force"):
+            acct.retire()
+        acct.retire(force=True)
+        assert c0.state == AccountantState.RETIRED
+        assert c1.state == AccountantState.RETIRED
+        assert acct.state == AccountantState.RETIRED
+
     def test_queryable(self, spark, values):
         dom = v_domain()
         sc = SequentialComposition(

@@ -160,6 +160,7 @@ class ParallelComposition(Measurement):
 
 class AccountantState(Enum):
     ACTIVE = "active"
+    WAITING_FOR_SIBLING = "waiting_for_sibling"
     WAITING_FOR_CHILDREN = "waiting_for_children"
     RETIRED = "retired"
 
@@ -168,8 +169,15 @@ class PrivacyAccountant:
     """Budget ledger over private data with a sequential-adaptive
     lifecycle.  ``launch`` binds data; ``measure`` answers queries
     while deducting budget; ``split`` partitions into child
-    accountants (budget counts once across disjoint partitions);
-    children must retire before the parent resumes."""
+    accountants (budget counts once across disjoint partitions).
+
+    Children enforce *sequential-adaptive* order (reference
+    ``interactive_measurements.py:769-851``): only the first child of
+    a ``split`` starts ACTIVE, the rest are WAITING_FOR_SIBLING and
+    must be activated in list order — retiring child *i* activates
+    child *i+1*; ``force_activate`` on child *j* retires every
+    preceding sibling (and their descendants).  The parent resumes
+    only when its last child retires."""
 
     def __init__(
         self,
@@ -187,7 +195,9 @@ class PrivacyAccountant:
         self.d_in = d_in
         self._budget = privacy_budget
         self._data = data
-        self._state = AccountantState.ACTIVE
+        self._state = (
+            AccountantState.ACTIVE if _parent is None else AccountantState.WAITING_FOR_SIBLING
+        )
         self._parent = _parent
         self._children: List[PrivacyAccountant] = []
 
@@ -276,19 +286,73 @@ class PrivacyAccountant:
             )
             for part in parts
         ]
+        if self._children:
+            self._children[0]._state = AccountantState.ACTIVE
         self._state = AccountantState.WAITING_FOR_CHILDREN
         return self._children
 
-    def retire(self) -> None:
-        """Finish this accountant; reactivate the parent when all
-        siblings are retired."""
+    def force_activate(self) -> None:
+        """Make this accountant ACTIVE, retiring whatever stands in the
+        way: preceding siblings (if WAITING_FOR_SIBLING) or all
+        descendants (if WAITING_FOR_CHILDREN).  Reference
+        ``interactive_measurements.py:1615-1643``."""
+        if self._state == AccountantState.RETIRED:
+            raise RuntimeError("Cannot activate a RETIRED accountant")
+        if self._state == AccountantState.ACTIVE:
+            return
+        if self._state == AccountantState.WAITING_FOR_CHILDREN:
+            self._children[-1].retire(force=True)
+        else:  # WAITING_FOR_SIBLING
+            if self._parent is None:
+                raise RuntimeError("WAITING_FOR_SIBLING accountant has no parent")
+            self._parent._retire_preceding_siblings(self)
+
+    def retire(self, force: bool = False) -> None:
+        """Finish this accountant.
+
+        Retiring the active child activates the next sibling (or the
+        parent, after the last child).  Retiring a WAITING_FOR_SIBLING
+        accountant first retires all preceding siblings (with a
+        RuntimeWarning — it never performed an action); retiring a
+        WAITING_FOR_CHILDREN accountant requires ``force`` and retires
+        all descendants.  Reference
+        ``interactive_measurements.py:1645-1707``.
+        """
+        import warnings
+
         if self._state == AccountantState.RETIRED:
             return
+        if self._state == AccountantState.WAITING_FOR_CHILDREN and not force:
+            raise RuntimeError(
+                "Cannot retire an accountant that is WAITING_FOR_CHILDREN; "
+                "pass force=True to retire it and all its descendants"
+            )
+        if self._state == AccountantState.WAITING_FOR_SIBLING:
+            warnings.warn(
+                "Retiring an unused accountant that is WAITING_FOR_SIBLING",
+                RuntimeWarning,
+            )
+        if self._state != AccountantState.ACTIVE:
+            # clears preceding siblings / descendants first
+            self.force_activate()
         self._state = AccountantState.RETIRED
-        if self._parent is not None and all(
-            c._state == AccountantState.RETIRED for c in self._parent._children
-        ):
-            self._parent._state = AccountantState.ACTIVE
+        if self._parent is not None:
+            self._parent._activate_next(self)
+
+    def _activate_next(self, child: "PrivacyAccountant") -> None:
+        """Activate the sibling after ``child``, or resume self after
+        the last child retires."""
+        index = self._children.index(child)
+        if index == len(self._children) - 1:
+            self._state = AccountantState.ACTIVE
+        else:
+            self._children[index + 1]._state = AccountantState.ACTIVE
+
+    def _retire_preceding_siblings(self, child: "PrivacyAccountant") -> None:
+        index = self._children.index(child)
+        if index == 0:
+            raise RuntimeError("First child has no preceding siblings")
+        self._children[index - 1].retire(force=True)
 
 
 class MakeInteractive(Measurement):
