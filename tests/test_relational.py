@@ -107,6 +107,29 @@ class TestTruncation:
         rows1 = sorted(map(tuple, truncate_large_groups(kv, ["k"], 2).collect()))
         rows2 = sorted(map(tuple, truncate_large_groups(shuffled, ["k"], 2).collect()))
         assert rows1 == rows2
+        # salted and unsalted plans select the identical row multiset
+        rows3 = sorted(
+            map(tuple, truncate_large_groups(kv, ["k"], 2, salt_buckets=1).collect())
+        )
+        assert rows1 == rows3
+
+    def test_truncate_large_groups_salted_plan(self, spark):
+        # a hot key must be pre-ranked per input-partition salt: the
+        # plan carries TWO Window nodes, the local one keyed by __salt
+        df = spark.range(0, 10_000, 1, 8).select(
+            (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+        )
+        out = truncate_large_groups(df, ["k"], 5)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("Window") >= 2
+        assert "__salt" in plan
+        # exact result: 5 rows per group, independent of partitioning
+        counts = [r["n"] for r in out.groupBy("k").agg(F.count("*").alias("n")).collect()]
+        assert counts == [5, 5, 5]
+        repartitioned = sorted(
+            map(tuple, truncate_large_groups(df.repartition(17), ["k"], 5).collect())
+        )
+        assert repartitioned == sorted(map(tuple, out.collect()))
 
     def test_drop_large_groups(self, spark, kv):
         out = drop_large_groups(kv, ["k"], 2)

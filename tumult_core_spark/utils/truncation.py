@@ -22,8 +22,11 @@ Physical deltas vs the reference, for 100 TB scale:
   interchangeable — any k of them is the same multiset.  Dropping it
   halves the shuffles: one window per truncation.
 
-Skew note: a single hot key concentrates its group in one task; the
-window shuffle is bounded by the threshold after the first pass.
+Skew note: ``truncate_large_groups`` runs a salted two-phase window
+(local top-k per input-partition salt, exact top-k over the bounded
+survivors), so a hot key is ranked by many tasks instead of
+concentrating its full group in one; the result is identical to the
+single global window.
 """
 
 from __future__ import annotations
@@ -40,15 +43,44 @@ def _row_hash(df: DataFrame) -> F.Column:
 
 
 def truncate_large_groups(
-    df: DataFrame, grouping_columns: List[str], threshold: int
+    df: DataFrame,
+    grouping_columns: List[str],
+    threshold: int,
+    salt_buckets: int = 32,
 ) -> DataFrame:
-    """Keep at most ``threshold`` hash-chosen rows per group."""
+    """Keep at most ``threshold`` hash-chosen rows per group.
+
+    Skew-safe two-phase window: a local pass keeps the top
+    ``threshold`` rows per (group, salt) — the salt is the input
+    partition id, so a hot key is ranked by up to ``salt_buckets``
+    tasks instead of collapsing onto one — and the exact pass ranks
+    the at most ``threshold * salt_buckets`` survivors per group.
+
+    The result is identical to a single global window and still
+    partition-independent: any row in a group's true hash-ordered
+    top-``threshold`` is by construction in the local top-``threshold``
+    of whichever salt bucket it landed in, so the pre-filter never
+    drops a winner, and the final pass uses only the deterministic
+    content-hash order.  ``salt_buckets=1`` (or 0) disables the local
+    pass.
+    """
     if threshold < 0:
         raise ValueError("threshold must be >= 0")
     if threshold == 0:
         return df.limit(0)
     cols = df.columns
-    w = Window.partitionBy(*grouping_columns).orderBy(_row_hash(df))
+    row_hash = F.xxhash64(*[F.col(c) for c in cols])
+    if salt_buckets and salt_buckets > 1:
+        salted = df.withColumn(
+            "__salt", (F.spark_partition_id() % salt_buckets).cast("int")
+        )
+        w_local = Window.partitionBy(*grouping_columns, "__salt").orderBy(row_hash)
+        df = (
+            salted.withColumn("__rn", F.row_number().over(w_local))
+            .filter(F.col("__rn") <= threshold)
+            .select(*cols)
+        )
+    w = Window.partitionBy(*grouping_columns).orderBy(row_hash)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= threshold)
