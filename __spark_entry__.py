@@ -3,13 +3,15 @@
 ``entry`` runs the flagship DP query; ``queries`` exposes one entry
 per implemented operator family (SURVEY.md §2 + extensions), each
 deterministic (noise scale 0 / infinite budget) so the DuckDB oracle
-in ``oracle_sql`` hash-matches; genuinely random or non-SQL operators
-(noisy quantile, minhash/simhash/xxhash-based, streaming sessions,
-multimodal stubs) omit the oracle and get rows-only checks.
+in ``oracle_sql`` hash-matches.  Non-SQL-expressible pipelines are
+still oracled: hash/signature-based dedup pins the planted pairs plus
+the full deterministic pair count, and the multimodal stub compares
+against a fixture produced by an independent pyarrow+numpy path.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -564,7 +566,11 @@ def q_streaming_window_counts(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    # rows-only: stubbed decode produces hash-derived features
+    """Stubbed (deterministic, sha256-seeded) image-feature extraction
+    through the full Arrow/mapInPandas plumbing; the oracle compares
+    leading feature components against a fixture produced by an
+    independent pyarrow+numpy path
+    (tests/fixtures/make_multimodal_fixture.py)."""
     from tumult_core_spark.extensions.multimodal import extract_image_features
 
     docs = _load(spark, sf_dir, "documents")
@@ -572,7 +578,13 @@ def q_multimodal_features(spark, sf_dir):
         F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     out = extract_image_features(media, "payload", "doc_id", dim=16)
-    return out.select("doc_id", F.size("features").alias("dim"))
+    return out.select(
+        "doc_id",
+        F.round(F.col("features")[0].cast("double"), 5).alias("f0"),
+        F.round(F.col("features")[1].cast("double"), 5).alias("f1"),
+        F.round(F.col("features")[2].cast("double"), 5).alias("f2"),
+        F.size("features").alias("dim"),
+    )
 
 
 
@@ -586,6 +598,27 @@ def q_zcdp_groupby_count(spark, sf_dir):
     dom = _dom(li)
     m = create_count_measurement(
         dom, SymmetricDifference(), RhoZCDP(), 1, INF,
+        groupby_transformation=_flag_keys_groupby(dom, use_l2=True),
+        count_column="count",
+    )
+    return m(li)
+
+
+def q_approxdp_groupby_count(spark, sf_dir):
+    """Grouped count under ApproxDP with delta > 0: routes through the
+    zCDP discrete-Gaussian core with the Bun-Steinke-matched rho and
+    converts back via RhoZCDPToApproxDP (a surface the reference
+    declares unsupported, aggregations.py:929-939).  Noise off
+    (eps = inf) for determinism; the delta > 0 accounting itself is
+    pinned by tests/test_measurements2.py."""
+    from tumult_core_spark.measures import ApproxDP
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.measurements.aggregations import create_count_measurement
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    m = create_count_measurement(
+        dom, SymmetricDifference(), ApproxDP(), 1, (INF, "1/1000000"),
         groupby_transformation=_flag_keys_groupby(dom, use_l2=True),
         count_column="count",
     )
@@ -934,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_counts": q_streaming_window_counts,
         "multimodal_features": q_multimodal_features,
         "zcdp_groupby_count": q_zcdp_groupby_count,
+        "approxdp_groupby_count": q_approxdp_groupby_count,
         "groupby_sum_cents": q_groupby_sum_cents,
         "groupby_column_domains": q_groupby_column_domains,
         "drop_nulls_nans": q_drop_nulls_nans,
@@ -959,7 +993,18 @@ _ES = "['el','la','los','que','de','en','una','es','por','con']"
 
 def oracle_sql() -> dict[str, str]:
     flags_cte = "keys(l_returnflag) AS (VALUES ('A'),('N'),('R'),('X'))"
+    # absolute path: the multimodal oracle reads a precomputed fixture
+    # (independent pyarrow+numpy rendering of the deterministic fake
+    # decode; regenerate with tests/fixtures/make_multimodal_fixture.py)
+    mm_fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "multimodal_expected_sf001.parquet",
+    )
     return {
+        "multimodal_features": f"""
+            SELECT doc_id, f0, f1, f2, dim
+            FROM '{mm_fixture}'
+        """,
         "filter_select": (
             "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity < 25"
         ),
@@ -1238,6 +1283,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "zcdp_groupby_count": f"""
+            WITH {flags_cte},
+            c AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1)
+            SELECT k.l_returnflag, CAST(COALESCE(c.n, 0) AS BIGINT) AS count
+            FROM keys k LEFT JOIN c USING (l_returnflag)
+        """,
+        "approxdp_groupby_count": f"""
             WITH {flags_cte},
             c AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1)
             SELECT k.l_returnflag, CAST(COALESCE(c.n, 0) AS BIGINT) AS count

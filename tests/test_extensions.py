@@ -253,9 +253,100 @@ class TestMultimodal:
     def test_real_decode_raises(self, spark, media):
         import pytest as _pytest
 
+        # random-bytes payloads are no codec-free format: 'real' raises
         feats = extract_image_features(media, "payload", "media_id", fake=False)
         with _pytest.raises(Exception):
             feats.collect()
+
+    @staticmethod
+    def _ppm(w, h, rgb):
+        import numpy as np
+
+        img = np.full((h, w, 3), rgb, dtype=np.uint8)
+        return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+    def test_real_ppm_decode_features(self, spark):
+        # uncompressed PPM decodes FOR REAL: features reflect pixel
+        # content (uniform white -> equal segments; differs from gray)
+        import numpy as np
+
+        rows = [(0, bytearray(self._ppm(8, 8, (255, 255, 255)))),
+                (1, bytearray(self._ppm(8, 8, (32, 32, 32))))]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        feats = {
+            r["media_id"]: r["features"]
+            for r in extract_image_features(
+                df, "payload", "media_id", dim=4, decoder="real"
+            ).collect()
+        }
+        assert np.allclose(feats[0], [0.5, 0.5, 0.5, 0.5], atol=1e-6)
+        assert np.allclose(feats[1], [0.5, 0.5, 0.5, 0.5], atol=1e-6)
+        # real decode is content-driven, not hash-driven: identical
+        # images with different bytes (comment in header) match
+        body = np.full((8, 8, 3), 32, dtype=np.uint8).tobytes()
+        with_comment = b"P6\n# c\n8 8\n255\n" + body
+        df2 = spark.createDataFrame(
+            [(2, bytearray(with_comment))], "media_id long, payload binary"
+        )
+        f2 = extract_image_features(df2, "payload", "media_id", dim=4, decoder="real")
+        assert np.allclose(f2.collect()[0]["features"], feats[1], atol=1e-6)
+
+    def test_real_resize_roundtrip(self, spark):
+        from tumult_core_spark.extensions.multimodal import _decode_pnm
+
+        df = spark.createDataFrame(
+            [(0, bytearray(self._ppm(8, 6, (10, 200, 30))))],
+            "media_id long, payload binary",
+        )
+        out = resize_images(df, "payload", "media_id", 4, 3, decoder="real").collect()
+        img = _decode_pnm(bytes(out[0]["resized"]))
+        assert img is not None and img.shape == (3, 4, 3)
+        assert (img[0, 0] == [10, 200, 30]).all()
+
+    def test_real_bmp_decode(self):
+        import struct
+
+        import numpy as np
+
+        from tumult_core_spark.extensions.multimodal import _decode_bmp
+
+        # 2x2 24-bit BI_RGB BMP, bottom-up, rows padded to 4 bytes:
+        # top row red/green, bottom row blue/white
+        def bgr(r, g, b):
+            return bytes([b, g, r])
+
+        row_top = bgr(255, 0, 0) + bgr(0, 255, 0) + b"\x00\x00"
+        row_bot = bgr(0, 0, 255) + bgr(255, 255, 255) + b"\x00\x00"
+        pixels = row_bot + row_top  # bottom-up storage
+        header = (
+            b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixels), 0, 0, 0, 0)
+        )
+        img = _decode_bmp(header + pixels)
+        assert img is not None and img.shape == (2, 2, 3)
+        assert (img[0, 0] == [255, 0, 0]).all() and (img[0, 1] == [0, 255, 0]).all()
+        assert (img[1, 0] == [0, 0, 255]).all() and (img[1, 1] == [255, 255, 255]).all()
+
+    def test_real_wav_decode(self, spark):
+        import struct
+
+        import numpy as np
+
+        rate, secs = 8000, 0.5
+        n = int(rate * secs)
+        x = (np.sin(2 * np.pi * 440 * np.arange(n) / rate) * 20000).astype("<i2")
+        data = x.tobytes()
+        wav = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        df = spark.createDataFrame([(0, bytearray(wav))], "media_id long, payload binary")
+        out = audio_features(df, "payload", "media_id", dim=8, decoder="real").collect()
+        assert out[0]["duration_ms"] == 500
+        feats = np.array(out[0]["features"])
+        # constant-amplitude sine: every RMS window carries equal energy
+        assert np.allclose(feats, feats[0], atol=1e-3)
 
 
 class TestStreaming:

@@ -21,6 +21,7 @@ from tumult_core_spark.metrics import (
 from tumult_core_spark.measurements.aggregations import (
     create_bounds_measurement,
     create_count_measurement,
+    create_sum_measurement,
 )
 from tumult_core_spark.measurements.quantile import create_quantile_measurement
 from tumult_core_spark.measurements.interactive import (
@@ -379,6 +380,54 @@ class TestInteractive:
         assert acct.state == AccountantState.ACTIVE
         assert acct.privacy_budget.value == 1
         assert abs(counts[0] - 100) < 50 and abs(counts[1] - 101) < 50
+
+    def test_approxdp_delta_routing(self, spark, values):
+        """ApproxDP with delta > 0 routes through the zCDP discrete-
+        Gaussian core; the Bun-Steinke-matched rho converts back to
+        EXACTLY the requested (eps, delta).  The reference raises
+        'not yet supported' here (aggregations.py:929-939)."""
+        import sympy as sp
+
+        from tumult_core_spark.measures import ApproxDP
+        from tumult_core_spark.measurements.converters import RhoZCDPToApproxDP
+        from tumult_core_spark.measurements.noise import AddDiscreteGaussianNoise
+
+        dom = v_domain()
+        gb = create_groupby_from_list_of_keys(
+            dom, SymmetricDifference(), True, ["g"], [("a",), ("b",)]
+        )
+        m = create_count_measurement(
+            dom, SymmetricDifference(), ApproxDP(), 1, (2, "1/100000"),
+            groupby_transformation=gb,
+        )
+        eps, delta = m.privacy_function(1)
+        assert sp.simplify(eps.expr - 2) == 0
+        assert delta == ExactNumber("1/100000")
+        assert isinstance(m, RhoZCDPToApproxDP)
+        # the core runs a discrete-Gaussian column mechanism
+        assert m.privacy_relation(1, (2, "1/100000"))
+        assert not m.privacy_relation(1, ("3/2", "1/100000"))
+        out = m(values)
+        assert out.count() == 2
+
+        # delta = 0 still routes through PureDP/Geometric
+        gb1 = create_groupby_from_list_of_keys(
+            dom, SymmetricDifference(), False, ["g"], [("a",), ("b",)]
+        )
+        m0 = create_count_measurement(
+            dom, SymmetricDifference(), ApproxDP(), 1, (2, 0),
+            groupby_transformation=gb1,
+        )
+        assert m0.privacy_function(1) == (ExactNumber(2), ExactNumber(0))
+
+        # sum with delta > 0 takes the same route
+        ms = create_sum_measurement(
+            dom, SymmetricDifference(), ApproxDP(), 1, (1, "1/100000"),
+            measure_column="x", lower=0, upper=200,
+            groupby_transformation=gb,
+        )
+        eps_s, delta_s = ms.privacy_function(1)
+        assert sp.simplify(eps_s.expr - 1) == 0 and delta_s == ExactNumber("1/100000")
 
     def test_accountant_sibling_ordering(self, spark, values):
         """Sequential-adaptive child order (reference

@@ -149,17 +149,35 @@ class ExactNumber:
         result = self.__eq__(other)
         return NotImplemented if result is NotImplemented else not result
 
+    def _compare(self, other: ExactNumberInput, op) -> bool:
+        """Order comparison with a symbolic fallback: sympy refuses to
+        decide relational truth for structurally complex (e.g. nested
+        radical) expressions even when the difference simplifies — as
+        with the Bun-Steinke zCDP->ApproxDP epsilon, which is exactly
+        the requested epsilon but arrives as
+        ``(sqrt(L+e)-sqrt(L))**2 + 2 sqrt(...) sqrt(L)``.  Expand and
+        simplify the difference first, then compare against zero."""
+        o = self._coerce(other)
+        try:
+            return bool(op(self._expr, o))
+        except TypeError:
+            diff = sp.simplify(sp.expand(self._expr - o))
+            try:
+                return bool(op(diff, sp.Integer(0)))
+            except TypeError:
+                return bool(op(diff.evalf(50), 0))
+
     def __lt__(self, other: ExactNumberInput) -> bool:
-        return bool(self._expr < self._coerce(other))
+        return self._compare(other, lambda a, b: a < b)
 
     def __le__(self, other: ExactNumberInput) -> bool:
-        return bool(self._expr <= self._coerce(other))
+        return self._compare(other, lambda a, b: a <= b)
 
     def __gt__(self, other: ExactNumberInput) -> bool:
-        return bool(self._expr > self._coerce(other))
+        return self._compare(other, lambda a, b: a > b)
 
     def __ge__(self, other: ExactNumberInput) -> bool:
-        return bool(self._expr >= self._coerce(other))
+        return self._compare(other, lambda a, b: a >= b)
 
     def __hash__(self) -> int:
         return hash(self._expr)

@@ -4,21 +4,26 @@ Media payloads are opaque ``binary`` columns plus typed metadata; all
 per-item processing (decode, feature extraction, resize, frame
 sampling) runs as Arrow-batched ``mapInPandas`` over the binary
 column, so the Spark-side contract — schema, partitioning, UDF
-signature, batch shape — is real and tested even though the actual
-codecs are NOT available in this environment.
+signature, batch shape — is identical whatever the decoder.
 
-Decoding is therefore STUBBED: with ``fake=True`` (default) each stub
-derives a deterministic payload-dependent result (sha256-seeded), so
-pipelines are testable end-to-end; with ``fake=False`` the stubs raise
-``NotImplementedError`` at the point where a real codec (Pillow,
-ffmpeg, torchaudio) would be called.  Swapping in real decoders
-changes only the inner per-batch function, never the Spark plan.
+Decoders are REAL for the container formats that need no external
+codec — uncompressed PPM (P6) / PGM (P5) images, uncompressed BI_RGB
+BMP (24/32-bit), and 8/16-bit PCM WAV audio — implemented in pure
+NumPy.  Compressed formats (JPEG/PNG/MP3/MP4...) need Pillow/ffmpeg,
+which are NOT available in this environment; per the ``decoder``
+mode they either fall back to a deterministic sha256-seeded stub
+(``"auto"``, default — keeps pipelines runnable end-to-end) or raise
+``NotImplementedError`` at the exact point a real codec would slot in
+(``"real"``).  ``"fake"`` forces the stub for every payload.
+Swapping in full codecs changes only the inner per-batch decode
+function, never the Spark plan.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator, List, Optional
+import struct
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -33,6 +38,13 @@ MEDIA_METADATA_FIELDS = [
     T.StructField("height", T.IntegerType(), True),
     T.StructField("duration_ms", T.LongType(), True),
 ]
+
+_DECODER_MODES = ("auto", "real", "fake")
+
+
+def _check_mode(decoder: str) -> None:
+    if decoder not in _DECODER_MODES:
+        raise ValueError(f"decoder must be one of {_DECODER_MODES}, got {decoder!r}")
 
 
 def attach_media_metadata(
@@ -51,6 +63,128 @@ def attach_media_metadata(
     )
 
 
+# ---------------------------------------------------------------------------
+# Real decoders (pure NumPy, codec-free formats)
+# ---------------------------------------------------------------------------
+
+
+def _decode_pnm(payload: bytes) -> Optional[np.ndarray]:
+    """Binary PPM (P6) / PGM (P5) -> HxWxC uint8 array, or None."""
+    if payload[:2] not in (b"P6", b"P5"):
+        return None
+    channels = 3 if payload[:2] == b"P6" else 1
+    # header: magic, width, height, maxval as whitespace-separated
+    # tokens with '#' comments; pixel data starts after the single
+    # whitespace byte following maxval
+    pos, fields = 2, []
+    n = len(payload)
+    while len(fields) < 3 and pos < n:
+        c = payload[pos]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == ord("#"):
+            while pos < n and payload[pos] not in b"\r\n":
+                pos += 1
+        elif chr(c).isdigit():
+            start = pos
+            while pos < n and chr(payload[pos]).isdigit():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        else:
+            return None
+    if len(fields) < 3 or pos >= n:
+        return None
+    width, height, maxval = fields
+    if not (0 < width and 0 < height and 0 < maxval < 256):
+        return None
+    pos += 1  # the single whitespace after maxval
+    need = width * height * channels
+    data = payload[pos : pos + need]
+    if len(data) < need:
+        return None
+    return np.frombuffer(data, dtype=np.uint8).reshape(height, width, channels)
+
+
+def _decode_bmp(payload: bytes) -> Optional[np.ndarray]:
+    """Uncompressed (BI_RGB) 24/32-bit BMP -> HxWx3 uint8, or None."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        return None
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        return None
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+        return None
+    bottom_up = height > 0
+    height = abs(height)
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3  # rows pad to 4 bytes
+    need = stride * height
+    if len(payload) < data_offset + need:
+        return None
+    raw = np.frombuffer(payload, dtype=np.uint8, count=need, offset=data_offset)
+    rows = raw.reshape(height, stride)[:, : width * bytes_pp]
+    img = rows.reshape(height, width, bytes_pp)[:, :, :3][:, :, ::-1]  # BGR -> RGB
+    return img[::-1] if bottom_up else img
+
+
+def _decode_image_real(payload: bytes) -> Optional[np.ndarray]:
+    """Decode codec-free formats; None means 'needs a real codec'."""
+    return _decode_pnm(payload) if payload[:1] == b"P" else _decode_bmp(payload)
+
+
+def _decode_wav(payload: bytes) -> Optional[Tuple[np.ndarray, int]]:
+    """8/16-bit PCM WAV -> (float64 mono samples in [-1, 1], rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE" or len(payload) < 44:
+        return None
+    pos, n = 12, len(payload)
+    rate = channels = bits = None
+    samples = None
+    while pos + 8 <= n:
+        chunk_id = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if chunk_id == b"fmt ":
+            if len(body) < 16:
+                return None
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt != 1 or bits not in (8, 16) or not channels or not rate:
+                return None  # non-PCM needs a real codec
+        elif chunk_id == b"data":
+            samples = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        return None
+    if bits == 16:
+        x = np.frombuffer(samples, dtype="<i2")[: len(samples) // 2].astype(np.float64)
+        x /= 32768.0
+    else:
+        x = np.frombuffer(samples, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    if channels > 1:
+        x = x[: len(x) - len(x) % channels].reshape(-1, channels).mean(axis=1)
+    return x, rate
+
+
+def _segment_pool(values: np.ndarray, dim: int) -> np.ndarray:
+    """Mean over ``dim`` contiguous segments (the codec-free feature
+    extractor: a deterministic global-average-pool 'encoder')."""
+    if len(values) == 0:
+        return np.zeros(dim)
+    bounds = np.linspace(0, len(values), dim + 1).astype(np.int64)
+    sums = np.add.reduceat(values, bounds[:-1])
+    counts = np.maximum(np.diff(bounds), 1)
+    return sums / counts
+
+
+def _unit_norm(v: np.ndarray) -> np.ndarray:
+    return (v / max(float(np.linalg.norm(v)), 1e-12)).astype(np.float32)
+
+
 def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic unit-norm pseudo-embedding from the payload hash."""
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
@@ -59,19 +193,36 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     return v / max(float(np.linalg.norm(v)), 1e-12)
 
 
+def _codec_error(what: str) -> NotImplementedError:
+    return NotImplementedError(
+        f"real {what} requires codecs (Pillow/ffmpeg) not present in this "
+        "environment; only uncompressed PPM/PGM/BMP/PCM-WAV decode "
+        "codec-free — use decoder='auto' to fall back to the "
+        "deterministic stub for other formats"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+
 def extract_image_features(
     df: DataFrame,
     binary_col: str,
     id_col: str,
     dim: int = 64,
-    fake: bool = True,
+    decoder: str = "auto",
+    fake: Optional[bool] = None,
 ) -> DataFrame:
     """(id, features array<float>) per image payload.
 
-    Real implementation point: decode with Pillow + run a vision
-    encoder inside the batch loop.  Batch shape and output schema are
-    identical for the real and fake paths.
+    Supported payloads (PPM/PGM/BMP) decode for real and featurize as
+    unit-normalized mean-pooled grayscale intensity over ``dim``
+    segments; other formats follow ``decoder`` mode.  ``fake=True/False``
+    is the legacy spelling of ``decoder="fake"/"real"``.
     """
+    decoder = _legacy_mode(decoder, fake)
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
@@ -79,20 +230,28 @@ def extract_image_features(
         ]
     )
 
+    def one(payload: bytes) -> List[float]:
+        img = _decode_image_real(payload) if decoder != "fake" else None
+        if img is not None:
+            gray = img.mean(axis=2).ravel() / 255.0
+            return _unit_norm(_segment_pool(gray, dim)).tolist()
+        if decoder == "real":
+            raise _codec_error("image decode")
+        return _fake_features(payload, dim).tolist()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires Pillow/codecs not present in this "
-                    "environment; run with fake=True for the deterministic stub"
-                )
-            feats = [
-                _fake_features(bytes(b) if b is not None else b"", dim).tolist()
-                for b in pdf[binary_col]
-            ]
+            feats = [one(bytes(b) if b is not None else b"") for b in pdf[binary_col]]
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "features": feats})
 
     return df.select(id_col, binary_col).mapInPandas(run, schema=out_schema)
+
+
+def _legacy_mode(decoder: str, fake: Optional[bool]) -> str:
+    if fake is not None:
+        decoder = "fake" if fake else "real"
+    _check_mode(decoder)
+    return decoder
 
 
 def resize_images(
@@ -101,14 +260,17 @@ def resize_images(
     id_col: str,
     width: int,
     height: int,
-    fake: bool = True,
+    decoder: str = "auto",
+    fake: Optional[bool] = None,
 ) -> DataFrame:
-    """(id, resized binary, width, height) — stubbed resize.
+    """(id, resized binary, width, height).
 
-    The fake path emits a deterministic payload (hash of input +
-    target size) with the declared dimensions so downstream schema
-    logic is exercised.
+    Supported formats resample for real (nearest-neighbor) and are
+    re-emitted as binary PPM (P6), so resized outputs round-trip
+    through this module's own decoder; other formats follow
+    ``decoder`` mode (the stub emits a deterministic payload hash).
     """
+    decoder = _legacy_mode(decoder, fake)
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
@@ -118,16 +280,24 @@ def resize_images(
         ]
     )
 
+    def one(payload: bytes) -> bytes:
+        img = _decode_image_real(payload) if decoder != "fake" else None
+        if img is not None:
+            h, w = img.shape[:2]
+            rows = (np.arange(height) * h // height).clip(0, h - 1)
+            cols = (np.arange(width) * w // width).clip(0, w - 1)
+            resized = img[rows][:, cols]
+            if resized.shape[2] == 1:
+                resized = np.repeat(resized, 3, axis=2)
+            header = f"P6\n{width} {height}\n255\n".encode()
+            return header + resized.astype(np.uint8).tobytes()
+        if decoder == "real":
+            raise _codec_error("image resize")
+        return hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real image resize requires Pillow")
-            payloads = [
-                hashlib.sha256(
-                    (bytes(b) if b is not None else b"") + f"{width}x{height}".encode()
-                ).digest()
-                for b in pdf[binary_col]
-            ]
+            payloads = [one(bytes(b) if b is not None else b"") for b in pdf[binary_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),
@@ -145,10 +315,17 @@ def sample_video_frames(
     binary_col: str,
     id_col: str,
     num_frames: int = 4,
-    fake: bool = True,
+    decoder: str = "auto",
+    fake: Optional[bool] = None,
 ) -> DataFrame:
     """Explode each video payload into ``num_frames`` frame rows:
-    (id, frame_index, frame binary).  Stubbed frame extraction."""
+    (id, frame_index, frame binary).
+
+    Video containers (MP4/WebM/...) always need ffmpeg, so there is no
+    codec-free real path: ``decoder="real"`` raises at the extraction
+    point and ``"auto"``/``"fake"`` emit deterministic stub frames.
+    """
+    decoder = _legacy_mode(decoder, fake)
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
@@ -159,8 +336,8 @@ def sample_video_frames(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real frame sampling requires ffmpeg")
+            if decoder == "real":
+                raise _codec_error("video frame sampling")
             ids: List[int] = []
             idxs: List[int] = []
             frames: List[bytes] = []
@@ -184,9 +361,17 @@ def audio_features(
     binary_col: str,
     id_col: str,
     dim: int = 32,
-    fake: bool = True,
+    decoder: str = "auto",
+    fake: Optional[bool] = None,
 ) -> DataFrame:
-    """(id, features array<float>, duration_ms) — stubbed audio decode."""
+    """(id, features array<float>, duration_ms).
+
+    PCM WAV decodes for real: features are unit-normalized per-segment
+    RMS energy over ``dim`` windows and ``duration_ms`` comes from the
+    sample count and rate.  Other formats follow ``decoder`` mode
+    (stub: hash features, payload length as duration).
+    """
+    decoder = _legacy_mode(decoder, fake)
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
@@ -195,15 +380,23 @@ def audio_features(
         ]
     )
 
+    def one(payload: bytes) -> Tuple[List[float], int]:
+        decoded = _decode_wav(payload) if decoder != "fake" else None
+        if decoded is not None:
+            x, rate = decoded
+            rms = np.sqrt(_segment_pool(x * x, dim))
+            return _unit_norm(rms).tolist(), int(len(x) * 1000 // rate)
+        if decoder == "real":
+            raise _codec_error("audio decode")
+        return _fake_features(payload, dim).tolist(), len(payload)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real audio decode requires torchaudio/ffmpeg")
             feats, durs = [], []
             for b in pdf[binary_col]:
-                payload = bytes(b) if b is not None else b""
-                feats.append(_fake_features(payload, dim).tolist())
-                durs.append(len(payload))
+                f, d = one(bytes(b) if b is not None else b"")
+                feats.append(f)
+                durs.append(d)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].to_numpy(),

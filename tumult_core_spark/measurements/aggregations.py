@@ -13,14 +13,18 @@ the reference factory layer (``tmlt/core/measurements/aggregations.py``):
 * quantile:                [GroupBy ->] exponential mechanism per group
 * partition_selection:     exact (epsilon, delta) -> (alpha, tau) solve
 
-ApproxDP requests route through PureDP (delta = 0; Laplace/Geometric
-support no delta > 0) exactly as the reference does
-(``aggregations.py:898-947``).
+ApproxDP requests with delta = 0 route through PureDP exactly as the
+reference does (``aggregations.py:898-947``); delta > 0 routes through
+zCDP with the Bun-Steinke-matched rho and converts back via
+``RhoZCDPToApproxDP`` (a strict superset of the reference, which
+raises "not yet supported" for that combination).
 """
 
 from __future__ import annotations
 
 from enum import Enum
+
+import sympy as sp
 from typing import Any, Callable, List, Optional, Tuple
 
 from pyspark.sql import DataFrame
@@ -73,28 +77,31 @@ def _default_mechanism(measure: Measure, integral: bool) -> NoiseMechanism:
     return NoiseMechanism.GEOMETRIC if integral else NoiseMechanism.LAPLACE
 
 
-def _core_measure(output_measure: Measure) -> Measure:
-    """ApproxDP routes through PureDP; others pass through."""
-    return PureDP() if isinstance(output_measure, ApproxDP) else output_measure
+def _route_measure(output_measure: Measure, d_out):
+    """(core measure, core d_out, wrapper) for the requested measure.
 
-
-def _unwrap_d_out(output_measure: Measure, d_out) -> ExactNumber:
-    """Extract the epsilon-like scalar the core mechanism must meet."""
-    if isinstance(output_measure, ApproxDP):
-        eps, delta = ExactNumber(d_out[0]), ExactNumber(d_out[1])
-        if delta != 0:
-            raise ValueError(
-                "delta > 0 is not supported for Laplace/Geometric-based "
-                "aggregations; use partition selection or zCDP mechanisms"
-            )
-        return eps
-    return ExactNumber(d_out)
-
-
-def _wrap_measure(measurement: Measurement, output_measure: Measure) -> Measurement:
-    if isinstance(output_measure, ApproxDP):
-        return PureDPToApproxDP(measurement)
-    return measurement
+    ApproxDP with ``delta == 0`` routes through PureDP
+    (Laplace/Geometric, ``PureDPToApproxDP``).  With ``delta > 0`` it
+    routes through zCDP (Gaussian mechanisms) with the budget chosen
+    so the Bun–Steinke conversion ``eps(rho, delta) = rho +
+    2 sqrt(rho ln(1/delta))`` exactly meets the requested epsilon:
+    ``rho = (sqrt(L + eps) - sqrt(L))**2`` with ``L = ln(1/delta)``,
+    wrapped back by ``RhoZCDPToApproxDP``.  (The reference declares
+    this routing "not yet supported" — ``aggregations.py:929-939`` —
+    and raises; here it is implemented, which is a strict superset of
+    the reference surface.)
+    """
+    if not isinstance(output_measure, ApproxDP):
+        return output_measure, ExactNumber(d_out), lambda m: m
+    eps, delta = ExactNumber(d_out[0]), ExactNumber(d_out[1])
+    if delta == 0:
+        return PureDP(), eps, PureDPToApproxDP
+    if not eps.is_finite or eps == 0:
+        # zero/infinite epsilon passes straight through the zCDP core
+        return RhoZCDP(), eps, (lambda m: RhoZCDPToApproxDP(m, delta))
+    L = sp.log(1 / delta.expr)
+    rho = (sp.sqrt(L + eps.expr) - sp.sqrt(L)) ** 2
+    return RhoZCDP(), ExactNumber(rho), (lambda m: RhoZCDPToApproxDP(m, delta))
 
 
 def _make_mechanism(
@@ -144,8 +151,7 @@ def _create_count_like(
     groupby_transformation: Optional[GroupBy],
     count_column: str,
 ) -> Measurement:
-    core = _core_measure(output_measure)
-    eps_like = _unwrap_d_out(output_measure, d_out)
+    core, eps_like, wrap = _route_measure(output_measure, d_out)
     mechanism = noise_mechanism or _default_mechanism(core, integral=True)
     _check_mechanism_measure(mechanism, core)
     d_in_e = ExactNumber(d_in)
@@ -171,7 +177,7 @@ def _create_count_like(
         mech = AddNoiseToSeries(_make_mechanism(mechanism, scale, NumpyIntegerDomain()))
         noise = AddNoiseToColumn(count_t.output_domain, mech, count_column)
         m = ChainTM(chained, noise)
-    return _assert_privacy(_wrap_measure(m, output_measure), d_in_e, d_out)
+    return _assert_privacy(wrap(m), d_in_e, d_out)
 
 
 def create_count_measurement(
@@ -248,8 +254,7 @@ def create_sum_measurement(
     groupby_transformation: Optional[GroupBy] = None,
     sum_column: Optional[str] = None,
 ) -> Measurement:
-    core = _core_measure(output_measure)
-    eps_like = _unwrap_d_out(output_measure, d_out)
+    core, eps_like, wrap = _route_measure(output_measure, d_out)
     integral = isinstance(input_domain[measure_column], SparkIntegerColumnDescriptor)
     mechanism = noise_mechanism or _default_mechanism(core, integral=integral)
     _check_mechanism_measure(mechanism, core)
@@ -275,7 +280,7 @@ def create_sum_measurement(
         mech = AddNoiseToSeries(_make_mechanism(mechanism, scale, scalar_domain))
         noise = AddNoiseToColumn(sum_t.output_domain, mech, sum_t.sum_column)
         m = ChainTM(chained, noise)
-    return _assert_privacy(_wrap_measure(m, output_measure), d_in_e, d_out)
+    return _assert_privacy(wrap(m), d_in_e, d_out)
 
 
 # ---------------------------------------------------------------------------
@@ -531,23 +536,25 @@ def create_bounds_measurement(
     from .converters import PureDPToRhoZCDP
     from .spark import SparseVectorPrefixSums
 
-    if isinstance(output_measure, ApproxDP):
-        eps, delta = ExactNumber(d_out[0]), ExactNumber(d_out[1])
-        if delta != 0:
-            raise ValueError("delta > 0 unsupported for bounds; use zCDP or PureDP")
-        return PureDPToApproxDP(
-            create_bounds_measurement(
-                input_domain, input_metric, PureDP(), eps, measure_column,
-                threshold, d_in, groupby_transformation,
-                upper_bound_column, lower_bound_column,
+    if not isinstance(output_measure, PureDP):
+        core, core_d_out, wrap = _route_measure(output_measure, d_out)
+        if isinstance(core, RhoZCDP):
+            # SVT is a pure-DP primitive: spend rho as eps = sqrt(2 rho)
+            # (PureDPToRhoZCDP); ApproxDP delta > 0 then converts the
+            # rho back via RhoZCDPToApproxDP (Bun-Steinke)
+            eps = ExactNumber(sp.sqrt((2 * core_d_out).expr))
+            return wrap(
+                PureDPToRhoZCDP(
+                    create_bounds_measurement(
+                        input_domain, input_metric, PureDP(), eps, measure_column,
+                        threshold, d_in, groupby_transformation,
+                        upper_bound_column, lower_bound_column,
+                    )
+                )
             )
-        )
-    if isinstance(output_measure, RhoZCDP):
-        rho = ExactNumber(d_out)
-        eps = ExactNumber(sp.sqrt((2 * rho).expr))
-        return PureDPToRhoZCDP(
+        return wrap(
             create_bounds_measurement(
-                input_domain, input_metric, PureDP(), eps, measure_column,
+                input_domain, input_metric, PureDP(), core_d_out, measure_column,
                 threshold, d_in, groupby_transformation,
                 upper_bound_column, lower_bound_column,
             )
@@ -672,8 +679,10 @@ class FusedMomentsMeasurement(Measurement):
         postprocess,
         noise_mechanism: Optional[NoiseMechanism] = None,
     ):
-        core = _core_measure(output_measure)
-        eps_like = _unwrap_d_out(output_measure, d_out)
+        core, eps_like, _ = _route_measure(output_measure, d_out)
+        self._delta = (
+            ExactNumber(d_out[1]) if isinstance(output_measure, ApproxDP) else None
+        )
         n_stats = 3 if include_squares else 2
         share = eps_like / n_stats
         d_in_e = ExactNumber(d_in)
@@ -754,7 +763,14 @@ class FusedMomentsMeasurement(Measurement):
                 s = stability
             total = total + ExactNumber(mech.privacy_function(s))
         if isinstance(self._output_measure_outer, ApproxDP):
-            return (total, ExactNumber(0))
+            if self._delta is None or self._delta == 0:
+                return (total, ExactNumber(0))
+            # core ran under zCDP: convert the summed rho back to
+            # (eps, delta) exactly as RhoZCDPToApproxDP does
+            if not total.is_finite or total == 0:
+                return (total, self._delta)
+            eps = total.expr + 2 * sp.sqrt(total.expr * sp.log(1 / self._delta.expr))
+            return (ExactNumber(eps), self._delta)
         return total
 
     def _agg_exprs(self):
