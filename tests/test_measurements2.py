@@ -429,6 +429,20 @@ class TestInteractive:
         eps_s, delta_s = ms.privacy_function(1)
         assert sp.simplify(eps_s.expr - 1) == 0 and delta_s == ExactNumber("1/100000")
 
+        # quantile supports ApproxDP too (delta = 0 and delta > 0)
+        mq0 = create_quantile_measurement(
+            dom, SymmetricDifference(), ApproxDP(), 1, (1, 0),
+            measure_column="x", quantile=0.5, lower=0, upper=200,
+        )
+        assert mq0.privacy_function(1) == (ExactNumber(1), ExactNumber(0))
+        mq = create_quantile_measurement(
+            dom, SymmetricDifference(), ApproxDP(), 1, (1, "1/100000"),
+            measure_column="x", quantile=0.5, lower=0, upper=200,
+        )
+        eps_q, delta_q = mq.privacy_function(1)
+        assert sp.simplify(eps_q.expr - 1) == 0 and delta_q == ExactNumber("1/100000")
+        assert 0 <= float(mq(values)) <= 200
+
     def test_accountant_sibling_ordering(self, spark, values):
         """Sequential-adaptive child order (reference
         interactive_measurements.py:769-851): only child 0 starts

@@ -35,7 +35,7 @@ from ..domains import (
     SparkGroupedDataFrameDomain,
 )
 from ..exact_number import ExactNumber, ExactNumberInput
-from ..measures import Measure, PureDP, RhoZCDP
+from ..measures import ApproxDP, Measure, PureDP, RhoZCDP
 from ..metrics import (
     Metric,
     RootSumOfSquared,
@@ -348,6 +348,22 @@ def create_quantile_measurement(
     from ..base import ChainTM, ChainTT
     from ..transformations.groupby import GroupBy
     from .composition import PostProcess
+
+    if isinstance(output_measure, ApproxDP):
+        # delta = 0 -> PureDP core; delta > 0 -> zCDP core at the
+        # Bun-Steinke-matched rho (same routing as the aggregation
+        # factories; reference supports only the delta = 0 form,
+        # aggregations.py:1775-1793)
+        from .aggregations import _route_measure
+
+        core, core_d_out, wrap = _route_measure(output_measure, d_out)
+        return wrap(
+            create_quantile_measurement(
+                input_domain, input_metric, core, d_in, core_d_out,
+                measure_column, quantile, lower, upper,
+                groupby_transformation, quantile_column,
+            )
+        )
 
     d_in_e = ExactNumber(d_in)
     d_out_e = ExactNumber(d_out)
