@@ -387,6 +387,62 @@ class TestStreaming:
         assert got == n_users
 
 
+class TestStatefulStreaming:
+    def test_stateful_sessionize_gap_and_timeout(self, spark, tmp_path):
+        """applyInPandasWithState sessionization: a later event closes
+        the open session (gap split across micro-batches), and a key
+        with no further events is flushed by the EVENT-TIME TIMEOUT
+        when the watermark passes last+gap."""
+        import datetime
+        import time as _time
+
+        from tumult_core_spark.streaming.ops import (
+            read_stream_parquet,
+            stateful_sessionize,
+            write_stream_memory,
+        )
+
+        d = str(tmp_path / "events_in")
+        t0 = datetime.datetime(2024, 1, 1)
+
+        def ts(s):
+            return t0 + datetime.timedelta(seconds=s)
+
+        schema = "user long, ts timestamp"
+        batches = [
+            [(1, ts(0)), (1, ts(10)), (1, ts(20)), (2, ts(0))],
+            [(1, ts(1000))],   # closes user 1's first session by gap
+            [(3, ts(2000))],   # advances the watermark -> user 2 times out
+        ]
+        for b in batches:  # distinct mtimes => deterministic batch order
+            spark.createDataFrame(b, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+            _time.sleep(1.05)
+
+        stream = read_stream_parquet(spark, d, max_files_per_trigger=1)
+        sess = stateful_sessionize(
+            stream, "user", "ts", gap="100 seconds", watermark="10 seconds"
+        )
+        q = write_stream_memory(sess, "stateful_sessions", output_mode="append")
+        q.awaitTermination(120)
+        rows = {
+            (
+                r["user"],
+                int((r["session_start"] - t0).total_seconds()),
+                int((r["session_end"] - t0).total_seconds()),
+                r["n_events"],
+            )
+            for r in spark.table("stateful_sessions").collect()
+        }
+        # user 1's first session: closed by the ts=1000 event (gap
+        # split across batches); user 2: closed by event-time timeout;
+        # user 1's second session: closed by timeout once the final
+        # watermark (1990s) passes 1000+gap.  user 3 (timeout 2100s)
+        # stays open and is correctly NOT emitted.
+        assert rows == {(1, 0, 20, 3), (2, 0, 0, 1), (1, 1000, 1000, 1)}
+
+
 class TestStreamingDP:
     def test_dp_windowed_counts(self, spark, sf_dir):
         from tumult_core_spark.streaming import read_stream_parquet

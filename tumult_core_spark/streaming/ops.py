@@ -115,6 +115,115 @@ def sessionize(
     )
 
 
+def stateful_sessionize(
+    stream: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState``.
+
+    Unlike :func:`sessionize` (built-in ``session_window``), this is
+    the explicit-state pattern for operators Spark has no built-in
+    for: per-user state ``(session_start, last_event, n_events)`` in
+    the state store, batches merged into it vectorized, sessions
+    emitted when a later event gap-splits them, and the final open
+    session emitted through an **event-time timeout** when the
+    watermark passes ``last_event + gap``.  Emits one row per CLOSED
+    session: (user, session_start, session_end, n_events).
+
+    State is per-key-partitioned by Spark's streaming state store, so
+    a hot user costs one state row, not a shuffle skew; each
+    micro-batch touches only keys with new data or expired timers.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ns = int(pd.Timedelta(gap).total_seconds() * 1_000_000_000)
+    out_schema = T.StructType(
+        [
+            T.StructField("user", T.LongType(), False),
+            T.StructField("session_start", T.TimestampType(), False),
+            T.StructField("session_end", T.TimestampType(), False),
+            T.StructField("n_events", T.LongType(), False),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start", T.LongType(), False),  # epoch ns
+            T.StructField("last", T.LongType(), False),
+            T.StructField("n", T.LongType(), False),
+        ]
+    )
+
+    def emit(user, sessions):
+        return pd.DataFrame(
+            {
+                "user": np.full(len(sessions), user, dtype=np.int64),
+                "session_start": pd.to_datetime([s[0] for s in sessions], unit="ns"),
+                "session_end": pd.to_datetime([s[1] for s in sessions], unit="ns"),
+                "n_events": np.array([s[2] for s in sessions], dtype=np.int64),
+            }
+        )
+
+    def fn(key, pdfs, state):
+        (user,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield emit(user, [(start, last, n)])
+            return
+        ts = np.sort(
+            np.concatenate(
+                [pdf[ts_col].to_numpy(dtype="datetime64[ns]").view("int64") for pdf in pdfs]
+            )
+        )
+        if len(ts) == 0:
+            return
+        closed = []
+        if state.exists:
+            start, last, n = state.get
+            if ts[0] - last <= gap_ns:
+                pass  # continues the open session
+            else:
+                closed.append((start, last, n))
+                start, last, n = None, None, 0
+        else:
+            start, last, n = None, None, 0
+        # split the batch timeline on gaps; fold into the open session
+        cuts = np.flatnonzero(np.diff(ts) > gap_ns)
+        bounds = np.concatenate(([0], cuts + 1, [len(ts)]))
+        for i in range(len(bounds) - 1):
+            seg = ts[bounds[i] : bounds[i + 1]]
+            if start is None:
+                start, last, n = int(seg[0]), int(seg[-1]), len(seg)
+            else:
+                last, n = int(seg[-1]), n + len(seg)
+            if i < len(bounds) - 2:  # a later segment closes this one
+                closed.append((start, last, n))
+                start, last, n = None, None, 0
+        state.update((start, last, n))
+        # fire when the event-time watermark passes last + gap
+        state.setTimeoutTimestamp((last + gap_ns) // 1_000_000)
+        if closed:
+            yield emit(user, closed)
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select(F.col(user_col).cast("long").alias("user"), F.col(ts_col))
+        .groupBy("user")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def write_stream_memory(
     stream: DataFrame, query_name: str, output_mode: str = "append"
 ) -> StreamingQuery:
