@@ -47,14 +47,20 @@ def cap_hot_buckets(
 ) -> DataFrame:
     """Truncate buckets larger than ``cap`` to their top-``cap`` members.
 
-    Two-pass, sort-free for the common case: the input is hash
-    repartitioned on the bucket key once (no sort), bucket sizes are
-    aggregated over that same exchange (Catalyst/AQE reuses it), and
-    only rows belonging to over-cap buckets — typically a tiny
-    minority — pay the ordered ``row_number`` window.  Rows in buckets
-    at or under the cap pass through untouched.  This replaces a full
-    shuffle+sort over the whole relation with one hash shuffle plus a
-    sort over just the hot rows.
+    Two-pass, sort-free for the common case: the input is persisted
+    (it is referenced by the size count, both sides of the hot/cold
+    split, and typically a downstream self-join — without the cache
+    Catalyst re-executes the whole upstream pipeline, including any
+    expensive signature ``mapInPandas``, once per branch: 8x in the
+    minhash plan), bucket sizes are one map-side-combined aggregation
+    over it, and only rows belonging to over-cap buckets — typically a
+    tiny minority — pay the ordered ``row_number`` window.  Rows in
+    buckets at or under the cap pass through untouched.  This replaces
+    a full shuffle+sort over the whole relation with a tiny count
+    shuffle plus a sort over just the hot rows.  MEMORY_AND_DISK:
+    banded rows are a few longs each, and spilling beats recomputing
+    a Python-UDF stage; Spark's ContextCleaner unpersists when the
+    result DataFrame is garbage collected.
 
     Membership in the kept subset is ordered by ``xxhash64(id, salt)``
     (id tiebreak) so it is deterministic under repartitioning and
@@ -66,14 +72,16 @@ def cap_hot_buckets(
     ``count(df)/cap`` entries and in practice only degenerate
     boilerplate buckets exceed the cap.
     """
-    parted = df.repartition(*[F.col(c) for c in bucket_cols])
-    sizes = parted.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bsz"))
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = df.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bsz"))
     hot = (
         sizes.filter(F.col("__bsz") > cap)
         .drop("__bsz")
         .withColumn("__hot", F.lit(True))
     )
-    flagged = parted.join(F.broadcast(hot), on=list(bucket_cols), how="left")
+    flagged = df.join(F.broadcast(hot), on=list(bucket_cols), how="left")
     cold = flagged.filter(F.col("__hot").isNull()).drop("__hot")
     hot_rows = flagged.filter(F.col("__hot").isNotNull()).drop("__hot")
     w = Window.partitionBy(*bucket_cols).orderBy(
