@@ -248,10 +248,16 @@ def embedding_near_duplicates(
         F.col(vector_col).cast("array<double>").alias("__vec"),
     )
     # one shuffle on the vector value itself: exact-duplicate groups,
-    # ids sorted so within-group pairs are already (low, high) ordered
+    # ids sorted so within-group pairs are already (low, high) ordered.
+    # Persisted: the group relation feeds the within-group expansion,
+    # the representative LSH index, and both sides of the member
+    # expansion — uncached, Catalyst would re-run the vector groupBy
+    # once per branch (plan showed the aggregate 4x+).
+    from pyspark import StorageLevel
+
     groups = raw.groupBy("__vec").agg(
         F.sort_array(F.collect_list("__id")).alias("__ids")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     ids = F.col("__ids")
     if exact_pairs == "all":
         pair_expr = F.flatten(
