@@ -291,6 +291,12 @@ def main():
     timings_min = {}
     for name, fn in BENCHES.items():
         try:
+            # level the field between workloads: drop caches left by a
+            # previous workload and let the JVM collect, so one
+            # workload's heap pressure doesn't surface as a GC pause
+            # inside the next one's timed run
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
             fn(spark)  # warmup
             runs = []
             for _ in range(3):

@@ -68,3 +68,71 @@ def test_noise_scale_inverts_puredp(d_in, eps):
 def test_noise_scale_inverts_zcdp(d_in, rho):
     s2 = calculate_noise_scale(Fraction(d_in), Fraction(rho), RhoZCDP())
     assert ExactNumber(Fraction(d_in)) ** 2 / (s2 * 2) == ExactNumber(Fraction(rho))
+
+
+@settings(max_examples=50, deadline=None)
+@given(pos_fractions, pos_fractions)
+def test_bun_steinke_radical_comparison(eps, delta_inv):
+    """The delta>0 routing identity: rho = (sqrt(L+eps)-sqrt(L))^2 with
+    L = ln(1/delta) converts back to exactly eps — exercises the
+    ExactNumber comparison fallback on nested radicals."""
+    import sympy as sp
+
+    L = sp.log(1 + delta_inv)  # any positive L works for the identity
+    e = sp.Rational(eps)
+    rho = (sp.sqrt(L + e) - sp.sqrt(L)) ** 2
+    back = ExactNumber(rho + 2 * sp.sqrt(rho * L))
+    target = ExactNumber(sp.Rational(eps))
+    assert back <= target
+    assert back >= target
+    assert not back < target
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=1, max_value=(1 << 53) - 1),
+       st.fractions(min_value=Fraction(1, 4), max_value=Fraction(50),
+                    max_denominator=64))
+def test_resolve_band_index_in_enclosure(m, scale):
+    """The rigorous fallback's band index always lies inside the
+    high-precision enclosure of floor(-scale ln u) over the prefix."""
+    import mpmath
+
+    from tumult_core_spark import samplers
+
+    r = samplers._resolve_band_index(m, 53, scale)
+    with mpmath.workprec(200):
+        s = mpmath.mpf(scale.numerator) / mpmath.mpf(scale.denominator)
+        a = -mpmath.log(mpmath.mpf(m) / 2**53) * s
+        b = -mpmath.log((mpmath.mpf(m) + 1) / 2**53) * s
+    assert int(mpmath.floor(b)) <= r <= int(mpmath.floor(a))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=1, max_value=9), st.integers(min_value=1, max_value=9),
+       st.randoms(use_true_random=False))
+def test_ppm_bmp_decode_roundtrip(w, h, rnd):
+    """Random pixels encoded as PPM and BMP decode back bit-identically
+    (incl. BMP bottom-up row order and 4-byte row padding)."""
+    import struct
+
+    import numpy as np
+
+    from tumult_core_spark.extensions.multimodal import _decode_bmp, _decode_pnm
+
+    img = np.array(
+        [[[rnd.randrange(256) for _ in range(3)] for _ in range(w)] for _ in range(h)],
+        dtype=np.uint8,
+    )
+    ppm = f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+    out = _decode_pnm(ppm)
+    assert out is not None and (out == img).all()
+
+    pad = b"\x00" * ((-w * 3) % 4)
+    rows = b"".join(img[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1))
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+        + rows
+    )
+    out2 = _decode_bmp(bmp)
+    assert out2 is not None and (out2 == img).all()

@@ -280,9 +280,9 @@ def select_noisy_argmax(
     # residual slack is the propagated log-chain rounding bound
     # ~2*eps*(1+|value|) per log, widened 64x, not a fixed heuristic.
     with np.errstate(divide="ignore", invalid="ignore"):
-        base = np.log(np.asarray(widths, dtype=float)) - np.asarray(
-            penalties, dtype=float
-        )
+        log_w = np.log(np.asarray(widths, dtype=float))
+        pen = np.asarray(penalties, dtype=float)
+        base = log_w - pen
         bits_f = bits.astype(np.float64)
         err_b = bits_f * 2.0**-52 + 2.0
         den = float(1 << n)
@@ -301,7 +301,16 @@ def select_noisy_argmax(
             np.inf,
         )
     mult = 64.0 * float(np.finfo(float).eps) if float_slack is None else float_slack
-    slack = mult * (1.0 + np.abs(base) + np.abs(g_lo) + np.abs(g_hi))
+    # scale with |log w| and |penalty| separately, not |base|: their
+    # rounding errors survive even when the subtraction cancels
+    with np.errstate(invalid="ignore"):
+        slack = mult * (
+            1.0
+            + np.abs(np.where(np.isfinite(log_w), log_w, 0.0))
+            + np.abs(pen)
+            + np.abs(g_lo)
+            + np.abs(g_hi)
+        )
     with np.errstate(invalid="ignore"):
         score_lo = base + g_lo - slack
         score_hi = base + g_hi + slack

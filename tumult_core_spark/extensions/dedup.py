@@ -256,17 +256,27 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     candidates: Optional[DataFrame] = None,
+    max_all_pairs_rows: int = 100_000,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with n-gram Jaccard >= threshold.
 
     With ``candidates`` (e.g. from LSH) the exact similarity is only
-    computed on those pairs; without, all pairs are compared (test
-    scale only — quadratic).
+    computed on those pairs; without, all pairs are compared — a
+    quadratic cross join guarded by ``max_all_pairs_rows`` (the scale
+    path is always LSH candidates first).
     """
     grams = df.select(
         F.col(id_col), word_ngrams(text_col, n).alias("__grams")
     )
     if candidates is None:
+        n_rows = df.count()
+        if n_rows > max_all_pairs_rows:
+            raise ValueError(
+                f"all-pairs n-gram Jaccard over {n_rows} rows exceeds "
+                f"max_all_pairs_rows={max_all_pairs_rows} (~{n_rows * (n_rows - 1) // 2} "
+                "pairs); pass LSH candidates (minhash_lsh_candidate_pairs) "
+                "or raise the bound explicitly"
+            )
         a = grams.alias("a")
         b = grams.alias("b")
         joined = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
