@@ -73,3 +73,30 @@ def test_grouped_count_is_partial_aggregated(spark, lineitem):
     assert plan.count("HashAggregate") >= 2  # partial + final
     # the keys fill-join runs as a broadcast hash join, not SMJ/NLJ
     assert "BroadcastHashJoin" in plan
+
+
+def test_capped_lsh_caches_banded_relation(spark, sf_dir):
+    """The two-pass bucket cap must read the banded relation from
+    cache on every branch — uncached, the signature mapInPandas stage
+    re-executes once per branch (8x in this plan)."""
+    from tumult_core_spark.extensions.dedup import minhash_lsh_candidate_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_candidate_pairs(docs, "doc_id", "text", 32, 8)
+    pairs.count()
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+
+
+def test_embedding_near_dup_caches_groups(spark, sf_dir):
+    """The exact-duplicate group relation feeds four branches; it must
+    come from cache, not re-run the vector groupBy per branch."""
+    from tumult_core_spark.extensions.similarity import embedding_near_duplicates
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    out = embedding_near_duplicates(embs, "vec_id", "embedding", threshold=0.999)
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
