@@ -167,6 +167,29 @@ class TestDedup:
         cross = out.filter("id_a % 2 != id_b % 2").limit(1).collect()
         assert cross and cross[0]["cosine"] > 0.999
 
+    def test_embedding_near_dup_star_cross_group_linear(self, spark):
+        # star mode must stay linear for CROSS-group near-dups too: two
+        # 20-member identical-vector groups that are mutually parallel
+        # yield 19+19 within-star edges plus ONE rep-to-rep edge (which
+        # preserves connectivity for component-based dedup), not 400
+        # exploded member pairs
+        from tumult_core_spark.extensions.similarity import embedding_near_duplicates
+
+        base = spark.range(40).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 8), i -> cast(if(id < 20, 1.0, 2.0) as double))"
+            ).alias("embedding"),
+        )
+        out = embedding_near_duplicates(
+            base, "vec_id", "embedding", threshold=0.99, exact_pairs="star"
+        )
+        assert out.count() == 19 + 19 + 1
+        # the single cross edge links the two groups' representatives
+        cross = out.filter("(id_a < 20) != (id_b < 20)").collect()
+        assert len(cross) == 1
+        assert (cross[0]["id_a"], cross[0]["id_b"]) == (0, 20)
+
 
 class TestSimilarity:
     def test_brute_force_self_top1(self, spark, embs):
@@ -290,6 +313,38 @@ class TestMultimodal:
         )
         f2 = extract_image_features(df2, "payload", "media_id", dim=4, decoder="real")
         assert np.allclose(f2.collect()[0]["features"], feats[1], atol=1e-6)
+
+    def test_malformed_pnm_header_auto_falls_back(self, spark):
+        # 0xB2 is '²', a Unicode digit: chr(c).isdigit() used to admit
+        # it into int() and crash the executor task; a malformed
+        # P5/P6-prefixed payload must parse as None and, in auto mode,
+        # fall back to the stub features instead of raising
+        from tumult_core_spark.extensions.multimodal import (
+            _decode_pnm,
+            _fake_features,
+            _try_decode,
+        )
+
+        bad = b"P5 \xb2\xb2 8 255\n" + b"\x00" * 64
+        assert _decode_pnm(bad) is None
+        df = spark.createDataFrame(
+            [(0, bytearray(bad))], "media_id long, payload binary"
+        )
+        out = extract_image_features(
+            df, "payload", "media_id", dim=4, decoder="auto"
+        ).collect()
+        assert out[0]["features"] == pytest.approx(
+            _fake_features(bad, 4).tolist(), abs=1e-6
+        )
+        # any decoder crash (not just PNM header parsing) falls back in
+        # auto mode and propagates in real mode
+
+        def boom(_):
+            raise RuntimeError("parse error")
+
+        assert _try_decode(boom, b"x", "auto") is None
+        with pytest.raises(RuntimeError):
+            _try_decode(boom, b"x", "real")
 
     def test_real_resize_roundtrip(self, spark):
         from tumult_core_spark.extensions.multimodal import _decode_pnm
@@ -441,6 +496,57 @@ class TestStatefulStreaming:
         # watermark (1990s) passes 1000+gap.  user 3 (timeout 2100s)
         # stays open and is correctly NOT emitted.
         assert rows == {(1, 0, 20, 3), (2, 0, 0, 1), (1, 1000, 1000, 1)}
+
+    def test_stateful_sessionize_out_of_order_batch(self, spark, tmp_path):
+        """An out-of-order event (earlier than the stored session's
+        last event but inside the watermark) must MERGE into the open
+        session — extending session_start downward, never regressing
+        `last`/session_end or falsely gap-splitting the session."""
+        import datetime
+        import time as _time
+
+        from tumult_core_spark.streaming.ops import (
+            read_stream_parquet,
+            stateful_sessionize,
+            write_stream_memory,
+        )
+
+        d = str(tmp_path / "events_ooo")
+        t0 = datetime.datetime(2024, 1, 1)
+
+        def ts(s):
+            return t0 + datetime.timedelta(seconds=s)
+
+        schema = "user long, ts timestamp"
+        batches = [
+            [(1, ts(100)), (1, ts(150))],
+            [(1, ts(60))],     # late but within the 1000s watermark
+            [(3, ts(3000))],   # advances watermark -> user 1 times out
+        ]
+        for b in batches:  # distinct mtimes => deterministic batch order
+            spark.createDataFrame(b, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+            _time.sleep(1.05)
+
+        stream = read_stream_parquet(spark, d, max_files_per_trigger=1)
+        sess = stateful_sessionize(
+            stream, "user", "ts", gap="100 seconds", watermark="1000 seconds"
+        )
+        q = write_stream_memory(sess, "stateful_sessions_ooo", output_mode="append")
+        q.awaitTermination(120)
+        rows = {
+            (
+                r["user"],
+                int((r["session_start"] - t0).total_seconds()),
+                int((r["session_end"] - t0).total_seconds()),
+                r["n_events"],
+            )
+            for r in spark.table("stateful_sessions_ooo").collect()
+        }
+        # one merged session [60, 150] with 3 events; a fold that
+        # overwrote `last` with 60 would have emitted (1, 100, 60, 3)
+        assert rows == {(1, 60, 150, 3)}
 
 
 class TestStreamingDP:

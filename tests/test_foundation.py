@@ -63,6 +63,31 @@ class TestExactNumber:
         with pytest.raises(ValueError):
             ExactNumber(True)
 
+    def test_compare_certified_equal_radicals(self):
+        # sqrt(5 + 2 sqrt(6)) == sqrt(2) + sqrt(3) exactly: ordering
+        # must be decided by a certified zero test, not a fixed-
+        # precision float whose signed residual could flip a strict
+        # budget comparison
+        import sympy as sp
+
+        a = ExactNumber(sp.sqrt(2) + sp.sqrt(3))
+        b = ExactNumber(sp.sqrt(5 + 2 * sp.sqrt(6)))
+        assert a == b
+        assert not (a < b) and not (a > b)
+        assert a <= b and a >= b
+
+    def test_compare_certified_tiny_difference(self):
+        # a genuinely nonzero difference far below 1e-50 must still
+        # order correctly (the old evalf(50) fallback saw 0.0)
+        import sympy as sp
+
+        a = ExactNumber(sp.Integer(1) / sp.Integer(10) ** 80)
+        bun_steinke = ExactNumber(
+            (sp.sqrt(sp.log(1000) + 1) - sp.sqrt(sp.log(1000))) ** 2
+        )
+        assert a < bun_steinke
+        assert bun_steinke + a > bun_steinke
+
 
 class TestMeasures:
     def test_puredp_compare(self):

@@ -135,6 +135,25 @@ class TestPrivacyValues:
         m = AddDiscreteGaussianNoise(sigma_squared=8)
         assert m.privacy_function(4) == 1  # 16 / (2*8)
 
+    def test_integer_mechanisms_infinite_scale(self):
+        # calculate_noise_scale returns oo for d_out=0 budgets; the
+        # integer mechanisms must stay constructible (composition and
+        # accounting still work) and raise a CLEAR error at sampling
+        # time instead of OverflowError in Fraction() at __init__
+        import sympy as sp
+
+        from tumult_core_spark.measurements.noise import (
+            AddDiscreteGaussianNoise,
+            AddGeometricNoise,
+        )
+
+        for m in (AddGeometricNoise(sp.oo), AddDiscreteGaussianNoise(sp.oo)):
+            assert m.privacy_function(1) == 0
+            with pytest.raises(ValueError, match="infinite"):
+                m(1)
+            with pytest.raises(ValueError, match="infinite"):
+                m.add_noise_to_array(np.array([1, 2]))
+
     def test_converter_puredp_to_zcdp(self):
         from tumult_core_spark.measurements.converters import PureDPToRhoZCDP
         from tumult_core_spark.measurements.noise import AddGeometricNoise

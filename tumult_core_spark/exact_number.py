@@ -165,7 +165,27 @@ class ExactNumber:
             try:
                 return bool(op(diff, sp.Integer(0)))
             except TypeError:
-                return bool(op(diff.evalf(50), 0))
+                pass
+            # Certified sign determination — this sits on the privacy-
+            # accounting path, so an uncertified fixed-precision float
+            # must never decide a budget comparison.  `equals(0)` does
+            # sympy's own rigorous zero test; otherwise evalf at
+            # escalating precision until the magnitude provably clears
+            # the error bound (sympy's adaptive evalf is accurate to
+            # the requested precision), and refuse rather than guess.
+            if diff.equals(0) is True:
+                return bool(op(sp.Integer(0), sp.Integer(0)))
+            for prec in (50, 200, 1000):
+                approx = diff.evalf(prec)
+                if approx.is_comparable and abs(approx) > sp.Float(10, 5) ** (
+                    -(prec - 10)
+                ):
+                    return bool(op(approx, 0))
+            raise ValueError(
+                f"Cannot certify the sign of {self._expr} - {o}: symbolically "
+                "undecidable and numerically indistinguishable from zero at "
+                "1000 digits"
+            )
 
     def __lt__(self, other: ExactNumberInput) -> bool:
         return self._compare(other, lambda a, b: a < b)

@@ -85,9 +85,12 @@ def _decode_pnm(payload: bytes) -> Optional[np.ndarray]:
         elif c == ord("#"):
             while pos < n and payload[pos] not in b"\r\n":
                 pos += 1
-        elif chr(c).isdigit():
+        elif c in b"0123456789":
+            # byte-wise ASCII check: chr(c).isdigit() is True for
+            # non-ASCII Unicode digits (e.g. 0xB2 '²'), which int()
+            # then rejects
             start = pos
-            while pos < n and chr(payload[pos]).isdigit():
+            while pos < n and payload[pos] in b"0123456789":
                 pos += 1
             fields.append(int(payload[start:pos]))
         else:
@@ -134,6 +137,21 @@ def _decode_bmp(payload: bytes) -> Optional[np.ndarray]:
 def _decode_image_real(payload: bytes) -> Optional[np.ndarray]:
     """Decode codec-free formats; None means 'needs a real codec'."""
     return _decode_pnm(payload) if payload[:1] == b"P" else _decode_bmp(payload)
+
+
+def _try_decode(fn, payload: bytes, decoder: str):
+    """Run a real decoder under the mode contract: in ``auto`` mode a
+    malformed payload (header-parse crash included) falls back to the
+    stub instead of failing the executor task; in ``real`` mode the
+    parse error propagates."""
+    if decoder == "fake":
+        return None
+    try:
+        return fn(payload)
+    except Exception:
+        if decoder == "auto":
+            return None
+        raise
 
 
 def _decode_wav(payload: bytes) -> Optional[Tuple[np.ndarray, int]]:
@@ -231,7 +249,7 @@ def extract_image_features(
     )
 
     def one(payload: bytes) -> List[float]:
-        img = _decode_image_real(payload) if decoder != "fake" else None
+        img = _try_decode(_decode_image_real, payload, decoder)
         if img is not None:
             gray = img.mean(axis=2).ravel() / 255.0
             return _unit_norm(_segment_pool(gray, dim)).tolist()
@@ -281,7 +299,7 @@ def resize_images(
     )
 
     def one(payload: bytes) -> bytes:
-        img = _decode_image_real(payload) if decoder != "fake" else None
+        img = _try_decode(_decode_image_real, payload, decoder)
         if img is not None:
             h, w = img.shape[:2]
             rows = (np.arange(height) * h // height).clip(0, h - 1)
@@ -381,7 +399,7 @@ def audio_features(
     )
 
     def one(payload: bytes) -> Tuple[List[float], int]:
-        decoded = _decode_wav(payload) if decoder != "fake" else None
+        decoded = _try_decode(_decode_wav, payload, decoder)
         if decoded is not None:
             x, rate = decoded
             rms = np.sqrt(_segment_pool(x * x, dim))

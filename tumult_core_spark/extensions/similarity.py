@@ -349,20 +349,29 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
-    # expand representative pairs to member pairs: the cosine between
-    # any member of group a and any member of group b equals the
-    # representative cosine (members are bit-identical vectors)
-    m_a = groups.select(ids[0].alias("id_a"), ids.alias("__ma"))
-    m_b = groups.select(ids[0].alias("id_b"), ids.alias("__mb"))
-    cross = (
-        rep_pairs.join(m_a, "id_a")
-        .join(m_b, "id_b")
-        .select(F.explode("__ma").alias("__xa"), "__mb", "cosine")
-        .select("__xa", F.explode("__mb").alias("__xb"), "cosine")
-        .select(
-            F.least("__xa", "__xb").alias("id_a"),
-            F.greatest("__xa", "__xb").alias("id_b"),
-            "cosine",
+    if exact_pairs == "star":
+        # The within-group star already links every member to its
+        # representative, so one rep-to-rep edge connects both groups;
+        # expanding to all Θ(|a|·|b|) member pairs would reintroduce
+        # the quadratic blowup star mode exists to avoid (two large
+        # identical-vector groups that are mutual near-dups).
+        cross = rep_pairs
+    else:
+        # expand representative pairs to member pairs: the cosine
+        # between any member of group a and any member of group b
+        # equals the representative cosine (members are bit-identical
+        # vectors)
+        m_a = groups.select(ids[0].alias("id_a"), ids.alias("__ma"))
+        m_b = groups.select(ids[0].alias("id_b"), ids.alias("__mb"))
+        cross = (
+            rep_pairs.join(m_a, "id_a")
+            .join(m_b, "id_b")
+            .select(F.explode("__ma").alias("__xa"), "__mb", "cosine")
+            .select("__xa", F.explode("__mb").alias("__xb"), "cosine")
+            .select(
+                F.least("__xa", "__xb").alias("id_a"),
+                F.greatest("__xa", "__xb").alias("id_b"),
+                "cosine",
+            )
         )
-    )
     return within.unionByName(cross)

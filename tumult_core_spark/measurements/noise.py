@@ -67,6 +67,8 @@ class AddLaplaceNoise(_NoiseMechanism):
             raise ValueError("d_in must be >= 0")
         if self.scale == 0:
             return ExactNumber(float("inf")) if d > 0 else ExactNumber(0)
+        if not self.scale.is_finite:
+            return ExactNumber(0)  # data-independent output; see AddGeometricNoise
         return d / self.scale
 
     def __call__(self, value) -> np.float64:
@@ -95,8 +97,15 @@ class AddGeometricNoise(_NoiseMechanism):
             raise ValueError("alpha must be >= 0")
         super().__init__(NumpyIntegerDomain(), AbsoluteDifference(), PureDP())
         self._alpha_float = self.alpha.to_float(round_up=False)
+        # Non-finite alpha (eps=0 budgets via calculate_noise_scale)
+        # must stay constructible for composition/accounting; there is
+        # no two-sided-geometric with infinite scale to sample from, so
+        # sampling raises instead (matching the scale==0 special-case
+        # pattern rather than crashing in Fraction()).
         self._alpha_frac = (
-            Fraction(self.alpha.expr.p, self.alpha.expr.q)
+            None
+            if not self.alpha.is_finite
+            else Fraction(self.alpha.expr.p, self.alpha.expr.q)
             if self.alpha.is_rational
             else Fraction(self._alpha_float)
         )
@@ -107,17 +116,32 @@ class AddGeometricNoise(_NoiseMechanism):
             raise ValueError("d_in must be >= 0")
         if self.alpha == 0:
             return ExactNumber(float("inf")) if d > 0 else ExactNumber(0)
+        if not self.alpha.is_finite:
+            # infinite scale: output is data-independent (sampling
+            # raises; the continuous analogues emit +-inf), so the
+            # privacy loss is 0 for every d_in -- avoids oo/oo = nan
+            return ExactNumber(0)
         return d / self.alpha
 
     def __call__(self, value) -> np.int64:
         if self.alpha == 0:
             return np.int64(value)
+        if self._alpha_frac is None:
+            raise ValueError(
+                "Cannot sample two-sided geometric noise with infinite alpha "
+                "(an epsilon=0 budget admits no data-dependent integer output)"
+            )
         # exact Fraction sampler on the scalar path
         return np.int64(int(value) + samplers.geometric_exact(self._alpha_frac))
 
     def add_noise_to_array(self, values: np.ndarray) -> np.ndarray:
         if self.alpha == 0:
             return values.astype(np.int64)
+        if self._alpha_frac is None:
+            raise ValueError(
+                "Cannot sample two-sided geometric noise with infinite alpha "
+                "(an epsilon=0 budget admits no data-dependent integer output)"
+            )
         # exact certified-inversion sampler, vectorized (the column
         # path matches the scalar path's distribution exactly)
         return values.astype(np.int64) + samplers.two_sided_geometric_exact_vec(
@@ -143,6 +167,8 @@ class AddGaussianNoise(_NoiseMechanism):
             raise ValueError("d_in must be >= 0")
         if self.sigma_squared == 0:
             return ExactNumber(float("inf")) if d > 0 else ExactNumber(0)
+        if not self.sigma_squared.is_finite:
+            return ExactNumber(0)  # data-independent output; see AddGeometricNoise
         return d**2 / (self.sigma_squared * 2)
 
     def __call__(self, value) -> np.float64:
@@ -173,8 +199,12 @@ class AddDiscreteGaussianNoise(_NoiseMechanism):
             raise ValueError("sigma_squared must be >= 0")
         super().__init__(NumpyIntegerDomain(), AbsoluteDifference(), RhoZCDP())
         self._ss_float = self.sigma_squared.to_float(round_up=False)
+        # see AddGeometricNoise: infinite scale (rho=0 budgets) stays
+        # constructible; sampling raises a clear error instead
         self._ss_frac = (
-            Fraction(self.sigma_squared.expr.p, self.sigma_squared.expr.q)
+            None
+            if not self.sigma_squared.is_finite
+            else Fraction(self.sigma_squared.expr.p, self.sigma_squared.expr.q)
             if self.sigma_squared.is_rational
             else Fraction(self._ss_float)
         )
@@ -185,16 +215,28 @@ class AddDiscreteGaussianNoise(_NoiseMechanism):
             raise ValueError("d_in must be >= 0")
         if self.sigma_squared == 0:
             return ExactNumber(float("inf")) if d > 0 else ExactNumber(0)
+        if not self.sigma_squared.is_finite:
+            return ExactNumber(0)  # data-independent output; see AddGeometricNoise
         return d**2 / (self.sigma_squared * 2)
 
     def __call__(self, value) -> np.int64:
         if self.sigma_squared == 0:
             return np.int64(value)
+        if self._ss_frac is None:
+            raise ValueError(
+                "Cannot sample discrete Gaussian noise with infinite sigma^2 "
+                "(a rho=0 budget admits no data-dependent integer output)"
+            )
         return np.int64(int(value) + samplers.discrete_gaussian_exact(self._ss_frac))
 
     def add_noise_to_array(self, values: np.ndarray) -> np.ndarray:
         if self.sigma_squared == 0:
             return values.astype(np.int64)
+        if self._ss_frac is None:
+            raise ValueError(
+                "Cannot sample discrete Gaussian noise with infinite sigma^2 "
+                "(a rho=0 budget admits no data-dependent integer output)"
+            )
         # exact certified-rejection sampler, vectorized
         return values.astype(np.int64) + samplers.discrete_gaussian_exact_vec(
             self._ss_frac, len(values)

@@ -50,10 +50,17 @@ def read_stream_parquet(
         .parquet(path)
     )
     for c in nanos_ts_cols or []:
-        if dict(stream.dtypes).get(c) == "bigint":
+        dt = dict(stream.dtypes).get(c)
+        if dt == "bigint":
             stream = stream.withColumn(
                 c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
             )
+        elif dt == "timestamp_ntz":
+            # withWatermark requires TimestampType; parquet TIMESTAMP
+            # without isAdjustedToUTC reads as NTZ under Spark 4's
+            # inferTimestampNTZ, so pin event-time columns to LTZ
+            # (session tz is UTC in tests, so wall-clock is preserved)
+            stream = stream.withColumn(c, F.col(c).cast("timestamp"))
     return stream
 
 
@@ -182,28 +189,31 @@ def stateful_sessionize(
         )
         if len(ts) == 0:
             return
-        closed = []
-        if state.exists:
-            start, last, n = state.get
-            if ts[0] - last <= gap_ns:
-                pass  # continues the open session
-            else:
-                closed.append((start, last, n))
-                start, last, n = None, None, 0
-        else:
-            start, last, n = None, None, 0
-        # split the batch timeline on gaps; fold into the open session
+        # Gap-split the batch alone, then merge the resulting intervals
+        # with the stored open-session interval.  Interval-merging (not
+        # append-only folding) is required for out-of-order batches that
+        # are still inside the watermark: events may PREDATE the stored
+        # session's `last`, and the stored interval may bridge two batch
+        # segments that look gap-separated when the batch is considered
+        # alone.  A naive fold would regress `last` (and the timeout
+        # timestamp) and falsely split one session in two.
         cuts = np.flatnonzero(np.diff(ts) > gap_ns)
         bounds = np.concatenate(([0], cuts + 1, [len(ts)]))
-        for i in range(len(bounds) - 1):
-            seg = ts[bounds[i] : bounds[i + 1]]
-            if start is None:
-                start, last, n = int(seg[0]), int(seg[-1]), len(seg)
+        intervals = [
+            (int(ts[b]), int(ts[e - 1]), int(e - b))
+            for b, e in zip(bounds[:-1], bounds[1:])
+        ]
+        if state.exists:
+            intervals.append(tuple(state.get))
+            intervals.sort(key=lambda iv: (iv[0], iv[1]))
+        merged = [intervals[0]]
+        for s, e, k in intervals[1:]:
+            ms, me, mk = merged[-1]
+            if s - me <= gap_ns:
+                merged[-1] = (ms, max(me, e), mk + k)
             else:
-                last, n = int(seg[-1]), n + len(seg)
-            if i < len(bounds) - 2:  # a later segment closes this one
-                closed.append((start, last, n))
-                start, last, n = None, None, 0
+                merged.append((s, e, k))
+        closed, (start, last, n) = merged[:-1], merged[-1]
         state.update((start, last, n))
         # fire when the event-time watermark passes last + gap
         state.setTimeoutTimestamp((last + gap_ns) // 1_000_000)
