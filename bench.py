@@ -219,17 +219,21 @@ def bench_bounds(spark):
 
 def bench_noise_sampling(spark):
     """Vectorized noise throughput: 2M samples per mechanism (the
-    realistic per-batch magnitude for grouped-aggregate noise).
-    Integer mechanisms run the EXACT certified-inversion column
-    samplers — the ones AddNoiseToColumn actually executes."""
+    realistic per-batch magnitude for grouped-aggregate noise).  All
+    four mechanisms run the EXACT certified column samplers — the
+    ones AddNoiseToColumn actually executes (integer: certified
+    inversion; continuous: certified double-double)."""
     from fractions import Fraction
 
-    from tumult_core_spark import samplers
+    import numpy as np
+
+    from tumult_core_spark import exact_sampling, samplers
 
     n = 2_000_000
-    samplers.laplace(1.0, n)
+    zeros = np.zeros(n)
+    exact_sampling.laplace_exact_vec(zeros, 1.0)
     samplers.two_sided_geometric_exact_vec(Fraction(1), n)
-    samplers.gaussian(1.0, n)
+    exact_sampling.gaussian_exact_vec(zeros, 1.0)
     samplers.discrete_gaussian_exact_vec(Fraction(1), n)
 
 

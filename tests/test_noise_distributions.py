@@ -193,6 +193,134 @@ class TestSamplerDistributions:
         p = ks_pvalue(ks_statistic(s, cdf), n)
         assert p > P_THRESHOLD, f"KS p={p}"
 
+    def test_exact_vec_laplace_ks(self):
+        from tumult_core_spark import exact_sampling as es
+
+        scale = 2.5
+        n = 100_000
+        s = es.laplace_exact_vec(np.zeros(n), scale)
+
+        def cdf(x):
+            x = np.asarray(x, dtype=float)
+            return np.where(
+                x < 0, 0.5 * np.exp(x / scale), 1 - 0.5 * np.exp(-x / scale)
+            )
+
+        p = ks_pvalue(ks_statistic(s, cdf), n)
+        assert p > P_THRESHOLD, f"KS p={p}"
+        # nonzero location: the value sits INSIDE the certification
+        s2 = es.laplace_exact_vec(np.full(n, 1234.5), scale)
+        p = ks_pvalue(ks_statistic(s2 - 1234.5, cdf), n)
+        assert p > P_THRESHOLD, f"shifted KS p={p}"
+
+    def test_exact_vec_gaussian_ks(self):
+        from tumult_core_spark import exact_sampling as es
+
+        n = 100_000
+        s = es.gaussian_exact_vec(np.zeros(n), 4.0)
+
+        def cdf(x):
+            return 0.5 * (
+                1 + np.vectorize(math.erf)(np.asarray(x) / (2 * math.sqrt(2)))
+            )
+
+        p = ks_pvalue(ks_statistic(s, cdf), n)
+        assert p > P_THRESHOLD, f"KS p={p}"
+
+    def test_exact_vec_correctly_rounded(self):
+        """Every vectorized draw must be the CORRECTLY-ROUNDED image of
+        its revealed 106-bit uniform prefix: re-derive the prefixes
+        from a seeded generator and compare against 300-bit mpmath
+        evaluations of the same transform at the prefix midpoint (for
+        a certified element, the whole prefix interval rounds to the
+        output double, so the midpoint image must equal it)."""
+        import os
+
+        import mpmath
+
+        from tumult_core_spark import exact_sampling as es
+
+        n = 400
+        b, mu = 1.75, 42.0
+        seed = 987654321
+
+        def seeded():
+            samplers._GENERATOR = np.random.default_rng(seed)
+            samplers._GENERATOR_PID = os.getpid()
+
+        try:
+            seeded()
+            lap = es.laplace_exact_vec(np.full(n, mu), b)
+            seeded()
+            g = samplers.rng()
+            m1 = g.integers(0, 1 << 53, size=n, dtype=np.int64)
+            m2 = g.integers(0, 1 << 53, size=n, dtype=np.int64)
+            with mpmath.workprec(300):
+                for i in range(n):
+                    # midpoint of [bits, bits+1)/2^106 as exact dyadic
+                    num = ((int(m1[i]) << 53) | int(m2[i])) * 2 + 1
+                    p = mpmath.mpf(num) / mpmath.mpf(1 << 107)
+                    d = p - mpmath.mpf("0.5")
+                    want = float(
+                        mpmath.mpf(mu)
+                        - mpmath.mpf(b)
+                        * mpmath.sign(d)
+                        * mpmath.log(1 - 2 * abs(d))
+                    )
+                    assert lap[i] == want, (i, lap[i], want)
+
+            sigma_sq = 3.0
+            seeded()
+            gau = es.gaussian_exact_vec(np.zeros(n), sigma_sq)
+            seeded()
+            g = samplers.rng()
+            nc = (n + 1) // 2  # one (u, v) pair per TWO outputs
+            u1 = g.integers(0, 1 << 53, size=nc, dtype=np.int64)
+            u2 = g.integers(0, 1 << 53, size=nc, dtype=np.int64)
+            v1 = g.integers(0, 1 << 53, size=nc, dtype=np.int64)
+            v2 = g.integers(0, 1 << 53, size=nc, dtype=np.int64)
+            with mpmath.workprec(300):
+                sig = mpmath.sqrt(mpmath.mpf(sigma_sq))
+                for i in range(nc):
+                    un = (((int(u1[i]) << 53) | int(u2[i])) * 2 + 1)
+                    vn = (((int(v1[i]) << 53) | int(v2[i])) * 2 + 1)
+                    u = mpmath.mpf(un) / mpmath.mpf(1 << 107)
+                    v = mpmath.mpf(vn) / mpmath.mpf(1 << 107)
+                    radius = sig * mpmath.sqrt(-2 * mpmath.log(u))
+                    want_c = float(radius * mpmath.cos(2 * mpmath.pi * v))
+                    assert gau[i] == want_c, (i, gau[i], want_c)
+                    if nc + i < n:
+                        want_s = float(radius * mpmath.sin(2 * mpmath.pi * v))
+                        assert gau[nc + i] == want_s, (i, gau[nc + i], want_s)
+        finally:
+            samplers._GENERATOR = None  # reseed from urandom next use
+
+    def test_exact_vec_fallback_resolver_agrees(self):
+        """The scalar resolvers must return the same double the fast
+        path certifies, given the same prefix (they are two
+        evaluations of one function)."""
+        import os
+
+        from tumult_core_spark import exact_sampling as es
+
+        seed = 24680
+        samplers._GENERATOR = np.random.default_rng(seed)
+        samplers._GENERATOR_PID = os.getpid()
+        try:
+            n = 200
+            vec = es.laplace_exact_vec(np.zeros(n), 3.25)
+            samplers._GENERATOR = np.random.default_rng(seed)
+            g = samplers.rng()
+            m1 = g.integers(0, 1 << 53, size=n, dtype=np.int64)
+            m2 = g.integers(0, 1 << 53, size=n, dtype=np.int64)
+            for i in range(n):
+                got = es._resolve_laplace(
+                    0.0, 3.25, (int(m1[i]) << 53) | int(m2[i]), 106
+                )
+                assert got == vec[i], (i, got, vec[i])
+        finally:
+            samplers._GENERATOR = None
+
     def test_exact_uniform_ks(self):
         from tumult_core_spark import exact_sampling as es
 

@@ -101,6 +101,21 @@ def _iv_dyadic(iv, num: int, log2_den: int):
     return iv.mpf(num) / iv.mpf(1 << log2_den)
 
 
+def _endpoint_float(x) -> float:
+    """Round-to-NEAREST double of an interval endpoint.
+
+    ``float()`` on an ``ivmpf`` truncates toward zero, so two
+    endpoints can truncate to the same double while the enclosed reals
+    round to its neighbour — certifying a 1-ulp-off sample.  Routing
+    through ``mpmath.mpf`` (whose float conversion rounds to nearest,
+    which is monotone) restores the 'both endpoints round to the same
+    double => every real in between does' argument.
+    """
+    import mpmath
+
+    return float(mpmath.mpf(x))
+
+
 def _laplace_icdf_enclosure(mu: float, b: float, num: int, n: int, iv):
     """Rigorous enclosure of the Laplace(mu, b) inverse CDF at the
     exact dyadic point num/2^n:  mu - b sgn(p-1/2) log(1-2|p-1/2|)."""
@@ -113,29 +128,38 @@ def _laplace_icdf_enclosure(mu: float, b: float, num: int, n: int, iv):
     return iv.mpf(mu) - iv.mpf(b) * iv.mpf(sign) * iv.log(inner)
 
 
+def _resolve_laplace(
+    mu: float, b: float, bits: int, n: int, step_size: int = 63
+) -> float:
+    """Finish a Laplace draw whose uniform prefix ``bits/2^n`` is
+    already revealed: extend the SAME prefix until the icdf image
+    interval rounds to a unique double.  (Continuing the prefix — not
+    resampling — is what keeps the vectorized fast path exactly
+    distribution-equal to the scalar sampler.)"""
+    import mpmath
+
+    iv = mpmath.iv
+    while True:
+        if n and not (bits == 0 or bits + 1 == (1 << n)):
+            # p touching {0,1} leaves the icdf unbounded: refine first
+            iv.prec = n + 20
+            lo = _laplace_icdf_enclosure(mu, b, bits, n, iv)
+            hi = _laplace_icdf_enclosure(mu, b, bits + 1, n, iv)
+            a, c = _endpoint_float(lo.a), _endpoint_float(hi.b)
+            if a == c:
+                return a
+        bits = (bits << step_size) | _randbits(step_size)
+        n += step_size
+
+
 def sample_laplace(mu: float, b: float, step_size: int = 63) -> float:
     """Laplace(mu, b) draw via rigorous interval inverse-CDF
     (reference ``random/laplace.py:12-49``)."""
-    import mpmath
-
     if not b >= 0:
         raise ValueError("scale must be >= 0")
     if b == 0:
         return float(mu)
-    iv = mpmath.iv
-    n = 0
-    bits = 0
-    while True:
-        bits = (bits << step_size) | _randbits(step_size)
-        n += step_size
-        if bits == 0 or bits + 1 == (1 << n):
-            continue  # p touching {0,1}: icdf unbounded, refine first
-        iv.prec = n + 20
-        lo = _laplace_icdf_enclosure(mu, b, bits, n, iv)
-        hi = _laplace_icdf_enclosure(mu, b, bits + 1, n, iv)
-        a, c = float(lo.a), float(hi.b)
-        if a == c:
-            return a
+    return _resolve_laplace(mu, b, 0, 0, step_size)
 
 
 def _iv_erf(y, iv):
@@ -221,9 +245,243 @@ def sample_gaussian(
         lo = _erfinv_enclosure(2 * bits - (1 << n), n, n + 20, iv, mpmath)
         hi = _erfinv_enclosure(2 * (bits + 1) - (1 << n), n, n + 20, iv, mpmath)
         out = iv.mpf(mu) + scale * iv.mpf([lo.a, hi.b])
-        a, c = float(out.a), float(out.b)
+        a, c = _endpoint_float(out.a), _endpoint_float(out.b)
         if a == c:
             return a
+
+
+# ---------------------------------------------------------------------------
+# Vectorized certified continuous samplers (the column hot path)
+# ---------------------------------------------------------------------------
+#
+# Same guarantee as the scalar samplers above — the returned double is
+# determined by the true real-valued sample (rounding pushforward of
+# the continuous distribution) — but over a whole NumPy array at once:
+#
+# 1. reveal a 106-bit uniform prefix per element (two 53-bit draws,
+#    exactly representable as a double-double);
+# 2. evaluate the monotone transform in vectorized double-double
+#    arithmetic (dd.py, ~2^-95 worst-case error) and bound the image
+#    of the whole prefix interval with a rigorous margin
+#    (derivative-over-interval + arithmetic error);
+# 3. accept elements whose margin-widened enclosure rounds to a unique
+#    double (all but ~1e-11 of draws); the rest CONTINUE THE SAME
+#    PREFIX through the scalar interval loop, so the output law is
+#    exactly the scalar sampler's, not an approximation of it.
+
+_TWO53F = float(1 << 53)
+_H106 = 2.0**-106  # prefix interval width
+_ARITH_REL = 2.0**-88  # conservative dd pipeline error budget
+_SLOP = 1.000001  # absorbs float rounding of the margin arithmetic itself
+_CHUNK = 1 << 18  # dd pipelines are memory-bound; stay cache-resident
+
+
+def _chunked(core):
+    """Run an (array, scalar)->array sampler core in cache-sized
+    chunks: the dd pipeline makes ~300 passes over its arrays, so
+    keeping each working set ~2 MB instead of ~16 MB is a ~3x win at
+    multi-million-element batches."""
+
+    def wrapper(mu, param):
+        mu = np.asarray(mu, dtype=np.float64)
+        if len(mu) <= _CHUNK:
+            return core(mu, param)
+        out = np.empty(len(mu), dtype=np.float64)
+        for s in range(0, len(mu), _CHUNK):
+            out[s : s + _CHUNK] = core(mu[s : s + _CHUNK], param)
+        return out
+
+    wrapper.__name__ = core.__name__
+    wrapper.__doc__ = core.__doc__
+    return wrapper
+
+
+def _uniform_prefix_dd(n: int):
+    """(dd value, int bits) of n iid 106-bit uniform prefixes: the dd
+    pair is EXACTLY m1/2^53 + m2/2^106, the lower endpoint of the
+    dyadic interval [bits, bits+1)/2^106."""
+    from . import dd as _dd
+
+    g = samplers.rng()
+    m1 = g.integers(0, 1 << 53, size=n, dtype=np.int64)
+    m2 = g.integers(0, 1 << 53, size=n, dtype=np.int64)
+    p = _dd.two_sum(m1 / _TWO53F, m2 / (_TWO53F * _TWO53F))
+    return p, m1, m2
+
+
+def _certify_round(x, marg):
+    """Mask of elements where every real in [x_dd - marg, x_dd + marg]
+    rounds to x's head double."""
+    c = x[0]
+    with np.errstate(invalid="ignore"):
+        up_gap = 0.5 * (np.nextafter(c, np.inf) - c)
+        down_gap = 0.5 * (c - np.nextafter(c, -np.inf))
+        return (
+            np.isfinite(c)
+            & np.isfinite(marg)
+            & (x[1] + marg < up_gap)
+            & (marg - x[1] < down_gap)
+        )
+
+
+@_chunked
+def laplace_exact_vec(mu: np.ndarray, b: float) -> np.ndarray:
+    """Certified Laplace(mu_i, b) draws, one per element of ``mu``.
+
+    Inverse CDF ``mu - b sgn(p-1/2) log(1-2|p-1/2|)`` evaluated in
+    double-double; distribution identical to :func:`sample_laplace`.
+    """
+    from . import dd as _dd
+
+    mu = np.asarray(mu, dtype=np.float64)
+    if not b >= 0:
+        raise ValueError("scale must be >= 0")
+    if b == 0:
+        return mu.copy()
+    p, m1, m2 = _uniform_prefix_dd(len(mu))
+    d = _dd.add_d(p, -0.5)
+    sign_pos = (d[0] > 0.0) | ((d[0] == 0.0) & (d[1] >= 0.0))
+    absd = (np.where(sign_pos, d[0], -d[0]), np.where(sign_pos, d[1], -d[1]))
+    inner = _dd.add_d(_dd.mul_d(absd, -2.0), 1.0)  # 1 - 2|d| in (0, 1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        L = _dd.log(inner)
+        x = _dd.add(_dd.dd(mu), _dd.mul_d(L, np.where(sign_pos, -b, b)))
+        # |dx/dp| = 2b/inner over the width-2^-106 prefix interval
+        inner_min = inner[0] * (1.0 - 1e-15) - 3e-32
+        deriv_marg = np.where(
+            inner_min > 0.0, (2.0 * b) * _H106 / inner_min, np.inf
+        )
+        arith_marg = (np.abs(x[0]) + b + np.abs(mu)) * _ARITH_REL
+        marg = (deriv_marg + arith_marg) * _SLOP + 1e-300
+        ok = _certify_round(x, marg)
+    out = x[0].copy()
+    for i in np.flatnonzero(~ok):
+        out[i] = _resolve_laplace(
+            float(mu[i]), b, (int(m1[i]) << 53) | int(m2[i]), 106
+        )
+    return out
+
+
+def _resolve_gaussian_pair(
+    mu_cos: float,
+    mu_sin: Optional[float],
+    sigma_squared: float,
+    u_bits: int,
+    u_n: int,
+    v_bits: int,
+    v_n: int,
+    step_size: int = 63,
+) -> Tuple[float, Optional[float]]:
+    """Finish BOTH Box-Muller outputs of one (u, v) pair from their
+    revealed prefixes: ``mu + sqrt(sigma^2) sqrt(-2 ln u) {cos,sin}
+    (2 pi v)`` in rigorous interval arithmetic.
+
+    Both coordinates share ONE extension sequence of the same (u, v)
+    prefixes — extending them independently would make the pair the
+    image of two different points of the square, breaking the exact
+    joint law.  Once a coordinate certifies, further refinement cannot
+    change its rounded value (the image interval only shrinks), so
+    looping until both certify is sound.  ``mu_sin=None`` resolves
+    only the cos output (the unpaired last element of an odd batch).
+    """
+    import mpmath
+
+    iv = mpmath.iv
+    z_cos: Optional[float] = None
+    z_sin: Optional[float] = None if mu_sin is not None else float("nan")
+    while True:
+        if u_bits != 0:
+            iv.prec = max(u_n, v_n) + 30
+            u_iv = iv.mpf([u_bits, u_bits + 1]) / iv.mpf(1 << u_n)
+            v_iv = iv.mpf([v_bits, v_bits + 1]) / iv.mpf(1 << v_n)
+            r = iv.sqrt(iv.mpf(-2) * iv.log(u_iv)) * iv.sqrt(
+                iv.mpf(sigma_squared)
+            )
+            theta = iv.mpf(2) * iv.pi * v_iv
+            if z_cos is None:
+                out = iv.mpf(mu_cos) + r * iv.cos(theta)
+                a, b2 = _endpoint_float(out.a), _endpoint_float(out.b)
+                if a == b2:
+                    z_cos = a
+            if z_sin is None:
+                out = iv.mpf(mu_sin) + r * iv.sin(theta)
+                a, b2 = _endpoint_float(out.a), _endpoint_float(out.b)
+                if a == b2:
+                    z_sin = a
+            if z_cos is not None and z_sin is not None:
+                return z_cos, (z_sin if mu_sin is not None else None)
+        u_bits = (u_bits << step_size) | _randbits(step_size)
+        u_n += step_size
+        v_bits = (v_bits << step_size) | _randbits(step_size)
+        v_n += step_size
+
+
+@_chunked
+def gaussian_exact_vec(mu: np.ndarray, sigma_squared: float) -> np.ndarray:
+    """Certified N(mu_i, sigma^2) draws, one per element of ``mu``.
+
+    Box-Muller ``mu + sigma sqrt(-2 ln u) cos(2 pi v)`` in double-
+    double.  The transform differs from :func:`sample_gaussian`'s
+    erfinv inverse-CDF, but the OUTPUT law is the same: both are the
+    double-rounding pushforward of a true N(mu, sigma^2) real (erfinv
+    has no vectorizable certified form; Box-Muller needs only
+    log/sqrt/cos, which dd.py provides with rigorous error bounds).
+    """
+    from . import dd as _dd
+
+    mu = np.asarray(mu, dtype=np.float64)
+    if not sigma_squared >= 0:
+        raise ValueError("sigma_squared must be >= 0")
+    if sigma_squared == 0:
+        return mu.copy()
+    n = len(mu)
+    # one (u, v) pair yields TWO independent normals (R cos, R sin) —
+    # the joint law of the rounded pair is the product of its exact
+    # marginals, so pairing halves the dd pipeline cost per sample
+    nc = (n + 1) // 2
+    u, u1, u2 = _uniform_prefix_dd(nc)
+    v, v1, v2 = _uniform_prefix_dd(nc)
+    sig = _dd.sqrt(_dd.dd(np.float64(sigma_squared)))
+    sig_f = float(np.sqrt(sigma_squared))
+    out = np.empty(n, dtype=np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lu = _dd.log(u)
+        R = _dd.sqrt(_dd.mul_d(lu, -2.0))
+        theta = _dd.mul((np.float64(_dd.TWO_PI[0]), np.float64(_dd.TWO_PI[1])), v)
+        S, C = _dd.sincos(theta)
+        # |dx/du| <= sigma/(u R);  |dx/dv| <= 2 pi sigma R (either trig)
+        u_r = u[0] * R[0]
+        marg_u = np.where(u_r > 0.0, sig_f * _H106 / u_r, np.inf)
+        marg_v = sig_f * 6.2831853071795872 * np.abs(R[0]) * _H106
+        base_marg = 1.1 * (marg_u + marg_v)
+        ns = n - nc  # sin outputs (== nc, or nc-1 for odd n)
+        bad = np.zeros(nc, dtype=bool)
+        for trig, lo_ix, hi_ix in (("cos", 0, nc), ("sin", nc, n)):
+            k = hi_ix - lo_ix
+            T = C if trig == "cos" else S
+            noise = _dd.mul(_dd.mul((R[0][:k], R[1][:k]), (T[0][:k], T[1][:k])), sig)
+            x = _dd.add(_dd.dd(mu[lo_ix:hi_ix]), noise)
+            arith = (np.abs(x[0]) + sig_f * (np.abs(R[0][:k]) + 1.0)) * _ARITH_REL
+            marg = (base_marg[:k] + arith) * _SLOP + 1e-300
+            ok = _certify_round(x, marg)
+            out[lo_ix:hi_ix] = x[0]
+            bad[:k] |= ~ok
+    # a pair with ANY uncertain coordinate resolves BOTH from one
+    # shared prefix extension (see _resolve_gaussian_pair)
+    for i in np.flatnonzero(bad):
+        z_cos, z_sin = _resolve_gaussian_pair(
+            float(mu[i]),
+            float(mu[nc + i]) if i < ns else None,
+            float(sigma_squared),
+            (int(u1[i]) << 53) | int(u2[i]),
+            106,
+            (int(v1[i]) << 53) | int(v2[i]),
+            106,
+        )
+        out[i] = z_cos
+        if i < ns:
+            out[nc + i] = z_sin
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -14,11 +14,15 @@ Privacy functions (reference ``measurements/noise_mechanisms.py:38-560``):
   (2 sigma^2)`` (RhoZCDP)
 
 ``scale == 0`` short-circuits to the identity — the deterministic mode
-correctness oracles rely on.  The integer mechanisms are exact on BOTH
-paths: Fraction rejection samplers on the scalar path, certified-
-inversion vectorized samplers on the column path (see ``samplers.py``).
-Only the *continuous* column path (Laplace/Gaussian over float columns)
-remains float NumPy — a documented, upgradeable weakening.
+correctness oracles rely on.  ALL FOUR mechanisms are exact on BOTH
+paths: the integer mechanisms use Fraction rejection samplers
+(scalar) and certified-inversion vectorized samplers (column, see
+``samplers.py``); the continuous mechanisms use rigorous interval
+inverse-CDF samplers (scalar) and certified double-double vectorized
+samplers (column, see ``exact_sampling.py`` / ``dd.py``) — the
+returned double is always the rounding of the true real-valued
+sample, closing the float-artifact vulnerability class on the grouped
+noisy-aggregate hot path as well.
 """
 
 from __future__ import annotations
@@ -83,8 +87,13 @@ class AddLaplaceNoise(_NoiseMechanism):
     def add_noise_to_array(self, values: np.ndarray) -> np.ndarray:
         if self.scale == 0:
             return values.astype(np.float64)
-        return values.astype(np.float64) + samplers.laplace(
-            self._scale_float, len(values)
+        # certified vectorized sampler: same distribution as the
+        # scalar interval path (value inside the enclosure, so the
+        # final float addition is certified too, not rounded on top)
+        from .. import exact_sampling
+
+        return exact_sampling.laplace_exact_vec(
+            values.astype(np.float64), self._scale_float
         )
 
 
@@ -185,8 +194,11 @@ class AddGaussianNoise(_NoiseMechanism):
     def add_noise_to_array(self, values: np.ndarray) -> np.ndarray:
         if self.sigma_squared == 0:
             return values.astype(np.float64)
-        return values.astype(np.float64) + samplers.gaussian(
-            self._ss_float, len(values)
+        # certified vectorized sampler (see AddLaplaceNoise)
+        from .. import exact_sampling
+
+        return exact_sampling.gaussian_exact_vec(
+            values.astype(np.float64), self._ss_float
         )
 
 
