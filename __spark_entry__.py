@@ -900,6 +900,40 @@ def q_limit_rows_per_key_per_group(spark, sf_dir):
     return out.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_connected_components(spark, sf_dir):
+    """Components of the nation<-customer<-orders graph: every order
+    and customer connects (multi-hop) to its nation node, so each
+    component's min — and therefore its label — is the nation key.
+    Exercises the alternating large-star/small-star rounds on a real
+    3-level hierarchy from the test tables."""
+    from tumult_core_spark.extensions.components import connected_components
+
+    cust = _load(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") + F.lit(1_000_000)).alias("id_a"),
+        F.col("c_nationkey").cast("long").alias("id_b"),
+    )
+    orders = _load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") + F.lit(2_000_000)).alias("id_a"),
+        (F.col("o_custkey") + F.lit(1_000_000)).alias("id_b"),
+    )
+    return connected_components(cust.unionByName(orders))
+
+
+def q_dedup_connected(spark, sf_dir):
+    """Canonical-doc selection over verified near-dup pairs: three
+    identical copies of each base doc form a 3-clique; the canonical
+    id of every copy is the base doc id (cluster minimum)."""
+    from tumult_core_spark.extensions.components import canonical_duplicates
+    from tumult_core_spark.extensions.dedup import ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 100")
+    both = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    ).unionByName(docs.withColumn("doc_id", F.col("doc_id") + 20_000_000))
+    pairs = ngram_jaccard_pairs(both, "doc_id", "text", n=3, threshold=0.99)
+    return canonical_duplicates(pairs)
+
+
 def q_groupby_stddev(spark, sf_dir):
     from tumult_core_spark.base import ChainTM
     from tumult_core_spark.measures import PureDP
@@ -982,6 +1016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "private_join_on_key": q_private_join_on_key,
         "limit_rows_per_key_per_group": q_limit_rows_per_key_per_group,
         "groupby_stddev": q_groupby_stddev,
+        "connected_components": q_connected_components,
+        "dedup_connected": q_dedup_connected,
     }
 
 
@@ -1373,5 +1409,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM both_sets a JOIN both_sets b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, ROUND(c, 6) AS cosine
             FROM pairs WHERE c >= 0.999
+        """,
+        # components of nation<-customer<-orders: each cluster's min id
+        # is its (raw, < 1e6) nation key
+        "connected_components": """
+            SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS node,
+                   CAST(c_nationkey AS BIGINT) AS component
+            FROM customer
+            UNION ALL
+            SELECT c_custkey + 1000000, CAST(c_nationkey AS BIGINT)
+            FROM customer
+            UNION ALL
+            SELECT o.o_orderkey + 2000000, CAST(c.c_nationkey AS BIGINT)
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        # three identical copies per base doc form a 3-clique; the
+        # canonical of each copy is the base doc id (cluster min)
+        "dedup_connected": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(doc_id AS BIGINT) AS canonical_id
+            FROM documents WHERE doc_id < 100
+            UNION ALL
+            SELECT doc_id + 10000000, CAST(doc_id AS BIGINT)
+            FROM documents WHERE doc_id < 100
+            UNION ALL
+            SELECT doc_id + 20000000, CAST(doc_id AS BIGINT)
+            FROM documents WHERE doc_id < 100
         """,
     }

@@ -191,6 +191,64 @@ class TestDedup:
         assert (cross[0]["id_a"], cross[0]["id_b"]) == (0, 20)
 
 
+class TestConnectedComponents:
+    @staticmethod
+    def _uf(edges):
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent.setdefault(parent[x], parent[x])
+                x = parent[x]
+            return x
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        groups = {}
+        for n in list(parent):
+            groups.setdefault(find(n), []).append(n)
+        return {n: min(ms) for ms in groups.values() for n in ms}
+
+    def test_random_graph_matches_union_find(self, spark):
+        import random
+
+        from tumult_core_spark.extensions.components import connected_components
+
+        rnd = random.Random(7)
+        nodes = rnd.sample(range(10**6), 300)
+        edges = [
+            (rnd.choice(nodes), rnd.choice(nodes)) for _ in range(250)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        want = self._uf(edges)
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+        assert got == want
+
+    def test_long_path_converges_logarithmically(self, spark):
+        # a 120-node path is the adversarial case for naive label
+        # propagation (O(n) rounds); alternating star must finish
+        # inside the round cap (O(log n))
+        from tumult_core_spark.extensions.components import connected_components
+
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(120)], "id_a long, id_b long"
+        )
+        got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+        assert got == {i: 0 for i in range(121)}
+
+    def test_canonical_duplicates_drop_set(self, spark):
+        from tumult_core_spark.extensions.components import canonical_duplicates
+
+        # two 3-cliques {1,5,9} and {2,4}; canonical = cluster min
+        pairs = spark.createDataFrame(
+            [(1, 5), (5, 9), (1, 9), (2, 4)], "id_a long, id_b long"
+        )
+        got = {r["doc_id"]: r["canonical_id"] for r in canonical_duplicates(pairs).collect()}
+        assert got == {1: 1, 5: 1, 9: 1, 2: 2, 4: 2}
+
+
 class TestSimilarity:
     def test_brute_force_self_top1(self, spark, embs):
         corpus = embs.limit(100)

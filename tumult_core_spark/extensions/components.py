@@ -1,0 +1,126 @@
+"""Connected components over a pair relation, and component-based
+canonical deduplication.
+
+This closes the corpus-scale dedup loop the near-duplicate operators
+open (``dedup.py`` / ``similarity.py`` emit pair relations; a real
+pipeline then needs "keep ONE document per duplicate cluster", which
+is a connected-components problem over the pair graph).
+
+The algorithm is alternating LARGE-STAR / SMALL-STAR (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — a public
+MapReduce-era algorithm that maps 1:1 onto DataFrame groupBy+join):
+
+* large-star: every node attaches its LARGER neighbors to the minimum
+  of its neighborhood (including itself);
+* small-star: every node attaches its smaller-or-equal neighbors to
+  that minimum.
+
+Each round is two shuffles (a groupBy computing neighborhood minima
+and a join re-homing edges); the edge set monotonically flattens into
+stars centered at component minima in O(log n) rounds — there is no
+driver-side graph state, so this scales to billion-edge pair
+relations.  Convergence is detected by an (count, hash-sum) edge-set
+fingerprint, one tiny aggregate per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set as (u < v) long pairs, self-loops dropped."""
+    e = edges.select(
+        F.col(src).cast("long").alias("__a"), F.col(dst).cast("long").alias("__b")
+    ).filter(F.col("__a") != F.col("__b"))
+    return e.select(
+        F.least("__a", "__b").alias("u"), F.greatest("__a", "__b").alias("v")
+    ).dropDuplicates(["u", "v"])
+
+
+def _star_round(e: DataFrame, large: bool) -> DataFrame:
+    """One large-star (attach neighbors v > u) or small-star (attach
+    neighbors v <= u, and u itself) round.  ``e`` holds undirected
+    edges in either orientation; both are expanded so every node sees
+    its full neighborhood.  Small-star MUST also emit (u, m(u)) — a
+    leaf whose only neighbor is smaller emits nothing otherwise and
+    the graph would lose edges."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("__m")
+    )
+    cond = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+    out = (
+        sym.join(mins, "u")
+        .where(cond)
+        .select(F.col("v").alias("__x"), F.col("__m"))
+    )
+    if not large:
+        out = out.unionByName(
+            mins.select(F.col("u").alias("__x"), F.col("__m"))
+        )
+    return (
+        out.filter(F.col("__x") != F.col("__m"))
+        .select(F.col("__x").alias("u"), F.col("__m").alias("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """(node, component) for every node of the pair relation, where
+    ``component`` is the smallest node id in its connected component.
+
+    Nodes only present as isolated vertices of some other relation are
+    not invented here — every node of ``edges`` appears exactly once.
+    Callers wanting singletons too should left-join this result onto
+    their full id set and coalesce with the id itself.
+    """
+    spark = edges.sparkSession
+    e = _canonical_edges(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
+    prev_fp = None
+    for _ in range(max_rounds):
+        nxt = _star_round(_star_round(e, large=True), large=False)
+        nxt = nxt.localCheckpoint(eager=True)  # cut O(rounds) lineage
+        fp = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold: order-independent and cannot overflow (ANSI
+            # mode rejects a plain sum of 64-bit hashes)
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        e.unpersist()
+        e = nxt
+        if prev_fp == (fp["n"], fp["h"]):
+            break
+        prev_fp = (fp["n"], fp["h"])
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+    # fixpoint edges are stars (v = component min); centers map to themselves
+    nodes = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    centers = e.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return nodes.unionByName(centers).dropDuplicates(["node"])
+
+
+def canonical_duplicates(
+    pairs: DataFrame,
+    id_col: str = "id_a",
+    id_col_b: str = "id_b",
+) -> DataFrame:
+    """(doc_id, canonical_id) for every document that appears in the
+    near-duplicate pair relation: the canonical is the smallest id of
+    its duplicate cluster.  Rows with doc_id != canonical_id are the
+    ones a dedup pipeline drops; an anti-join of the corpus against
+    that set implements "keep one per cluster" without ever
+    materializing clusters driver-side."""
+    comp = connected_components(pairs, src=id_col, dst=id_col_b)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
