@@ -454,3 +454,59 @@ class TestFullSparkPathNoise:
         expected = discrete_gaussian_pmf(support, 4.0) * n_groups
         p = chi2_pvalue(observed, expected)
         assert p > P_THRESHOLD, f"chi2 p={p}"
+
+    def _grouped_float_sum_noise(self, spark, measure, d_out, use_l2):
+        """iid noisy FLOAT-sum noise through the complete measurement
+        path (one group per sample) — exercises the certified
+        double-double continuous samplers inside executor pandas UDFs."""
+        from tumult_core_spark.domains import SparkDataFrameDomain
+        from tumult_core_spark.metrics import SymmetricDifference
+        from tumult_core_spark.measurements.aggregations import (
+            create_sum_measurement,
+        )
+        from tumult_core_spark.transformations.groupby import (
+            create_groupby_from_list_of_keys,
+        )
+
+        n_groups = 2000
+        df = spark.createDataFrame(
+            [(g, 2.5) for g in range(n_groups)], "g long, x double"
+        )
+        dom = SparkDataFrameDomain.from_spark_schema(df.schema, strict=True)
+        gb = create_groupby_from_list_of_keys(
+            dom, SymmetricDifference(), use_l2, ["g"], [(g,) for g in range(n_groups)]
+        )
+        m = create_sum_measurement(
+            dom, SymmetricDifference(), measure, 1, d_out, "x", 0, 10,
+            groupby_transformation=gb,
+        )
+        return np.array([r["sum(x)"] - 2.5 for r in m(df).collect()])
+
+    def test_grouped_float_sum_noise_is_laplace(self, spark):
+        from tumult_core_spark.measures import PureDP
+
+        noise = self._grouped_float_sum_noise(spark, PureDP(), 1, False)
+        scale = 10.0  # sensitivity 10 / eps 1
+
+        def cdf(x):
+            x = np.asarray(x, dtype=float)
+            return np.where(
+                x < 0, 0.5 * np.exp(x / scale), 1 - 0.5 * np.exp(-x / scale)
+            )
+
+        p = ks_pvalue(ks_statistic(noise, cdf), len(noise))
+        assert p > P_THRESHOLD, f"KS p={p}"
+
+    def test_grouped_float_sum_noise_is_gaussian(self, spark):
+        from tumult_core_spark.measures import RhoZCDP
+
+        noise = self._grouped_float_sum_noise(spark, RhoZCDP(), "1/2", True)
+        sigma = 10.0  # sigma^2 = sens^2 / (2 rho) = 100 / 1
+
+        def cdf(x):
+            return 0.5 * (
+                1 + np.vectorize(math.erf)(np.asarray(x) / (sigma * math.sqrt(2)))
+            )
+
+        p = ks_pvalue(ks_statistic(noise, cdf), len(noise))
+        assert p > P_THRESHOLD, f"KS p={p}"
