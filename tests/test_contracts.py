@@ -150,3 +150,34 @@ class TestTransformationContract:
         assert sorted(map(tuple, chained(kv).collect())) == sorted(
             map(tuple, t(kv).collect())
         )
+
+
+class TestCleanup:
+    def test_cleanup_removes_materialization_root(self, spark):
+        import os
+
+        from tumult_core_spark.utils import misc
+        from tumult_core_spark.utils.cleanup import (
+            cleanup,
+            materialization_root,
+            remove_all_temp_tables,
+        )
+
+        df = spark.range(5)
+        frozen = misc.materialize(df)
+        assert frozen.count() == 5
+        root = materialization_root()
+        assert root is not None and os.path.isdir(root)
+        cleanup()
+        assert not os.path.exists(root)
+        assert materialization_root() is None
+        # a later materialize transparently opens a fresh root
+        again = misc.materialize(spark.range(3))
+        assert again.count() == 3
+        # sweep mode also removes orphaned roots from other sessions
+        import tempfile
+
+        orphan = tempfile.mkdtemp(prefix="tcs_materialize_")
+        remove_all_temp_tables()
+        assert not os.path.exists(orphan)
+        assert materialization_root() is None
