@@ -218,23 +218,37 @@ def bench_bounds(spark):
 
 
 def bench_noise_sampling(spark):
-    """Vectorized noise throughput: 2M samples per mechanism (the
-    realistic per-batch magnitude for grouped-aggregate noise).  All
-    four mechanisms run the EXACT certified column samplers — the
-    ones AddNoiseToColumn actually executes (integer: certified
-    inversion; continuous: certified double-double)."""
-    from fractions import Fraction
+    """Executor noise throughput: 2M values noised per mechanism
+    through the REAL column path — Arrow pandas UDFs running the
+    exact certified samplers (integer: certified inversion;
+    continuous: certified double-double) across all cores, exactly as
+    AddNoiseToColumn executes inside grouped noisy aggregates."""
+    from pyspark.sql import functions as F
 
-    import numpy as np
-
-    from tumult_core_spark import exact_sampling, samplers
+    from tumult_core_spark.domains import NumpyFloatDomain
+    from tumult_core_spark.measurements.noise import (
+        AddDiscreteGaussianNoise,
+        AddGaussianNoise,
+        AddGeometricNoise,
+        AddLaplaceNoise,
+        AddNoiseToSeries,
+    )
 
     n = 2_000_000
-    zeros = np.zeros(n)
-    exact_sampling.laplace_exact_vec(zeros, 1.0)
-    samplers.two_sided_geometric_exact_vec(Fraction(1), n)
-    exact_sampling.gaussian_exact_vec(zeros, 1.0)
-    samplers.discrete_gaussian_exact_vec(Fraction(1), n)
+    df = spark.range(n, numPartitions=CPUS).select(
+        F.col("id").cast("double").alias("x"), F.col("id").alias("k")
+    )
+    for mech, col, rt in [
+        (AddLaplaceNoise(NumpyFloatDomain(), 1), "x", "double"),
+        (AddGaussianNoise(NumpyFloatDomain(), 1), "x", "double"),
+        (AddGeometricNoise(1), "k", "long"),
+        (AddDiscreteGaussianNoise(1), "k", "long"),
+    ]:
+        series = AddNoiseToSeries(mech)
+        udf = F.pandas_udf(
+            lambda c, s=series: s(c), returnType=rt
+        ).asNondeterministic()
+        df.select(udf(F.col(col)).alias("y")).agg(F.sum("y")).collect()
 
 
 def bench_dedup_minhash(spark):
