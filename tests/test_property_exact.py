@@ -136,3 +136,82 @@ def test_ppm_bmp_decode_roundtrip(w, h, rnd):
     )
     out2 = _decode_bmp(bmp)
     assert out2 is not None and (out2 == img).all()
+
+
+# ---------------------------------------------------------------------------
+# Double-double kernels (the certified continuous-sampler arithmetic):
+# every kernel must stay inside the 2^-88 error budget the sampler
+# certification margins assume, across the kernels' full input domains.
+# ---------------------------------------------------------------------------
+
+_DD_BUDGET = 2.0**-88
+
+
+def _dd_rel_err(dd_pair, i, true, mpmath):
+    got = mpmath.mpf(float(dd_pair[0][i])) + mpmath.mpf(float(dd_pair[1][i]))
+    denom = max(abs(true), mpmath.mpf("1e-300"))
+    return abs((got - true) / denom)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.floats(min_value=-670.0, max_value=700.0, allow_nan=False))
+def test_dd_exp_within_budget(z):
+    import mpmath
+    import numpy as np
+
+    from tumult_core_spark import dd
+
+    with mpmath.workprec(200):
+        e = dd.exp_d(np.array([z]))
+        true = mpmath.exp(mpmath.mpf(z))
+        assert _dd_rel_err(e, 0, true, mpmath) < _DD_BUDGET
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.floats(min_value=2.0**-106, max_value=1.0, allow_nan=False))
+def test_dd_log_within_budget(a):
+    # the samplers' log domain: dd values in (0, 1] (uniform prefixes)
+    import mpmath
+    import numpy as np
+
+    from tumult_core_spark import dd
+
+    with mpmath.workprec(200):
+        l = dd.log((np.array([a]), np.array([0.0])))
+        true = mpmath.log(mpmath.mpf(a))
+        got = mpmath.mpf(float(l[0][0])) + mpmath.mpf(float(l[1][0]))
+        # absolute error vs |log| (log(1)=0 makes pure relative unusable)
+        assert abs(got - true) < _DD_BUDGET * max(abs(true), 1.0)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.floats(min_value=0.0, max_value=6.2831853071795865, allow_nan=False))
+def test_dd_sincos_within_budget(x):
+    import mpmath
+    import numpy as np
+
+    from tumult_core_spark import dd
+
+    with mpmath.workprec(200):
+        s, c = dd.sincos((np.array([x]), np.array([0.0])))
+        ts, tc = mpmath.sin(mpmath.mpf(x)), mpmath.cos(mpmath.mpf(x))
+        gs = mpmath.mpf(float(s[0][0])) + mpmath.mpf(float(s[1][0]))
+        gc = mpmath.mpf(float(c[0][0])) + mpmath.mpf(float(c[1][0]))
+        assert abs(gs - ts) < _DD_BUDGET  # absolute: |sin|,|cos| <= 1
+        assert abs(gc - tc) < _DD_BUDGET
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.floats(min_value=1e-290, max_value=1e290, allow_nan=False))
+def test_dd_sqrt_within_budget(a):
+    # normal-range domain: near subnormals the EFT legs underflow and
+    # the samplers route through the scalar loop (_EXTREME_SCALE)
+    import mpmath
+    import numpy as np
+
+    from tumult_core_spark import dd
+
+    with mpmath.workprec(200):
+        s = dd.sqrt((np.array([a]), np.array([0.0])))
+        true = mpmath.sqrt(mpmath.mpf(a))
+        assert _dd_rel_err(s, 0, true, mpmath) < _DD_BUDGET

@@ -202,7 +202,14 @@ def log(a: DD) -> DD:
 
 
 def sqrt(a: DD) -> DD:
-    """sqrt(a) for dd a >= 0, to ~2^-104 relative (one dd Newton)."""
+    """sqrt(a) for dd a >= 0, to ~2^-104 relative (one dd Newton).
+
+    Accuracy holds for NORMAL-range inputs (|a| in [1e-290, 1e290]):
+    near the subnormal boundary the error-free transformations'
+    correction legs underflow and accuracy degrades to plain double.
+    Callers with smaller scales must route through the scalar interval
+    samplers instead (see exact_sampling._EXTREME_SCALE).
+    """
     s0 = np.sqrt(a[0])
     s0sq = two_prod(s0, s0)
     diff = sub(a, s0sq)

@@ -273,6 +273,11 @@ _TWO53F = float(1 << 53)
 _H106 = 2.0**-106  # prefix interval width
 _ARITH_REL = 2.0**-88  # conservative dd pipeline error budget
 _SLOP = 1.000001  # absorbs float rounding of the margin arithmetic itself
+# below this scale the double-double error-free transformations start
+# underflowing into subnormals and the 2^-88 budget no longer holds;
+# such (absurd, but legal) scales route every draw through the scalar
+# interval loop instead of the vectorized fast path
+_EXTREME_SCALE = 1e-280
 _CHUNK = 1 << 18  # dd pipelines are memory-bound; stay cache-resident
 
 
@@ -338,6 +343,8 @@ def laplace_exact_vec(mu: np.ndarray, b: float) -> np.ndarray:
         raise ValueError("scale must be >= 0")
     if b == 0:
         return mu.copy()
+    if b < _EXTREME_SCALE:
+        return np.array([_resolve_laplace(float(m), b, 0, 0) for m in mu])
     p, m1, m2 = _uniform_prefix_dd(len(mu))
     d = _dd.add_d(p, -0.5)
     sign_pos = (d[0] > 0.0) | ((d[0] == 0.0) & (d[1] >= 0.0))
@@ -434,6 +441,11 @@ def gaussian_exact_vec(mu: np.ndarray, sigma_squared: float) -> np.ndarray:
         raise ValueError("sigma_squared must be >= 0")
     if sigma_squared == 0:
         return mu.copy()
+    if sigma_squared < _EXTREME_SCALE**2:
+        return np.array([
+            _resolve_gaussian_pair(float(m), None, float(sigma_squared), 0, 0, 0, 0)[0]
+            for m in mu
+        ])
     n = len(mu)
     # one (u, v) pair yields TWO independent normals (R cos, R sin) —
     # the joint law of the rounded pair is the product of its exact
