@@ -934,6 +934,29 @@ def q_dedup_connected(spark, sf_dir):
     return canonical_duplicates(pairs)
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by multiplicative
+    hashing: the oracle recomputes the identical arithmetic in SQL."""
+    from tumult_core_spark.extensions.sampling import hash_split
+
+    docs = _load(spark, sf_dir, "documents")
+    out = hash_split(
+        docs, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)], seed=7
+    )
+    return out.select("doc_id", "split")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language quota capping (training-mix balancing): keep at
+    most 50 docs per lang, chosen by deterministic hash order."""
+    from tumult_core_spark.extensions.sampling import stratified_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "doc_id", 50, seed=3).select(
+        "lang", "doc_id"
+    )
+
+
 def q_groupby_stddev(spark, sf_dir):
     from tumult_core_spark.base import ChainTM
     from tumult_core_spark.measures import PureDP
@@ -1018,6 +1041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_stddev": q_groupby_stddev,
         "connected_components": q_connected_components,
         "dedup_connected": q_dedup_connected,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1435,5 +1460,27 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id + 20000000, CAST(doc_id AS BIGINT)
             FROM documents WHERE doc_id < 100
+        """,
+        # identical Knuth multiplicative-hash arithmetic as
+        # extensions/sampling.py (seed 7; bounds = floor(0.8*2^32),
+        # floor(0.9*2^32))
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN ((doc_id + 7) * 2654435761) % 4294967296
+                             < 3435973836 THEN 'train'
+                        WHEN ((doc_id + 7) * 2654435761) % 4294967296
+                             < 3865470566 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "stratified_sample": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY ((doc_id + 3) * 2654435761) % 4294967296,
+                                    doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 50
         """,
     }

@@ -191,6 +191,69 @@ class TestDedup:
         assert (cross[0]["id_a"], cross[0]["id_b"]) == (0, 20)
 
 
+class TestSampling:
+    def test_hash_split_deterministic_and_partition_independent(self, spark, docs):
+        from tumult_core_spark.extensions.sampling import hash_split
+
+        splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+        a = {
+            r["doc_id"]: r["split"]
+            for r in hash_split(docs, "doc_id", splits, seed=1).collect()
+        }
+        b = {
+            r["doc_id"]: r["split"]
+            for r in hash_split(
+                docs.repartition(16), "doc_id", splits, seed=1
+            ).collect()
+        }
+        assert a == b
+        # every row lands in exactly one split; proportions roughly hold
+        n = len(a)
+        from collections import Counter
+
+        c = Counter(a.values())
+        assert set(c) <= {"train", "val", "test"}
+        assert c["train"] > 0.6 * n
+        # different seed reshuffles the assignment
+        d = {
+            r["doc_id"]: r["split"]
+            for r in hash_split(docs, "doc_id", splits, seed=2).collect()
+        }
+        assert a != d
+
+    def test_hash_sample_is_subset_and_nested(self, spark, docs):
+        # fraction f1 < f2 => sample(f1) is a SUBSET of sample(f2)
+        # (consecutive hash-space intervals), enabling consistent
+        # corpus thinning across experiments
+        from tumult_core_spark.extensions.sampling import hash_sample
+
+        s20 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.2, seed=5).collect()}
+        s50 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.5, seed=5).collect()}
+        assert s20 <= s50
+        n = docs.count()
+        assert 0.05 * n < len(s20) < 0.4 * n
+
+    def test_stratified_sample_quota(self, spark, docs):
+        from tumult_core_spark.extensions.sampling import stratified_sample
+
+        out = stratified_sample(docs, "lang", "doc_id", 7, seed=0)
+        counts = {r["lang"]: r["cnt"] for r in
+                  out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+        full = {r["lang"]: r["cnt"] for r in
+                docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+        for lang, c in counts.items():
+            assert c == min(full[lang], 7)
+        # deterministic under repartition
+        a = sorted(r["doc_id"] for r in out.collect())
+        b = sorted(
+            r["doc_id"]
+            for r in stratified_sample(
+                docs.repartition(16), "lang", "doc_id", 7, seed=0
+            ).collect()
+        )
+        assert a == b
+
+
 class TestConnectedComponents:
     @staticmethod
     def _uf(edges):

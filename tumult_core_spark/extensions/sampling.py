@@ -1,0 +1,114 @@
+"""Reproducible sampling and dataset splitting for training pipelines.
+
+A 100 TB corpus pipeline needs sampling that is (a) deterministic
+given ids — the same document lands in the same split on every run,
+on any cluster layout, so experiments are reproducible and train/test
+never contaminate each other across reruns; (b) expressible as pure
+relational arithmetic — no RNG state, no driver coordination, fully
+pushed into the engine.
+
+Determinism comes from a FIXED public mixing function (Knuth
+multiplicative hashing, TAOCP vol. 3: ``(id * 2654435761) mod 2^32``)
+computed in plain 64-bit integer arithmetic, so the exact same
+assignment is computable in any SQL engine — which is also what lets
+the duckdb oracles verify these operators value-for-value.  For ids
+up to ~7e9 the product stays inside a signed 64-bit integer (no
+overflow under ANSI mode).
+
+These compose with the rest of the engine: ``hash_split`` feeds
+train/val/test materialization, ``hash_sample`` thins a corpus,
+``stratified_sample`` enforces per-group quotas (per-language /
+per-source caps in a training mix) via one window over the group —
+the same hash-ordered pattern as ``utils/truncation.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_KNUTH = 2654435761  # 2^32 * golden-ratio conjugate, TAOCP 6.4
+_MOD = 1 << 32
+
+
+def _mix(id_col: Column, seed: int) -> Column:
+    """Deterministic position in [0, 2^32) for an id: one multiplicative
+    round with a seed offset folded in.  Pure BIGINT arithmetic —
+    overflow-free for id + seed < ~7e9 — and reproducible in any SQL
+    engine (the oracle recomputes it verbatim in duckdb)."""
+    return ((id_col + F.lit(seed)) * F.lit(_KNUTH)) % F.lit(_MOD)
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, seed: int = 0
+) -> DataFrame:
+    """Deterministic ``fraction``-sample: keeps rows whose mixed id
+    falls below ``fraction`` of the hash space.  Same rows on every
+    run and every partitioning; the filter is a pure Catalyst
+    expression evaluated scan-side inside whole-stage codegen — no
+    shuffle, no RNG state."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    threshold = int(fraction * _MOD)
+    return df.filter(_mix(F.col(id_col).cast("long"), seed) < threshold)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: Sequence[Tuple[str, float]],
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test...)
+    by consecutive hash-space intervals; weights must sum to 1.
+
+    The assignment depends only on (id, seed, weights), never on row
+    order, partitioning, or cluster size — re-running on different
+    hardware reproduces the identical split.
+    """
+    total = sum(w for _, w in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    if len(splits) < 1:
+        raise ValueError("need at least one split")
+    pos = _mix(F.col(id_col).cast("long"), seed)
+    bounds = []
+    acc = 0.0
+    for name, w in splits[:-1]:
+        acc += w
+        bounds.append((name, int(acc * _MOD)))
+    expr = F.lit(splits[-1][0])
+    for name, b in reversed(bounds):
+        expr = F.when(pos < F.lit(b), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    max_per_group: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep at most ``max_per_group`` rows per group, chosen by mixed-id
+    order (deterministic, partitioning-independent) — per-language /
+    per-source quota capping for training mixes.
+
+    One window per group (map-side combinable rank over the group
+    shuffle); ties cannot occur for distinct ids because the mix is a
+    bijection mod 2^32 composed with the id as tiebreaker.
+    """
+    if max_per_group < 1:
+        raise ValueError("max_per_group must be >= 1")
+    w = Window.partitionBy(group_col).orderBy(
+        _mix(F.col(id_col).cast("long"), seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= max_per_group)
+        .drop("__rank")
+    )
