@@ -957,6 +957,16 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing of documents (by n_chars) into 4096-char
+    windows across 16 hash buckets; the oracle replays the same serial
+    scan as a recursive CTE."""
+    from tumult_core_spark.extensions.packing import pack_sequences
+
+    docs = _load(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "n_chars", window=4096, num_buckets=16)
+
+
 def q_groupby_stddev(spark, sf_dir):
     from tumult_core_spark.base import ChainTM
     from tumult_core_spark.measures import PureDP
@@ -1043,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_connected": q_dedup_connected,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1482,5 +1493,27 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id) AS rn
                 FROM documents)
             WHERE rn <= 50
+        """,
+        # serial greedy packing per bucket, replayed as a recursive CTE
+        "pack_sequences": """
+            WITH RECURSIVE d AS (
+                SELECT doc_id, doc_id % 16 AS bucket,
+                       LEAST(n_chars, 4096) AS tok,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id % 16
+                                          ORDER BY doc_id) AS rn
+                FROM documents),
+            packed AS (
+                SELECT bucket, rn, doc_id, tok,
+                       0 AS bin, tok AS fill
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT x.bucket, x.rn, x.doc_id, x.tok,
+                       CASE WHEN p.fill + x.tok > 4096
+                            THEN p.bin + 1 ELSE p.bin END,
+                       CASE WHEN p.fill + x.tok > 4096
+                            THEN x.tok ELSE p.fill + x.tok END
+                FROM d x JOIN packed p
+                  ON x.bucket = p.bucket AND x.rn = p.rn + 1)
+            SELECT doc_id, bucket, bin FROM packed
         """,
     }

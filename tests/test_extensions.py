@@ -254,6 +254,48 @@ class TestSampling:
         assert a == b
 
 
+class TestPacking:
+    def test_pack_respects_window_and_greedy_order(self, spark):
+        from tumult_core_spark.extensions.packing import pack_sequences
+
+        rows = [(i, s) for i, s in enumerate([100, 50, 80, 120, 10, 90, 200, 60])]
+        df = spark.createDataFrame(rows, "doc_id long, n long")
+        out = pack_sequences(df, "doc_id", "n", window=200, num_buckets=1)
+        got = {r["doc_id"]: r["bin"] for r in out.collect()}
+        # greedy by id: [100,50]=150 | +80 overflow -> bin1 [80,120]=200
+        # | +10 overflow -> bin2 [10,90]=100 | +200 overflow -> bin3
+        # [200] | +60 -> bin4
+        assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3, 7: 4}
+        # per-bin totals never exceed the window
+        sizes = dict(rows)
+        fills = {}
+        for d, b in got.items():
+            fills[b] = fills.get(b, 0) + min(sizes[d], 200)
+        assert all(v <= 200 for v in fills.values())
+
+    def test_pack_deterministic_and_clamps_oversize(self, spark):
+        from tumult_core_spark.extensions.packing import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, 5000 if i % 3 == 0 else 1000) for i in range(60)],
+            "doc_id long, n long",
+        )
+        a = sorted(map(tuple, pack_sequences(df, "doc_id", "n", 4096, 4).collect()))
+        b = sorted(
+            map(
+                tuple,
+                pack_sequences(df.repartition(16), "doc_id", "n", 4096, 4).collect(),
+            )
+        )
+        assert a == b
+        # an oversize (clamped) doc occupies a bin by itself
+        out = {r["doc_id"]: (r["bucket"], r["bin"]) for r in
+               pack_sequences(df, "doc_id", "n", 4096, 4).collect()}
+        big_bins = {out[i] for i in range(0, 60, 3)}
+        small_bins = {out[i] for i in range(60) if i % 3 != 0}
+        assert big_bins.isdisjoint(small_bins)
+
+
 class TestConnectedComponents:
     @staticmethod
     def _uf(edges):
