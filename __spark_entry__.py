@@ -967,6 +967,31 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, "doc_id", "n_chars", window=4096, num_buckets=16)
 
 
+def q_training_mix(spark, sf_dir):
+    """End-to-end training-data pipeline COMPOSITION, verified as one
+    relation: length gate -> exact dedup (canonical = min doc_id per
+    identical text) -> per-language quota (deterministic hash order)
+    -> train/val/test assignment.  Every stage is an engine operator;
+    the oracle replays the whole pipeline in SQL."""
+    from pyspark.sql.window import Window
+
+    from tumult_core_spark.extensions.sampling import hash_split, stratified_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    filtered = docs.filter(F.col("n_chars") >= 200)
+    w = Window.partitionBy("text").orderBy("doc_id")
+    canon = (
+        filtered.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    quota = stratified_sample(canon, "lang", "doc_id", 100, seed=11)
+    out = hash_split(
+        quota, "doc_id", [("train", 0.9), ("val", 0.05), ("test", 0.05)], seed=13
+    )
+    return out.select("doc_id", "lang", "split")
+
+
 def q_groupby_stddev(spark, sf_dir):
     from tumult_core_spark.base import ChainTM
     from tumult_core_spark.measures import PureDP
@@ -1054,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
+        "training_mix": q_training_mix,
     }
 
 
@@ -1515,5 +1541,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM d x JOIN packed p
                   ON x.bucket = p.bucket AND x.rn = p.rn + 1)
             SELECT doc_id, bucket, bin FROM packed
+        """,
+        # the full pipeline replayed in SQL: length gate -> min-id
+        # dedup per text -> per-lang quota (seed 11) -> split (seed 13;
+        # bounds floor(0.9*2^32), floor(0.95*2^32))
+        "training_mix": """
+            WITH f AS (
+                SELECT doc_id, lang, text FROM documents
+                WHERE n_chars >= 200),
+            c AS (
+                SELECT doc_id, lang FROM (
+                    SELECT doc_id, lang,
+                           ROW_NUMBER() OVER (PARTITION BY text
+                                              ORDER BY doc_id) AS rn
+                    FROM f) WHERE rn = 1),
+            q AS (
+                SELECT doc_id, lang FROM (
+                    SELECT doc_id, lang,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY lang
+                               ORDER BY ((doc_id + 11) * 2654435761)
+                                        % 4294967296, doc_id) AS rn
+                    FROM c) WHERE rn <= 100)
+            SELECT doc_id, lang,
+                   CASE WHEN ((doc_id + 13) * 2654435761) % 4294967296
+                             < 3865470566 THEN 'train'
+                        WHEN ((doc_id + 13) * 2654435761) % 4294967296
+                             < 4080218931 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM q
         """,
     }
