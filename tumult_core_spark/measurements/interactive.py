@@ -223,6 +223,18 @@ class PrivacyAccountant:
     def privacy_budget(self) -> PrivacyBudget:
         return self._budget
 
+    @property
+    def parent(self) -> Optional["PrivacyAccountant"]:
+        """The accountant this one was split from (None for the root);
+        reference ``interactive_measurements.py:975-981``."""
+        return self._parent
+
+    @property
+    def children(self) -> List["PrivacyAccountant"]:
+        """Accountants split from this one, in split order; reference
+        ``interactive_measurements.py:983-989``."""
+        return list(self._children)
+
     def _require_active(self) -> None:
         if self._state != AccountantState.ACTIVE:
             raise RuntimeError(f"Accountant is {self._state.value}, not active")
