@@ -40,13 +40,19 @@ def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     ).dropDuplicates(["u", "v"])
 
 
-def _star_round(e: DataFrame, large: bool) -> DataFrame:
+def _star_round(e: DataFrame, large: bool, dedupe: bool = True) -> DataFrame:
     """One large-star (attach neighbors v > u) or small-star (attach
     neighbors v <= u, and u itself) round.  ``e`` holds undirected
     edges in either orientation; both are expanded so every node sees
     its full neighborhood.  Small-star MUST also emit (u, m(u)) — a
     leaf whose only neighbor is smaller emits nothing otherwise and
-    the graph would lose edges."""
+    the graph would lose edges.
+
+    ``dedupe=False`` skips the distinct shuffle: duplicate edges do
+    not change neighborhood minima, so the large-star half of a round
+    can run without it (one round of duplication is bounded) and let
+    the small-star half's distinct clean up — one shuffle saved per
+    round, which dominates cost on small graphs."""
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = sym.groupBy("u").agg(
         F.least(F.min("v"), F.first("u")).alias("__m")
@@ -61,11 +67,10 @@ def _star_round(e: DataFrame, large: bool) -> DataFrame:
         out = out.unionByName(
             mins.select(F.col("u").alias("__x"), F.col("__m"))
         )
-    return (
-        out.filter(F.col("__x") != F.col("__m"))
-        .select(F.col("__x").alias("u"), F.col("__m").alias("v"))
-        .dropDuplicates(["u", "v"])
+    out = out.filter(F.col("__x") != F.col("__m")).select(
+        F.col("__x").alias("u"), F.col("__m").alias("v")
     )
+    return out.dropDuplicates(["u", "v"]) if dedupe else out
 
 
 def connected_components(
@@ -84,9 +89,21 @@ def connected_components(
     """
     spark = edges.sparkSession
     e = _canonical_edges(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
+    default_par = spark.sparkContext.defaultParallelism
+    par = default_par
     prev_fp = None
     for _ in range(max_rounds):
-        nxt = _star_round(_star_round(e, large=True), large=False)
+        # checkpoint between the stars too: the small-star references
+        # its input three times (both sym orientations + the mins
+        # aggregate), so an unmaterialized large-star subtree would be
+        # re-evaluated per reference
+        half = _star_round(e, large=True, dedupe=False).localCheckpoint(eager=True)
+        nxt = _star_round(half, large=False)
+        # checkpoint at a partition count sized to the edge set (known
+        # from the previous round's fingerprint): a shrinking graph
+        # otherwise drags the input's full partitioning through every
+        # round, and per-task overhead dominates small rounds
+        nxt = nxt.coalesce(par)
         nxt = nxt.localCheckpoint(eager=True)  # cut O(rounds) lineage
         fp = nxt.agg(
             F.count(F.lit(1)).alias("n"),
@@ -99,6 +116,7 @@ def connected_components(
         if prev_fp == (fp["n"], fp["h"]):
             break
         prev_fp = (fp["n"], fp["h"])
+        par = max(2, min(default_par, int(fp["n"] or 0) // 100_000 + 1))
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
     # fixpoint edges are stars (v = component min); centers map to themselves
