@@ -293,3 +293,43 @@ class TestScaleUtils:
         # co-bucketed self-join plans without an Exchange on the join key
         plan = back.join(back.alias("b"), "k")._jdf.queryExecution().executedPlan().toString()
         spark.sql("DROP TABLE kv_bucketed")
+
+
+class TestGroupKeySemantics:
+    def test_null_group_key_counts_and_fills(self, spark):
+        """Reference special-values.rst 'GroupBy': a null group key is a
+        real group (null-safe key matching), absent keys 0-fill, and
+        data groups outside the public key set are dropped."""
+        from tumult_core_spark.measures import PureDP
+        from tumult_core_spark.measurements.aggregations import (
+            create_count_measurement,
+        )
+        from tumult_core_spark.transformations.groupby import (
+            create_groupby_from_list_of_keys,
+        )
+
+        df = spark.createDataFrame([("A",), (None,), (None,), ("B",)], "k string")
+        dom = SparkDataFrameDomain.from_spark_schema(df.schema)
+        gb = create_groupby_from_list_of_keys(
+            dom, SymmetricDifference(), False, ["k"], [("A",), (None,), ("C",)]
+        )
+        m = create_count_measurement(
+            dom, SymmetricDifference(), PureDP(), 1, float("inf"),
+            groupby_transformation=gb,
+        )
+        got = {r["k"]: r["count"] for r in m(df).collect()}
+        assert got == {"A": 1, None: 2, "C": 0}  # B dropped
+
+    def test_float_group_key_rejected_at_construction(self, spark):
+        """Reference forbids float group keys (NaN grouping vs
+        comparison semantics diverge); must raise at CONSTRUCTION."""
+        from tumult_core_spark.transformations.groupby import (
+            create_groupby_from_list_of_keys,
+        )
+
+        df = spark.createDataFrame([(1.0, 1)], "f double, x long")
+        dom = SparkDataFrameDomain.from_spark_schema(df.schema)
+        with pytest.raises(ValueError, match="float"):
+            create_groupby_from_list_of_keys(
+                dom, SymmetricDifference(), False, ["f"], [(1.0,)]
+            )

@@ -52,6 +52,11 @@ class GroupBy(Transformation):
             raise ValueError(f"Group key column(s) {missing} not in domain")
         for c in groupby_columns:
             expected = input_domain[c].data_type()
+            if isinstance(expected, (T.FloatType, T.DoubleType)):
+                # reference forbids float group keys at construction
+                # (NaN != NaN under grouping vs comparison semantics;
+                # doc/topic-guides/special-values.rst "GroupBy")
+                raise ValueError(f"Cannot group by float column {c!r}")
             actual = group_keys.schema[c].dataType
             if expected != actual:
                 raise ValueError(
