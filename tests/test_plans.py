@@ -100,3 +100,32 @@ def test_embedding_near_dup_caches_groups(spark, sf_dir):
     out.count()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+
+
+def test_training_mix_pushdown_and_two_exchanges(spark, sf_dir):
+    """The composed pipeline's length gate must reach the parquet scan
+    (PushedFilters) and the whole four-stage pipeline must cost exactly
+    two exchanges (one per window: text-dedup, lang-quota); the split
+    assignment is expression-only."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as E
+
+    df = E.queries()["training_mix"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "GreaterThanOrEqual(n_chars,200)" in plan
+    assert plan.count("Exchange") <= 2 * 2  # <=2 exchanges (each named twice)
+
+
+def test_hash_sample_no_shuffle(spark, sf_dir):
+    """Deterministic sampling is a scan-side filter: zero exchanges."""
+    from tumult_core_spark.extensions.sampling import hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = hash_sample(docs, "doc_id", 0.25, seed=3)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
