@@ -191,6 +191,55 @@ class TestDedup:
         assert (cross[0]["id_a"], cross[0]["id_b"]) == (0, 20)
 
 
+class TestKMeansIVF:
+    def test_lloyd_reduces_quantization_error(self, spark, embs):
+        import numpy as np
+
+        from tumult_core_spark.extensions.similarity import (
+            kmeans_centroids,
+            sample_centroids,
+        )
+
+        corpus = embs.limit(400).select(
+            F.col("embedding").cast("array<double>").alias("__v")
+        )
+
+        def sse(cents_df):
+            cents = np.array([r["__centroid"] for r in cents_df.collect()])
+            vecs = np.array([r["__v"] for r in corpus.collect()])
+            d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            return float(d.min(axis=1).sum())
+
+        init = sample_centroids(corpus, "__v", 8)
+        trained = kmeans_centroids(corpus, "__v", 8, iterations=3)
+        assert sse(trained) < sse(init)
+        # deterministic
+        again = kmeans_centroids(corpus, "__v", 8, iterations=3)
+        a = sorted(map(tuple, (r["__centroid"] for r in trained.collect())))
+        b = sorted(map(tuple, (r["__centroid"] for r in again.collect())))
+        assert a == b
+
+    def test_ivf_full_probe_exact_with_training(self, spark, embs):
+        from tumult_core_spark.extensions.similarity import brute_force_knn, ivf_knn
+
+        corpus = embs.limit(150)
+        queries = corpus.limit(8).withColumnRenamed("vec_id", "qid")
+        exact = {
+            (r["qid"], r["rank"]): r["vec_id"]
+            for r in brute_force_knn(
+                corpus, queries, "vec_id", "qid", "embedding", k=3
+            ).collect()
+        }
+        approx = {
+            (r["qid"], r["rank"]): r["vec_id"]
+            for r in ivf_knn(
+                corpus, queries, "vec_id", "qid", "embedding", k=3,
+                num_centroids=6, nprobe=6, train_iterations=2,
+            ).collect()
+        }
+        assert exact == approx
+
+
 class TestSampling:
     def test_hash_split_deterministic_and_partition_independent(self, spark, docs):
         from tumult_core_spark.extensions.sampling import hash_split

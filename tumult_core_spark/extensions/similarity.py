@@ -131,6 +131,61 @@ def sample_centroids(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    vector_col: str,
+    num_centroids: int,
+    iterations: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Distributed Lloyd refinement of the hash-sampled centroids.
+
+    Each iteration: assign every vector to its nearest centroid
+    (broadcast argmin — no shuffle of the corpus), then recompute each
+    centroid as the element-wise mean of its cell (posexplode ->
+    per-(cell, position) partial-aggregated mean -> reassembled array).
+    Cost per iteration is one corpus scan plus a cells x dim sized
+    aggregate; centroids stay broadcast-sized throughout, so this
+    scales to corpora that never fit on the driver.  Deterministic
+    given (corpus, seed).  Empty cells keep their previous centroid.
+    """
+    cents = sample_centroids(corpus, vector_col, num_centroids, seed)
+    c = corpus.select(F.col(vector_col).cast("array<double>").alias("__v"))
+    for _ in range(max(0, iterations)):
+        assigned = _nearest_centroids(
+            c.withColumn("__rid", F.monotonically_increasing_id()),
+            "__rid",
+            "__v",
+            cents,
+            1,
+        ).select("__centroid_id", "__v")
+        means = (
+            assigned.select(
+                "__centroid_id", F.posexplode("__v").alias("__pos", "__x")
+            )
+            .groupBy("__centroid_id", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("__centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__m"))
+                ).alias("__pm")
+            )
+            .select(
+                "__centroid_id",
+                F.transform(F.col("__pm"), lambda s: s["__m"]).alias("__new"),
+            )
+        )
+        cents = (
+            cents.join(means, "__centroid_id", "left")
+            .select(
+                "__centroid_id",
+                F.coalesce(F.col("__new"), F.col("__centroid")).alias("__centroid"),
+            )
+        )
+    return cents
+
+
 def _nearest_centroids(
     df: DataFrame,
     id_alias: str,
@@ -162,11 +217,14 @@ def ivf_knn(
     k: int = 10,
     num_centroids: int = 16,
     nprobe: int = 4,
+    train_iterations: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: probe only nprobe/num_centroids cells.
 
     Recall < 1 by construction; raise ``nprobe`` to trade cost for
-    recall.  Corpus cell assignment is reusable across query batches
+    recall, and ``train_iterations`` to Lloyd-refine the coarse
+    quantizer (better-balanced cells -> better recall at the same
+    nprobe).  Corpus cell assignment is reusable across query batches
     (write it out once for a static corpus).
     """
     c = corpus.select(
@@ -177,7 +235,12 @@ def ivf_knn(
         F.col(query_id).alias("__qid"),
         F.col(vector_col).cast("array<double>").alias("__qvec"),
     )
-    centroids = sample_centroids(c, "__cvec", num_centroids)
+    if train_iterations > 0:
+        centroids = kmeans_centroids(
+            c, "__cvec", num_centroids, iterations=train_iterations
+        )
+    else:
+        centroids = sample_centroids(c, "__cvec", num_centroids)
     c_assigned = _nearest_centroids(c, "__cid", "__cvec", centroids, 1)
     q_assigned = _nearest_centroids(q, "__qid", "__qvec", centroids, nprobe)
 
