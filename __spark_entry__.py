@@ -967,6 +967,23 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, "doc_id", "n_chars", window=4096, num_buckets=16)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: 30 holdout docs are verbatim copies
+    of training docs 50..79; the inverted-gram-index join must flag
+    exactly those training docs (and no cross pairs at 0.99)."""
+    from tumult_core_spark.extensions.dedup import decontaminate
+
+    train = _load(spark, sf_dir, "documents").filter("doc_id < 100")
+    holdout = (
+        train.filter("doc_id >= 50 AND doc_id < 80")
+        .withColumn("doc_id", F.col("doc_id") + 5_000_000)
+    )
+    out = decontaminate(train, holdout, "doc_id", "text", n=3, threshold=0.99)
+    return out.select(
+        "train_id", "holdout_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def q_training_mix(spark, sf_dir):
     """End-to-end training-data pipeline COMPOSITION, verified as one
     relation: length gate -> exact dedup (canonical = min doc_id per
@@ -1080,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "training_mix": q_training_mix,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1541,6 +1559,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM d x JOIN packed p
                   ON x.bucket = p.bucket AND x.rn = p.rn + 1)
             SELECT doc_id, bucket, bin FROM packed
+        """,
+        # planted verbatim copies: flagged pairs are exactly the 30
+        # (train doc, its +5M clone) pairs at jaccard 1
+        "decontaminate": """
+            SELECT doc_id AS train_id, doc_id + 5000000 AS holdout_id,
+                   CAST(1.0 AS DOUBLE) AS jaccard
+            FROM documents WHERE doc_id >= 50 AND doc_id < 80
         """,
         # the full pipeline replayed in SQL: length gate -> min-id
         # dedup per text -> per-lang quota (seed 11) -> split (seed 13;

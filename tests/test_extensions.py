@@ -191,6 +191,46 @@ class TestDedup:
         assert (cross[0]["id_a"], cross[0]["id_b"]) == (0, 20)
 
 
+class TestDecontaminate:
+    def test_flags_only_contaminated_and_stop_grams_dont_change_values(
+        self, spark, docs
+    ):
+        from tumult_core_spark.extensions.dedup import decontaminate
+
+        train = docs.filter("doc_id < 60")
+        holdout = train.filter("doc_id < 20").withColumn(
+            "doc_id", F.col("doc_id") + 900000
+        )
+        out = decontaminate(train, holdout, "doc_id", "text", threshold=0.99)
+        got = {(r["train_id"], r["holdout_id"]): r["jaccard"] for r in out.collect()}
+        assert got == {(d, d + 900000): 1.0 for d in range(20)}
+        # a tiny stop-gram bound may drop candidates but NEVER changes
+        # a surviving pair's verified jaccard
+        out2 = decontaminate(
+            train, holdout, "doc_id", "text", threshold=0.99, max_gram_doc_freq=1
+        )
+        got2 = {(r["train_id"], r["holdout_id"]): r["jaccard"] for r in out2.collect()}
+        assert set(got2) <= set(got)
+        for k, v in got2.items():
+            assert v == got[k]
+
+    def test_partial_overlap_jaccard_value(self, spark):
+        from tumult_core_spark.extensions.dedup import decontaminate
+
+        # 6 tokens -> 4 distinct 3-grams; sharing the last 5 tokens
+        # gives 3 shared grams, union 5 -> jaccard 0.6
+        t = spark.createDataFrame(
+            [(1, "a b c d e f")], "doc_id long, text string"
+        )
+        h = spark.createDataFrame(
+            [(2, "z b c d e f")], "doc_id long, text string"
+        )
+        out = decontaminate(t, h, "doc_id", "text", n=3, threshold=0.5).collect()
+        assert len(out) == 1 and abs(out[0]["jaccard"] - 0.6) < 1e-12
+        none = decontaminate(t, h, "doc_id", "text", n=3, threshold=0.7).collect()
+        assert none == []
+
+
 class TestKMeansIVF:
     def test_lloyd_reduces_quantization_error(self, spark, embs):
         import numpy as np

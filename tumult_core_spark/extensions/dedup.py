@@ -422,3 +422,73 @@ def simhash_near_duplicates(
     return cands.select(
         "id_a", "id_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def decontaminate(
+    train: DataFrame,
+    holdout: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_gram_doc_freq: int = 10_000,
+) -> DataFrame:
+    """(train_id, holdout_id, jaccard) for training documents whose
+    word n-gram Jaccard with ANY holdout (eval/test) document reaches
+    ``threshold`` — the benchmark-decontamination step of a training
+    pipeline.  Anti-join the training corpus against the distinct
+    train_id column of this relation to drop contaminated docs.
+
+    Scale path: an INVERTED n-GRAM INDEX join, not an all-pairs
+    comparison — train and holdout gram postings join on the gram, so
+    cost is proportional to shared-gram postings.  Grams appearing in
+    more than ``max_gram_doc_freq`` holdout documents are dropped from
+    the index (stop-gram removal): such grams are near-universal
+    boilerplate, contribute negligible Jaccard evidence each, and
+    would otherwise make one hot gram quadratic.  The exact Jaccard is
+    then computed only for candidate pairs that share at least one
+    surviving gram (intersection via the posting counts; union from
+    per-doc distinct-gram totals), so dropped stop-grams only affect
+    candidate GENERATION, never the verified jaccard value itself.
+    """
+    tg = (
+        train.select(
+            F.col(id_col).alias("__tid"), word_ngrams(text_col, n).alias("__g")
+        )
+        .withColumn("__tn", F.size("__g"))
+    )
+    hg = (
+        holdout.select(
+            F.col(id_col).alias("__hid"), word_ngrams(text_col, n).alias("__g")
+        )
+        .withColumn("__hn", F.size("__g"))
+    )
+    h_post = hg.select("__hid", "__hn", F.explode("__g").alias("__gram"))
+    gram_df = h_post.groupBy("__gram").agg(F.count(F.lit(1)).alias("__df"))
+    h_post = h_post.join(
+        F.broadcast(gram_df.filter(F.col("__df") > max_gram_doc_freq)),
+        "__gram",
+        "left_anti",
+    )
+    t_post = tg.select("__tid", "__tn", F.explode("__g").alias("__gram"))
+    shared = (
+        t_post.join(h_post, "__gram")
+        .groupBy("__tid", "__hid")
+        .agg(
+            F.count(F.lit(1)).alias("__shared"),
+            F.first("__tn").alias("__tn"),
+            F.first("__hn").alias("__hn"),
+        )
+    )
+    jac = (
+        F.col("__shared")
+        / F.greatest(F.col("__tn") + F.col("__hn") - F.col("__shared"), F.lit(1))
+    ).alias("jaccard")
+    return (
+        shared.select(
+            F.col("__tid").alias("train_id"),
+            F.col("__hid").alias("holdout_id"),
+            jac,
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
