@@ -984,6 +984,27 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrubbing: plant an email/IP/phone per document, redact with
+    the Catalyst regexp chain, and compare the transformed text and
+    per-kind counts byte-for-byte against DuckDB replaying the same
+    RE2-safe patterns."""
+    from tumult_core_spark.extensions.text import redact_pii
+
+    docs = _load(spark, sf_dir, "documents").filter("doc_id < 200")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0.0.7 or +1 555-123-4567"),
+        ).alias("text"),
+    )
+    out = redact_pii(planted, "text")
+    return out.select("doc_id", "redacted", "n_email", "n_ipv4", "n_phone")
+
+
 def q_training_mix(spark, sf_dir):
     """End-to-end training-data pipeline COMPOSITION, verified as one
     relation: length gate -> exact dedup (canonical = min doc_id per
@@ -1098,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "training_mix": q_training_mix,
         "decontaminate": q_decontaminate,
+        "redact_pii": q_redact_pii,
     }
 
 
@@ -1595,5 +1617,35 @@ def oracle_sql() -> dict[str, str]:
                              < 4080218931 THEN 'val'
                         ELSE 'test' END AS split
             FROM q
+        """,
+        # same RE2-safe patterns as extensions/text.py PII_PATTERNS,
+        # applied in the same order (counts measured on the
+        # progressively redacted text, like the operator)
+        "redact_pii": """
+            WITH planted AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com at 10.0.0.7 or +1 555-123-4567'
+                           AS text
+                FROM documents WHERE doc_id < 200),
+            s1 AS (
+                SELECT doc_id,
+                       len(string_split_regex(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) - 1 AS n_email,
+                       regexp_replace(text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+                FROM planted),
+            s2 AS (
+                SELECT doc_id, n_email,
+                       len(string_split_regex(t1, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) - 1 AS n_ipv4,
+                       regexp_replace(t1, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IPV4]', 'g') AS t2
+                FROM s1),
+            s3 AS (
+                SELECT doc_id, n_email, n_ipv4,
+                       len(string_split_regex(t2, '\\+?[0-9]{1,3}[ .\\-]?\\(?[0-9]{3}\\)?[ .\\-][0-9]{3}[ .\\-][0-9]{4}\\b')) - 1 AS n_phone,
+                       regexp_replace(t2, '\\+?[0-9]{1,3}[ .\\-]?\\(?[0-9]{3}\\)?[ .\\-][0-9]{3}[ .\\-][0-9]{4}\\b', '[PHONE]', 'g') AS redacted
+                FROM s2)
+            SELECT doc_id, redacted, CAST(n_email AS BIGINT) AS n_email,
+                   CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+                   CAST(n_phone AS BIGINT) AS n_phone
+            FROM s3
         """,
     }

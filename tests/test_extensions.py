@@ -191,6 +191,30 @@ class TestDedup:
         assert (cross[0]["id_a"], cross[0]["id_b"]) == (0, 20)
 
 
+class TestRedactPII:
+    def test_redacts_and_counts(self, spark):
+        from tumult_core_spark.extensions.text import redact_pii
+
+        rows = [
+            (0, "mail a@b.com and c.d+x@e.org end"),
+            (1, "server 192.168.0.1 and 10.0.0.255"),
+            (2, "call +1 555-123-4567 now"),
+            (3, "clean text with no pii at all"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in redact_pii(df, "text").collect()}
+        assert got[0]["redacted"] == "mail [EMAIL] and [EMAIL] end"
+        assert got[0]["n_email"] == 2
+        assert got[1]["redacted"] == "server [IPV4] and [IPV4]"
+        assert got[1]["n_ipv4"] == 2 and got[1]["n_email"] == 0
+        assert got[2]["redacted"] == "call [PHONE] now"
+        assert got[2]["n_phone"] == 1
+        assert got[3]["redacted"] == rows[3][1]
+        assert (
+            got[3]["n_email"] == got[3]["n_ipv4"] == got[3]["n_phone"] == 0
+        )
+
+
 class TestDecontaminate:
     def test_flags_only_contaminated_and_stop_grams_dont_change_values(
         self, spark, docs

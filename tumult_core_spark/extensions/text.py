@@ -129,3 +129,42 @@ def document_fingerprint(
     return df.withColumn(
         out_col, F.xxhash64(F.col(text_col))
     ).withColumn(f"{out_col}_robust", min_shingle)
+
+
+# RE2-compatible patterns (no backreferences/lookaround): identical
+# semantics in Spark's Java regex and DuckDB's RE2, which is what lets
+# the redaction oracle compare transformed text byte-for-byte.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9]{1,3}[ .\-]?\(?[0-9]{3}\)?[ .\-][0-9]{3}[ .\-][0-9]{4}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted",
+    kinds: tuple = ("email", "ipv4", "phone"),
+) -> DataFrame:
+    """Replace email/IPv4/phone-shaped substrings with ``[KIND]``
+    tokens and count replacements per kind — the scrubbing pass of a
+    training-data pipeline.  Pure Catalyst ``regexp_replace`` chains
+    (whole-stage codegen, no shuffle, no Python); counts are derived
+    from length deltas of a single-kind redaction, so one scan
+    computes text and counts together.
+    """
+    out = df
+    redacted = F.col(text_col)
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        token = f"[{kind.upper()}]"
+        # matches collapse to a fixed token; count = how many times a
+        # lone-kind replace shrinks the remaining text, recovered as
+        # the occurrence count via split-size (RE2-safe, no lookaround)
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.split(redacted, pat)) - 1,
+        )
+        redacted = F.regexp_replace(redacted, pat, token)
+    return out.withColumn(out_col, redacted)
