@@ -38,7 +38,9 @@ def _mix(id_col: Column, seed: int) -> Column:
     """Deterministic position in [0, 2^32) for an id: one multiplicative
     round with a seed offset folded in.  Pure BIGINT arithmetic —
     overflow-free for id + seed < ~7e9 — and reproducible in any SQL
-    engine (the oracle recomputes it verbatim in duckdb)."""
+    engine (the oracle recomputes it verbatim in duckdb).  Ids must be
+    NON-NEGATIVE: `%` keeps the dividend's sign in both engines, so a
+    negative id would land every row in the final interval."""
     return ((id_col + F.lit(seed)) * F.lit(_KNUTH)) % F.lit(_MOD)
 
 
