@@ -1543,9 +1543,9 @@ def oracle_sql() -> dict[str, str]:
         # floor(0.9*2^32))
         "hash_split": """
             SELECT doc_id,
-                   CASE WHEN ((doc_id + 7) * 2654435761) % 4294967296
+                   CASE WHEN (((2654435761 * CAST((((doc_id + 7) % 4294967296) - ((doc_id + 7) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 2654435761 * (((doc_id + 7) % 4294967296) % 65536)) % 4294967296
                              < 3435973836 THEN 'train'
-                        WHEN ((doc_id + 7) * 2654435761) % 4294967296
+                        WHEN (((2654435761 * CAST((((doc_id + 7) % 4294967296) - ((doc_id + 7) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 2654435761 * (((doc_id + 7) % 4294967296) % 65536)) % 4294967296
                              < 3865470566 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
@@ -1555,7 +1555,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lang, doc_id,
                        ROW_NUMBER() OVER (
                            PARTITION BY lang
-                           ORDER BY ((doc_id + 3) * 2654435761) % 4294967296,
+                           ORDER BY (((2654435761 * CAST((((doc_id + 3) % 4294967296) - ((doc_id + 3) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 2654435761 * (((doc_id + 3) % 4294967296) % 65536)) % 4294967296,
                                     doc_id) AS rn
                 FROM documents)
             WHERE rn <= 50
@@ -1607,13 +1607,12 @@ def oracle_sql() -> dict[str, str]:
                     SELECT doc_id, lang,
                            ROW_NUMBER() OVER (
                                PARTITION BY lang
-                               ORDER BY ((doc_id + 11) * 2654435761)
-                                        % 4294967296, doc_id) AS rn
+                               ORDER BY (((2654435761 * CAST((((doc_id + 11) % 4294967296) - ((doc_id + 11) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 2654435761 * (((doc_id + 11) % 4294967296) % 65536)) % 4294967296, doc_id) AS rn
                     FROM c) WHERE rn <= 100)
             SELECT doc_id, lang,
-                   CASE WHEN ((doc_id + 13) * 2654435761) % 4294967296
+                   CASE WHEN (((2654435761 * CAST((((doc_id + 13) % 4294967296) - ((doc_id + 13) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 2654435761 * (((doc_id + 13) % 4294967296) % 65536)) % 4294967296
                              < 3865470566 THEN 'train'
-                        WHEN ((doc_id + 13) * 2654435761) % 4294967296
+                        WHEN (((2654435761 * CAST((((doc_id + 13) % 4294967296) - ((doc_id + 13) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 2654435761 * (((doc_id + 13) % 4294967296) % 65536)) % 4294967296
                              < 4080218931 THEN 'val'
                         ELSE 'test' END AS split
             FROM q

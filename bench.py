@@ -277,6 +277,61 @@ def bench_text_stats(spark):
     language_id(quality_score(token_count(docs))).count()
 
 
+def bench_components(spark):
+    """Connected components over the nation<-customer<-orders graph
+    (alternating large/small-star to fixpoint)."""
+    from pyspark.sql import functions as F
+
+    from tumult_core_spark.extensions.components import connected_components
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        (F.col("c_custkey") + F.lit(1_000_000)).alias("id_a"),
+        F.col("c_nationkey").cast("long").alias("id_b"),
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        (F.col("o_orderkey") + F.lit(2_000_000)).alias("id_a"),
+        (F.col("o_custkey") + F.lit(1_000_000)).alias("id_b"),
+    )
+    connected_components(cust.unionByName(orders)).count()
+
+
+def bench_training_mix(spark):
+    """Composed pipeline: gate -> exact dedup -> per-lang quota ->
+    split, one relation."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from tumult_core_spark.extensions.sampling import hash_split, stratified_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("n_chars") >= 200
+    )
+    w = Window.partitionBy("text").orderBy("doc_id")
+    canon = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    quota = stratified_sample(canon, "lang", "doc_id", 100, seed=11)
+    hash_split(
+        quota, "doc_id", [("train", 0.9), ("val", 0.05), ("test", 0.05)], seed=13
+    ).count()
+
+
+def bench_decontaminate(spark):
+    """Inverted n-gram index join of the corpus against a planted
+    holdout set."""
+    from pyspark.sql import functions as F
+
+    from tumult_core_spark.extensions.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    holdout = docs.filter("doc_id % 50 = 0").withColumn(
+        "doc_id", F.col("doc_id") + 5_000_000
+    )
+    decontaminate(docs, holdout, "doc_id", "text", threshold=0.99).count()
+
+
 BENCHES = {
     "groupby_count_sum": bench_groupby_count_sum,
     "quantile": bench_quantile,
@@ -289,6 +344,9 @@ BENCHES = {
     "dedup_minhash": bench_dedup_minhash,
     "ann_topk": bench_ann,
     "text_stats": bench_text_stats,
+    "components": bench_components,
+    "training_mix": bench_training_mix,
+    "decontaminate": bench_decontaminate,
 }
 
 

@@ -215,3 +215,49 @@ def test_dd_sqrt_within_budget(a):
         s = dd.sqrt((np.array([a]), np.array([0.0])))
         true = mpmath.sqrt(mpmath.mpf(a))
         assert _dd_rel_err(s, 0, true, mpmath) < _DD_BUDGET
+
+
+# ---------------------------------------------------------------------------
+# Hash sampling/splitting arithmetic (driver-side replica of the
+# Catalyst expressions — same Knuth multiplicative mix)
+# ---------------------------------------------------------------------------
+
+
+def _mix_py(i, seed):
+    # reference value: the mathematical K*(i+seed) mod 2^32
+    return ((i + seed) * 2654435761) % (1 << 32)
+
+
+def _mix_split_py(i, seed):
+    # the engine's split-multiply form: every intermediate < 2^48
+    m = (i + seed) % (1 << 32)
+    lo, hi = m % 65536, m // 65536
+    inter = [2654435761 * hi, (2654435761 * hi % 65536) * 65536 + 2654435761 * lo]
+    assert all(v < 2**63 for v in inter)
+    return inter[1] % (1 << 32)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**63 - 1_000_001),
+    st.integers(min_value=0, max_value=1_000_000),
+)
+def test_mix_split_matches_reference_full_int64_range(i, seed):
+    # the overflow-free split multiply must equal K*(i+seed) mod 2^32
+    # for the ENTIRE non-negative int64 id range (a plain product
+    # overflows beyond i ~3.4e9 under ANSI mode)
+    assert _mix_split_py(i, seed) == _mix_py(i, seed)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=10**9))
+def test_split_intervals_partition_hash_space(i):
+    # consecutive-interval assignment: exactly one split matches, and
+    # nested fractions produce nested sample sets
+    pos = _mix_split_py(i, 0)
+    bounds = [int(0.8 * 2**32), int(0.9 * 2**32)]
+    name = "train" if pos < bounds[0] else "val" if pos < bounds[1] else "test"
+    assert name in ("train", "val", "test")
+    in_20 = pos < int(0.2 * 2**32)
+    in_50 = pos < int(0.5 * 2**32)
+    assert not in_20 or in_50  # sample(0.2) subset of sample(0.5)

@@ -35,13 +35,24 @@ _MOD = 1 << 32
 
 
 def _mix(id_col: Column, seed: int) -> Column:
-    """Deterministic position in [0, 2^32) for an id: one multiplicative
-    round with a seed offset folded in.  Pure BIGINT arithmetic —
-    overflow-free for id + seed < ~7e9 — and reproducible in any SQL
-    engine (the oracle recomputes it verbatim in duckdb).  Ids must be
-    NON-NEGATIVE: `%` keeps the dividend's sign in both engines, so a
-    negative id would land every row in the final interval."""
-    return ((id_col + F.lit(seed)) * F.lit(_KNUTH)) % F.lit(_MOD)
+    """Deterministic position in [0, 2^32): ``K*(id+seed) mod 2^32``
+    with K the Knuth multiplier.
+
+    Computed with a 16-bit SPLIT MULTIPLY — reduce ``m = (id+seed) mod
+    2^32`` first, then ``((K*(m div 2^16) mod 2^16) * 2^16 + K*(m mod
+    2^16)) mod 2^32`` — so every intermediate stays below ~2^48 and the
+    expression is overflow-free under ANSI mode for the ENTIRE
+    non-negative int64 id range (a plain ``(id+seed)*K`` overflows
+    beyond id ~3.4e9, far too small for a 100 TB corpus).  Pure BIGINT
+    arithmetic, reproducible in any SQL engine — the oracles recompute
+    it verbatim in duckdb.  Ids must be NON-NEGATIVE: `%` keeps the
+    dividend's sign in both engines."""
+    m = (id_col + F.lit(seed)) % F.lit(_MOD)
+    lo = m % F.lit(65536)
+    hi = ((m - lo) / F.lit(65536)).cast("long")
+    return (
+        (F.lit(_KNUTH) * hi % F.lit(65536)) * F.lit(65536) + F.lit(_KNUTH) * lo
+    ) % F.lit(_MOD)
 
 
 def hash_sample(
