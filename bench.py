@@ -325,7 +325,10 @@ def bench_decontaminate(spark):
 
     from tumult_core_spark.extensions.dedup import decontaminate
 
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # spread the corpus the way a many-file 100 TB table arrives (the
+    # single sf0.1 parquet file otherwise scans as ONE task and the
+    # gram computation serializes)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
     holdout = docs.filter("doc_id % 50 = 0").withColumn(
         "doc_id", F.col("doc_id") + 5_000_000
     )

@@ -471,8 +471,11 @@ def decontaminate(
         "left_anti",
     )
     t_post = tg.select("__tid", "__tn", F.explode("__g").alias("__gram"))
+    # holdout sets are benchmark-sized by definition, so the surviving
+    # holdout postings broadcast: the train side never shuffles — the
+    # index join runs map-side over the corpus scan
     shared = (
-        t_post.join(h_post, "__gram")
+        t_post.join(F.broadcast(h_post), "__gram")
         .groupBy("__tid", "__hid")
         .agg(
             F.count(F.lit(1)).alias("__shared"),
