@@ -590,6 +590,48 @@ class TestMultimodal:
         f2 = extract_image_features(df2, "payload", "media_id", dim=4, decoder="real")
         assert np.allclose(f2.collect()[0]["features"], feats[1], atol=1e-6)
 
+    @staticmethod
+    def _y4m(w, h, y_values):
+        import numpy as np
+
+        out = [f"YUV4MPEG2 W{w} H{h} F25:1 C420\n".encode()]
+        for v in y_values:
+            out.append(b"FRAME\n")
+            out.append(np.full((h, w), v, dtype=np.uint8).tobytes())  # Y
+            out.append(bytes((w // 2) * (h // 2) * 2))  # U+V planes
+        return b"".join(out)
+
+    def test_real_y4m_frame_sampling(self, spark):
+        # uncompressed Y4M decodes FOR REAL: evenly spaced frames come
+        # back as PGM payloads carrying the true luma content
+        from tumult_core_spark.extensions.multimodal import _decode_pnm
+
+        payload = self._y4m(4, 2, [10, 20, 30, 40, 50, 60])
+        df = spark.createDataFrame(
+            [(0, bytearray(payload))], "media_id long, payload binary"
+        )
+        rows = sample_video_frames(
+            df, "payload", "media_id", num_frames=3, decoder="real"
+        ).collect()
+        got = {}
+        for r in rows:
+            img = _decode_pnm(bytes(r["frame"]))
+            assert img is not None and img.shape == (2, 4, 1)
+            got[r["frame_index"]] = int(img[0, 0, 0])
+        # linspace(0, 5, 3).round() -> frames 0, 2, 5
+        assert got == {0: 10, 1: 30, 2: 60}
+        # compressed container still raises in real mode
+        bad = spark.createDataFrame(
+            [(1, bytearray(b"\x00\x00\x00 ftypmp42 not a y4m"))],
+            "media_id long, payload binary",
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            sample_video_frames(
+                bad, "payload", "media_id", num_frames=2, decoder="real"
+            ).collect()
+
     def test_malformed_pnm_header_auto_falls_back(self, spark):
         # 0xB2 is '²', a Unicode digit: chr(c).isdigit() used to admit
         # it into int() and crash the executor task; a malformed

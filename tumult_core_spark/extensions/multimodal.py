@@ -8,8 +8,8 @@ signature, batch shape — is identical whatever the decoder.
 
 Decoders are REAL for the container formats that need no external
 codec — uncompressed PPM (P6) / PGM (P5) images, uncompressed BI_RGB
-BMP (24/32-bit), and 8/16-bit PCM WAV audio — implemented in pure
-NumPy.  Compressed formats (JPEG/PNG/MP3/MP4...) need Pillow/ffmpeg,
+BMP (24/32-bit), 8/16-bit PCM WAV audio, and uncompressed YUV4MPEG2
+(.y4m) video — implemented in pure NumPy.  Compressed formats (JPEG/PNG/MP3/MP4...) need Pillow/ffmpeg,
 which are NOT available in this environment; per the ``decoder``
 mode they either fall back to a deterministic sha256-seeded stub
 (``"auto"``, default — keeps pipelines runnable end-to-end) or raise
@@ -152,6 +152,59 @@ def _try_decode(fn, payload: bytes, decoder: str):
         if decoder == "auto":
             return None
         raise
+
+
+def _decode_y4m(payload: bytes) -> Optional[List[np.ndarray]]:
+    """Uncompressed YUV4MPEG2 -> list of HxW uint8 luma (Y) planes.
+
+    Y4M is the codec-free raw video interchange format (the input
+    format of every encoder test suite): a plain-text stream header
+    ``YUV4MPEG2 W<w> H<h> ...`` then per-frame ``FRAME\\n`` markers
+    followed by raw planar YUV.  4:2:0 / 4:2:2 / 4:4:4 supported;
+    chroma planes are skipped (frames are consumed as grayscale).
+    """
+    if not payload.startswith(b"YUV4MPEG2"):
+        return None
+    nl = payload.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    colorspace = b"420"
+    for tok in payload[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            colorspace = tok[1:]
+    if not w or not h or w <= 0 or h <= 0:
+        return None
+    if colorspace.startswith(b"420"):
+        chroma = (w // 2) * (h // 2) * 2
+    elif colorspace.startswith(b"422"):
+        chroma = (w // 2) * h * 2
+    elif colorspace.startswith(b"444"):
+        chroma = w * h * 2
+    elif colorspace.startswith(b"mono"):
+        chroma = 0
+    else:
+        return None
+    ysize = w * h
+    frames: List[np.ndarray] = []
+    pos = nl + 1
+    n = len(payload)
+    while pos < n:
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            return None
+        pos = fnl + 1
+        if pos + ysize > n:
+            return None
+        frames.append(
+            np.frombuffer(payload, np.uint8, count=ysize, offset=pos).reshape(h, w)
+        )
+        pos += ysize + chroma
+    return frames or None
 
 
 def _decode_wav(payload: bytes) -> Optional[Tuple[np.ndarray, int]]:
@@ -339,9 +392,12 @@ def sample_video_frames(
     """Explode each video payload into ``num_frames`` frame rows:
     (id, frame_index, frame binary).
 
-    Video containers (MP4/WebM/...) always need ffmpeg, so there is no
-    codec-free real path: ``decoder="real"`` raises at the extraction
-    point and ``"auto"``/``"fake"`` emit deterministic stub frames.
+    Uncompressed YUV4MPEG2 (.y4m) payloads decode FOR REAL: evenly
+    spaced frames are extracted and re-emitted as binary PGM (P5), so
+    sampled frames round-trip through this module's own image decoder
+    and feature extractor.  Compressed containers (MP4/WebM/...) need
+    ffmpeg: ``decoder="real"`` raises for them, ``"auto"``/``"fake"``
+    emit deterministic stub frames.
     """
     decoder = _legacy_mode(decoder, fake)
     out_schema = T.StructType(
@@ -352,21 +408,34 @@ def sample_video_frames(
         ]
     )
 
+    def one(payload: bytes) -> List[bytes]:
+        frames = _try_decode(_decode_y4m, payload, decoder)
+        if frames is not None:
+            picks = np.linspace(0, len(frames) - 1, num_frames).round().astype(int)
+            out = []
+            for i in picks:
+                y = frames[int(i)]
+                header = f"P5\n{y.shape[1]} {y.shape[0]}\n255\n".encode()
+                out.append(header + y.tobytes())
+            return out
+        if decoder == "real":
+            raise _codec_error("video frame sampling")
+        return [
+            hashlib.sha256(payload + i.to_bytes(4, "big")).digest()
+            for i in range(num_frames)
+        ]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decoder == "real":
-                raise _codec_error("video frame sampling")
             ids: List[int] = []
             idxs: List[int] = []
             frames: List[bytes] = []
             for rid, b in zip(pdf[id_col], pdf[binary_col]):
                 payload = bytes(b) if b is not None else b""
-                for i in range(num_frames):
+                for i, fr in enumerate(one(payload)):
                     ids.append(rid)
                     idxs.append(i)
-                    frames.append(
-                        hashlib.sha256(payload + i.to_bytes(4, "big")).digest()
-                    )
+                    frames.append(fr)
             yield pd.DataFrame(
                 {id_col: ids, "frame_index": idxs, "frame": frames}
             )
