@@ -461,9 +461,20 @@ def gaussian_exact_vec(mu: np.ndarray, sigma_squared: float) -> np.ndarray:
         R = _dd.sqrt(_dd.mul_d(lu, -2.0))
         theta = _dd.mul((np.float64(_dd.TWO_PI[0]), np.float64(_dd.TWO_PI[1])), v)
         S, C = _dd.sincos(theta)
-        # |dx/du| <= sigma/(u R);  |dx/dv| <= 2 pi sigma R (either trig)
+        # |dx/du| <= sigma/(u R);  |dx/dv| <= 2 pi sigma R (either trig).
+        # The u-margin needs inf(u R) over the prefix interval, and R
+        # DECREASES in u, so bounding with R(u_lo) alone understates it
+        # near u -> 1.  R(u_hi)^2 = R_lo^2 - 2h/u* >= R_lo^2/2 whenever
+        # R_lo^2 * u_lo >= 4h, giving inf(u R) >= u_lo R_lo / sqrt(2);
+        # outside that (astronomically rare, u within ~2h of 1) the
+        # draw is marked uncertain and resolved rigorously.
         u_r = u[0] * R[0]
-        marg_u = np.where(u_r > 0.0, sig_f * _H106 / u_r, np.inf)
+        r2u = R[0] * R[0] * u[0]
+        marg_u = np.where(
+            (u_r > 0.0) & (r2u >= 4.0 * _H106),
+            1.4142135623730951 * sig_f * _H106 / u_r,
+            np.inf,
+        )
         marg_v = sig_f * 6.2831853071795872 * np.abs(R[0]) * _H106
         base_marg = 1.1 * (marg_u + marg_v)
         ns = n - nc  # sin outputs (== nc, or nc-1 for odd n)
