@@ -1005,6 +1005,17 @@ def q_redact_pii(spark, sf_dir):
     return out.select("doc_id", "redacted", "n_email", "n_ipv4", "n_phone")
 
 
+def q_profile_table(spark, sf_dir):
+    """Exact one-scan column profile of orders (nullable column
+    included via o_comment)."""
+    from tumult_core_spark.utils.profile import profile_table
+
+    orders = _load(spark, sf_dir, "orders")
+    return profile_table(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+
+
 def q_training_mix(spark, sf_dir):
     """End-to-end training-data pipeline COMPOSITION, verified as one
     relation: length gate -> exact dedup (canonical = min doc_id per
@@ -1120,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix": q_training_mix,
         "decontaminate": q_decontaminate,
         "redact_pii": q_redact_pii,
+        "profile_table": q_profile_table,
     }
 
 
@@ -1646,5 +1658,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_ipv4 AS BIGINT) AS n_ipv4,
                    CAST(n_phone AS BIGINT) AS n_phone
             FROM s3
+        """,
+        "profile_table": """
+            SELECT 'o_orderkey' AS column, COUNT(*) AS n_rows,
+                   SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                   COUNT(DISTINCT o_orderkey) AS n_distinct
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey' AS column, COUNT(*) AS n_rows,
+                   SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                   COUNT(DISTINCT o_custkey) AS n_distinct
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus' AS column, COUNT(*) AS n_rows,
+                   SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                   COUNT(DISTINCT o_orderstatus) AS n_distinct
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice' AS column, COUNT(*) AS n_rows,
+                   SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                   COUNT(DISTINCT o_totalprice) AS n_distinct
+            FROM orders
         """,
     }

@@ -181,3 +181,20 @@ class TestCleanup:
         remove_all_temp_tables()
         assert not os.path.exists(orphan)
         assert materialization_root() is None
+
+
+class TestProfile:
+    def test_profile_exact_metrics_one_scan(self, spark):
+        from tumult_core_spark.utils.profile import profile_table
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (2, "b"), (None, "b")], "x long, s string"
+        )
+        got = {r["column"]: r for r in profile_table(df).collect()}
+        assert got["x"]["n_rows"] == 4
+        assert got["x"]["n_nulls"] == 1 and got["x"]["n_distinct"] == 2
+        assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="No such column"):
+            profile_table(df, ["nope"])

@@ -1,0 +1,42 @@
+"""Exact column profiling (row count, null count, distinct count).
+
+The data-quality pass a pipeline runs before/after every major stage
+(post-dedup, post-filter) to catch schema drift and null explosions.
+One aggregate over one scan computes every metric (Spark expands the
+multi-column distinct aggregation internally); the single result row
+is reshaped to long format with ``stack`` — no per-column jobs, no
+driver-side loop over data.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(df: DataFrame, columns: Optional[List[str]] = None) -> DataFrame:
+    """(column, n_rows, n_nulls, n_distinct) per profiled column.
+
+    ``n_distinct`` counts distinct NON-NULL values (SQL COUNT(DISTINCT)
+    semantics, identical across engines).  All metrics are exact; swap
+    ``countDistinct`` for ``approx_count_distinct`` at the call site if
+    a sketch suffices at very high cardinality.
+    """
+    cols = columns or df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"No such column(s): {missing}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
+    row = df.agg(*aggs)
+    triples = ", ".join(
+        f"'{c}', `__nulls_{c}`, `__dist_{c}`" for c in cols
+    )
+    return row.selectExpr(
+        f"stack({len(cols)}, {triples}) AS (column, n_nulls, n_distinct)",
+        "__n AS n_rows",
+    ).select("column", "n_rows", "n_nulls", "n_distinct")
