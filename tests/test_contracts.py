@@ -198,3 +198,19 @@ class TestProfile:
 
         with _pytest.raises(ValueError, match="No such column"):
             profile_table(df, ["nope"])
+
+
+class TestOrcRoundTrip:
+    def test_orc_round_trip_preserves_values(self, spark, tmp_path):
+        from tumult_core_spark.sources.io import read_orc, write_orc
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, None, float("nan")), (3, "c", -2.0)],
+            "k long, s string, v double",
+        )
+        p = str(tmp_path / "t.orc")
+        write_orc(df, p)
+        back = read_orc(spark, p)
+        a = sorted(map(repr, df.collect()))
+        b = sorted(map(repr, back.collect()))
+        assert a == b

@@ -103,3 +103,15 @@ def write_partitioned_parquet(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, domain: Optional[SparkDataFrameDomain] = None
+) -> DataFrame:
+    """ORC source (columnar, predicate-pushdown-capable like parquet);
+    optional domain conformance like the other readers."""
+    return _conform(spark.read.orc(path), domain)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "error") -> None:
+    df.write.mode(mode).orc(path)
