@@ -247,6 +247,36 @@ def write_stream_memory(
     )
 
 
+def write_stream_parquet(
+    stream: DataFrame,
+    path: str,
+    checkpoint_location: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """EXACTLY-ONCE parquet file sink.
+
+    The file sink + checkpoint pair is Spark's end-to-end exactly-once
+    guarantee: processed source offsets and committed output files are
+    both recorded in the checkpoint, so a restarted query (same
+    checkpoint) resumes after the last committed batch instead of
+    re-emitting it, and readers see only committed files via the
+    ``_spark_metadata`` log.  ``available_now=True`` drains what exists
+    and stops — the incremental-batch pattern for periodic pipeline
+    runs over a growing directory (each run picks up exactly the new
+    files).  Append output mode only (file sinks cannot update), which
+    means upstream aggregations must emit finalized results — i.e.
+    watermarked windows, like :func:`windowed_counts`.
+    """
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_location)
+        .outputMode("append")
+        .trigger(availableNow=available_now)
+        .start()
+    )
+
+
 def dp_windowed_counts(
     stream: DataFrame,
     ts_col: str,
