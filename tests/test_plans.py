@@ -129,3 +129,23 @@ def test_hash_sample_no_shuffle(spark, sf_dir):
         out._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan
+
+
+def test_sanitize_rebalances_to_data_size(spark):
+    """sanitize_df shuffles on rand() via REBALANCE: the privacy shuffle
+    is still a full exchange keyed on the random column, but AQE sizes
+    the partition count to the released data — a small aggregate release
+    materializes as one file, not `shuffle.partitions` near-empty ones."""
+    from tumult_core_spark.utils.misc import sanitize_df
+
+    df = spark.range(3000).select(
+        (F.col("id") % 7).alias("g"), F.col("id").alias("v")
+    )
+    pre = sanitize_df(df, materialize_output=False)
+    plan = plan_of(pre)
+    assert "REBALANCE_PARTITIONS_BY_COL" in plan
+    out = sanitize_df(df)
+    # multiset preserved, tiny release coalesced to a single partition
+    assert out.count() == 3000
+    assert out.agg(F.sum("v")).collect()[0][0] == sum(range(3000))
+    assert out.rdd.getNumPartitions() == 1

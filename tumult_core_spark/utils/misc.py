@@ -72,7 +72,14 @@ def sanitize_df(df: DataFrame, materialize_output: bool = True) -> DataFrame:
     cols = df.columns
     shuffled = (
         df.withColumn("__shuffle_key", F.rand())
-        .repartition("__shuffle_key")
+        # REBALANCE (not plain repartition): same privacy effect — a full
+        # shuffle keyed on rand() — but AQE right-sizes the partition
+        # count to the data.  A 3k-row aggregate release collapses to one
+        # output file instead of `shuffle.partitions` near-empty ones
+        # (the parquet write+read in materialize() was dominated by
+        # per-file commit overhead), while a 100 TB release still fans
+        # out to target-sized partitions.
+        .hint("REBALANCE", "__shuffle_key")
         # backticks: column names may contain dots/parens (e.g. "q0.9(x)")
         .sortWithinPartitions(*[F.col(f"`{c}`") for c in cols])
         .drop("__shuffle_key")
