@@ -411,13 +411,23 @@ def main():
             ref = json.load(f)
         if ref.get("sf") == out["sf"]:
             ratios = {}
+            ratios_min = {}
             for name, mine in timings.items():
                 theirs = ref["queries"].get(name)
                 if mine is not None and theirs:
                     ratios[name] = round(mine / theirs, 3)
+                    if timings_min.get(name) is not None:
+                        ratios_min[name] = round(timings_min[name] / theirs, 3)
             out["vs_reference"] = {
                 "ratios": ratios,
                 "max_ratio": max(ratios.values()) if ratios else None,
+                # the reference side was measured once on an idle machine;
+                # min-of-3 is this run's closest idle estimate, so the
+                # min-based ratios are the like-for-like comparison when
+                # this run shares the machine (median vs min gap >> noise
+                # flags exactly that)
+                "ratios_min": ratios_min,
+                "max_ratio_min": max(ratios_min.values()) if ratios_min else None,
                 "reference_total_sec": ref["value"],
                 "note": "reference measured via benchmarks/reference_bench.py "
                 "(shimmed: ratios are upper bounds)",
