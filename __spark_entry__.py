@@ -543,6 +543,27 @@ def q_quality_scores(spark, sf_dir):
     )
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals; the oracle replays the
+    identical (kind, item) explode -> count -> conditional-aggregate
+    arithmetic in SQL, so every fraction must match bit-for-bit after
+    6-dp rounding."""
+    from tumult_core_spark.extensions.text import repetition_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    out = repetition_stats(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_lines",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("top_bigram_char_frac", 6).alias("top_bigram_char_frac"),
+        F.round("dup_trigram_char_frac", 6).alias("dup_trigram_char_frac"),
+        F.round("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+        "keep",
+    )
+
+
 def q_streaming_window_counts(spark, sf_dir):
     from tumult_core_spark.streaming import (
         read_stream_parquet,
@@ -1105,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint_distinct": q_fingerprint_distinct,
         "quality_scores": q_quality_scores,
+        "repetition_stats": q_repetition_stats,
         "streaming_window_counts": q_streaming_window_counts,
         "multimodal_features": q_multimodal_features,
         "zcdp_groupby_count": q_zcdp_groupby_count,
@@ -1320,6 +1342,83 @@ def oracle_sql() -> dict[str, str]:
                                1.0) * 0.3,
                        6) AS quality
             FROM m
+        """,
+        "repetition_stats": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks,
+                       string_split(text, chr(10)) AS lines
+                FROM documents),
+            items AS (
+                SELECT doc_id, 'L' AS kind, unnest(lines) AS item FROM t
+                UNION ALL
+                SELECT doc_id, 'B' AS kind,
+                       unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                             i -> toks[i] || ' ' || toks[i+1])) AS item
+                FROM t
+                UNION ALL
+                SELECT doc_id, 'T' AS kind,
+                       unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                             i -> toks[i] || ' ' || toks[i+1]
+                                                  || ' ' || toks[i+2])) AS item
+                FROM t),
+            counted AS (
+                SELECT doc_id, kind, item, COUNT(*) AS cnt
+                FROM items GROUP BY 1, 2, 3),
+            per_kind AS (
+                SELECT doc_id, kind,
+                       SUM(cnt) AS total,
+                       COUNT(*) AS distinct_n,
+                       SUM(cnt * length(item)) AS total_chars,
+                       SUM(CASE WHEN cnt > 1 THEN cnt * length(item)
+                                ELSE 0 END) AS dup_chars,
+                       MAX(cnt * length(item)) AS top_chars
+                FROM counted GROUP BY 1, 2),
+            stats AS (
+                SELECT doc_id,
+                       CAST(MAX(CASE WHEN kind = 'L' THEN total END) AS BIGINT)
+                           AS n_lines,
+                       CAST((MAX(CASE WHEN kind = 'L' THEN total END)
+                             - MAX(CASE WHEN kind = 'L' THEN distinct_n END))
+                            AS DOUBLE)
+                           / MAX(CASE WHEN kind = 'L' THEN total END)
+                           AS dup_line_frac,
+                       CAST(MAX(CASE WHEN kind = 'L' THEN dup_chars END)
+                            AS DOUBLE)
+                           / GREATEST(MAX(CASE WHEN kind = 'L'
+                                               THEN total_chars END), 1)
+                           AS dup_line_char_frac,
+                       COALESCE(CAST(MAX(CASE WHEN kind = 'B' THEN top_chars END)
+                                     AS DOUBLE)
+                           / GREATEST(MAX(CASE WHEN kind = 'B'
+                                               THEN total_chars END), 1), 0.0)
+                           AS top_bigram_char_frac,
+                       COALESCE(CAST(MAX(CASE WHEN kind = 'T' THEN dup_chars END)
+                                     AS DOUBLE)
+                           / GREATEST(MAX(CASE WHEN kind = 'T'
+                                               THEN total_chars END), 1), 0.0)
+                           AS dup_trigram_char_frac
+                FROM per_kind GROUP BY 1),
+            sym AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\\.{3}|…|#'))
+                            AS DOUBLE)
+                           / GREATEST(len(list_filter(
+                                 string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '')), 1) AS symbol_word_ratio
+                FROM documents)
+            SELECT s.doc_id, s.n_lines,
+                   ROUND(s.dup_line_frac, 6) AS dup_line_frac,
+                   ROUND(s.dup_line_char_frac, 6) AS dup_line_char_frac,
+                   ROUND(s.top_bigram_char_frac, 6) AS top_bigram_char_frac,
+                   ROUND(s.dup_trigram_char_frac, 6) AS dup_trigram_char_frac,
+                   ROUND(y.symbol_word_ratio, 6) AS symbol_word_ratio,
+                   (s.dup_line_frac <= 0.30 AND s.dup_line_char_frac <= 0.20
+                    AND s.top_bigram_char_frac <= 0.20
+                    AND s.dup_trigram_char_frac <= 0.30
+                    AND y.symbol_word_ratio <= 0.10) AS keep
+            FROM stats s JOIN sym y USING (doc_id)
         """,
         # total_pairs constants below are regression pins: the full
         # candidate/pair set is not SQL-expressible (it depends on the

@@ -519,6 +519,50 @@ class TestText:
         b = {r["doc_id"]: (r["fingerprint"], r["fingerprint_robust"]) for r in out.collect()}
         assert a == b
 
+    def test_repetition_stats_hand_cases(self, spark):
+        from tumult_core_spark.extensions.text import repetition_stats
+
+        df = spark.createDataFrame(
+            [
+                # 3 lines, 'line two' twice; tokens span the newlines
+                (0, "a b a b c\nline two\nline two"),
+                (1, "x"),          # 1 token: no grams
+                (2, ""),           # empty: 1 empty line, no tokens
+                (3, "rep rep rep rep rep ... ### hmm"),
+                (4, "one two"),    # exactly one bigram, no trigram
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+        r0 = out[0]
+        assert r0["n_lines"] == 3
+        assert abs(r0["dup_line_frac"] - 1 / 3) < 1e-12
+        # 'line two' (8 chars) twice over 9+8+8 line chars
+        assert abs(r0["dup_line_char_frac"] - 16 / 25) < 1e-12
+        # tokens [a b a b c line two line two]: top bigram 'line two'
+        # covers 2*8 of 42 bigram chars
+        assert abs(r0["top_bigram_char_frac"] - 16 / 42) < 1e-12
+        assert not r0["keep"]
+        assert out[1]["top_bigram_char_frac"] == 0.0
+        assert out[1]["keep"]
+        assert out[2]["n_lines"] == 1 and out[2]["keep"]
+        r3 = out[3]
+        # 'rep rep' x4 of 8 bigrams -> dup trigram 'rep rep rep' x3 of 7
+        assert r3["symbol_word_ratio"] == pytest.approx(4 / 8)
+        assert r3["dup_trigram_char_frac"] > 0.3 and not r3["keep"]
+        assert out[4]["top_bigram_char_frac"] == 1.0 and not out[4]["keep"]
+
+    def test_repetition_stats_no_python_udf(self, spark, docs):
+        from tumult_core_spark.extensions.text import repetition_stats
+
+        out = repetition_stats(docs.limit(100))
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # both aggregations must partial-aggregate before the shuffle
+        assert "partial_count" in plan or "HashAggregate" in plan
+
 
 class TestMultimodal:
     @pytest.fixture(scope="class")

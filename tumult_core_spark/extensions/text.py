@@ -168,3 +168,131 @@ def redact_pii(
         )
         redacted = F.regexp_replace(redacted, pat, token)
     return out.withColumn(out_col, redacted)
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021, table A1 spirit):
+# a document is kept when none of its repetition signals exceed these.
+REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_bigram_char_frac": 0.20,
+    "dup_trigram_char_frac": 0.30,
+    "symbol_word_ratio": 0.10,
+}
+
+_SYMBOL_REGEX = r"\.{3}|…|#"
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher/C4-style repetition quality signals, one row per document.
+
+    Signals (all exact, deterministic):
+
+    * ``n_lines`` / ``dup_line_frac`` — fraction of '\\n'-split lines
+      that are repeats of an earlier line: ``(n - n_distinct) / n``;
+    * ``dup_line_char_frac`` — characters inside lines occurring more
+      than once over total line characters;
+    * ``top_bigram_char_frac`` — characters covered by the most
+      frequent word bigram over all bigram characters;
+    * ``dup_trigram_char_frac`` — characters inside word trigrams
+      occurring more than once over all trigram characters;
+    * ``symbol_word_ratio`` — '#' / ellipsis occurrences per word;
+    * ``keep`` — True iff every signal is within
+      :data:`REPETITION_THRESHOLDS`.
+
+    Scale shape: ONE explode of a tagged (kind, item) array, then two
+    map-side-combinable aggregations keyed by ``(id, kind, item)`` and
+    ``(id,)`` — no per-document quadratic work, no Python.  Every key
+    is document-prefixed, so a hot shuffle key cannot arise and a
+    single huge document is collapsed map-side to its distinct items
+    before it crosses the wire.
+    """
+    toks = tokens_col(text_col)
+
+    def _tag(kind, item):
+        return F.struct(F.lit(kind).alias("kind"), item.alias("item"))
+
+    # a same-typed empty array (sequence(0, n) has INCLUSIVE bounds, so
+    # it cannot express "no grams" for short docs on its own)
+    empty = F.slice(F.array(_tag("B", F.lit(""))), 1, 0)
+
+    def _grams(kind, n):
+        gram = lambda i: _tag(
+            kind,
+            F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(1, n + 1)]
+            ),
+        )
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(toks) - n), gram),
+        ).otherwise(empty)
+
+    # tagged items: L = raw lines, B = word bigrams, T = word trigrams
+    items = F.concat(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda x: _tag("L", x)),
+        _grams("B", 2),
+        _grams("T", 3),
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(items).alias("e")
+    ).select(id_col, F.col("e.kind").alias("kind"), F.col("e.item").alias("item"))
+    counted = exploded.groupBy(id_col, "kind", "item").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    chars = F.col("cnt") * F.length("item")
+    per_kind = counted.groupBy(id_col, "kind").agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("distinct_n"),
+        F.sum(chars).alias("total_chars"),
+        F.sum(F.when(F.col("cnt") > 1, chars).otherwise(F.lit(0))).alias("dup_chars"),
+        F.max(chars).alias("top_chars"),
+    )
+
+    def _kind(kind, col):
+        return F.max(F.when(F.col("kind") == kind, col))
+
+    stats = per_kind.groupBy(id_col).agg(
+        _kind("L", F.col("total")).alias("n_lines"),
+        (
+            (_kind("L", F.col("total")) - _kind("L", F.col("distinct_n")))
+            / _kind("L", F.col("total"))
+        ).cast("double").alias("dup_line_frac"),
+        (
+            _kind("L", F.col("dup_chars"))
+            / F.greatest(_kind("L", F.col("total_chars")), F.lit(1))
+        ).cast("double").alias("dup_line_char_frac"),
+        F.coalesce(
+            (
+                _kind("B", F.col("top_chars"))
+                / F.greatest(_kind("B", F.col("total_chars")), F.lit(1))
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("top_bigram_char_frac"),
+        F.coalesce(
+            (
+                _kind("T", F.col("dup_chars"))
+                / F.greatest(_kind("T", F.col("total_chars")), F.lit(1))
+            ).cast("double"),
+            F.lit(0.0),
+        ).alias("dup_trigram_char_frac"),
+    )
+    symbols = df.select(
+        F.col(id_col),
+        (
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(_SYMBOL_REGEX), 0))
+            / F.greatest(F.size(toks), F.lit(1))
+        ).cast("double").alias("symbol_word_ratio"),
+    )
+    out = stats.join(symbols, id_col)
+    t = REPETITION_THRESHOLDS
+    return out.withColumn(
+        "keep",
+        (F.col("dup_line_frac") <= t["dup_line_frac"])
+        & (F.col("dup_line_char_frac") <= t["dup_line_char_frac"])
+        & (F.col("top_bigram_char_frac") <= t["top_bigram_char_frac"])
+        & (F.col("dup_trigram_char_frac") <= t["dup_trigram_char_frac"])
+        & (F.col("symbol_word_ratio") <= t["symbol_word_ratio"]),
+    )
