@@ -564,6 +564,56 @@ def q_repetition_stats(spark, sf_dir):
     )
 
 
+def _epoch_us(col: str):
+    """Epoch microseconds of a TIMESTAMP_NTZ column, independent of the
+    session time zone (parquet timestamps load as NTZ in Spark 4, and
+    ``unix_micros`` rejects NTZ; DuckDB's epoch_us treats the same
+    naive value as UTC)."""
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """Each 'view' event joined to the user's most recent prior
+    'error' event; DuckDB's native ASOF LEFT JOIN is the oracle.
+    Timestamps are emitted as epoch microseconds so both engines
+    compare integers."""
+    from tumult_core_spark.extensions.timeseries import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    views = ev.filter("event_type = 'view'").select("event_id", "user_id", "ts")
+    errors = ev.filter("event_type = 'error'").select(
+        "user_id", "ts", F.col("value").alias("err_value")
+    )
+    out = asof_join(views, errors, ["user_id"], "ts", right_prefix="err_")
+    return out.select(
+        "event_id",
+        "user_id",
+        _epoch_us("ts").alias("ts_us"),
+        _epoch_us("err_ts").alias("err_ts_us"),
+        "err_err_value",
+    ).withColumnRenamed("err_err_value", "err_value")
+
+
+def q_time_rollup(spark, sf_dir):
+    """Hourly tumbling-window rollup of events by type; oracle is
+    DuckDB time_bucket."""
+    from tumult_core_spark.extensions.timeseries import time_rollup
+
+    ev = _load(spark, sf_dir, "events")
+    out = time_rollup(
+        ev, "ts", "1 hour", group_cols=["event_type"],
+        agg_exprs={"n": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 6)},
+    )
+    return out.select(
+        _epoch_us("bucket_start").alias("bucket_us"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 def q_streaming_window_counts(spark, sf_dir):
     from tumult_core_spark.streaming import (
         read_stream_parquet,
@@ -1127,6 +1177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_distinct": q_fingerprint_distinct,
         "quality_scores": q_quality_scores,
         "repetition_stats": q_repetition_stats,
+        "asof_join": q_asof_join,
+        "time_rollup": q_time_rollup,
         "streaming_window_counts": q_streaming_window_counts,
         "multimodal_features": q_multimodal_features,
         "zcdp_groupby_count": q_zcdp_groupby_count,
@@ -1342,6 +1394,24 @@ def oracle_sql() -> dict[str, str]:
                                1.0) * 0.3,
                        6) AS quality
             FROM m
+        """,
+        "asof_join": """
+            SELECT l.event_id, l.user_id,
+                   epoch_us(l.ts) AS ts_us,
+                   epoch_us(r.ts) AS err_ts_us,
+                   r.value AS err_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'view') l
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'error') r
+            ON l.user_id = r.user_id AND r.ts <= l.ts
+        """,
+        "time_rollup": """
+            SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS bucket_us,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "repetition_stats": """
             WITH t AS (

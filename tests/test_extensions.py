@@ -766,6 +766,104 @@ class TestMultimodal:
         assert np.allclose(feats, feats[0], atol=1e-3)
 
 
+class TestTimeseries:
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(7)
+        left = pd.DataFrame(
+            {
+                "k": rng.integers(0, 10, 400),
+                "ts": rng.integers(0, 50000, 400).astype("datetime64[s]"),
+                "lv": rng.normal(size=400).round(3),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": rng.integers(0, 10, 150),
+                "ts": rng.integers(0, 50000, 150).astype("datetime64[s]"),
+                "rv": rng.normal(size=150).round(3),
+            }
+        ).drop_duplicates(["k", "ts"])
+        return left, right, spark.createDataFrame(left), spark.createDataFrame(right)
+
+    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    def test_asof_matches_pandas(self, frames, direction):
+        import pandas as pd
+
+        from tumult_core_spark.extensions.timeseries import asof_join
+
+        left, right, L, R = frames
+        got = asof_join(L, R, ["k"], "ts", direction=direction).toPandas()
+        exp = pd.merge_asof(
+            left.sort_values("ts", kind="stable"),
+            right.sort_values("ts", kind="stable"),
+            on="ts", by="k", direction=direction,
+        ).rename(columns={"rv": "r_rv"})
+        cols = ["k", "ts", "lv", "r_rv"]
+        g = got.sort_values(["k", "ts", "lv"]).reset_index(drop=True)[cols]
+        e = exp.sort_values(["k", "ts", "lv"]).reset_index(drop=True)[cols]
+        pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+    def test_asof_tolerance(self, frames):
+        import pandas as pd
+
+        from tumult_core_spark.extensions.timeseries import asof_join
+
+        left, right, L, R = frames
+        got = asof_join(L, R, ["k"], "ts", tolerance_seconds=1800).toPandas()
+        exp = pd.merge_asof(
+            left.sort_values("ts", kind="stable"),
+            right.sort_values("ts", kind="stable"),
+            on="ts", by="k", tolerance=pd.Timedelta("1800s"),
+        ).rename(columns={"rv": "r_rv"})
+        cols = ["k", "ts", "lv", "r_rv"]
+        g = got.sort_values(["k", "ts", "lv"]).reset_index(drop=True)[cols]
+        e = exp.sort_values(["k", "ts", "lv"]).reset_index(drop=True)[cols]
+        pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+    def test_asof_single_shuffle(self, frames):
+        from tumult_core_spark.extensions.timeseries import asof_join
+
+        _, _, L, R = frames
+        out = asof_join(L, R, ["k"], "ts")
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        # the union of both sides crosses the wire exactly once (each
+        # node appears twice in formatted output: tree + detail)
+        assert plan.count("Exchange") <= 2
+        assert plan.count("hashpartitioning(k") == 1
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_time_rollup(self, spark, frames):
+        from pyspark.sql import functions as F
+
+        from tumult_core_spark.extensions.timeseries import time_rollup
+
+        left, _, L, _ = frames
+        out = time_rollup(
+            L, "ts", "1 hour", group_cols=["k"],
+            agg_exprs={"n": F.count(F.lit(1)), "s": F.round(F.sum("lv"), 6)},
+        ).toPandas()
+        exp = (
+            left.assign(bucket_start=left["ts"].dt.floor("1h"))
+            .groupby(["bucket_start", "k"])
+            .agg(n=("lv", "size"), s=("lv", "sum"))
+            .reset_index()
+        )
+        exp["s"] = exp["s"].round(6)
+        import pandas as pd
+
+        g = out.sort_values(["bucket_start", "k"]).reset_index(drop=True)
+        e = exp.sort_values(["bucket_start", "k"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            g[["bucket_start", "k", "n", "s"]], e, check_dtype=False
+        )
+
+
 class TestStreaming:
     def test_windowed_counts_available_now(self, spark, sf_dir):
         from tumult_core_spark.streaming import (

@@ -1,0 +1,142 @@
+"""Time-series operators for event pipelines: as-of join and
+time-bucket rollup.
+
+Spark has no native AS OF join (DuckDB/Pandas do); the scalable
+re-expression here is the union + sort-within-key carry-forward:
+tag both sides, shuffle ONCE on the join keys, sort each key's rows
+by time, and carry the latest right-side payload forward with a
+``last(ignorenulls)`` running window.  Cost is one shuffle + one
+sort — identical shape to a windowed aggregation, linear in rows,
+no range explosion, no per-key Python.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: List[str],
+    ts_col: str,
+    direction: str = "backward",
+    tolerance_seconds: Optional[float] = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """For every left row, attach the single right row with the same
+    ``by`` keys and the greatest right ``ts_col`` <= left ``ts_col``
+    (direction ``backward``; ``forward`` takes the smallest >=).
+
+    Matches DuckDB ``ASOF LEFT JOIN`` / pandas ``merge_asof``
+    semantics: ties on the timestamp itself match (inclusive), left
+    rows with no candidate keep nulls, and ``tolerance_seconds``
+    nulls out matches further away than the bound.
+
+    Right-side rows should be unique per ``(by, ts_col)`` — like every
+    as-of engine, an ambiguous duplicate right timestamp would make
+    "the" match undefined; this implementation deterministically keeps
+    the last one in ``(ts, payload)`` sort order.
+
+    Scale shape: union both sides, ONE hash shuffle on ``by``, one
+    per-key sort by time, running ``last(ignorenulls)`` carry-forward,
+    then keep left rows.  No range cross-product; a key's rows stream
+    through a single sorted pass.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    payload = [c for c in right.columns if c not in set(by) | {ts_col}]
+    overlap = [f"{right_prefix}{c}" for c in payload + [ts_col]]
+    clash = set(overlap) & set(left.columns)
+    if clash:
+        raise ValueError(f"prefixed right columns collide with left: {sorted(clash)}")
+
+    # tag: right rows sort before left rows at an equal timestamp so
+    # inclusive (<=) matches see them; 'forward' flips the time order,
+    # turning smallest-ts-above into the same carry-forward problem
+    lt = left.select(
+        *[F.col(c) for c in by],
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("__rts"),
+    )
+    rt = right.select(
+        *[F.col(c) for c in by],
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__r_{c}") for c in payload],
+        F.col(ts_col).alias("__rts"),
+    )
+    both = lt.unionByName(rt)
+    asc = direction == "backward"
+    order = [
+        F.col("__ts").asc() if asc else F.col("__ts").desc(),
+        F.col("__side").asc(),
+        # deterministic pick among duplicate right timestamps: the last
+        # payload in sort order wins
+        *[F.col(f"__r_{c}").asc_nulls_first() for c in payload],
+    ]
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = both.select(
+        "__side",
+        "__lrow",
+        F.last("__rts", ignorenulls=True).over(w).alias("__mts"),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in payload
+        ],
+    ).filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col("__lrow").getField(ts_col).cast("double")
+            - F.col("__mts").cast("double")
+        )
+        ok = gap <= F.lit(float(tolerance_seconds))
+        carried = carried.select(
+            "__lrow",
+            F.when(ok, F.col("__mts")).alias("__mts"),
+            *[F.when(ok, F.col(f"__m_{c}")).alias(f"__m_{c}") for c in payload],
+        )
+    return carried.select(
+        *[F.col("__lrow").getField(c).alias(c) for c in left.columns],
+        F.col("__mts").alias(f"{right_prefix}{ts_col}"),
+        *[F.col(f"__m_{c}").alias(f"{right_prefix}{c}") for c in payload],
+    )
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    every: str,
+    group_cols: Optional[List[str]] = None,
+    agg_exprs: Optional[dict] = None,
+) -> DataFrame:
+    """Fixed-interval rollup (the batch form of the streaming windowed
+    aggregation): bucket ``ts_col`` into ``every``-sized tumbling
+    windows and aggregate.  ``agg_exprs`` maps output column ->
+    Column; defaults to a row count.  Pure Catalyst ``window()``:
+    map-side-combined single shuffle on (bucket, groups).
+    """
+    group_cols = list(group_cols or [])
+    aggs = agg_exprs or {"n": F.count(F.lit(1))}
+    win = F.window(F.col(ts_col), every)
+    return (
+        df.groupBy(win.alias("__w"), *[F.col(c) for c in group_cols])
+        .agg(*[v.alias(k) for k, v in aggs.items()])
+        .select(
+            F.col("__w.start").alias("bucket_start"),
+            *group_cols,
+            *aggs.keys(),
+        )
+    )
