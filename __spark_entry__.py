@@ -614,6 +614,32 @@ def q_time_rollup(spark, sf_dir):
     )
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document; oracle replays the identical
+    explode -> tf -> df -> smoothed-idf arithmetic in SQL (ln and
+    double division agree bitwise across engines)."""
+    from tumult_core_spark.extensions.text import tfidf_top_terms
+
+    docs = _load(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, "doc_id", "text", k=3)
+    return out.select(
+        "doc_id", "term", "tf", "df", F.round("score", 6).alias("score")
+    )
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-2 language mixing (downsample dominant languages
+    toward share ∝ sqrt(w)).  Thresholds are a deterministic function
+    of the sf0.01 lang histogram, pinned as constants in the oracle
+    (same convention as the dedup_minhash total_pairs pin)."""
+    from tumult_core_spark.extensions.sampling import temperature_mix
+
+    docs = _load(spark, sf_dir, "documents")
+    return temperature_mix(docs, "lang", "doc_id", temperature=2.0, seed=11).select(
+        "doc_id", "lang"
+    )
+
+
 def q_streaming_window_counts(spark, sf_dir):
     from tumult_core_spark.streaming import (
         read_stream_parquet,
@@ -1179,6 +1205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "asof_join": q_asof_join,
         "time_rollup": q_time_rollup,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "temperature_mix": q_temperature_mix,
         "streaming_window_counts": q_streaming_window_counts,
         "multimodal_features": q_multimodal_features,
         "zcdp_groupby_count": q_zcdp_groupby_count,
@@ -1394,6 +1422,42 @@ def oracle_sql() -> dict[str, str]:
                                1.0) * 0.3,
                        6) AS quality
             FROM m
+        """,
+        "tfidf_top_terms": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            tfc AS (
+                SELECT doc_id, unnest(toks) AS term FROM t),
+            tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM tfc GROUP BY 1, 2),
+            dfreq AS (
+                SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT COUNT(*) AS nn FROM documents),
+            scored AS (
+                SELECT doc_id, term, tf, df,
+                       tf * (ln((nn + 1) / (df + 1)) + 1.0) AS score
+                FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df, ROUND(score, 6) AS score
+            FROM scored
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term ASC) <= 3
+        """,
+        "temperature_mix": """
+            -- thresholds = temperature_thresholds(sf0.01 lang counts,
+            -- T=2), pinned (valid at the sf0.01 gate only)
+            SELECT doc_id, lang FROM documents
+            WHERE (((2654435761 * CAST((((doc_id + 11) % 4294967296) - ((doc_id + 11) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 2654435761 * (((doc_id + 11) % 4294967296) % 65536)) % 4294967296 <
+                  CASE lang
+                      WHEN 'de' THEN 4106774230
+                      WHEN 'en' THEN 2327135125
+                      WHEN 'es' THEN 4021503195
+                      WHEN 'fr' THEN 4294967296
+                      WHEN 'zh' THEN 3967520839
+                  END
         """,
         "asof_join": """
             SELECT l.event_id, l.user_id,

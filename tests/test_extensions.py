@@ -305,6 +305,46 @@ class TestKMeansIVF:
 
 
 class TestSampling:
+    def test_temperature_thresholds(self):
+        from tumult_core_spark.extensions.sampling import (
+            _MOD,
+            temperature_thresholds,
+        )
+
+        counts = {"en": 800, "fr": 100, "de": 100}
+        # T=1: no reweighting, everything kept
+        assert set(temperature_thresholds(counts, 1.0).values()) == {_MOD}
+        t2 = temperature_thresholds(counts, 2.0)
+        # smallest sources kept in full; dominant source downsampled by
+        # sqrt(w_min/w_en) = sqrt(100/800)
+        assert t2["fr"] == _MOD and t2["de"] == _MOD
+        assert t2["en"] == int((100 / 800) ** 0.5 * _MOD)
+        # higher temperature flattens harder
+        t5 = temperature_thresholds(counts, 5.0)
+        assert t5["en"] < t2["en"]
+        with pytest.raises(ValueError):
+            temperature_thresholds(counts, 0.0)
+
+    def test_temperature_mix_flattens_and_is_deterministic(self, spark, docs):
+        from tumult_core_spark.extensions.sampling import temperature_mix
+
+        out = temperature_mix(docs, "lang", "doc_id", 2.0, seed=11)
+        a = sorted(r["doc_id"] for r in out.collect())
+        b = sorted(
+            r["doc_id"]
+            for r in temperature_mix(
+                docs.repartition(16), "lang", "doc_id", 2.0, seed=11
+            ).collect()
+        )
+        assert a == b and 0 < len(a) < docs.count()
+        before = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+        after = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+        # the rarest language survives untouched; the dominant one shrinks
+        rare = min(before, key=before.get)
+        dom = max(before, key=before.get)
+        assert after[rare] == before[rare]
+        assert after[dom] < before[dom]
+
     def test_hash_split_deterministic_and_partition_independent(self, spark, docs):
         from tumult_core_spark.extensions.sampling import hash_split
 
@@ -551,6 +591,36 @@ class TestText:
         assert r3["symbol_word_ratio"] == pytest.approx(4 / 8)
         assert r3["dup_trigram_char_frac"] > 0.3 and not r3["keep"]
         assert out[4]["top_bigram_char_frac"] == 1.0 and not out[4]["keep"]
+
+    def test_tfidf_hand_case(self, spark):
+        import math
+
+        from tumult_core_spark.extensions.text import tfidf_top_terms
+
+        df = spark.createDataFrame(
+            [
+                (0, "apple apple banana"),
+                (1, "banana cherry"),
+                (2, "cherry cherry cherry durian"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            (r["doc_id"], r["term"]): r
+            for r in tfidf_top_terms(df, k=10).collect()
+        }
+        n = 3
+
+        def idf(dfreq):
+            return math.log((n + 1) / (dfreq + 1)) + 1.0
+
+        r = out[(0, "apple")]
+        assert r["tf"] == 2 and r["df"] == 1
+        assert r["score"] == pytest.approx(2 * idf(1))
+        assert out[(2, "cherry")]["score"] == pytest.approx(3 * idf(2))
+        # banana and cherry both have df=2 and tf=1 in doc 1: equal
+        # scores, so the deterministic tie-break (term asc) must hold
+        assert out[(1, "banana")]["score"] == out[(1, "cherry")]["score"]
 
     def test_repetition_stats_no_python_udf(self, spark, docs):
         from tumult_core_spark.extensions.text import repetition_stats

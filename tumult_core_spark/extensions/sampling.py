@@ -125,3 +125,67 @@ def stratified_sample(
         .filter(F.col("__rank") <= max_per_group)
         .drop("__rank")
     )
+
+
+def temperature_thresholds(
+    counts: dict, temperature: float
+) -> dict:
+    """Integer hash-space thresholds implementing temperature-scaled
+    source mixing: target share p_s ∝ w_s^(1/T) over empirical shares
+    w_s, realized by per-row Bernoulli rates q_s ∝ w_s^(1/T - 1)
+    normalized so the largest rate is 1 (maximal data retention —
+    at least one source is kept in full).
+
+    T=1 keeps everything (no reweighting); T>1 flattens the mix toward
+    uniform by downsampling dominant sources; T→∞ approaches equal
+    effective rates.  Returns ``{source: threshold}`` with threshold
+    in [0, 2^32]; a row survives iff its mixed id < threshold.
+    Pure function of (counts, T) so oracles and tests can recompute
+    it independently.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    if not counts:
+        return {}
+    total = sum(counts.values())
+    ex = (1.0 - temperature) / temperature
+    qraw = {s: (n / total) ** ex for s, n in counts.items()}
+    m = max(qraw.values())
+    return {s: min(_MOD, int((q / m) * _MOD)) for s, q in qraw.items()}
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    temperature: float,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic temperature-scaled source mixing: downsample
+    dominant sources so the surviving mix approaches share ∝ w^(1/T)
+    (the standard multilingual / multi-source training-mix rule).
+
+    Two passes: one map-side-combined count per source (the source
+    cardinality is small by definition — languages, domains, corpus
+    shards — so the collected histogram is tiny), then a scan-side
+    hash filter with per-source integer thresholds from
+    :func:`temperature_thresholds`.  The filter is the same
+    partitioning-independent mixed-id comparison as
+    :func:`hash_sample` — no shuffle on the data path, identical
+    survivors on every run and cluster size.
+    """
+    counts = {
+        r[0]: r[1] for r in df.groupBy(source_col).count().collect()
+    }
+    if len(counts) > 10_000:
+        raise ValueError(
+            f"{len(counts)} distinct sources; temperature_mix expects a "
+            "small source vocabulary (languages/domains), not a key column"
+        )
+    thresholds = temperature_thresholds(counts, temperature)
+    pos = _mix(F.col(id_col).cast("long"), seed)
+    thr = None
+    for s, t in sorted(thresholds.items()):
+        cond = F.col(source_col) == F.lit(s)
+        thr = F.when(cond, F.lit(t)) if thr is None else thr.when(cond, F.lit(t))
+    return df.filter(pos < thr)

@@ -296,3 +296,49 @@ def repetition_stats(
         & (F.col("dup_trigram_char_frac") <= t["dup_trigram_char_frac"])
         & (F.col("symbol_word_ratio") <= t["symbol_word_ratio"]),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document over the input corpus:
+    ``score = tf * (ln((N + 1) / (df + 1)) + 1)`` (smoothed idf), with
+    a deterministic tie-break (score desc, term asc).
+
+    Scale shape: one explode into (doc, term) counts (map-side
+    combined), document frequencies from a second aggregation of the
+    SAME relation (term df = how many docs contain the term), a hash
+    join back on term (vocabulary-sized relation — shuffled, not
+    broadcast: at corpus scale the vocabulary does not fit a
+    broadcast), and a per-document top-k window.  The corpus size N
+    rides along as a broadcast scalar.
+    """
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (
+                F.log((F.col("__n") + 1) / (F.col("df") + 1)) + F.lit(1.0)
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(id_col, "term", "tf", "df", F.col("score").cast("double").alias("score"))
+    )
