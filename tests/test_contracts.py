@@ -214,3 +214,25 @@ class TestOrcRoundTrip:
         a = sorted(map(repr, df.collect()))
         b = sorted(map(repr, back.collect()))
         assert a == b
+
+
+class TestJsonlRoundTrip:
+    def test_jsonl_round_trip_preserves_values(self, spark, tmp_path):
+        from tumult_core_spark.domains import SparkDataFrameDomain
+        from tumult_core_spark.sources.io import read_json, write_jsonl
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, None, -2.0), (3, 'q"uote\nnot', 0.0)],
+            "k long, s string, v double",
+        )
+        p = str(tmp_path / "t.jsonl")
+        write_jsonl(df, p, compression="gzip")
+        dom = SparkDataFrameDomain.from_spark_schema(df.schema)
+        back = read_json(spark, p, domain=dom)
+        a = sorted(map(repr, df.collect()))
+        b = sorted(map(repr, back.collect()))
+        assert a == b
+        # files actually gzip-compressed
+        import glob
+
+        assert glob.glob(f"{p}/*.gz")

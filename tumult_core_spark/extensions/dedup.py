@@ -99,24 +99,39 @@ def _shingle_expr(text_col: str, shingle_size: int) -> F.Column:
     """Array of distinct character shingles of the lowercased text.
 
     Pure JVM: ``sequence`` over start offsets + ``transform`` +
-    ``substring`` — no Python crossing.
+    ``substring`` — no Python crossing.  The lowercased text is bound
+    ONCE per row through a single-element-array lambda: Catalyst does
+    not hoist common subexpressions out of higher-order-function
+    lambdas, so the naive form re-lowercases the whole document for
+    every shingle (O(len^2) per document).
     """
     return F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(length(lower(`{text_col}`)) - "
-            f"{shingle_size - 1}, 1)), i -> substring(lower(`{text_col}`), i, "
-            f"{shingle_size}))"
+        F.element_at(
+            F.expr(
+                f"transform(array(lower(`{text_col}`)), t -> "
+                f"transform(sequence(1, greatest(length(t) - "
+                f"{shingle_size - 1}, 1)), i -> substring(t, i, "
+                f"{shingle_size})))"
+            ),
+            1,
         )
     )
 
 
 def word_ngrams(text_col: str, n: int = 3) -> F.Column:
-    """Array of distinct word n-grams (whitespace tokenization), JVM-side."""
+    """Array of distinct word n-grams (whitespace tokenization),
+    JVM-side.  The token array is bound once per row via the
+    single-element-array lambda (see :func:`_shingle_expr`) — the
+    naive form re-splits the whole document for every gram index,
+    O(tokens^2) per document."""
     return F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(size(split(lower(`{text_col}`), "
-            f"'\\\\s+')) - {n - 1}, 1)), i -> array_join(slice(split(lower("
-            f"`{text_col}`), '\\\\s+'), i, {n}), ' '))"
+        F.element_at(
+            F.expr(
+                f"transform(array(split(lower(`{text_col}`), '\\\\s+')), toks -> "
+                f"transform(sequence(1, greatest(size(toks) - {n - 1}, 1)), "
+                f"i -> array_join(slice(toks, i, {n}), ' ')))"
+            ),
+            1,
         )
     )
 

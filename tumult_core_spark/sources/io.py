@@ -115,3 +115,22 @@ def read_orc(
 
 def write_orc(df: DataFrame, path: str, mode: str = "error") -> None:
     df.write.mode(mode).orc(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "error",
+    compression: Optional[str] = None,
+    max_records_per_file: Optional[int] = None,
+) -> None:
+    """Line-delimited JSON sink — the interchange format most training
+    corpora ship as.  Spark's json source is JSONL natively (one
+    object per line), so the round trip through :func:`read_json`
+    preserves rows; ``compression`` accepts gzip/zstd/etc."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.json(path)
