@@ -209,7 +209,17 @@ def repetition_stats(
     single huge document is collapsed map-side to its distinct items
     before it crosses the wire.
     """
-    toks = tokens_col(text_col)
+    # materialize tokens/lines as projection attributes so the gram
+    # lambdas reference a per-row value, not a re-evaluated expression
+    # (Catalyst does not hoist subexpressions out of HOF lambdas; the
+    # naive form re-splits the document per gram index)
+    pre = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        tokens_col(text_col).alias("__toks"),
+        F.split(F.col(text_col), r"\n").alias("__lines"),
+    )
+    toks = F.col("__toks")
 
     def _tag(kind, item):
         return F.struct(F.lit(kind).alias("kind"), item.alias("item"))
@@ -232,11 +242,11 @@ def repetition_stats(
 
     # tagged items: L = raw lines, B = word bigrams, T = word trigrams
     items = F.concat(
-        F.transform(F.split(F.col(text_col), r"\n"), lambda x: _tag("L", x)),
+        F.transform(F.col("__lines"), lambda x: _tag("L", x)),
         _grams("B", 2),
         _grams("T", 3),
     )
-    exploded = df.select(
+    exploded = pre.select(
         F.col(id_col), F.explode(items).alias("e")
     ).select(id_col, F.col("e.kind").alias("kind"), F.col("e.item").alias("item"))
     counted = exploded.groupBy(id_col, "kind", "item").agg(
@@ -279,7 +289,7 @@ def repetition_stats(
             F.lit(0.0),
         ).alias("dup_trigram_char_frac"),
     )
-    symbols = df.select(
+    symbols = pre.select(
         F.col(id_col),
         (
             F.size(F.regexp_extract_all(F.col(text_col), F.lit(_SYMBOL_REGEX), 0))
