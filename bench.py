@@ -335,6 +335,29 @@ def bench_decontaminate(spark):
     decontaminate(docs, holdout, "doc_id", "text", threshold=0.99).count()
 
 
+def bench_asof_join(spark):
+    """Each view event -> most recent prior error event per user."""
+    from pyspark.sql import functions as F
+
+    from tumult_core_spark.extensions.timeseries import asof_join
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    views = ev.filter("event_type = 'view'").select("event_id", "user_id", "ts")
+    errors = ev.filter("event_type = 'error'").select(
+        "user_id", "ts", F.col("value").alias("err_value")
+    )
+    asof_join(views, errors, ["user_id"], "ts", right_prefix="err_").count()
+
+
+def bench_text_quality(spark):
+    """Repetition signals + TF-IDF top terms over the corpus."""
+    from tumult_core_spark.extensions.text import repetition_stats, tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+    repetition_stats(docs).count()
+    tfidf_top_terms(docs, k=3).count()
+
+
 BENCHES = {
     "groupby_count_sum": bench_groupby_count_sum,
     "quantile": bench_quantile,
@@ -350,6 +373,8 @@ BENCHES = {
     "components": bench_components,
     "training_mix": bench_training_mix,
     "decontaminate": bench_decontaminate,
+    "asof_join": bench_asof_join,
+    "text_quality": bench_text_quality,
 }
 
 

@@ -622,6 +622,72 @@ class TestText:
         # scores, so the deterministic tie-break (term asc) must hold
         assert out[(1, "banana")]["score"] == out[(1, "cherry")]["score"]
 
+    def test_repetition_stats_vs_python_reference(self, spark):
+        """Randomized corpus vs an independent pure-Python computation
+        of every signal (different algorithm: per-doc Counters instead
+        of the tagged-explode two-aggregation plan)."""
+        import random
+        from collections import Counter
+
+        from tumult_core_spark.extensions.text import repetition_stats
+
+        rnd = random.Random(42)
+        words = ["alpha", "beta", "gamma", "x", "yy", "...", "#tag", "…", "d1"]
+        docs = []
+        for i in range(60):
+            n_lines = rnd.randint(1, 6)
+            lines = [
+                " ".join(rnd.choices(words, k=rnd.randint(0, 8)))
+                for _ in range(n_lines)
+            ]
+            if rnd.random() < 0.4 and lines:
+                lines.append(rnd.choice(lines))  # force duplicate lines
+            docs.append((i, "\n".join(lines)))
+
+        def ref(text):
+            lines = text.split("\n")
+            toks = [t for t in text.lower().split() if t]
+            bi = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+            tri = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+            lc, bc, tc = Counter(lines), Counter(bi), Counter(tri)
+            total_lc = sum(len(l) * c for l, c in lc.items())
+            out = {
+                "n_lines": len(lines),
+                "dup_line_frac": (len(lines) - len(lc)) / len(lines),
+                "dup_line_char_frac": sum(
+                    len(l) * c for l, c in lc.items() if c > 1
+                ) / max(total_lc, 1),
+            }
+            bchars = sum(len(g) * c for g, c in bc.items())
+            out["top_bigram_char_frac"] = (
+                max((len(g) * c for g, c in bc.items()), default=0)
+                / max(bchars, 1) if bc else 0.0
+            )
+            tchars = sum(len(g) * c for g, c in tc.items())
+            out["dup_trigram_char_frac"] = (
+                sum(len(g) * c for g, c in tc.items() if c > 1)
+                / max(tchars, 1) if tc else 0.0
+            )
+            import re
+
+            out["symbol_word_ratio"] = len(
+                re.findall(r"\.{3}|…|#", text)
+            ) / max(len(toks), 1)
+            return out
+
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in repetition_stats(
+                spark.createDataFrame(docs, ["doc_id", "text"])
+            ).collect()
+        }
+        assert len(got) == 60
+        for i, text in docs:
+            e = ref(text)
+            g = got[i]
+            for key, val in e.items():
+                assert g[key] == pytest.approx(val, abs=1e-12), (i, key, text)
+
     def test_repetition_stats_no_python_udf(self, spark, docs):
         from tumult_core_spark.extensions.text import repetition_stats
 

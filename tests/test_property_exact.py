@@ -261,3 +261,41 @@ def test_split_intervals_partition_hash_space(i):
     in_20 = pos < int(0.2 * 2**32)
     in_50 = pos < int(0.5 * 2**32)
     assert not in_20 or in_50  # sample(0.2) subset of sample(0.5)
+
+
+# ---------------------------------------------------------------------------
+# temperature mixing thresholds (pure function; used by temperature_mix)
+# ---------------------------------------------------------------------------
+
+source_counts = st.dictionaries(
+    st.text(st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=5),
+    st.integers(min_value=1, max_value=10**9),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(source_counts, st.floats(min_value=0.1, max_value=100.0))
+def test_temperature_thresholds_properties(counts, temperature):
+    from tumult_core_spark.extensions.sampling import _MOD, temperature_thresholds
+
+    t = temperature_thresholds(counts, temperature)
+    assert set(t) == set(counts)
+    # thresholds are valid hash bounds and at least one source is kept whole
+    assert all(0 <= v <= _MOD for v in t.values())
+    assert max(t.values()) == _MOD
+    if temperature >= 1.0:
+        # flattening: rarer sources never get a smaller keep-rate
+        for a in counts:
+            for b in counts:
+                if counts[a] <= counts[b]:
+                    assert t[a] >= t[b]
+
+
+@settings(max_examples=200, deadline=None)
+@given(source_counts)
+def test_temperature_one_keeps_everything(counts):
+    from tumult_core_spark.extensions.sampling import _MOD, temperature_thresholds
+
+    assert set(temperature_thresholds(counts, 1.0).values()) == {_MOD}
