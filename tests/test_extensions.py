@@ -1038,6 +1038,49 @@ class TestStreaming:
         assert got == n_users
 
 
+class TestStreamingNearDedup:
+    def test_near_identical_docs_collapse(self, spark, tmp_path):
+        """Exact duplicates and small-edit near-duplicates (same min
+        shingle) collapse to one survivor; distinct docs survive."""
+        import pandas as pd
+
+        from tumult_core_spark.streaming import write_stream_memory
+        from tumult_core_spark.streaming.ops import streaming_near_dedup
+
+        base = "aaaa unique shingle body text that is long enough to matter"
+        rows = [
+            (0, base, "2024-01-01 00:00:00"),
+            (1, base, "2024-01-01 00:05:00"),                    # exact dup
+            (2, base + " trailing boilerplate", "2024-01-01 00:10:00"),  # near dup
+            (3, "zzzz completely different document body", "2024-01-01 00:15:00"),
+        ]
+        src = str(tmp_path / "docs")
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text", "ts"]).assign(
+                ts=lambda d: pd.to_datetime(d["ts"])
+            )
+        ).write.parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .parquet(src)
+        )
+        out = streaming_near_dedup(stream, "text", "ts")
+        q = write_stream_memory(out, "near_dedup")
+        q.awaitTermination(120)
+        got = sorted(
+            r["doc_id"] for r in spark.sql("select doc_id from near_dedup").collect()
+        )
+        # one survivor per distinct robust fingerprint (static expectation)
+        from tumult_core_spark.extensions.text import document_fingerprint
+
+        static = document_fingerprint(spark.read.parquet(src), "text")
+        expected = static.select("fingerprint_robust").distinct().count()
+        assert len(got) == expected
+        # the exact-duplicate pair (0, 1) always collapses; the distinct
+        # doc 3 always survives
+        assert 3 in got and not {0, 1} <= set(got)
+
+
 class TestStatefulStreaming:
     def test_stateful_sessionize_gap_and_timeout(self, spark, tmp_path):
         """applyInPandasWithState sessionization: a later event closes

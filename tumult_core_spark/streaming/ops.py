@@ -99,6 +99,33 @@ def streaming_dedup(
     )
 
 
+def streaming_near_dedup(
+    stream: DataFrame,
+    text_col: str,
+    ts_col: str,
+    watermark: str = "24 hours",
+    shingle_size: int = 8,
+) -> DataFrame:
+    """Drop near-identical documents arriving within the watermark
+    horizon: the dedup key is the winnowed min-shingle content
+    fingerprint (``extensions.text.document_fingerprint``), which is
+    invariant to small edits that do not disturb the minimum shingle
+    — whitespace tweaks, doc-id headers, trailing boilerplate.
+
+    The fingerprint is a pure Catalyst projection on the stream, so
+    the only state is the bounded ``dropDuplicatesWithinWatermark``
+    store keyed by one 64-bit hash per surviving document.
+    """
+    from ..extensions.text import document_fingerprint
+
+    fp = document_fingerprint(stream, text_col, shingle_size=shingle_size)
+    return (
+        fp.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint_robust"])
+        .drop("fingerprint", "fingerprint_robust")
+    )
+
+
 def sessionize(
     stream: DataFrame,
     user_col: str,
