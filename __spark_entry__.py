@@ -640,6 +640,22 @@ def q_temperature_mix(spark, sf_dir):
     )
 
 
+def q_pca_project(spark, sf_dir):
+    """Distributed-sufficient-statistics PCA projection (top-2).  The
+    eigendecomposition is not SQL-expressible, so this is a rows-only
+    driver check; exactness vs numpy is pinned in TestPCA."""
+    from tumult_core_spark.extensions.similarity import pca_fit, pca_project
+
+    embs = _load(spark, sf_dir, "embeddings")
+    mean, comps, _ = pca_fit(embs, "embedding", k=2)
+    out = pca_project(embs, "embedding", mean, comps)
+    return out.select(
+        "vec_id",
+        F.round(F.element_at("pca", 1), 6).alias("pc1"),
+        F.round(F.element_at("pca", 2), 6).alias("pc2"),
+    )
+
+
 def q_streaming_window_counts(spark, sf_dir):
     from tumult_core_spark.streaming import (
         read_stream_parquet,
@@ -1207,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "tfidf_top_terms": q_tfidf_top_terms,
         "temperature_mix": q_temperature_mix,
+        "pca_project": q_pca_project,
         "streaming_window_counts": q_streaming_window_counts,
         "multimodal_features": q_multimodal_features,
         "zcdp_groupby_count": q_zcdp_groupby_count,

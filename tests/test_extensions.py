@@ -540,6 +540,48 @@ class TestSimilarity:
         assert all(q == c for q, c in top1.items())
 
 
+class TestPCA:
+    def test_pca_matches_numpy(self, spark, sf_dir):
+        import numpy as np
+
+        from tumult_core_spark.extensions.similarity import pca_fit, pca_project
+
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        mean, comps, var = pca_fit(embs, "embedding", k=4)
+        x = np.stack(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in embs.collect()]
+        )
+        np.testing.assert_allclose(mean, x.mean(axis=0), rtol=1e-9)
+        cov = np.cov(x, rowvar=False, bias=True)
+        w, v = np.linalg.eigh(cov)
+        order = np.argsort(w)[::-1][:4]
+        np.testing.assert_allclose(var, w[order], rtol=1e-7)
+        for i, col in enumerate(order):
+            ev = v[:, col]
+            j = int(np.argmax(np.abs(comps[i])))
+            if ev[j] < 0:
+                ev = -ev
+            np.testing.assert_allclose(comps[i], ev, rtol=1e-6, atol=1e-9)
+        # variances decreasing, projection reproduces numpy matmul
+        assert all(var[i] >= var[i + 1] for i in range(len(var) - 1))
+        out = pca_project(embs.limit(50), "embedding", mean, comps)
+        got = {r["vec_id"]: np.asarray(r["pca"]) for r in out.collect()}
+        for r in embs.limit(50).collect():
+            e = (np.asarray(r["embedding"], dtype=np.float64) - mean) @ comps.T
+            np.testing.assert_allclose(got[r["vec_id"]], e, rtol=1e-9)
+
+    def test_pca_deterministic_under_repartition(self, spark, sf_dir):
+        import numpy as np
+
+        from tumult_core_spark.extensions.similarity import pca_fit
+
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        a = pca_fit(embs, "embedding", k=2)
+        b = pca_fit(embs.repartition(16), "embedding", k=2)
+        np.testing.assert_allclose(a[0], b[0], rtol=1e-12)
+        np.testing.assert_allclose(a[1], b[1], rtol=1e-9)
+
+
 class TestText:
     def test_token_count(self, spark, docs):
         out = token_count(docs.limit(20), "text")

@@ -438,3 +438,106 @@ def embedding_near_duplicates(
             )
         )
     return within.unionByName(cross)
+
+
+def pca_fit(
+    corpus: DataFrame,
+    vector_col: str,
+    k: int,
+):
+    """Exact PCA of an embedding column via distributed sufficient
+    statistics: one ``mapInPandas`` pass accumulates per-partition
+    ``(n, sum x, X^T X)`` (a d + d^2 accumulator per partition, d=64
+    here — never the data), the driver combines the tiny partials and
+    eigendecomposes the d x d covariance.  Returns ``(mean,
+    components, explained_variance)`` as numpy arrays with components
+    in rows, ordered by decreasing variance.
+
+    Deterministic: the partial sums are combined in sorted partition
+    order and each eigenvector's sign is fixed so its
+    largest-magnitude coordinate is positive.
+    """
+    import numpy as np
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def stats(batches):
+        import pandas as pd  # noqa: F401
+
+        n = 0
+        s = None
+        ss = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vector_col].to_numpy()).astype(np.float64)
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            g = x.T @ x
+            ss = g if ss is None else ss + g
+        if n == 0:
+            return
+        yield __import__("pandas").DataFrame(
+            {
+                "n": [n],
+                "s": [s.tolist()],
+                "ss": [ss.reshape(-1).tolist()],
+            }
+        )
+
+    parts = (
+        corpus.select(vector_col)
+        .mapInPandas(stats, schema="n long, s array<double>, ss array<double>")
+        .collect()
+    )
+    if not parts:
+        raise ValueError("empty corpus")
+    # deterministic combine order regardless of task scheduling
+    parts = sorted(parts, key=lambda r: (r["n"], tuple(r["s"])))
+    n = sum(r["n"] for r in parts)
+    d = len(parts[0]["s"])
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for r in parts:
+        s += np.asarray(r["s"])
+        ss += np.asarray(r["ss"]).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    cov = (cov + cov.T) / 2  # symmetrize away float drift
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T
+    # sign convention: largest-|coordinate| positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, w[order]
+
+
+def pca_project(
+    corpus: DataFrame,
+    vector_col: str,
+    mean,
+    components,
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project the embedding column onto fitted components (rows of
+    ``components``): Arrow-batched matmul per partition with the tiny
+    (mean, components) matrices shipped in the UDF closure — the
+    corpus itself never moves."""
+    import numpy as np
+    import pandas as pd
+
+    mean = np.asarray(mean, dtype=np.float64)
+    comp = np.asarray(components, dtype=np.float64)
+
+    def _proj(col):
+        x = np.stack(col.to_numpy()).astype(np.float64)
+        y = (x - mean) @ comp.T
+        return pd.Series(list(y))
+
+    proj = F.pandas_udf(_proj, "array<double>")
+
+    return corpus.withColumn(out_col, proj(F.col(vector_col)))
