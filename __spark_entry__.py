@@ -656,6 +656,18 @@ def q_pca_project(spark, sf_dir):
     )
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Self-corpus unigram LM score; oracle replays the identical
+    explode -> frequency -> join -> avg(ln) arithmetic."""
+    from tumult_core_spark.extensions.text import unigram_logprob
+
+    docs = _load(spark, sf_dir, "documents")
+    out = unigram_logprob(docs)
+    return out.select(
+        "doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob")
+    )
+
+
 def q_streaming_window_counts(spark, sf_dir):
     from tumult_core_spark.streaming import (
         read_stream_parquet,
@@ -1224,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "temperature_mix": q_temperature_mix,
         "pca_project": q_pca_project,
+        "unigram_logprob": q_unigram_logprob,
         "streaming_window_counts": q_streaming_window_counts,
         "multimodal_features": q_multimodal_features,
         "zcdp_groupby_count": q_zcdp_groupby_count,
@@ -1475,6 +1488,20 @@ def oracle_sql() -> dict[str, str]:
                       WHEN 'fr' THEN 4294967296
                       WHEN 'zh' THEN 3967520839
                   END
+        """,
+        "unigram_logprob": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            occ AS (SELECT doc_id, unnest(toks) AS term FROM t),
+            freqs AS (SELECT term, COUNT(*) AS tf FROM occ GROUP BY 1),
+            total AS (SELECT COUNT(*) AS tt FROM occ)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(AVG(ln(tf / tt)), 6) AS avg_logprob
+            FROM occ JOIN freqs USING (term) CROSS JOIN total
+            GROUP BY doc_id
         """,
         "asof_join": """
             SELECT l.event_id, l.user_id,

@@ -352,3 +352,35 @@ def tfidf_top_terms(
         .filter(F.col("__rk") <= k)
         .select(id_col, "term", "tf", "df", F.col("score").cast("double").alias("score"))
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Self-corpus unigram language-model score per document:
+    ``avg_logprob = mean over token occurrences of ln(freq(term) /
+    total_tokens)`` — the cheap "how surprising is this text"
+    signal used to gate training data when no external LM is
+    available (gibberish and boilerplate-free rare text score low,
+    stopword soup scores high).
+
+    Scale shape: one explode into token occurrences, a term-frequency
+    aggregation (map-side combined), a hash join of occurrences back
+    to the vocabulary-sized frequency relation, and one per-document
+    average.  The total-token count rides along as a broadcast
+    scalar.
+    """
+    occ = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+    freqs = occ.groupBy("term").agg(F.count(F.lit(1)).alias("__tf"))
+    total = occ.select(F.count(F.lit(1)).alias("__total"))
+    return (
+        occ.join(freqs, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log(F.col("__tf") / F.col("__total"))).alias("avg_logprob"),
+        )
+    )
