@@ -200,6 +200,29 @@ class TestProfile:
             profile_table(df, ["nope"])
 
 
+class TestProfileApprox:
+    def test_approx_mode_no_expand_and_close(self, spark, sf_dir):
+        from tumult_core_spark.utils.profile import profile_table
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey", "l_returnflag"
+        )
+        exact = {
+            r["column"]: r["n_distinct"] for r in profile_table(li).collect()
+        }
+        approx_df = profile_table(li, approximate=True, rsd=0.02)
+        plan = approx_df._sc._jvm.PythonSQLUtils.explainString(
+            approx_df._jdf.queryExecution(), "formatted"
+        )
+        # HLL sketches profile all columns in one un-expanded pass
+        assert "Expand" not in plan
+        got = {r["column"]: r for r in approx_df.collect()}
+        for c, exact_d in exact.items():
+            r = got[c]
+            assert abs(r["n_distinct"] - exact_d) <= max(3, 0.1 * exact_d)
+            assert r["n_rows"] == li.count()
+
+
 class TestOrcRoundTrip:
     def test_orc_round_trip_preserves_values(self, spark, tmp_path):
         from tumult_core_spark.sources.io import read_orc, write_orc

@@ -16,13 +16,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile_table(df: DataFrame, columns: Optional[List[str]] = None) -> DataFrame:
+def profile_table(
+    df: DataFrame,
+    columns: Optional[List[str]] = None,
+    approximate: bool = False,
+    rsd: float = 0.02,
+) -> DataFrame:
     """(column, n_rows, n_nulls, n_distinct) per profiled column.
 
     ``n_distinct`` counts distinct NON-NULL values (SQL COUNT(DISTINCT)
-    semantics, identical across engines).  All metrics are exact; swap
-    ``countDistinct`` for ``approx_count_distinct`` at the call site if
-    a sketch suffices at very high cardinality.
+    semantics, identical across engines).  Exact mode plans through
+    Spark's ``Expand`` (the scan is logically replicated once per
+    distinct-aggregated column); ``approximate=True`` swaps in
+    HyperLogLog++ sketches (``approx_count_distinct`` at relative
+    error ``rsd``), which profile every column in ONE un-expanded
+    pass — the right mode at 100 TB, where an exact multi-column
+    distinct multiplies the shuffle by the column count.
     """
     cols = columns or df.columns
     missing = [c for c in cols if c not in df.columns]
@@ -31,7 +40,11 @@ def profile_table(df: DataFrame, columns: Optional[List[str]] = None) -> DataFra
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
-        aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
+        aggs.append(
+            F.approx_count_distinct(F.col(c), rsd=rsd).alias(f"__dist_{c}")
+            if approximate
+            else F.countDistinct(F.col(c)).alias(f"__dist_{c}")
+        )
     row = df.agg(*aggs)
     triples = ", ".join(
         f"'{c}', `__nulls_{c}`, `__dist_{c}`" for c in cols
