@@ -668,6 +668,19 @@ def q_unigram_logprob(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted Bernoulli sampling: keep probability =
+    quality score; oracle replays the mix + threshold integer
+    arithmetic exactly."""
+    from tumult_core_spark.extensions.sampling import weighted_sample
+    from tumult_core_spark.extensions.text import quality_score
+
+    docs = quality_score(_load(spark, sf_dir, "documents"))
+    return weighted_sample(docs, "doc_id", "quality", seed=23).select(
+        "doc_id", F.round("quality", 6).alias("quality")
+    )
+
+
 def q_streaming_window_counts(spark, sf_dir):
     from tumult_core_spark.streaming import (
         read_stream_parquet,
@@ -1237,6 +1250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "pca_project": q_pca_project,
         "unigram_logprob": q_unigram_logprob,
+        "weighted_sample": q_weighted_sample,
         "streaming_window_counts": q_streaming_window_counts,
         "multimodal_features": q_multimodal_features,
         "zcdp_groupby_count": q_zcdp_groupby_count,
@@ -1502,6 +1516,40 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(ln(tf / tt)), 6) AS avg_logprob
             FROM occ JOIN freqs USING (term) CROSS JOIN total
             GROUP BY doc_id
+        """,
+        "weighted_sample": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            m AS (
+                SELECT doc_id,
+                       CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+                       CAST(len(toks) AS DOUBLE) AS n_tokens,
+                       CAST(LENGTH(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                            AS DOUBLE) AS n_punct,
+                       CAST(len(list_filter(list_distinct(toks),
+                           x -> list_contains(
+                               ['the','and','of','to','in','is','that','with','for','was'],
+                               x))) AS DOUBLE) AS n_stop
+                FROM t),
+            q AS (
+                SELECT doc_id,
+                       LEAST(n_chars / 1000.0, 1.0) * 0.3
+                       + (CASE WHEN n_chars / GREATEST(n_tokens, 1.0) >= 3
+                                    AND n_chars / GREATEST(n_tokens, 1.0) <= 12
+                               THEN 1.0 ELSE 0.3 END) * 0.2
+                       + (CASE WHEN n_punct / GREATEST(n_chars, 1.0) < 0.2 THEN 1.0
+                               ELSE GREATEST(1.0 - (n_punct / GREATEST(n_chars, 1.0)
+                                                    - 0.2) * 2, 0.0) END) * 0.2
+                       + LEAST(n_stop / GREATEST(LEAST(n_tokens, 10.0), 1.0),
+                               1.0) * 0.3 AS quality
+                FROM m)
+            SELECT doc_id, ROUND(quality, 6) AS quality FROM q
+            WHERE (((2654435761 * CAST((((doc_id + 23) % 4294967296) - ((doc_id + 23) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 2654435761 * (((doc_id + 23) % 4294967296) % 65536)) % 4294967296
+                  < CAST(FLOOR(LEAST(GREATEST(quality, 0.0), 1.0)
+                               * 4294967296.0) AS BIGINT)
         """,
         "asof_join": """
             SELECT l.event_id, l.user_id,

@@ -189,3 +189,17 @@ def temperature_mix(
         cond = F.col(source_col) == F.lit(s)
         thr = F.when(cond, F.lit(t)) if thr is None else thr.when(cond, F.lit(t))
     return df.filter(pos < thr)
+
+
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, seed: int = 0
+) -> DataFrame:
+    """Deterministic per-row Bernoulli sampling with keep probability
+    taken from ``weight_col`` (clamped to [0, 1]) — e.g. keep
+    documents proportionally to a quality score.  A row survives iff
+    ``mix(id) < floor(weight * 2^32)``: scan-side Catalyst filter,
+    no shuffle, no RNG state, identical survivors on every run,
+    partitioning, and cluster size."""
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    threshold = F.floor(w * F.lit(float(_MOD))).cast("long")
+    return df.filter(_mix(F.col(id_col).cast("long"), seed) < threshold)
