@@ -681,6 +681,30 @@ def q_weighted_sample(spark, sf_dir):
     )
 
 
+def q_fuzzy_join(spark, sf_dir):
+    """Typo-tolerant entity resolution: customers joined to a planted
+    single-character-deletion typo table at Levenshtein distance <= 1.
+    The Spark path uses deletion-neighborhood (FastSS) blocking; the
+    oracle brute-forces the cross join, so a hash match PROVES the
+    blocking loses no pairs."""
+    from tumult_core_spark.extensions.dedup import fuzzy_join_edit1
+
+    cust = _load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    typos = cust.filter("c_custkey < 200").select(
+        (F.col("c_custkey") + 1_000_000).alias("t_id"),
+        F.concat(
+            F.expr("substring(c_name, 1, c_custkey % length(c_name))"),
+            F.expr("substring(c_name, c_custkey % length(c_name) + 2)"),
+        ).alias("t_name"),
+    )
+    out = fuzzy_join_edit1(cust, typos, "c_name", "t_name", "c_custkey", "t_id")
+    return out.select(
+        F.col("c_custkey_l").alias("c_custkey"),
+        F.col("t_id_r").alias("t_id"),
+        "distance",
+    )
+
+
 def q_streaming_window_counts(spark, sf_dir):
     from tumult_core_spark.streaming import (
         read_stream_parquet,
@@ -1251,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": q_pca_project,
         "unigram_logprob": q_unigram_logprob,
         "weighted_sample": q_weighted_sample,
+        "fuzzy_join": q_fuzzy_join,
         "streaming_window_counts": q_streaming_window_counts,
         "multimodal_features": q_multimodal_features,
         "zcdp_groupby_count": q_zcdp_groupby_count,
@@ -1550,6 +1575,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE (((2654435761 * CAST((((doc_id + 23) % 4294967296) - ((doc_id + 23) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 2654435761 * (((doc_id + 23) % 4294967296) % 65536)) % 4294967296
                   < CAST(FLOOR(LEAST(GREATEST(quality, 0.0), 1.0)
                                * 4294967296.0) AS BIGINT)
+        """,
+        "fuzzy_join": """
+            WITH typos AS (
+                SELECT c_custkey + 1000000 AS t_id,
+                       substring(c_name, 1, c_custkey % length(c_name))
+                       || substring(c_name, c_custkey % length(c_name) + 2)
+                           AS t_name
+                FROM customer WHERE c_custkey < 200)
+            SELECT c.c_custkey, t.t_id,
+                   CAST(levenshtein(c.c_name, t.t_name) AS BIGINT) AS distance
+            FROM customer c CROSS JOIN typos t
+            WHERE levenshtein(c.c_name, t.t_name) <= 1
         """,
         "asof_join": """
             SELECT l.event_id, l.user_id,

@@ -191,6 +191,54 @@ class TestDedup:
         assert (cross[0]["id_a"], cross[0]["id_b"]) == (0, 20)
 
 
+class TestFuzzyJoin:
+    def test_edit1_matches_brute_force(self, spark):
+        """Random short strings: FastSS blocking + levenshtein verify
+        must equal the brute-force distance-<=1 pair set (insertions,
+        deletions, substitutions, and exact matches all covered)."""
+        import itertools
+        import random
+
+        def lev(a, b):
+            if len(a) < len(b):
+                a, b = b, a
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a):
+                cur = [i + 1]
+                for j, cb in enumerate(b):
+                    cur.append(
+                        min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (ca != cb))
+                    )
+                prev = cur
+            return prev[-1]
+
+        from tumult_core_spark.extensions.dedup import fuzzy_join_edit1
+
+        rnd = random.Random(3)
+        base = ["".join(rnd.choices("abc", k=rnd.randint(1, 6))) for _ in range(40)]
+        left = [(i, s) for i, s in enumerate(base)]
+        # rights: originals, deletions, insertions, substitutions
+        rights = []
+        for i, s in enumerate(base):
+            rights.append((1000 + i, s))
+            if len(s) > 1:
+                rights.append((2000 + i, s[1:]))
+            rights.append((3000 + i, "z" + s))
+            rights.append((4000 + i, "q" + s[1:]))
+        L = spark.createDataFrame(left, ["lid", "ls"])
+        R = spark.createDataFrame(rights, ["rid", "rs"])
+        got = {
+            (r["lid_l"], r["rid_r"], r["distance"])
+            for r in fuzzy_join_edit1(L, R, "ls", "rs", "lid", "rid").collect()
+        }
+        expected = {
+            (li, ri, lev(ls, rs))
+            for (li, ls), (ri, rs) in itertools.product(left, rights)
+            if lev(ls, rs) <= 1
+        }
+        assert got == expected and len(expected) > len(base)
+
+
 class TestRedactPII:
     def test_redacts_and_counts(self, spark):
         from tumult_core_spark.extensions.text import redact_pii

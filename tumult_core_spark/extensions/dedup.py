@@ -510,3 +510,67 @@ def decontaminate(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def _deletion_variants(col_name: str) -> F.Column:
+    """The string plus every single-character deletion of it, distinct.
+
+    Bound through a single-element-array lambda so the source string
+    is evaluated once per row (see :func:`_shingle_expr`).
+    """
+    return F.array_distinct(
+        F.element_at(
+            F.expr(
+                f"transform(array(`{col_name}`), s -> concat(array(s), "
+                "transform(sequence(1, greatest(length(s), 1)), "
+                "i -> concat(substring(s, 1, i - 1), substring(s, i + 1)))))"
+            ),
+            1,
+        )
+    )
+
+
+def fuzzy_join_edit1(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """(left_id, right_id, distance) for every pair of rows whose key
+    strings are within Levenshtein distance 1 — typo-tolerant entity
+    resolution without an all-pairs comparison.
+
+    Blocking: two strings at edit distance <= 1 share a member of each
+    other's deletion neighborhood (the string itself plus its
+    single-character deletions — the FastSS / SymSpell blocking
+    scheme), so exploding both sides' variants and hash-joining on the
+    variant finds every candidate with cost proportional to |s| rows
+    per input row; an exact ``levenshtein`` verify then removes the
+    blocking's false positives.  Both stages are pure Catalyst.
+    """
+    lv = left.select(
+        F.col(left_id).alias("__lid"),
+        F.col(left_col).alias("__ls"),
+        F.explode(_deletion_variants(left_col)).alias("__v"),
+    )
+    rv = right.select(
+        F.col(right_id).alias("__rid"),
+        F.col(right_col).alias("__rs"),
+        F.explode(_deletion_variants(right_col)).alias("__v"),
+    )
+    cands = (
+        lv.join(rv, "__v")
+        .select("__lid", "__ls", "__rid", "__rs")
+        .dropDuplicates(["__lid", "__rid"])
+    )
+    return (
+        cands.withColumn("distance", F.levenshtein("__ls", "__rs"))
+        .filter(F.col("distance") <= 1)
+        .select(
+            F.col("__lid").alias(left_id + "_l"),
+            F.col("__rid").alias(right_id + "_r"),
+            "distance",
+        )
+    )
