@@ -705,6 +705,16 @@ def q_fuzzy_join(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (40-token windows, 10-token
+    overlap); the oracle replays the identical sequence/slice/join
+    arithmetic."""
+    from tumult_core_spark.extensions.text import chunk_documents
+
+    docs = _load(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=40, overlap=10)
+
+
 def q_streaming_window_counts(spark, sf_dir):
     from tumult_core_spark.streaming import (
         read_stream_parquet,
@@ -1276,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "weighted_sample": q_weighted_sample,
         "fuzzy_join": q_fuzzy_join,
+        "chunk_documents": q_chunk_documents,
         "streaming_window_counts": q_streaming_window_counts,
         "multimodal_features": q_multimodal_features,
         "zcdp_groupby_count": q_zcdp_groupby_count,
@@ -1587,6 +1598,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(c.c_name, t.t_name) AS BIGINT) AS distance
             FROM customer c CROSS JOIN typos t
             WHERE levenshtein(c.c_name, t.t_name) <= 1
+        """,
+        "chunk_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            c AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(toks), 1) + 1, 30),
+                           s -> array_to_string(list_slice(toks, s, s + 39),
+                                                ' '))) AS chunk_text,
+                       generate_subscripts(range(1, greatest(len(toks), 1) + 1,
+                                                 30), 1) - 1 AS chunk_idx
+                FROM t)
+            SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, chunk_text,
+                   CAST(CASE WHEN chunk_text = '' THEN 0
+                             ELSE len(string_split(chunk_text, ' '))
+                        END AS INTEGER) AS chunk_tokens
+            FROM c
         """,
         "asof_join": """
             SELECT l.event_id, l.user_id,

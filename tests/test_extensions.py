@@ -778,6 +778,30 @@ class TestText:
             for key, val in e.items():
                 assert g[key] == pytest.approx(val, abs=1e-12), (i, key, text)
 
+    def test_chunk_documents(self, spark):
+        from tumult_core_spark.extensions.text import chunk_documents
+
+        words = [f"w{i}" for i in range(25)]
+        df = spark.createDataFrame(
+            [(0, " ".join(words)), (1, "solo"), (2, "")], ["doc_id", "text"]
+        )
+        out = chunk_documents(df, max_tokens=10, overlap=4).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # stride 6: starts at tokens 0,6,12,18,24 -> 5 chunks
+        c0 = sorted(by_doc[0], key=lambda r: r["chunk_idx"])
+        assert len(c0) == 5
+        assert c0[0]["chunk_text"].split() == words[0:10]
+        assert c0[1]["chunk_text"].split() == words[6:16]  # 4-token overlap
+        assert c0[4]["chunk_text"].split() == words[24:]
+        assert all(r["chunk_tokens"] == len(r["chunk_text"].split()) for r in c0)
+        assert by_doc[1][0]["chunk_text"] == "solo"
+        # empty doc still yields one (empty) chunk
+        assert by_doc[2][0]["chunk_text"] == "" and by_doc[2][0]["chunk_tokens"] == 0
+        with pytest.raises(ValueError):
+            chunk_documents(df, max_tokens=5, overlap=5)
+
     def test_repetition_stats_no_python_udf(self, spark, docs):
         from tumult_core_spark.extensions.text import repetition_stats
 

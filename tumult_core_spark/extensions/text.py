@@ -384,3 +384,46 @@ def unigram_logprob(
             F.avg(F.log(F.col("__tf") / F.col("__total"))).alias("avg_logprob"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split each document into overlapping windows of at most
+    ``max_tokens`` whitespace tokens (stride ``max_tokens - overlap``)
+    — the context-window chunking pass that precedes tokenization.
+
+    Emits ``(id, chunk_idx, chunk_text, chunk_tokens)``; a document
+    with no tokens yields one empty chunk so no document silently
+    disappears.  Pure Catalyst: the token array is projected once per
+    row, chunk starts come from ``sequence`` with the stride as step,
+    and ``posexplode`` fans out — no Python, no shuffle beyond the
+    explode itself.
+    """
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    pre = df.select(
+        F.col(id_col), tokens_col(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(toks, s, max_tokens), " ")
+    )
+    return pre.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text")
+    ).withColumn(
+        "chunk_tokens",
+        F.when(F.col("chunk_text") == "", F.lit(0)).otherwise(
+            F.size(F.split(F.col("chunk_text"), " "))
+        ),
+    )
