@@ -149,3 +149,27 @@ def test_sanitize_rebalances_to_data_size(spark):
     assert out.count() == 3000
     assert out.agg(F.sum("v")).collect()[0][0] == sum(range(3000))
     assert out.rdd.getNumPartitions() == 1
+
+
+def test_new_text_ops_stay_jvm_side(spark, sf_dir):
+    """tfidf / unigram-LM / chunking / repetition are pure Catalyst:
+    no Python evaluation nodes anywhere in their physical plans, and
+    the aggregating ops partial-aggregate before their shuffles."""
+    from tumult_core_spark.extensions.text import (
+        chunk_documents,
+        repetition_stats,
+        tfidf_top_terms,
+        unigram_logprob,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for out in [
+        tfidf_top_terms(docs, k=3),
+        unigram_logprob(docs),
+        chunk_documents(docs, max_tokens=40, overlap=10),
+        repetition_stats(docs),
+    ]:
+        plan = plan_of(out)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    agg_plan = plan_of(unigram_logprob(docs))
+    assert "partial" in agg_plan.lower()
