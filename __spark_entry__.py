@@ -715,6 +715,20 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(docs, max_tokens=40, overlap=10)
 
 
+def q_profile_numeric(spark, sf_dir):
+    """Exact numeric column stats in one scan; SQL oracle."""
+    from tumult_core_spark.utils.profile import profile_numeric
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = profile_numeric(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    return out.select(
+        "column", "n_rows", "n_nulls",
+        F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"),
+        F.round("mean", 6).alias("mean"),
+    )
+
+
 def q_streaming_window_counts(spark, sf_dir):
     from tumult_core_spark.streaming import (
         read_stream_parquet,
@@ -1287,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "fuzzy_join": q_fuzzy_join,
         "chunk_documents": q_chunk_documents,
+        "profile_numeric": q_profile_numeric,
         "streaming_window_counts": q_streaming_window_counts,
         "multimodal_features": q_multimodal_features,
         "zcdp_groupby_count": q_zcdp_groupby_count,
@@ -1619,6 +1634,31 @@ def oracle_sql() -> dict[str, str]:
                              ELSE len(string_split(chunk_text, ' '))
                         END AS INTEGER) AS chunk_tokens
             FROM c
+        """,
+        "profile_numeric": """
+            WITH m AS (SELECT COUNT(*) AS n FROM lineitem)
+            SELECT col AS column, n AS n_rows, n_nulls,
+                   ROUND(mn, 6) AS min, ROUND(mx, 6) AS max,
+                   ROUND(mean, 6) AS mean
+            FROM m, (
+                SELECT 'l_quantity' AS col,
+                       SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                       CAST(MIN(l_quantity) AS DOUBLE) AS mn,
+                       CAST(MAX(l_quantity) AS DOUBLE) AS mx,
+                       AVG(l_quantity) AS mean FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice',
+                       SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+                       CAST(MIN(l_extendedprice) AS DOUBLE),
+                       CAST(MAX(l_extendedprice) AS DOUBLE),
+                       AVG(l_extendedprice) FROM lineitem
+                UNION ALL
+                SELECT 'l_discount',
+                       SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+                       CAST(MIN(l_discount) AS DOUBLE),
+                       CAST(MAX(l_discount) AS DOUBLE),
+                       AVG(l_discount) FROM lineitem
+            )
         """,
         "asof_join": """
             SELECT l.event_id, l.user_id,

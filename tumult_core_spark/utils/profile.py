@@ -53,3 +53,37 @@ def profile_table(
         f"stack({len(cols)}, {triples}) AS (column, n_nulls, n_distinct)",
         "__n AS n_rows",
     ).select("column", "n_rows", "n_nulls", "n_distinct")
+
+
+def profile_numeric(
+    df: DataFrame, columns: Optional[List[str]] = None
+) -> DataFrame:
+    """(column, n_rows, n_nulls, min, max, mean) for numeric columns —
+    exact, one aggregate over one scan, reshaped long like
+    :func:`profile_table`.  Defaults to every numeric column."""
+    from pyspark.sql.types import NumericType
+
+    numeric = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    ]
+    cols = columns or numeric
+    bad = [c for c in cols if c not in numeric]
+    if bad:
+        raise ValueError(f"Not numeric column(s): {bad}")
+    if not cols:
+        raise ValueError("no numeric columns to profile")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
+        aggs.append(F.min(F.col(c)).cast("double").alias(f"__min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("double").alias(f"__max_{c}"))
+        aggs.append(F.avg(F.col(c)).alias(f"__mean_{c}"))
+    row = df.agg(*aggs)
+    tuples = ", ".join(
+        f"'{c}', `__nulls_{c}`, `__min_{c}`, `__max_{c}`, `__mean_{c}`"
+        for c in cols
+    )
+    return row.selectExpr(
+        f"stack({len(cols)}, {tuples}) AS (column, n_nulls, min, max, mean)",
+        "__n AS n_rows",
+    ).select("column", "n_rows", "n_nulls", "min", "max", "mean")
