@@ -259,3 +259,110 @@ class TestJsonlRoundTrip:
         import glob
 
         assert glob.glob(f"{p}/*.gz")
+
+
+class TestPublicTestingHelpers:
+    """The public test-support surface downstream suites import
+    (reference utils/testing.py parity)."""
+
+    def test_assert_dataframe_equal(self, spark):
+        from tumult_core_spark.utils.testing import assert_dataframe_equal
+
+        a = spark.createDataFrame([(1, "x"), (2, "y")], "k long, s string")
+        b = spark.createDataFrame([(2, "y"), (1, "x")], "k long, s string")
+        assert_dataframe_equal(a, b)  # order-insensitive
+        import pandas as pd
+        import pytest as _pytest
+
+        assert_dataframe_equal(a, pd.DataFrame({"k": [2, 1], "s": ["y", "x"]}))
+        with _pytest.raises(AssertionError):
+            assert_dataframe_equal(
+                a, spark.createDataFrame([(1, "x")], "k long, s string")
+            )
+
+    def test_pandas_to_spark_empty_with_domain(self, spark):
+        import pandas as pd
+
+        from tumult_core_spark.domains import (
+            SparkDataFrameDomain,
+            SparkIntegerColumnDescriptor,
+            SparkStringColumnDescriptor,
+        )
+        from tumult_core_spark.utils.testing import pandas_to_spark_dataframe
+
+        dom = SparkDataFrameDomain(
+            {
+                "k": SparkIntegerColumnDescriptor(size=64),
+                "s": SparkStringColumnDescriptor(),
+            }
+        )
+        out = pandas_to_spark_dataframe(
+            spark, pd.DataFrame({"k": [], "s": []}), dom
+        )
+        assert out.count() == 0 and out.schema == dom.spark_schema
+
+    def test_props_and_mocks(self):
+        from tumult_core_spark.measurements.interactive import PrivacyAccountant
+        from tumult_core_spark.utils.testing import (
+            assert_property_immutability,
+            create_mock_measurement,
+            create_mock_transformation,
+            get_all_props,
+        )
+
+        props = get_all_props(PrivacyAccountant)
+        assert ("state",) in props and ("privacy_budget",) in props
+
+        class Dummy:
+            @property
+            def ro(self):
+                return 1
+
+        assert_property_immutability(Dummy(), "ro")
+        t = create_mock_transformation(stability_function_implemented=True)
+        assert t.stability_function(1) == 1
+        m = create_mock_measurement()
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            m.privacy_function(1)
+
+    def test_case_parametrize_shape(self):
+        from tumult_core_spark.utils.testing import Case, parametrize
+
+        mark = parametrize(Case("a", x=1, y=2), Case("b", x=3, y=4))
+        assert mark.args[0] == "x,y"
+        assert [p.id for p in mark.args[1]] == ["a", "b"]
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            parametrize(Case("a", x=1), Case("b", y=2))
+
+    def test_fixed_group_dataset_and_stats(self, spark):
+        import numpy as np
+
+        from tumult_core_spark.utils.testing import (
+            FixedGroupDataSet,
+            run_test_using_chi_squared_test,
+            run_test_using_ks_test,
+        )
+
+        ds = FixedGroupDataSet([1, 2, 3], num_groups=4)
+        assert ds.get_dataframe().count() == 12
+        assert ds.groupby().group_keys.count() == 4
+        assert ds.lower.to_float(False) == 1 and ds.upper.to_float(True) == 3
+        rng = np.random.default_rng(5)
+        # uniform[0,1] against its own CDF passes; against a wrong CDF fails
+        u = rng.random(2000)
+        run_test_using_ks_test(u, lambda x: min(max(x, 0.0), 1.0))
+        import pytest as _pytest
+
+        with _pytest.raises(AssertionError):
+            run_test_using_ks_test(u, lambda x: min(max(x * x, 0.0), 1.0))
+        # fair die against its own pmf
+        die = rng.integers(1, 7, 3000)
+        run_test_using_chi_squared_test(die, lambda k: 1 / 6 if 1 <= k <= 6 else 0.0)
+        with _pytest.raises(AssertionError):
+            run_test_using_chi_squared_test(
+                die, lambda k: [0.5, 0.1, 0.1, 0.1, 0.1, 0.1][k - 1]
+            )
