@@ -541,3 +541,168 @@ def pca_project(
     proj = F.pandas_udf(_proj, "array<double>")
 
     return corpus.withColumn(out_col, proj(F.col(vector_col)))
+
+
+# ---------------------------------------------------------------------------
+# product quantization (compact codes for corpus-scale ANN)
+# ---------------------------------------------------------------------------
+
+
+def pq_fit(
+    corpus: DataFrame,
+    vector_col: str,
+    num_subvectors: int = 8,
+    num_centroids: int = 16,
+    iterations: int = 3,
+    seed: int = 7,
+    sample_fraction: float = 1.0,
+    id_col: Optional[str] = None,
+):
+    """Fit product-quantization codebooks: split the d-dim space into
+    ``num_subvectors`` contiguous subspaces and run the distributed
+    Lloyd refinement (:func:`kmeans_centroids`) in each, optionally
+    over a deterministic hash sample of the corpus (codebooks are
+    sample-statistics — at corpus scale fit on a sample, encode
+    everything).
+
+    Returns a numpy array of shape ``(m, k, d/m)``.  Deterministic
+    given (corpus, seed).
+    """
+    import numpy as np
+
+    first = corpus.select(F.size(vector_col).alias("d")).first()
+    if first is None:
+        raise ValueError("empty corpus")
+    d = first["d"]
+    if d % num_subvectors != 0:
+        raise ValueError(
+            f"dimension {d} not divisible into {num_subvectors} subvectors"
+        )
+    sub = d // num_subvectors
+    fit_df = corpus
+    if sample_fraction < 1.0:
+        if id_col is None:
+            raise ValueError("sample_fraction < 1 requires id_col")
+        from .sampling import hash_sample
+
+        fit_df = hash_sample(corpus, id_col, sample_fraction, seed=seed)
+    books = []
+    for j in range(num_subvectors):
+        piece = fit_df.select(
+            F.slice(F.col(vector_col), j * sub + 1, sub).alias("__sub")
+        )
+        cents = kmeans_centroids(
+            piece, "__sub", num_centroids, iterations=iterations, seed=seed + j
+        )
+        rows = sorted(cents.collect(), key=lambda r: r["__centroid_id"])
+        books.append([list(r["__centroid"]) for r in rows])
+    return np.asarray(books, dtype=np.float64)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vector_col: str,
+    codebooks,
+) -> DataFrame:
+    """(id, code array<int>) — each subvector replaced by its nearest
+    codebook centroid index.  Arrow-batched numpy argmin per subspace
+    with the (m, k, d/m) codebooks in the UDF closure; the output
+    codes are m small ints per vector (the 100 TB storage form)."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k, sub = books.shape
+
+    def _enc(col):
+        x = np.stack(col.to_numpy()).astype(np.float64)
+        n = x.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        for j in range(m):
+            seg = x[:, j * sub : (j + 1) * sub]
+            # (n, k) squared distances to this subspace's centroids
+            d2 = (
+                (seg**2).sum(axis=1, keepdims=True)
+                - 2.0 * seg @ books[j].T
+                + (books[j] ** 2).sum(axis=1)
+            )
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    enc = F.pandas_udf(_enc, "array<int>")
+    return corpus.select(F.col(id_col), enc(F.col(vector_col)).alias("pq_code"))
+
+
+def pq_knn(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    id_col: str,
+    query_id_col: str,
+    query_vector_col: str,
+    k: int = 10,
+    code_col: str = "pq_code",
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Asymmetric-distance top-k: exact query vectors scored against
+    PQ codes through per-query (m, k_centroids) lookup tables.
+
+    The query set (bounded by ``max_queries``, like
+    :func:`brute_force_knn`) collapses to a broadcast table of
+    precomputed subspace distances; each corpus code then scores with
+    m table lookups — no decode, no full-dimension arithmetic on the
+    corpus side.  Returns (query_id, id, adc_distance) with a
+    deterministic tie-break (distance, id).
+    """
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, kc, sub = books.shape
+    q_rows = queries.select(query_id_col, query_vector_col).limit(
+        max_queries + 1
+    ).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"query set exceeds max_queries={max_queries}; "
+            "raise the bound explicitly for larger sweeps"
+        )
+    qids = [r[query_id_col] for r in q_rows]
+    qv = np.stack([np.asarray(r[query_vector_col], dtype=np.float64) for r in q_rows])
+    # tables[q][j][c] = ||query_q subspace j - centroid c||^2
+    tables = np.empty((len(qids), m, kc))
+    for j in range(m):
+        seg = qv[:, j * sub : (j + 1) * sub]
+        tables[:, j, :] = (
+            (seg**2).sum(axis=1, keepdims=True)
+            - 2.0 * seg @ books[j].T
+            + (books[j] ** 2).sum(axis=1)
+        )
+
+    def _score(col):
+        c = np.stack(col.to_numpy()).astype(np.int64)  # (n, m)
+        n = c.shape[0]
+        # gather per subspace: dist[q, i] = sum_j tables[q, j, c[i, j]]
+        out = np.zeros((n, len(qids)))
+        for j in range(m):
+            out += tables[:, j, c[:, j]].T
+        return pd.Series(list(out))
+
+    score = F.pandas_udf(_score, "array<double>")
+    scored = codes.select(
+        F.col(id_col), F.posexplode(score(F.col(code_col))).alias("__qi", "adc")
+    )
+    from pyspark.sql.window import Window
+
+    qmap = codes.sparkSession.createDataFrame(
+        [(i, q) for i, q in enumerate(qids)], ["__qi", "query_id"]
+    )
+    w = Window.partitionBy("__qi").orderBy(F.col("adc").asc(), F.col(id_col).asc())
+    top = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .join(F.broadcast(qmap), "__qi")
+        .select("query_id", F.col(id_col), F.round("adc", 9).alias("adc_distance"))
+    )
+    return top
