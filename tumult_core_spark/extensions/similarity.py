@@ -544,7 +544,9 @@ def pca_project(
 
 
 # ---------------------------------------------------------------------------
-# product quantization (compact codes for corpus-scale ANN)
+# product quantization (compact codes for corpus-scale ANN; the public
+# PQ/ADC construction of Jegou, Douze & Schmid, "Product Quantization
+# for Nearest Neighbor Search", IEEE TPAMI 2011)
 # ---------------------------------------------------------------------------
 
 
