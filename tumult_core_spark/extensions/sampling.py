@@ -183,6 +183,8 @@ def temperature_mix(
             "small source vocabulary (languages/domains), not a key column"
         )
     thresholds = temperature_thresholds(counts, temperature)
+    if not thresholds:  # empty input: nothing to mix
+        return df
     pos = _mix(F.col(id_col).cast("long"), seed)
     thr = None
     for s, t in sorted(thresholds.items()):
