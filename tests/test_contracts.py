@@ -366,3 +366,74 @@ class TestPublicTestingHelpers:
             run_test_using_chi_squared_test(
                 die, lambda k: [0.5, 0.1, 0.1, 0.1, 0.1, 0.1][k - 1]
             )
+
+
+class TestMiscValidationParity:
+    def test_nonconflicting_and_names(self):
+        from tumult_core_spark.utils.misc import (
+            escape_column_name,
+            get_fullname,
+            get_nonconflicting_string,
+        )
+
+        strs = ["count", "A" * 10, ""]
+        assert get_nonconflicting_string(strs) not in strs
+        assert get_nonconflicting_string([]) != ""
+        assert escape_column_name("q0.9(x)") == "`q0.9(x)`"
+        assert escape_column_name("`done`") == "`done`"
+        assert escape_column_name("plain_1") == "plain_1"
+        from tumult_core_spark.exact_number import ExactNumber
+
+        assert get_fullname(ExactNumber(1)).endswith("exact_number.ExactNumber")
+        assert get_fullname(str) == "str"
+
+    def test_copy_if_mutable(self):
+        from tumult_core_spark.utils.misc import copy_if_mutable
+
+        d = {"a": [1, {2}], "b": (3, [4])}
+        c = copy_if_mutable(d)
+        c["a"].append(9)
+        c["b"][1].append(9)
+        assert d == {"a": [1, {2}], "b": (3, [4])}
+        assert copy_if_mutable("s") == "s" and copy_if_mutable(None) is None
+
+    def test_validate_groupby_domains(self):
+        from tumult_core_spark.domains import (
+            SparkDataFrameDomain,
+            SparkIntegerColumnDescriptor,
+            SparkStringColumnDescriptor,
+        )
+        from tumult_core_spark.utils.validation import validate_groupby_domains
+
+        dom = SparkDataFrameDomain(
+            {
+                "k": SparkIntegerColumnDescriptor(size=64),
+                "s": SparkStringColumnDescriptor(),
+            }
+        )
+        validate_groupby_domains({"k": [1, 2], "s": ["a"]}, dom)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="empty"):
+            validate_groupby_domains({"k": []}, dom)
+        with _pytest.raises(ValueError, match="duplicates"):
+            validate_groupby_domains({"k": [1, 1]}, dom)
+        with _pytest.raises(ValueError, match="invalid"):
+            validate_groupby_domains({"k": ["not-an-int"]}, dom)
+        with _pytest.raises(ValueError, match="not in the input domain"):
+            validate_groupby_domains({"zz": [1]}, dom)
+
+    def test_validate_exact_number(self):
+        from fractions import Fraction
+
+        from tumult_core_spark.utils.validation import validate_exact_number
+        import pytest as _pytest
+
+        validate_exact_number(1, minimum=0, maximum=1)
+        validate_exact_number(Fraction(1, 2), minimum=0, minimum_is_inclusive=False)
+        with _pytest.raises(ValueError, match="not an integer"):
+            validate_exact_number(Fraction(1, 2), allow_nonintegral=False)
+        with _pytest.raises(ValueError, match="strictly greater"):
+            validate_exact_number(0, minimum=0, minimum_is_inclusive=False)
+        with _pytest.raises(ValueError, match="less than or equal"):
+            validate_exact_number(2, maximum=1)

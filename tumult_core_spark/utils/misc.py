@@ -90,3 +90,59 @@ def sanitize_df(df: DataFrame, materialize_output: bool = True) -> DataFrame:
 def coerce_lit(value, data_type):
     """A typed literal Column for ``value`` cast to ``data_type``."""
     return F.lit(value).cast(data_type)
+
+
+def get_nonconflicting_string(strs) -> str:
+    """A string guaranteed distinct from every input (reference
+    ``utils/misc.py:19-26``): one character longer than the longest
+    input can never collide."""
+    longest = max((len(s) for s in strs), default=0)
+    return "A" * (longest + 1)
+
+
+def print_sdf(sdf: DataFrame) -> None:
+    """Print a Spark DataFrame deterministically (sorted pandas form;
+    reference ``utils/misc.py:28-33``)."""
+    pdf = sdf.toPandas()
+    print(pdf.sort_values(list(pdf.columns), ignore_index=True))
+
+
+def get_fullname(obj) -> str:
+    """Fully qualified class name of an object or type (reference
+    ``utils/misc.py:55-70``)."""
+    cls = obj if isinstance(obj, type) else obj.__class__
+    module = cls.__module__
+    if module is None or module == str.__class__.__module__:
+        return cls.__name__
+    return f"{module}.{cls.__name__}"
+
+
+def escape_column_name(column_name: str) -> str:
+    """Backtick-escape a column name containing special characters,
+    unless already escaped (reference ``utils/misc.py:71-86``)."""
+    import re
+
+    if re.search(r"[^a-zA-Z0-9_]", column_name) and not (
+        column_name.startswith("`") and column_name.endswith("`")
+    ):
+        return f"`{column_name}`"
+    return column_name
+
+
+def copy_if_mutable(value):
+    """Deep-copy mutable containers, pass immutable values through
+    (reference ``utils/misc.py:38-52``) — the defensive-copy helper
+    component constructors use for list/dict parameters."""
+    import copy as _copy
+
+    if isinstance(value, (int, float, str, bytes, bool, frozenset, type(None))):
+        return value
+    if isinstance(value, tuple):
+        return tuple(copy_if_mutable(v) for v in value)
+    if isinstance(value, list):
+        return [copy_if_mutable(v) for v in value]
+    if isinstance(value, set):
+        return {copy_if_mutable(v) for v in value}
+    if isinstance(value, dict):
+        return {copy_if_mutable(k): copy_if_mutable(v) for k, v in value.items()}
+    return _copy.deepcopy(value)
