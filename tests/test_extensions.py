@@ -625,6 +625,42 @@ class TestPQ:
                 expect.append(int(np.argmin(d2)))
             assert got[r["vec_id"]] == expect
 
+    def test_ivfpq_index_and_probe(self, spark, fitted):
+        """IVF-PQ: every query returns k results from its probed
+        cells; full probe (nprobe = num_cells) reproduces plain
+        pq_knn exactly."""
+        from tumult_core_spark.extensions.similarity import (
+            ivfpq_index,
+            ivfpq_knn,
+            pq_knn,
+        )
+
+        embs, books, codes = fitted
+        index_df, cents = ivfpq_index(
+            embs, "vec_id", "embedding", books, num_cells=8, train_iterations=1
+        )
+        assert index_df.count() == embs.count()
+        queries = embs.filter("vec_id < 10").select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        partial = ivfpq_knn(
+            index_df, queries, books, cents, "vec_id", "qid", "embedding",
+            k=5, nprobe=2,
+        )
+        by_q = {}
+        for r in partial.collect():
+            by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+        assert set(by_q) == set(range(10))
+        assert all(len(v) == 5 for v in by_q.values())
+        full = ivfpq_knn(
+            index_df, queries, books, cents, "vec_id", "qid", "embedding",
+            k=5, nprobe=8,
+        )
+        plain = pq_knn(codes, queries, books, "vec_id", "qid", "embedding", k=5)
+        a = sorted(map(tuple, full.collect()))
+        b = sorted(map(tuple, plain.collect()))
+        assert a == b
+
     def test_adc_topk_recall(self, spark, fitted):
         """Identical vectors share codes (ADC distance ties at the
         query's own quantization error), and PQ top-10 must overlap

@@ -657,6 +657,32 @@ def pq_knn(
     corpus side.  Returns (query_id, id, adc_distance) with a
     deterministic tie-break (distance, id).
     """
+    scored = _adc_scored(
+        codes, queries, codebooks, id_col, query_id_col, query_vector_col,
+        max_queries, code_col,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", F.col(id_col), F.round("adc", 9).alias("adc_distance"))
+    )
+
+
+def _adc_scored(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    id_col: str,
+    query_id_col: str,
+    query_vector_col: str,
+    max_queries: int,
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """(query_id, id, adc) for every (query, code) pair: broadcast
+    per-query subspace lookup tables, m table reads per candidate."""
     import numpy as np
     import pandas as pd
 
@@ -695,16 +721,113 @@ def pq_knn(
     scored = codes.select(
         F.col(id_col), F.posexplode(score(F.col(code_col))).alias("__qi", "adc")
     )
-    from pyspark.sql.window import Window
-
     qmap = codes.sparkSession.createDataFrame(
         [(i, q) for i, q in enumerate(qids)], ["__qi", "query_id"]
     )
-    w = Window.partitionBy("__qi").orderBy(F.col("adc").asc(), F.col(id_col).asc())
-    top = (
-        scored.withColumn("__rk", F.row_number().over(w))
+    return scored.join(F.broadcast(qmap), "__qi").select(
+        "query_id", F.col(id_col), "adc"
+    )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    id_col: str,
+    vector_col: str,
+    codebooks,
+    num_cells: int = 16,
+    train_iterations: int = 2,
+    seed: int = 7,
+):
+    """Build the corpus-scale ANN index: IVF cell assignment (Lloyd-
+    refined coarse quantizer) + PQ codes per vector.
+
+    Returns ``(index_df, centroids)`` where ``index_df`` has
+    ``(id, __cell, pq_code)`` — the compact persistent form (write it
+    to parquet once for a static corpus; m bytes-ish per vector plus a
+    cell id) — and ``centroids`` is the small (num_cells, d) numpy
+    array the query side needs for probing.
+    """
+    import numpy as np
+
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vector_col).cast("array<double>").alias("__v"),
+    )
+    cents = kmeans_centroids(
+        c, "__v", num_cells, iterations=train_iterations, seed=seed
+    )
+    assigned = _nearest_centroids(c, id_col, "__v", cents, 1).select(
+        id_col, F.col("__centroid_id").alias("__cell"), "__v"
+    )
+    codes = pq_encode(assigned, id_col, "__v", codebooks)
+    index_df = assigned.select(id_col, "__cell").join(codes, id_col)
+    rows = sorted(cents.collect(), key=lambda r: r["__centroid_id"])
+    centroids = np.asarray([list(r["__centroid"]) for r in rows])
+    cell_ids = [r["__centroid_id"] for r in rows]
+    return index_df, (centroids, cell_ids)
+
+
+def ivfpq_knn(
+    index_df: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    centroids,
+    id_col: str,
+    query_id_col: str,
+    query_vector_col: str,
+    k: int = 10,
+    nprobe: int = 4,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """IVF-PQ top-k: each query probes its ``nprobe`` nearest cells
+    (cosine against the tiny centroid matrix, computed driver-side)
+    and ADC-scores ONLY the codes in those cells — the composition
+    that makes billion-vector ANN tractable: the IVF prunes the
+    corpus ~nprobe/num_cells, the PQ codes make what remains a few
+    table lookups per candidate.
+    """
+    import numpy as np
+
+    cent_mat, cell_ids = centroids
+    q_rows = queries.select(query_id_col, query_vector_col).limit(
+        max_queries + 1
+    ).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(f"query set exceeds max_queries={max_queries}")
+    spark = index_df.sparkSession
+    qv = np.stack([np.asarray(r[query_vector_col], dtype=np.float64) for r in q_rows])
+    cn = cent_mat / np.clip(
+        np.linalg.norm(cent_mat, axis=1, keepdims=True), 1e-30, None
+    )
+    qn = qv / np.clip(np.linalg.norm(qv, axis=1, keepdims=True), 1e-30, None)
+    sims = qn @ cn.T  # (q, cells)
+    probe_pairs = [
+        (r[query_id_col], int(cell_ids[c]))
+        for i, r in enumerate(q_rows)
+        for c in np.argsort(-sims[i], kind="stable")[:nprobe]
+    ]
+    probes = spark.createDataFrame(probe_pairs, ["__pqid", "__cell"])
+    pruned = index_df.join(F.broadcast(probes), "__cell")
+    scored = _adc_scored(
+        pruned.select(id_col, "pq_code").dropDuplicates([id_col]),
+        queries,
+        codebooks,
+        id_col,
+        query_id_col,
+        query_vector_col,
+        max_queries,
+    )
+    # restrict to the pairs each query actually probed BEFORE the
+    # top-k window, so every query gets its k best probed candidates
+    probed_ids = pruned.select(
+        F.col("__pqid").alias("query_id"), F.col(id_col)
+    ).dropDuplicates()
+    allowed = scored.join(probed_ids, ["query_id", id_col])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col(id_col).asc()
+    )
+    return (
+        allowed.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
-        .join(F.broadcast(qmap), "__qi")
         .select("query_id", F.col(id_col), F.round("adc", 9).alias("adc_distance"))
     )
-    return top
