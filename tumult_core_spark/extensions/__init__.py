@@ -1,0 +1,49 @@
+"""Large-scale training-data-pipeline operators beyond the reference:
+dedup, similarity/ANN, text quality, sampling/mixing, packing,
+components, multimodal, time series.  Convenience re-exports of the
+most commonly composed entry points; the submodules remain the
+canonical import path.
+"""
+
+from .components import canonical_duplicates, connected_components
+from .dedup import (
+    decontaminate,
+    exact_dedup,
+    fuzzy_join_edit1,
+    minhash_lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from .packing import pack_sequences
+from .sampling import (
+    hash_sample,
+    hash_split,
+    stratified_sample,
+    temperature_mix,
+    weighted_sample,
+)
+from .similarity import (
+    brute_force_knn,
+    embedding_near_duplicates,
+    ivf_knn,
+    ivfpq_index,
+    ivfpq_knn,
+    kmeans_centroids,
+    pca_fit,
+    pca_project,
+    pq_encode,
+    pq_fit,
+    pq_knn,
+)
+from .text import (
+    chunk_documents,
+    document_fingerprint,
+    language_id,
+    quality_score,
+    redact_pii,
+    repetition_stats,
+    tfidf_top_terms,
+    token_count,
+    unigram_logprob,
+)
+from .timeseries import asof_join, time_rollup
