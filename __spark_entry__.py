@@ -729,6 +729,21 @@ def q_profile_numeric(spark, sf_dir):
     )
 
 
+def q_chunk_pack(spark, sf_dir):
+    """Composed pipeline: overlapping token-window chunking feeding
+    greedy sequence packing, verified end-to-end — the oracle chains
+    the chunk SQL replay into the recursive packing CTE."""
+    from tumult_core_spark.extensions.packing import pack_sequences
+    from tumult_core_spark.extensions.text import chunk_documents
+
+    docs = _load(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, max_tokens=40, overlap=10).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+        "chunk_tokens",
+    )
+    return pack_sequences(chunks, "chunk_id", "chunk_tokens", window=40, num_buckets=8)
+
+
 def q_streaming_window_counts(spark, sf_dir):
     from tumult_core_spark.streaming import (
         read_stream_parquet,
@@ -1302,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         "chunk_documents": q_chunk_documents,
         "profile_numeric": q_profile_numeric,
+        "chunk_pack": q_chunk_pack,
         "streaming_window_counts": q_streaming_window_counts,
         "multimodal_features": q_multimodal_features,
         "zcdp_groupby_count": q_zcdp_groupby_count,
@@ -1659,6 +1675,44 @@ def oracle_sql() -> dict[str, str]:
                        CAST(MAX(l_discount) AS DOUBLE),
                        AVG(l_discount) FROM lineitem
             )
+        """,
+        "chunk_pack": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            c AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(toks), 1) + 1, 30),
+                           s -> array_to_string(list_slice(toks, s, s + 39),
+                                                ' '))) AS chunk_text,
+                       generate_subscripts(range(1, greatest(len(toks), 1) + 1,
+                                                 30), 1) - 1 AS chunk_idx
+                FROM t),
+            d AS (
+                SELECT doc_id * 1000 + chunk_idx AS chunk_id,
+                       (doc_id * 1000 + chunk_idx) % 8 AS bucket,
+                       LEAST(CASE WHEN chunk_text = '' THEN 0
+                                  ELSE len(string_split(chunk_text, ' '))
+                             END, 40) AS tok,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY (doc_id * 1000 + chunk_idx) % 8
+                           ORDER BY doc_id * 1000 + chunk_idx) AS rn
+                FROM c),
+            packed AS (
+                SELECT bucket, rn, chunk_id, tok, 0 AS bin, tok AS fill
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT x.bucket, x.rn, x.chunk_id, x.tok,
+                       CASE WHEN p.fill + x.tok > 40
+                            THEN p.bin + 1 ELSE p.bin END,
+                       CASE WHEN p.fill + x.tok > 40
+                            THEN x.tok ELSE p.fill + x.tok END
+                FROM d x JOIN packed p
+                  ON x.bucket = p.bucket AND x.rn = p.rn + 1)
+            SELECT chunk_id, bucket, bin FROM packed
         """,
         "asof_join": """
             SELECT l.event_id, l.user_id,
