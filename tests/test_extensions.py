@@ -67,6 +67,32 @@ class TestDedup:
         }
         assert expected <= found  # every exact duplicate pair is a candidate
 
+    def test_minhash_cross_pairs_incremental(self, spark, docs):
+        """New-batch-vs-indexed-corpus dedup: duplicates of corpus docs
+        arriving in a new batch are flagged via the persisted band
+        index without re-signing the corpus."""
+        from tumult_core_spark.extensions.dedup import (
+            minhash_band_index,
+            minhash_lsh_cross_pairs,
+        )
+
+        corpus = docs.limit(100)
+        index = minhash_band_index(corpus, "doc_id", "text", 32, 8)
+        # new batch: 20 duplicates of corpus docs + 10 fresh docs
+        dups = corpus.filter("doc_id < 20").withColumn(
+            "doc_id", F.col("doc_id") + 5_000_000
+        )
+        fresh = docs.filter("doc_id >= 200 and doc_id < 210").withColumn(
+            "doc_id", F.col("doc_id") + 9_000_000
+        )
+        batch = dups.union(fresh)
+        pairs = minhash_lsh_cross_pairs(batch, index, "doc_id", "text", 32, 8)
+        found = {(r["new_id"], r["corpus_id"]) for r in pairs.collect()}
+        expected = {(i + 5_000_000, i) for i in range(20)}
+        assert expected <= found
+        # fresh docs don't match themselves (they're not in the corpus)
+        assert all(n < 9_000_000 or c < 200 for n, c in found)
+
     def test_ngram_jaccard(self, spark, docs):
         base = docs.limit(20)
         dup = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)

@@ -173,3 +173,16 @@ def test_new_text_ops_stay_jvm_side(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     agg_plan = plan_of(unigram_logprob(docs))
     assert "partial" in agg_plan.lower()
+
+
+def test_sanitize_large_output_keeps_parallelism(spark):
+    """The REBALANCE sanitize must still fan a large release out to
+    many partitions (the small-release coalescing must not collapse
+    big outputs onto one task)."""
+    from tumult_core_spark.utils.misc import sanitize_df
+
+    big = spark.range(30_000_000).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b"), F.rand().alias("x")
+    )
+    pre = sanitize_df(big, materialize_output=False)
+    assert pre.rdd.getNumPartitions() > 1

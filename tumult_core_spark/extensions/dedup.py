@@ -264,6 +264,80 @@ def minhash_lsh_candidate_pairs(
     return pairs
 
 
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """(id, band, band_key) — the persistent LSH index of a corpus
+    (write it to parquet bucketed by ``band_key`` once; an arriving
+    batch then joins against it without re-signing the corpus)."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col("minhash")[i * rows_per_band + j]
+                            for j in range(rows_per_band)
+                        ]
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+
+
+def minhash_lsh_cross_pairs(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    max_band_bucket: int = 50,
+) -> DataFrame:
+    """(new_id, corpus_id) candidates between an ARRIVING batch and an
+    already-indexed corpus — the incremental form of
+    :func:`minhash_lsh_candidate_pairs`: only the new batch is signed
+    and banded; the corpus side is the persisted
+    :func:`minhash_band_index` relation, so cost is proportional to
+    the batch, not the corpus.  Signature parameters must match the
+    ones the index was built with."""
+    new_banded = minhash_band_index(
+        new_df, id_col, text_col, num_hashes, bands, shingle_size
+    )
+    capped_new = cap_hot_buckets(
+        new_banded, ["band", "band_key"], id_col, max_band_bucket
+    )
+    capped_idx = cap_hot_buckets(
+        index_df, ["band", "band_key"], id_col, max_band_bucket
+    )
+    return (
+        capped_new.alias("n")
+        .join(
+            capped_idx.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.band_key") == F.col("c.band_key")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
