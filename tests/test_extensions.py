@@ -419,6 +419,18 @@ class TestSampling:
         assert after[rare] == before[rare]
         assert after[dom] < before[dom]
 
+    def test_temperature_mix_null_sources_dropped(self, spark):
+        from tumult_core_spark.extensions.sampling import temperature_mix
+
+        docs = spark.createDataFrame(
+            [(1, "en"), (2, None), (3, "fr")], "doc_id long, lang string"
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in temperature_mix(docs, "lang", "doc_id", 1.0).collect()
+        )
+        assert kept == [1, 3]
+
     def test_hash_split_deterministic_and_partition_independent(self, spark, docs):
         from tumult_core_spark.extensions.sampling import hash_split
 
@@ -1222,6 +1234,26 @@ class TestTimeseries:
         assert plan.count("Exchange") <= 2
         assert plan.count("hashpartitioning(k") == 1
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_asof_empty_right_and_collision(self, spark):
+        import datetime
+
+        from tumult_core_spark.extensions.timeseries import asof_join
+
+        ts = datetime.datetime(2024, 1, 1)
+        L = spark.createDataFrame([(1, ts, 1.0)], "k long, ts timestamp, lv double")
+        R = spark.createDataFrame([], "k long, ts timestamp, rv double")
+        out = asof_join(L, R, ["k"], "ts").collect()
+        assert len(out) == 1 and out[0]["r_rv"] is None and out[0]["r_ts"] is None
+        with pytest.raises(ValueError, match="collide"):
+            asof_join(
+                L.withColumn("r_rv", F.lit(1.0)),
+                spark.createDataFrame(
+                    [(1, ts, 2.0)], "k long, ts timestamp, rv double"
+                ),
+                ["k"],
+                "ts",
+            )
 
     def test_time_rollup(self, spark, frames):
         from pyspark.sql import functions as F

@@ -173,9 +173,15 @@ def temperature_mix(
     partitioning-independent mixed-id comparison as
     :func:`hash_sample` — no shuffle on the data path, identical
     survivors on every run and cluster size.
+
+    Rows with a NULL source are dropped: they belong to no source, so
+    no mixing rate applies to them (filter them beforehand to keep
+    them).
     """
     counts = {
-        r[0]: r[1] for r in df.groupBy(source_col).count().collect()
+        r[0]: r[1]
+        for r in df.groupBy(source_col).count().collect()
+        if r[0] is not None
     }
     if len(counts) > 10_000:
         raise ValueError(
