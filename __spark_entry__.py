@@ -1185,6 +1185,20 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_dedup_paragraphs(spark, sf_dir):
+    """Corpus-wide exact paragraph dedup with document reassembly
+    (MassiveText/CCNet pass).  The synthetic documents have no blank
+    lines, so the unit separator here is the literal ``" table "`` —
+    arbitrary but deterministic; the spans between occurrences repeat
+    across documents, which is exactly what the pass must cut.  The
+    oracle replays the identical split / first-occurrence-wins /
+    reassemble arithmetic."""
+    from tumult_core_spark.extensions.dedup import dedup_paragraphs
+
+    docs = _load(spark, sf_dir, "documents")
+    return dedup_paragraphs(docs, separator=" table ")
+
+
 def q_redact_pii(spark, sf_dir):
     """PII scrubbing: plant an email/IP/phone per document, redact with
     the Catalyst regexp chain, and compare the transformed text and
@@ -1343,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "training_mix": q_training_mix,
         "decontaminate": q_decontaminate,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "redact_pii": q_redact_pii,
         "profile_table": q_profile_table,
     }
@@ -2011,6 +2026,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM both_sets a JOIN both_sets b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, ROUND(c, 6) AS cosine
             FROM pairs WHERE c >= 0.999
+        """,
+        # first-occurrence-wins is min over (doc_id, pos) lexicographic;
+        # the arithmetic encoding below equals that ordering because
+        # pos < 1e6 for every document at any test SF
+        "dedup_paragraphs": """
+            WITH u AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' table ')) AS unit,
+                       generate_subscripts(string_split(text, ' table '), 1)
+                           - 1 AS pos
+                FROM documents),
+            w AS (
+                SELECT unit, MIN(doc_id * 1000000 + pos) AS win
+                FROM u GROUP BY unit),
+            k AS (
+                SELECT u.doc_id, u.pos, u.unit,
+                       (u.doc_id * 1000000 + u.pos) = w.win AS keep
+                FROM u JOIN w ON u.unit = w.unit)
+            SELECT doc_id,
+                   COALESCE(array_to_string(
+                       list(unit ORDER BY pos) FILTER (WHERE keep),
+                       ' table '), '') AS text,
+                   CAST(COUNT(*) AS INTEGER) AS n_units,
+                   CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS INTEGER)
+                       AS n_kept
+            FROM k GROUP BY doc_id
         """,
         # components of nation<-customer<-orders: each cluster's min id
         # is its (raw, < 1e6) nation key

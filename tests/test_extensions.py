@@ -217,6 +217,42 @@ class TestDedup:
         assert (cross[0]["id_a"], cross[0]["id_b"]) == (0, 20)
 
 
+class TestParagraphDedup:
+    def test_first_occurrence_wins_and_reassembly(self, spark):
+        from tumult_core_spark.extensions.dedup import dedup_paragraphs
+
+        rows = [
+            (1, "alpha\n\nshared\n\nbeta"),
+            (2, "shared\n\ngamma"),
+            (3, "shared"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+        assert out[1]["text"] == "alpha\n\nshared\n\nbeta"
+        assert (out[1]["n_units"], out[1]["n_kept"]) == (3, 3)
+        # doc 2 loses "shared" (first seen in doc 1) but keeps order
+        assert out[2]["text"] == "gamma"
+        assert (out[2]["n_units"], out[2]["n_kept"]) == (2, 1)
+        # doc 3 collapses to empty rather than disappearing
+        assert out[3]["text"] == ""
+        assert (out[3]["n_units"], out[3]["n_kept"]) == (1, 0)
+
+    def test_partitioning_independent(self, spark):
+        from tumult_core_spark.extensions.dedup import dedup_paragraphs
+
+        rows = [(i, f"p{i % 7}\n\np{(i * 3) % 7}\n\nuniq{i}") for i in range(60)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        a = sorted(map(tuple, dedup_paragraphs(df).collect()))
+        b = sorted(map(tuple, dedup_paragraphs(df.repartition(13)).collect()))
+        assert a == b
+        # each distinct paragraph survives exactly once corpus-wide
+        import itertools
+
+        kept = sum(r[3] for r in a)
+        units = itertools.chain.from_iterable(t.split("\n\n") for _, t in rows)
+        assert kept == len(set(units))
+
+
 class TestFuzzyJoin:
     def test_edit1_matches_brute_force(self, spark):
         """Random short strings: FastSS blocking + levenshtein verify

@@ -38,6 +38,69 @@ def exact_dedup(df: DataFrame, columns: Optional[List[str]] = None) -> DataFrame
     return df.dropDuplicates(columns) if columns else df.dropDuplicates()
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    separator: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup with document reassembly
+    (the MassiveText / CCNet pass: a paragraph appearing in many
+    documents survives only in its first occurrence; every later
+    occurrence is cut out of its document).
+
+    Documents are split on ``separator`` into units; a unit's single
+    surviving occurrence is the one with the lexicographically
+    smallest ``(id, position)`` — deterministic and independent of
+    partitioning.  Each document is then re-joined from its kept
+    units in original order.  Emits ``(id, text, n_units, n_kept)``;
+    a document whose every unit is seen earlier elsewhere collapses
+    to the empty string rather than disappearing.
+
+    Scale shape: one posexplode; winner-per-unit is a map-side
+    combined ``min(struct(id, pos))`` aggregation, so a boilerplate
+    paragraph repeated across the whole corpus combines locally
+    instead of routing to one task (AQE skew-join handles the same
+    hot unit in the join back); reassembly is one groupBy on the
+    document id.  No Python anywhere.
+    """
+    import re as _re
+
+    units = df.select(
+        F.col(id_col),
+        F.posexplode(
+            # F.split takes a Java regex; quote the literal separator
+            F.split(F.col(text_col), _re.escape(separator))
+        ).alias("__pos", "__unit"),
+    )
+    winners = units.groupBy("__unit").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("__pos").alias("p"))).alias(
+            "__win"
+        )
+    )
+    flagged = units.join(winners, "__unit").withColumn(
+        "__keep",
+        (F.col("__win.i") == F.col(id_col)) & (F.col("__win.p") == F.col("__pos")),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"), F.struct("__pos", "__unit")
+                        )
+                    )
+                ),
+                lambda s: s["__unit"],
+            ),
+            separator,
+        ).alias(text_col),
+        F.count(F.lit(1)).cast("int").alias("n_units"),
+        F.sum(F.col("__keep").cast("int")).cast("int").alias("n_kept"),
+    )
+
+
 def cap_hot_buckets(
     df: DataFrame,
     bucket_cols: List[str],
