@@ -668,6 +668,19 @@ def q_unigram_logprob(spark, sf_dir):
     )
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Self-corpus add-1-smoothed bigram LM score; oracle replays the
+    identical bigram explode -> transition/context counts -> join ->
+    avg(ln) arithmetic."""
+    from tumult_core_spark.extensions.text import bigram_logprob
+
+    docs = _load(spark, sf_dir, "documents")
+    out = bigram_logprob(docs)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("avg_logprob", 6).alias("avg_logprob")
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Quality-weighted Bernoulli sampling: keep probability =
     quality score; oracle replays the mix + threshold integer
@@ -1358,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix": q_training_mix,
         "decontaminate": q_decontaminate,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "bigram_logprob": q_bigram_logprob,
         "redact_pii": q_redact_pii,
         "profile_table": q_profile_table,
     }
@@ -2026,6 +2040,40 @@ def oracle_sql() -> dict[str, str]:
                 FROM both_sets a JOIN both_sets b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, ROUND(c, 6) AS cosine
             FROM pairs WHERE c >= 0.999
+        """,
+        "bigram_logprob": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            occ AS (
+                SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(1, len(toks)),
+                               i -> struct_pack(w1 := toks[i],
+                                                w2 := toks[i + 1]))) AS b
+                    FROM t WHERE len(toks) >= 2)),
+            c1 AS (
+                SELECT term, COUNT(*) AS c1 FROM (
+                    SELECT unnest(toks) AS term FROM t) GROUP BY term),
+            v AS (SELECT COUNT(DISTINCT term) AS v FROM (
+                    SELECT unnest(toks) AS term FROM t)),
+            c2 AS (
+                SELECT w1, w2, COUNT(*) AS c2 FROM occ GROUP BY w1, w2),
+            s AS (
+                SELECT occ.doc_id, COUNT(*) AS n_bigrams,
+                       AVG(ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * v.v))) AS alp
+                FROM occ
+                JOIN c2 ON occ.w1 = c2.w1 AND occ.w2 = c2.w2
+                JOIN c1 ON occ.w1 = c1.term
+                CROSS JOIN v
+                GROUP BY occ.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n_bigrams, 0) AS INTEGER) AS n_bigrams,
+                   ROUND(s.alp, 6) AS avg_logprob
+            FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
         """,
         # first-occurrence-wins is min over (doc_id, pos) lexicographic;
         # the arithmetic encoding below equals that ordering because

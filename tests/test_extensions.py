@@ -832,6 +832,28 @@ class TestText:
         b = {r["doc_id"]: (r["fingerprint"], r["fingerprint_robust"]) for r in out.collect()}
         assert a == b
 
+    def test_bigram_logprob_hand_case(self, spark):
+        import math
+
+        from tumult_core_spark.extensions.text import bigram_logprob
+
+        # corpus: "a b a b" + "a b c" + "x" (no bigrams)
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c"), (3, "x")], ["doc_id", "text"]
+        )
+        out = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+        # V = 4 (a b c x); c(a)=3 c(b)=3 c(c)=1 c(x)=1
+        # bigram counts: (a,b)=3 (b,a)=1 (b,c)=1
+        V = 4.0
+        lp = lambda c2, c1: math.log((c2 + 1.0) / (c1 + V))
+        exp1 = (lp(3, 3) + lp(1, 3) + lp(3, 3)) / 3  # a-b, b-a, a-b
+        exp2 = (lp(3, 3) + lp(1, 3)) / 2  # a-b, b-c
+        assert out[1]["n_bigrams"] == 3
+        assert abs(out[1]["avg_logprob"] - exp1) < 1e-9
+        assert out[2]["n_bigrams"] == 2
+        assert abs(out[2]["avg_logprob"] - exp2) < 1e-9
+        assert out[3]["n_bigrams"] == 0 and out[3]["avg_logprob"] is None
+
     def test_repetition_stats_hand_cases(self, spark):
         from tumult_core_spark.extensions.text import repetition_stats
 

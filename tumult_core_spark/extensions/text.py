@@ -386,6 +386,79 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 1.0,
+) -> DataFrame:
+    """Self-corpus bigram language-model score per document with
+    add-``k`` smoothing: ``avg_logprob = mean over adjacent token
+    pairs of ln((c(w1,w2) + k) / (c(w1) + k*V))`` where ``V`` is the
+    corpus vocabulary size — the KenLM-shaped quality gate one order
+    up from :func:`unigram_logprob` (word-salad text has plausible
+    unigrams but improbable transitions).
+
+    Documents with fewer than two tokens score NULL with
+    ``n_bigrams = 0`` rather than disappearing.
+
+    Scale shape: one projection builds the token array per row; bigram
+    occurrences explode from it; the context and transition counts are
+    two map-side combined aggregations; occurrences join back to the
+    (vocabulary-sized) count relations by hash; ``V`` rides along as a
+    broadcast scalar; one final per-document average.  No Python.
+    """
+    if k <= 0:
+        raise ValueError("k must be > 0")
+    toks = df.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
+    t = F.col("__toks")
+    # sequence(1, n-1) would count DOWN for n < 2 — guard to empty
+    idx = F.when(
+        F.size(t) >= 2, F.sequence(F.lit(1), F.size(t) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    occ = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("w1"),
+                    F.element_at(t, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("__bi"),
+    ).select(id_col, F.col("__bi.w1").alias("w1"), F.col("__bi.w2").alias("w2"))
+    uni = toks.select(F.explode(t).alias("term"))
+    c1 = uni.groupBy(F.col("term").alias("w1")).agg(
+        F.count(F.lit(1)).alias("__c1")
+    )
+    vocab = uni.select(
+        F.countDistinct("term").cast("double").alias("__v")
+    )
+    c2 = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c2"))
+    scored = (
+        occ.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.avg(
+                F.log(
+                    (F.col("__c2") + F.lit(float(k)))
+                    / (F.col("__c1") + F.lit(float(k)) * F.col("__v"))
+                )
+            ).alias("avg_logprob"),
+        )
+    )
+    # re-attach documents that produced no bigrams
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .fillna({"n_bigrams": 0})
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",
