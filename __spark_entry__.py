@@ -779,6 +779,42 @@ def q_streaming_window_counts(spark, sf_dir):
     )
 
 
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join (attribution window): each 'view'
+    event pairs with the same user's 'purchase' events within the next
+    30 minutes.  Both sides stream from the events parquet; the oracle
+    is the equivalent batch range join.  Timestamps are emitted as
+    epoch seconds so both engines compare exact integers."""
+    from tumult_core_spark.streaming import (
+        read_stream_parquet,
+        stream_interval_join,
+        write_stream_memory,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_stream_parquet(
+        spark, f"{sf_dir}/events.parquet", nanos_ts_cols=["ts"]
+    )
+    views = stream.filter("event_type = 'view'").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
+    )
+    buys = stream.filter("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("buy_ts"), F.col("event_id").alias("buy_id")
+    )
+    joined = stream_interval_join(
+        views, buys, ["user_id"], "view_ts", "buy_ts", 0, 1800
+    )
+    name = "q_stream_ivj"
+    q = write_stream_memory(joined, name)
+    q.awaitTermination(300)
+    return spark.sql(
+        f"""select user_id, view_id, buy_id,
+                   unix_micros(view_ts) as view_epoch_us,
+                   unix_micros(buy_ts) as buy_epoch_us
+            from {name}"""
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Stubbed (deterministic, sha256-seeded) image-feature extraction
     through the full Arrow/mapInPandas plumbing; the oracle compares
@@ -1372,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "dedup_paragraphs": q_dedup_paragraphs,
         "bigram_logprob": q_bigram_logprob,
+        "stream_interval_join": q_stream_interval_join,
         "redact_pii": q_redact_pii,
         "profile_table": q_profile_table,
     }
@@ -2040,6 +2077,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM both_sets a JOIN both_sets b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, ROUND(c, 6) AS cosine
             FROM pairs WHERE c >= 0.999
+        """,
+        "stream_interval_join": """
+            WITH v AS (
+                SELECT user_id, ts AS view_ts, event_id AS view_id
+                FROM events WHERE event_type = 'view'),
+            b AS (
+                SELECT user_id, ts AS buy_ts, event_id AS buy_id
+                FROM events WHERE event_type = 'purchase')
+            SELECT v.user_id, v.view_id, b.buy_id,
+                   epoch_us(v.view_ts) AS view_epoch_us,
+                   epoch_us(b.buy_ts) AS buy_epoch_us
+            FROM v JOIN b ON v.user_id = b.user_id
+            WHERE b.buy_ts >= v.view_ts
+              AND b.buy_ts <= v.view_ts + INTERVAL 1800 SECONDS
         """,
         "bigram_logprob": """
             WITH t AS (

@@ -1377,6 +1377,62 @@ class TestStreaming:
         assert got == n_users
 
 
+class TestStreamIntervalJoin:
+    def test_matches_batch_range_join(self, spark, sf_dir):
+        from tumult_core_spark.sources.io import read_parquet_nanos_ts
+        from tumult_core_spark.streaming import (
+            read_stream_parquet,
+            stream_interval_join,
+            write_stream_memory,
+        )
+
+        def sides(df):
+            views = df.filter("event_type = 'view'").select(
+                "user_id",
+                F.col("ts").alias("view_ts"),
+                F.col("event_id").alias("view_id"),
+            )
+            buys = df.filter("event_type = 'purchase'").select(
+                "user_id",
+                F.col("ts").alias("buy_ts"),
+                F.col("event_id").alias("buy_id"),
+            )
+            return views, buys
+
+        stream = read_stream_parquet(
+            spark, f"{sf_dir}/events.parquet", nanos_ts_cols=["ts"]
+        )
+        sv, sb = sides(stream)
+        joined = stream_interval_join(
+            sv, sb, ["user_id"], "view_ts", "buy_ts", 0, 1800
+        )
+        q = write_stream_memory(joined, "ivj_out")
+        q.awaitTermination(120)
+        got = {
+            (r["view_id"], r["buy_id"])
+            for r in spark.sql("select view_id, buy_id from ivj_out").collect()
+        }
+        static = read_parquet_nanos_ts(spark, f"{sf_dir}/events.parquet", ["ts"])
+        bv, bb = sides(static)
+        expect = {
+            (r["view_id"], r["buy_id"])
+            for r in bv.join(bb, "user_id")
+            .filter(
+                "buy_ts >= view_ts and buy_ts <= view_ts + interval 1800 seconds"
+            )
+            .collect()
+        }
+        assert got == expect and len(expect) > 0
+
+    def test_rejects_colliding_columns(self, spark):
+        from tumult_core_spark.streaming import stream_interval_join
+
+        a = spark.createDataFrame([(1, 1)], ["k", "v"])
+        b = spark.createDataFrame([(1, 2)], ["k", "v"])
+        with pytest.raises(ValueError, match="colliding"):
+            stream_interval_join(a, b, ["k"], "t1", "t2")
+
+
 class TestStreamingNearDedup:
     def test_near_identical_docs_collapse(self, spark, tmp_path):
         """Exact duplicates and small-edit near-duplicates (same min

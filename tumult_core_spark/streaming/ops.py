@@ -86,6 +86,63 @@ def windowed_counts(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: List[str],
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: int = 0,
+    upper_seconds: int = 600,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval (range) join: pair each left row with the
+    right rows sharing ``on`` whose ``right_ts`` falls in
+    ``[left_ts + lower_seconds, left_ts + upper_seconds]`` — the
+    attribution-window shape (view -> purchase within N minutes).
+
+    Both sides carry a watermark and the join condition bounds event
+    time on BOTH sides, which is what lets Spark expire join state:
+    without the time bound the state store grows forever.  Inner join
+    only — matched pairs emit as soon as both sides arrive; the
+    watermark governs state cleanup, not result completeness.
+
+    ``left_ts`` and ``right_ts`` must be distinct column names (the
+    output carries both).  Non-key, non-timestamp columns pass through
+    from both sides; name collisions outside ``on`` are rejected
+    rather than silently suffixed.
+    """
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct column names")
+    if lower_seconds > upper_seconds:
+        raise ValueError("need lower_seconds <= upper_seconds")
+    overlap = (set(left.columns) & set(right.columns)) - set(on)
+    if overlap:
+        raise ValueError(
+            f"Rename colliding non-key columns before joining: {sorted(overlap)}"
+        )
+    l = left.withWatermark(left_ts, watermark).alias("__l")
+    r = right.withWatermark(right_ts, watermark).alias("__r")
+    cond = None
+    for k in on:
+        eq = F.col(f"__l.`{k}`") == F.col(f"__r.`{k}`")
+        cond = eq if cond is None else (cond & eq)
+    lo = F.col(f"__l.`{left_ts}`") + F.expr(
+        f"INTERVAL {int(lower_seconds)} SECONDS"
+    )
+    hi = F.col(f"__l.`{left_ts}`") + F.expr(
+        f"INTERVAL {int(upper_seconds)} SECONDS"
+    )
+    time_bound = (F.col(f"__r.`{right_ts}`") >= lo) & (
+        F.col(f"__r.`{right_ts}`") <= hi
+    )
+    cond = time_bound if cond is None else (cond & time_bound)
+    out_cols = [F.col(f"__l.`{c}`") for c in left.columns] + [
+        F.col(f"__r.`{c}`") for c in right.columns if c not in on
+    ]
+    return l.join(r, cond, "inner").select(*out_cols)
+
+
 def streaming_dedup(
     stream: DataFrame, key_cols: List[str], ts_col: str, watermark: str = "24 hours"
 ) -> DataFrame:
