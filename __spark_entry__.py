@@ -779,6 +779,18 @@ def q_streaming_window_counts(spark, sf_dir):
     )
 
 
+def q_sq_codes(spark, sf_dir):
+    """Int8 scalar quantization of the embedding column: per-dimension
+    min/max fit (one Catalyst scan, no explode) + affine encode.  The
+    oracle recomputes the identical bounds and rounding arithmetic in
+    SQL; codes must match exactly."""
+    from tumult_core_spark.extensions.similarity import sq_encode, sq_fit
+
+    embs = _load(spark, sf_dir, "embeddings")
+    lo, hi = sq_fit(embs, "embedding")
+    return sq_encode(embs, "vec_id", "embedding", lo, hi)
+
+
 def q_stream_interval_join(spark, sf_dir):
     """Stream-stream interval join (attribution window): each 'view'
     event pairs with the same user's 'purchase' events within the next
@@ -1409,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "bigram_logprob": q_bigram_logprob,
         "stream_interval_join": q_stream_interval_join,
+        "sq_codes": q_sq_codes,
         "redact_pii": q_redact_pii,
         "profile_table": q_profile_table,
     }
@@ -2077,6 +2090,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM both_sets a JOIN both_sets b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, ROUND(c, 6) AS cosine
             FROM pairs WHERE c >= 0.999
+        """,
+        "sq_codes": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+            dims AS (
+                SELECT i, MIN(v[i]) AS lo, MAX(v[i]) AS hi
+                FROM e, unnest(generate_series(1, len(v))) AS t(i)
+                GROUP BY i),
+            enc AS (
+                SELECT e.vec_id, d.i,
+                       CAST(least(greatest(round(
+                           (v[d.i] - d.lo)
+                           / (CASE WHEN d.hi > d.lo THEN d.hi - d.lo
+                                   ELSE 1.0 END)
+                           * 255), 0), 255) AS INTEGER) - 128 AS code
+                FROM e, dims d)
+            SELECT vec_id, list(code ORDER BY i) AS sq_code
+            FROM enc GROUP BY vec_id
         """,
         "stream_interval_join": """
             WITH v AS (

@@ -662,6 +662,60 @@ class TestSimilarity:
         assert all(q == c for q, c in top1.items())
 
 
+class TestSQ:
+    def test_codes_match_numpy(self, spark, embs):
+        import numpy as np
+
+        from tumult_core_spark.extensions.similarity import sq_encode, sq_fit
+
+        corpus = embs.limit(100)
+        lo, hi = sq_fit(corpus, "embedding")
+        rows = corpus.collect()
+        got = {
+            r["vec_id"]: r["sq_code"]
+            for r in sq_encode(corpus, "vec_id", "embedding", lo, hi).collect()
+        }
+        spans = np.where(hi > lo, hi - lo, 1.0)
+        for r in rows:
+            x = np.asarray(r["embedding"], dtype=np.float64)
+            exp = np.clip(np.round((x - lo) / spans * 255), 0, 255).astype(int) - 128
+            assert list(exp) == got[r["vec_id"]], r["vec_id"]
+
+    def test_knn_recall_vs_exact(self, spark, embs):
+        from tumult_core_spark.extensions.similarity import brute_force_knn, sq_knn
+
+        corpus = embs
+        queries = embs.limit(10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = brute_force_knn(corpus, queries, "vec_id", "query_id", k=10)
+        approx = sq_knn(corpus, queries, "vec_id", "query_id", k=10)
+        e = {}
+        for r in exact.collect():
+            e.setdefault(r["query_id"], set()).add(r["vec_id"])
+        a = {}
+        for r in approx.collect():
+            a.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recall = sum(len(e[q] & a[q]) for q in e) / sum(len(e[q]) for q in e)
+        assert recall >= 0.8, recall
+
+    def test_deterministic_under_repartition(self, spark, embs):
+        from tumult_core_spark.extensions.similarity import sq_encode, sq_fit
+
+        lo, hi = sq_fit(embs, "embedding")
+        a = sorted(
+            (r["vec_id"], tuple(r["sq_code"]))
+            for r in sq_encode(embs, "vec_id", "embedding", lo, hi).collect()
+        )
+        b = sorted(
+            (r["vec_id"], tuple(r["sq_code"]))
+            for r in sq_encode(
+                embs.repartition(7), "vec_id", "embedding", lo, hi
+            ).collect()
+        )
+        assert a == b
+
+
 class TestPQ:
     @pytest.fixture(scope="class")
     def fitted(self, spark, sf_dir):

@@ -34,6 +34,9 @@ from .similarity import (
     pq_encode,
     pq_fit,
     pq_knn,
+    sq_encode,
+    sq_fit,
+    sq_knn,
 )
 from .text import (
     chunk_documents,

@@ -831,3 +831,110 @@ def ivfpq_knn(
         .filter(F.col("__rk") <= k)
         .select("query_id", F.col(id_col), F.round("adc", 9).alias("adc_distance"))
     )
+
+
+def sq_fit(corpus: DataFrame, vector_col: str = "embedding"):
+    """Per-dimension affine int8 scalar-quantization bounds.
+
+    One Catalyst scan: ``2d`` map-side-combined min/max aggregates over
+    ``element_at`` projections — no explode, no shuffle of vector rows
+    (an exploded fit would shuffle ``n*d`` rows; this moves ``2d``
+    numbers per partition).  Returns ``(lo, hi)`` float64 arrays of
+    length ``d``.  Dimensions with zero range get span 1.0 at encode
+    time so they quantize to a constant code deterministically.
+    """
+    import numpy as np
+
+    first = corpus.select(F.size(F.col(vector_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("empty corpus")
+    d = first["d"]
+    vec = F.col(vector_col).cast("array<double>")
+    aggs = []
+    for i in range(d):
+        aggs.append(F.min(F.element_at(vec, i + 1)).alias(f"lo{i}"))
+        aggs.append(F.max(F.element_at(vec, i + 1)).alias(f"hi{i}"))
+    row = corpus.agg(*aggs).first()
+    lo = np.array([row[f"lo{i}"] for i in range(d)], dtype=np.float64)
+    hi = np.array([row[f"hi{i}"] for i in range(d)], dtype=np.float64)
+    return lo, hi
+
+
+def sq_encode(
+    corpus: DataFrame,
+    id_col: str,
+    vector_col: str,
+    lo,
+    hi,
+    out_col: str = "sq_code",
+) -> DataFrame:
+    """Encode vectors to int8 codes: ``round((x - lo) / span * 255) -
+    128`` per dimension, clamped to [0, 255] before the shift so
+    out-of-range values (vectors not seen at fit time) saturate
+    instead of wrapping.
+
+    Pure Catalyst — an indexed ``transform`` against broadcast literal
+    bound arrays; a 100 TB corpus encodes as a projection inside
+    whole-stage codegen with no Python and no shuffle.
+    """
+    spans = [float(h - l) if h > l else 1.0 for l, h in zip(lo, hi)]
+    lo_arr = F.array(*[F.lit(float(v)) for v in lo])
+    span_arr = F.array(*[F.lit(v) for v in spans])
+    vec = F.col(vector_col).cast("array<double>")
+    codes = F.transform(
+        vec,
+        lambda x, i: (
+            F.least(
+                F.greatest(
+                    F.round(
+                        (x - F.element_at(lo_arr, i + 1))
+                        / F.element_at(span_arr, i + 1)
+                        * 255
+                    ),
+                    F.lit(0.0),
+                ),
+                F.lit(255.0),
+            ).cast("int")
+            - 128
+        ),
+    )
+    return corpus.select(F.col(id_col), codes.alias(out_col))
+
+
+def sq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str,
+    query_id: str,
+    vector_col: str = "embedding",
+    k: int = 10,
+    lo=None,
+    hi=None,
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Approximate cosine top-k over int8 scalar-quantized vectors:
+    fit bounds (unless given), encode the corpus, decode
+    (``lo + (code + 128) / 255 * span``) as a Catalyst projection, and
+    run the exact BLAS top-k over the decoded vectors — 4x less corpus
+    memory/IO than float32 at a small recall cost, the standard
+    memory-bound trade for billion-vector search.
+    """
+    if lo is None or hi is None:
+        lo, hi = sq_fit(corpus, vector_col)
+    spans = [float(h - l) if h > l else 1.0 for l, h in zip(lo, hi)]
+    lo_arr = F.array(*[F.lit(float(v)) for v in lo])
+    span_arr = F.array(*[F.lit(v) for v in spans])
+    enc = sq_encode(corpus, corpus_id, vector_col, lo, hi)
+    decoded = enc.select(
+        F.col(corpus_id),
+        F.transform(
+            F.col("sq_code"),
+            lambda c, i: F.element_at(lo_arr, i + 1)
+            + (c.cast("double") + 128)
+            / 255
+            * F.element_at(span_arr, i + 1),
+        ).alias(vector_col),
+    )
+    return brute_force_knn(
+        decoded, queries, corpus_id, query_id, vector_col, k, max_queries
+    )
