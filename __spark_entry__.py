@@ -642,8 +642,10 @@ def q_temperature_mix(spark, sf_dir):
 
 def q_pca_project(spark, sf_dir):
     """Distributed-sufficient-statistics PCA projection (top-2).  The
-    eigendecomposition is not SQL-expressible, so this is a rows-only
-    driver check; exactness vs numpy is pinned in TestPCA."""
+    eigendecomposition is not SQL-expressible, so the oracle reads an
+    independent pyarrow+numpy re-derivation from a fixture parquet
+    (tests/fixtures/make_pca_fixture.py, no tumult_core_spark
+    imports); exactness vs numpy is also pinned in TestPCA."""
     from tumult_core_spark.extensions.similarity import pca_fit, pca_project
 
     embs = _load(spark, sf_dir, "embeddings")
@@ -1442,10 +1444,21 @@ def oracle_sql() -> dict[str, str]:
         os.path.dirname(os.path.abspath(__file__)),
         "tests", "fixtures", "multimodal_expected_sf001.parquet",
     )
+    # same pattern for PCA: the eigendecomposition is not
+    # SQL-expressible, so the oracle is an independent pyarrow+numpy
+    # re-derivation (tests/fixtures/make_pca_fixture.py — same
+    # covariance and sign conventions, no tumult_core_spark imports)
+    pca_fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "pca_expected_sf001.parquet",
+    )
     return {
         "multimodal_features": f"""
             SELECT doc_id, f0, f1, f2, dim
             FROM '{mm_fixture}'
+        """,
+        "pca_project": f"""
+            SELECT vec_id, pc1, pc2 FROM '{pca_fixture}'
         """,
         "filter_select": (
             "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity < 25"
