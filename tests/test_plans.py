@@ -175,6 +175,29 @@ def test_new_text_ops_stay_jvm_side(spark, sf_dir):
     assert "partial" in agg_plan.lower()
 
 
+def test_round4_ops_stay_jvm_side(spark, sf_dir):
+    """Paragraph dedup, bigram LM, and SQ encode are pure Catalyst
+    (no Python evaluation nodes); the winner-per-unit and transition
+    counts partial-aggregate before their shuffles; SQ encode adds no
+    exchange at all (pure projection over the scan)."""
+    from tumult_core_spark.extensions.dedup import dedup_paragraphs
+    from tumult_core_spark.extensions.similarity import sq_encode, sq_fit
+    from tumult_core_spark.extensions.text import bigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    para = dedup_paragraphs(docs, separator=" table ")
+    bigr = bigram_logprob(docs)
+    for out in [para, bigr]:
+        plan = plan_of(out)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "partial" in plan.lower()
+    lo, hi = sq_fit(embs, "embedding")
+    enc_plan = plan_of(sq_encode(embs, "vec_id", "embedding", lo, hi))
+    assert "BatchEvalPython" not in enc_plan and "ArrowEvalPython" not in enc_plan
+    assert "Exchange" not in enc_plan
+
+
 def test_sanitize_large_output_keeps_parallelism(spark):
     """The REBALANCE sanitize must still fan a large release out to
     many partitions (the small-release coalescing must not collapse
