@@ -781,6 +781,16 @@ def q_streaming_window_counts(spark, sf_dir):
     )
 
 
+def q_profile_quantiles(spark, sf_dir):
+    """Exact per-column quantiles (type-7 linear interpolation) in one
+    aggregate; DuckDB quantile_cont shares the definition bit-for-bit."""
+    from tumult_core_spark.utils.profile import profile_quantiles
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = profile_quantiles(li, ["l_quantity", "l_extendedprice", "l_discount"])
+    return out.select("column", "p", F.round("value", 6).alias("value"))
+
+
 def q_sq_codes(spark, sf_dir):
     """Int8 scalar quantization of the embedding column: per-dimension
     min/max fit (one Catalyst scan, no explode) + affine encode.  The
@@ -1424,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "stream_interval_join": q_stream_interval_join,
         "sq_codes": q_sq_codes,
+        "profile_quantiles": q_profile_quantiles,
         "redact_pii": q_redact_pii,
         "profile_table": q_profile_table,
     }
@@ -2103,6 +2114,27 @@ def oracle_sql() -> dict[str, str]:
                 FROM both_sets a JOIN both_sets b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, ROUND(c, 6) AS cosine
             FROM pairs WHERE c >= 0.999
+        """,
+        "profile_quantiles": """
+            SELECT 'l_quantity' AS column, CAST(0.25 AS DOUBLE) AS p,
+                   ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6) AS value
+            FROM lineitem UNION ALL SELECT 'l_quantity' AS column, CAST(0.5 AS DOUBLE) AS p,
+                   ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS value
+            FROM lineitem UNION ALL SELECT 'l_quantity' AS column, CAST(0.75 AS DOUBLE) AS p,
+                   ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 6) AS value
+            FROM lineitem UNION ALL SELECT 'l_extendedprice' AS column, CAST(0.25 AS DOUBLE) AS p,
+                   ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 6) AS value
+            FROM lineitem UNION ALL SELECT 'l_extendedprice' AS column, CAST(0.5 AS DOUBLE) AS p,
+                   ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS value
+            FROM lineitem UNION ALL SELECT 'l_extendedprice' AS column, CAST(0.75 AS DOUBLE) AS p,
+                   ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 6) AS value
+            FROM lineitem UNION ALL SELECT 'l_discount' AS column, CAST(0.25 AS DOUBLE) AS p,
+                   ROUND(quantile_cont(CAST(l_discount AS DOUBLE), 0.25), 6) AS value
+            FROM lineitem UNION ALL SELECT 'l_discount' AS column, CAST(0.5 AS DOUBLE) AS p,
+                   ROUND(quantile_cont(CAST(l_discount AS DOUBLE), 0.5), 6) AS value
+            FROM lineitem UNION ALL SELECT 'l_discount' AS column, CAST(0.75 AS DOUBLE) AS p,
+                   ROUND(quantile_cont(CAST(l_discount AS DOUBLE), 0.75), 6) AS value
+            FROM lineitem
         """,
         "sq_codes": """
             WITH e AS (

@@ -223,6 +223,49 @@ class TestProfileApprox:
             assert r["n_rows"] == li.count()
 
 
+class TestProfileQuantiles:
+    def test_exact_matches_numpy_type7(self, spark):
+        import numpy as np
+
+        from tumult_core_spark.utils.profile import profile_quantiles
+
+        vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = {
+            (r["column"], r["p"]): r["value"]
+            for r in profile_quantiles(df, ["x"]).collect()
+        }
+        for p in (0.25, 0.5, 0.75):
+            exp = float(np.quantile(np.array(vals), p))  # type-7 default
+            assert abs(got[("x", p)] - exp) < 1e-12
+
+    def test_approximate_mode_close_and_mergeable(self, spark, sf_dir):
+        from tumult_core_spark.utils.profile import profile_quantiles
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        exact = {
+            (r["column"], r["p"]): r["value"]
+            for r in profile_quantiles(li, ["l_quantity"]).collect()
+        }
+        approx = {
+            (r["column"], r["p"]): r["value"]
+            for r in profile_quantiles(
+                li, ["l_quantity"], approximate=True
+            ).collect()
+        }
+        for key, e in exact.items():
+            assert abs(approx[key] - e) <= max(1.0, 0.05 * abs(e))
+
+    def test_rejects_non_numeric(self, spark):
+        import pytest as _pytest
+
+        from tumult_core_spark.utils.profile import profile_quantiles
+
+        df = spark.createDataFrame([(1, "a")], "x long, s string")
+        with _pytest.raises(ValueError, match="Not numeric"):
+            profile_quantiles(df, ["s"])
+
+
 class TestOrcRoundTrip:
     def test_orc_round_trip_preserves_values(self, spark, tmp_path):
         from tumult_core_spark.sources.io import read_orc, write_orc

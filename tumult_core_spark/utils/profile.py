@@ -87,3 +87,56 @@ def profile_numeric(
         f"stack({len(cols)}, {tuples}) AS (column, n_nulls, min, max, mean)",
         "__n AS n_rows",
     ).select("column", "n_rows", "n_nulls", "min", "max", "mean")
+
+
+def profile_quantiles(
+    df: DataFrame,
+    columns: Optional[List[str]] = None,
+    probs=(0.25, 0.5, 0.75),
+    approximate: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-column quantiles in one aggregate over one scan, long-form
+    ``(column, p, value)``.
+
+    Exact mode uses ``percentile`` (linear interpolation at rank
+    ``p*(n-1)`` — the same definition as DuckDB/numpy ``quantile_cont``
+    / type-7), which buffers a per-column value-count map in the final
+    aggregation: fine for the quantized/low-cardinality columns typical
+    of profiling, but for corpus-scale high-cardinality doubles pass
+    ``approximate=True`` to use ``percentile_approx`` (bounded-memory
+    KLL-style sketch, mergeable map-side) instead.
+    """
+    from pyspark.sql.types import NumericType
+
+    numeric = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    ]
+    cols = columns or numeric
+    bad = [c for c in cols if c not in numeric]
+    if bad:
+        raise ValueError(f"Not numeric column(s): {bad}")
+    if not cols:
+        raise ValueError("no numeric columns to profile")
+    probs = [float(p) for p in probs]
+    if not probs or any(not 0.0 <= p <= 1.0 for p in probs):
+        raise ValueError("probs must be in [0, 1]")
+    aggs = []
+    for c in cols:
+        for i, p in enumerate(probs):
+            src = F.col(c).cast("double")
+            agg = (
+                F.percentile_approx(src, F.lit(p), F.lit(accuracy))
+                if approximate
+                else F.percentile(src, F.lit(p))
+            )
+            aggs.append(agg.alias(f"__q_{i}_{c}"))
+    row = df.agg(*aggs)
+    tuples = ", ".join(
+        f"'{c}', CAST({p} AS DOUBLE), `__q_{i}_{c}`"
+        for c in cols
+        for i, p in enumerate(probs)
+    )
+    return row.selectExpr(
+        f"stack({len(cols) * len(probs)}, {tuples}) AS (column, p, value)"
+    )
