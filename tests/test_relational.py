@@ -290,9 +290,22 @@ class TestScaleUtils:
         write_bucketed_table(kv, "kv_bucketed", ["k"], num_buckets=4, sort_cols=["k"])
         back = spark.table("kv_bucketed")
         assert back.count() == kv.count()
-        # co-bucketed self-join plans without an Exchange on the join key
-        plan = back.join(back.alias("b"), "k")._jdf.queryExecution().executedPlan().toString()
-        spark.sql("DROP TABLE kv_bucketed")
+        # co-bucketed self-join plans with NO Exchange on the join key
+        # (force the sort-merge path — a tiny table would otherwise
+        # broadcast and the planner would skip the bucketed scan)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = back.join(back.alias("b"), "k")
+            plan = j._sc._jvm.PythonSQLUtils.explainString(
+                j._jdf.queryExecution(), "formatted"
+            )
+            assert "SortMergeJoin" in plan
+            assert "Bucketed: true" in plan
+            assert "Exchange" not in plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE kv_bucketed")
 
 
 class TestGroupKeySemantics:
