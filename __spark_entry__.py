@@ -781,6 +781,22 @@ def q_streaming_window_counts(spark, sf_dir):
     )
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """Distributed BPE: train 30 merges from the corpus word-frequency
+    table, then encode every document.  The oracle is an independent
+    from-scratch BPE implementation (tests/fixtures/make_bpe_fixture.py,
+    pyarrow + stdlib only) over the same corpus — train and encode must
+    agree token-for-token."""
+    from tumult_core_spark.extensions.text import bpe_encode, bpe_train
+
+    docs = _load(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=30)
+    return bpe_encode(docs, merges=merges).select(
+        "doc_id", F.col("n_bpe_tokens").cast("int").alias("n_bpe_tokens"),
+        "bpe_tokens",
+    )
+
+
 def q_profile_quantiles(spark, sf_dir):
     """Exact per-column quantiles (type-7 linear interpolation) in one
     aggregate; DuckDB quantile_cont shares the definition bit-for-bit."""
@@ -1435,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": q_stream_interval_join,
         "sq_codes": q_sq_codes,
         "profile_quantiles": q_profile_quantiles,
+        "bpe_tokens": q_bpe_tokens,
         "redact_pii": q_redact_pii,
         "profile_table": q_profile_table,
     }
@@ -1463,6 +1480,13 @@ def oracle_sql() -> dict[str, str]:
         os.path.dirname(os.path.abspath(__file__)),
         "tests", "fixtures", "pca_expected_sf001.parquet",
     )
+    # independent from-scratch BPE (train + encode) fixture — the merge
+    # loop is iterative and not SQL-expressible
+    # (tests/fixtures/make_bpe_fixture.py, pyarrow + stdlib only)
+    bpe_fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "bpe_expected_sf001.parquet",
+    )
     return {
         "multimodal_features": f"""
             SELECT doc_id, f0, f1, f2, dim
@@ -1470,6 +1494,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pca_project": f"""
             SELECT vec_id, pc1, pc2 FROM '{pca_fixture}'
+        """,
+        "bpe_tokens": f"""
+            SELECT doc_id, CAST(n_bpe_tokens AS INTEGER) AS n_bpe_tokens,
+                   bpe_tokens
+            FROM '{bpe_fixture}'
         """,
         "filter_select": (
             "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity < 25"

@@ -908,6 +908,40 @@ class TestText:
         assert abs(out[2]["avg_logprob"] - exp2) < 1e-9
         assert out[3]["n_bigrams"] == 0 and out[3]["avg_logprob"] is None
 
+    def test_bpe_train_hand_case(self, spark):
+        from tumult_core_spark.extensions.text import bpe_train
+
+        # "low" x5, "lower" x2: first merges follow max-count with
+        # lexicographic tie-break on the (a, b) pair
+        df = spark.createDataFrame(
+            [(1, "low low low low low"), (2, "lower lower")], ["doc_id", "text"]
+        )
+        merges = bpe_train(df, num_merges=3)
+        # pair counts round 1: (l,o)=7, (o,w)=7, (w,</w>)=5, (w,e)=2,
+        # (e,r)=2, (r,</w>)=2 -> tie (l,o) vs (o,w) -> 'l\x00o' < 'o\x00w'
+        assert merges[0] == ("l", "o")
+        assert merges[1] == ("lo", "w")
+
+    def test_bpe_distributed_path_matches_driver(self, spark, docs):
+        from tumult_core_spark.extensions.text import bpe_train
+
+        sub = docs.limit(50)
+        a = bpe_train(sub, num_merges=8)
+        b = bpe_train(sub, num_merges=8, driver_vocab_threshold=0)
+        assert a == b and len(a) == 8
+
+    def test_bpe_encode_roundtrip_and_memo(self, spark, docs):
+        from tumult_core_spark.extensions.text import bpe_encode, bpe_train
+
+        sub = docs.limit(30)
+        merges = bpe_train(sub, num_merges=12)
+        out = bpe_encode(sub, merges=merges)
+        texts = {r["doc_id"]: r["text"] for r in sub.collect()}
+        for r in out.collect():
+            rebuilt = "".join(r["bpe_tokens"]).replace("</w>", " ").strip()
+            assert rebuilt == " ".join(texts[r["doc_id"]].lower().split())
+            assert r["n_bpe_tokens"] == len(r["bpe_tokens"])
+
     def test_repetition_stats_hand_cases(self, spark):
         from tumult_core_spark.extensions.text import repetition_stats
 

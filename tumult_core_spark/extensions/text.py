@@ -500,3 +500,177 @@ def chunk_documents(
             F.size(F.split(F.col("chunk_text"), " "))
         ),
     )
+
+
+def _merge_symbols(syms, a, b):
+    """Replace every non-overlapping left-to-right (a, b) adjacency."""
+    out = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_train_local(vocab, num_merges, min_frequency):
+    """Sennrich BPE merge loop over a word->freq dict (driver-side)."""
+    words = [(list(w) + ["</w>"], f) for w, f in vocab.items()]
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for syms, f in words:
+            for x, y in zip(syms, syms[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + f
+        if not counts:
+            break
+        # deterministic: max count, ties -> lexicographically smallest
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_frequency:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        words = [(_merge_symbols(s, a, b), f) for s, f in words]
+    return merges
+
+
+def bpe_train(
+    corpus: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 100,
+    min_frequency: int = 2,
+    driver_vocab_threshold: int = 1_000_000,
+):
+    """Learn byte-pair-encoding merges from the corpus (Sennrich et al.
+    2016, "Neural Machine Translation of Rare Words with Subword
+    Units", arXiv:1508.07909).
+
+    The corpus-sized work — reducing 100 TB of text to a word
+    frequency table — is one explode + map-side-combined count.  The
+    merge loop then runs over that vocabulary-sized relation: on the
+    driver when the vocabulary fits (``driver_vocab_threshold``, the
+    common case and what single-node tokenizer trainers do after the
+    same reduction), otherwise distributed — each iteration is one
+    JVM-side adjacent-pair count (explode + sum(freq)), a one-row
+    argmax collect, and a vectorized merge application over the vocab
+    with ``localCheckpoint`` breaking per-iteration lineage.  Both
+    paths produce identical merges (regression-tested).
+
+    Ties break deterministically: highest pair frequency, then
+    lexicographically smallest pair.  Returns an ordered list of
+    ``(left, right)`` merges.
+    """
+    words = (
+        corpus.select(F.explode(tokens_col(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    n_vocab = words.count()
+    if n_vocab == 0:
+        return []
+    if n_vocab <= driver_vocab_threshold:
+        vocab = {r["w"]: r["freq"] for r in words.collect()}
+        return _bpe_train_local(vocab, num_merges, min_frequency)
+
+    import pandas as pd
+
+    sep = "\x00"
+    cur = words.withColumn(
+        "syms", F.concat(F.split("w", "(?!$)"), F.array(F.lit("</w>")))
+    ).select("freq", "syms").localCheckpoint(eager=True)
+    merges = []
+    for _ in range(num_merges):
+        syms = F.col("syms")
+        idx = F.when(
+            F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pair = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                sep, F.element_at(syms, i), F.element_at(syms, i + 1)
+            ),
+        )
+        counts = (
+            cur.select("freq", F.explode(pair).alias("p"))
+            .groupBy("p")
+            .agg(F.sum("freq").alias("c"))
+        )
+        top = counts.orderBy(F.desc("c"), F.asc("p")).limit(1).collect()
+        if not top or top[0]["c"] < min_frequency:
+            break
+        a, b = top[0]["p"].split(sep)
+        merges.append((a, b))
+
+        def _make_apply(_a, _b):
+            def _apply(col):
+                return pd.Series(
+                    [_merge_symbols(list(s), _a, _b) for s in col]
+                )
+
+            return _apply
+
+        merge_udf = F.pandas_udf(_make_apply(a, b), "array<string>")
+        cur = cur.withColumn("syms", merge_udf(syms)).localCheckpoint(
+            eager=True
+        )
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merges=None,
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize with learned BPE merges: per word, repeatedly merge the
+    adjacent pair with the lowest merge rank (all left-to-right
+    non-overlapping occurrences) until none applies.
+
+    Arrow-batched pandas UDF — tokenization is inherently per-string
+    Python here, so the hot loop memoizes by distinct word within each
+    batch (natural text repeats words heavily) and the tiny ranks dict
+    rides into executors in the UDF closure.  Emits the token array
+    and ``n_bpe_tokens``.
+    """
+    import pandas as pd
+
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges or [])}
+
+    def _enc_batch(col):
+        memo = {}
+
+        def enc_word(word):
+            cached = memo.get(word)
+            if cached is not None:
+                return cached
+            syms = list(word) + ["</w>"]
+            while True:
+                best_rank = None
+                best_pair = None
+                for x, y in zip(syms, syms[1:]):
+                    r = ranks.get((x, y))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_pair = r, (x, y)
+                if best_rank is None:
+                    break
+                syms = _merge_symbols(syms, *best_pair)
+            memo[word] = syms
+            return syms
+
+        out = []
+        for text in col:
+            toks = []
+            for w in (text or "").lower().split():
+                toks.extend(enc_word(w))
+            out.append(toks)
+        return pd.Series(out)
+
+    enc = F.pandas_udf(_enc_batch, "array<string>")
+    return df.select(
+        F.col(id_col), enc(F.col(text_col)).alias(out_col)
+    ).withColumn("n_bpe_tokens", F.size(F.col(out_col)))
