@@ -349,6 +349,24 @@ def bench_asof_join(spark):
     asof_join(views, errors, ["user_id"], "ts", right_prefix="err_").count()
 
 
+def bench_dedup_paragraphs(spark):
+    """Corpus-wide paragraph dedup + reassembly over the documents."""
+    from tumult_core_spark.extensions.dedup import dedup_paragraphs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+    dedup_paragraphs(docs, separator=" table ").count()
+
+
+def bench_bpe(spark):
+    """BPE train (30 merges, driver merge loop over the distributed
+    word-frequency reduction) + encode of the whole corpus."""
+    from tumult_core_spark.extensions.text import bpe_encode, bpe_train
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
+    merges = bpe_train(docs, num_merges=30)
+    bpe_encode(docs, merges=merges).count()
+
+
 def bench_text_quality(spark):
     """Repetition signals + TF-IDF top terms over the corpus."""
     from tumult_core_spark.extensions.text import repetition_stats, tfidf_top_terms
@@ -375,6 +393,8 @@ BENCHES = {
     "decontaminate": bench_decontaminate,
     "asof_join": bench_asof_join,
     "text_quality": bench_text_quality,
+    "dedup_paragraphs": bench_dedup_paragraphs,
+    "bpe": bench_bpe,
 }
 
 
