@@ -40,6 +40,15 @@ import time
 REF_ROOT = os.environ.get("REFBENCH_ROOT", "/tmp/refbench")
 sys.path.insert(0, os.path.join(REF_ROOT, "shims"))
 sys.path.insert(0, REF_ROOT)
+# sys.path above only covers the DRIVER; the reference's pandas-UDF
+# workloads unpickle tmlt inside Python workers, which resolve imports
+# from PYTHONPATH.  Export it BEFORE the SparkSession exists so local
+# workers inherit it (without this every UDF workload dies with
+# ModuleNotFoundError('tmlt') and records null).
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [os.path.join(REF_ROOT, "shims"), REF_ROOT]
+    + ([os.environ["PYTHONPATH"]] if os.environ.get("PYTHONPATH") else [])
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
