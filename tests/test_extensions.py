@@ -237,6 +237,29 @@ class TestParagraphDedup:
         assert out[3]["text"] == ""
         assert (out[3]["n_units"], out[3]["n_kept"]) == (1, 0)
 
+    def test_hot_paragraph_skew(self, spark):
+        """Corpus-wide boilerplate: 150k documents all sharing one
+        paragraph (plus a unique one each).  The winner aggregation
+        must map-side combine (no single-task blowup) and exactly one
+        copy of the boilerplate survives."""
+        from tumult_core_spark.extensions.dedup import dedup_paragraphs
+
+        df = spark.range(150_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("shared boilerplate\n\nuniq"), F.col("id").cast("string")
+            ).alias("text"),
+        )
+        out = dedup_paragraphs(df)
+        agg = out.agg(
+            F.sum("n_kept").alias("k"), F.sum("n_units").alias("u")
+        ).first()
+        assert agg["u"] == 300_000
+        assert agg["k"] == 150_000 + 1
+        winner = out.filter(F.col("text").contains("shared boilerplate"))
+        assert winner.count() == 1
+        assert winner.first()["doc_id"] == 0
+
     def test_partitioning_independent(self, spark):
         from tumult_core_spark.extensions.dedup import dedup_paragraphs
 
