@@ -759,6 +759,28 @@ def q_chunk_pack(spark, sf_dir):
     return pack_sequences(chunks, "chunk_id", "chunk_tokens", window=40, num_buckets=8)
 
 
+def q_preprocess_pipeline(spark, sf_dir):
+    """Four-stage preprocessing DAG verified as ONE relation
+    cross-engine: length gate -> corpus-wide paragraph dedup (with
+    document reassembly) -> overlapping token-window chunking ->
+    greedy sequence packing.  The oracle chains the paragraph-dedup
+    replay into the chunking arithmetic into the recursive packing
+    CTE — any divergence anywhere in the DAG breaks the hash."""
+    from tumult_core_spark.extensions.dedup import dedup_paragraphs
+    from tumult_core_spark.extensions.packing import pack_sequences
+    from tumult_core_spark.extensions.text import chunk_documents
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("n_chars") >= 250)
+    deduped = dedup_paragraphs(docs, separator=" table ")
+    chunks = chunk_documents(deduped, max_tokens=40, overlap=10).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+        "chunk_tokens",
+    )
+    return pack_sequences(
+        chunks, "chunk_id", "chunk_tokens", window=40, num_buckets=8
+    )
+
+
 def q_streaming_window_counts(spark, sf_dir):
     from tumult_core_spark.streaming import (
         read_stream_parquet,
@@ -1452,6 +1474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_codes": q_sq_codes,
         "profile_quantiles": q_profile_quantiles,
         "bpe_tokens": q_bpe_tokens,
+        "preprocess_pipeline": q_preprocess_pipeline,
         "redact_pii": q_redact_pii,
         "profile_table": q_profile_table,
     }
@@ -1494,6 +1517,65 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pca_project": f"""
             SELECT vec_id, pc1, pc2 FROM '{pca_fixture}'
+        """,
+        "preprocess_pipeline": """
+            WITH RECURSIVE g AS (
+                SELECT doc_id, text FROM documents WHERE n_chars >= 250),
+            u AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' table ')) AS unit,
+                       generate_subscripts(string_split(text, ' table '), 1)
+                           - 1 AS pos
+                FROM g),
+            w AS (
+                SELECT unit, MIN(doc_id * 1000000 + pos) AS win
+                FROM u GROUP BY unit),
+            k AS (
+                SELECT u.doc_id, u.pos, u.unit,
+                       (u.doc_id * 1000000 + u.pos) = w.win AS keep
+                FROM u JOIN w ON u.unit = w.unit),
+            dd AS (
+                SELECT doc_id,
+                       COALESCE(array_to_string(
+                           list(unit ORDER BY pos) FILTER (WHERE keep),
+                           ' table '), '') AS text
+                FROM k GROUP BY doc_id),
+            t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM dd),
+            c AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(toks), 1) + 1, 30),
+                           s -> array_to_string(list_slice(toks, s, s + 39),
+                                                ' '))) AS chunk_text,
+                       generate_subscripts(range(1, greatest(len(toks), 1) + 1,
+                                                 30), 1) - 1 AS chunk_idx
+                FROM t),
+            d AS (
+                SELECT doc_id * 1000 + chunk_idx AS chunk_id,
+                       (doc_id * 1000 + chunk_idx) % 8 AS bucket,
+                       LEAST(CASE WHEN chunk_text = '' THEN 0
+                                  ELSE len(string_split(chunk_text, ' '))
+                             END, 40) AS tok,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY (doc_id * 1000 + chunk_idx) % 8
+                           ORDER BY doc_id * 1000 + chunk_idx) AS rn
+                FROM c),
+            packed AS (
+                SELECT bucket, rn, chunk_id, tok, 0 AS bin, tok AS fill
+                FROM d WHERE rn = 1
+                UNION ALL
+                SELECT x.bucket, x.rn, x.chunk_id, x.tok,
+                       CASE WHEN p.fill + x.tok > 40
+                            THEN p.bin + 1 ELSE p.bin END,
+                       CASE WHEN p.fill + x.tok > 40
+                            THEN x.tok ELSE p.fill + x.tok END
+                FROM d x JOIN packed p
+                  ON x.bucket = p.bucket AND x.rn = p.rn + 1)
+            SELECT chunk_id, bucket, bin FROM packed
         """,
         "bpe_tokens": f"""
             SELECT doc_id, CAST(n_bpe_tokens AS INTEGER) AS n_bpe_tokens,
