@@ -52,6 +52,31 @@ class TestStabilityValues:
         s = Sum(d, HammingDistance(), "x", lower=-3, upper=7)
         assert s.stability_function(1) == 10  # u - l
 
+    def test_float_clip_rounds_inward(self, spark):
+        """The float clip range must round INWARD toward the exact
+        bounds (reference agg.py:804-810): the sensitivity claim comes
+        from the exact bounds, so no clipped value may land outside
+        them.  Bound 1/3 is not float-representable — the clip ceiling
+        for the lower bound must be the float ABOVE 1/3, never below."""
+        import math
+
+        from fractions import Fraction
+
+        from tumult_core_spark.domains import SparkFloatColumnDescriptor
+        from tumult_core_spark.transformations.agg import Sum
+
+        d = SparkDataFrameDomain({"x": SparkFloatColumnDescriptor(size=64)})
+        s = Sum(d, SymmetricDifference(), "x", lower="1/3", upper="2/3")
+        df = spark.createDataFrame([(0.0,), (1.0,)], "x double")
+        total = float(s(df))
+        lo_exact, hi_exact = Fraction(1, 3), Fraction(2, 3)
+        # two clipped values, each inside the EXACT bounds
+        assert Fraction(2) * lo_exact <= Fraction(total) <= Fraction(2) * hi_exact
+        # degenerate non-representable lower == upper collapses, not inverts
+        s2 = Sum(d, SymmetricDifference(), "x", lower="1/3", upper="1/3")
+        t2 = float(s2(df))
+        assert t2 == 2 * math.nextafter(1 / 3, 1.0) or t2 == 2 * (1 / 3)
+
     def test_flatmap_stability(self):
         from tumult_core_spark.domains import SparkRowDomain
         from tumult_core_spark.transformations.map import (

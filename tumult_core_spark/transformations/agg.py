@@ -209,7 +209,18 @@ def _clip_expr(column: str, lo: ExactNumber, hi: ExactNumber, is_int: bool):
     if is_int:
         l, u = int(lo.expr), int(hi.expr)
     else:
-        l, u = lo.to_float(round_up=False), hi.to_float(round_up=True)
+        # Round the float clip range INWARD (lower up, upper down, as
+        # the reference does at agg.py:804-810): the sensitivity claim
+        # comes from the EXACT bounds, so the implemented clip must
+        # never pass a value outside them — rounding outward would let
+        # a value slightly past the exact bound through and the true
+        # sensitivity of the implemented function would exceed the
+        # claimed one.  For non-float-representable lower == upper the
+        # inward rounding inverts the pair; collapse to the lower side
+        # (reference TODO(#1023) handling).
+        l, u = lo.to_float(round_up=True), hi.to_float(round_up=False)
+        if l > u:
+            u = l
     c = F.col(column)
     return F.when(c < l, F.lit(l)).when(c > u, F.lit(u)).otherwise(c)
 
