@@ -784,6 +784,16 @@ class FusedMomentsMeasurement(Measurement):
         else:
             mid = self._mid.to_float(round_up=False)
             dev = clip - F.lit(mid)
+            # subtracting the rounded-down float midpoint can push a
+            # boundary value one ulp past the EXACT deviation bounds
+            # the sensitivities were computed from — clamp inward, the
+            # same invariant the reference enforces by running its
+            # deviations column through a clipped Sum
+            dev_lo_f = (self._lower - self._mid).to_float(round_up=True)
+            dev_hi_f = (self._upper - self._mid).to_float(round_up=False)
+            if dev_lo_f > dev_hi_f:
+                dev_hi_f = dev_lo_f
+            dev = F.least(F.greatest(dev, F.lit(dev_lo_f)), F.lit(dev_hi_f))
             cast_t = "double"
         exprs = [
             F.sum(dev).cast(cast_t).alias("sod"),
