@@ -63,7 +63,10 @@ class AddLaplaceNoise(_NoiseMechanism):
         if not isinstance(input_domain, (NumpyIntegerDomain, NumpyFloatDomain)):
             raise ValueError(f"Unsupported domain {input_domain!r}")
         super().__init__(input_domain, AbsoluteDifference(), PureDP())
-        self._scale_float = self.scale.to_float(round_up=False)
+        # round the sampling scale UP (reference noise_mechanisms.py:140):
+        # the privacy claim is computed from the exact scale, so the
+        # implemented sampler must never use LESS noise than claimed
+        self._scale_float = self.scale.to_float(round_up=True)
 
     def privacy_function(self, d_in: Any) -> ExactNumber:
         d = ExactNumber(d_in)
@@ -105,7 +108,9 @@ class AddGeometricNoise(_NoiseMechanism):
         if self.alpha < 0:
             raise ValueError("alpha must be >= 0")
         super().__init__(NumpyIntegerDomain(), AbsoluteDifference(), PureDP())
-        self._alpha_float = self.alpha.to_float(round_up=False)
+        # round UP: never less noise than the exact-alpha claim
+        # (reference noise_mechanisms.py:280)
+        self._alpha_float = self.alpha.to_float(round_up=True)
         # Non-finite alpha (eps=0 budgets via calculate_noise_scale)
         # must stay constructible for composition/accounting; there is
         # no two-sided-geometric with infinite scale to sample from, so
@@ -168,7 +173,9 @@ class AddGaussianNoise(_NoiseMechanism):
         if not isinstance(input_domain, (NumpyIntegerDomain, NumpyFloatDomain)):
             raise ValueError(f"Unsupported domain {input_domain!r}")
         super().__init__(input_domain, AbsoluteDifference(), RhoZCDP())
-        self._ss_float = self.sigma_squared.to_float(round_up=False)
+        # round UP: never less noise than the exact-sigma^2 claim
+        # (reference noise_mechanisms.py:427,571)
+        self._ss_float = self.sigma_squared.to_float(round_up=True)
 
     def privacy_function(self, d_in: Any) -> ExactNumber:
         d = ExactNumber(d_in)
@@ -210,7 +217,9 @@ class AddDiscreteGaussianNoise(_NoiseMechanism):
         if self.sigma_squared < 0:
             raise ValueError("sigma_squared must be >= 0")
         super().__init__(NumpyIntegerDomain(), AbsoluteDifference(), RhoZCDP())
-        self._ss_float = self.sigma_squared.to_float(round_up=False)
+        # round UP: never less noise than the exact-sigma^2 claim
+        # (reference noise_mechanisms.py:427,571)
+        self._ss_float = self.sigma_squared.to_float(round_up=True)
         # see AddGeometricNoise: infinite scale (rho=0 budgets) stays
         # constructible; sampling raises a clear error instead
         self._ss_frac = (
