@@ -330,3 +330,36 @@ class TestRemainingOperators:
         assert pc.privacy_function(1) == 1  # max, not sum
         outs = pc([df1, df2])
         assert len(outs) == 2
+
+
+class TestExceptionHierarchy:
+    """Reference exceptions.py parity: typed classes exist, subclass
+    what this package historically raised, and fire at the chaining /
+    composition sites."""
+
+    def test_chain_mismatches_raise_typed_errors(self):
+        from tumult_core_spark.exceptions import (
+            DomainMismatchError,
+            MetricMismatchError,
+        )
+        from tumult_core_spark.transformations.rows import Filter, Select
+
+        d = dom2()
+        f = Filter(d, SymmetricDifference(), "k > 0")
+        other = SparkDataFrameDomain({"z": INT})
+        s = Select(other, SymmetricDifference(), ["z"])
+        with pytest.raises(DomainMismatchError):
+            ChainTT(f, s)
+        assert issubclass(DomainMismatchError, ValueError)
+        assert issubclass(MetricMismatchError, ValueError)
+
+    def test_composition_measure_mismatch(self, spark):
+        from tumult_core_spark.exceptions import MeasureMismatchError
+        from tumult_core_spark.measurements.composition import Composition
+        from tumult_core_spark.measurements.noise import (
+            AddDiscreteGaussianNoise,
+            AddGeometricNoise,
+        )
+
+        with pytest.raises(MeasureMismatchError):
+            Composition([AddGeometricNoise(1), AddDiscreteGaussianNoise(1)])

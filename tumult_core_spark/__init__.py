@@ -12,6 +12,19 @@ __version__ = "0.1.0"
 
 from .base import ChainTM, ChainTT, Measurement, Transformation
 from .exact_number import ExactNumber
+from .exceptions import (
+    DomainColumnError,
+    DomainKeyError,
+    DomainMismatchError,
+    MeasureMismatchError,
+    MetricMismatchError,
+    OutOfDomainError,
+    UnsupportedCombinationError,
+    UnsupportedDomainError,
+    UnsupportedMeasureError,
+    UnsupportedMetricError,
+    UnsupportedNoiseMechanismError,
+)
 from .measures import (
     ApproxDP,
     ApproxDPBudget,

@@ -121,14 +121,16 @@ class ChainTT(Transformation):
     """Sequential composition of two transformations (``t1 | t2``)."""
 
     def __init__(self, transformation1: Transformation, transformation2: Transformation):
+        from .exceptions import DomainMismatchError, MetricMismatchError
+
         if transformation1.output_domain != transformation2.input_domain:
-            raise ValueError(
+            raise DomainMismatchError(
                 "Cannot chain: output domain of first "
                 f"({transformation1.output_domain!r}) != input domain of second "
                 f"({transformation2.input_domain!r})"
             )
         if transformation1.output_metric != transformation2.input_metric:
-            raise ValueError(
+            raise MetricMismatchError(
                 "Cannot chain: output metric of first "
                 f"({transformation1.output_metric!r}) != input metric of second "
                 f"({transformation2.input_metric!r})"
@@ -155,14 +157,16 @@ class ChainTM(Measurement):
     """A transformation followed by a measurement (``t | m``)."""
 
     def __init__(self, transformation: Transformation, measurement: Measurement):
+        from .exceptions import DomainMismatchError, MetricMismatchError
+
         if transformation.output_domain != measurement.input_domain:
-            raise ValueError(
+            raise DomainMismatchError(
                 "Cannot chain: output domain of transformation "
                 f"({transformation.output_domain!r}) != input domain of measurement "
                 f"({measurement.input_domain!r})"
             )
         if transformation.output_metric != measurement.input_metric:
-            raise ValueError(
+            raise MetricMismatchError(
                 "Cannot chain: output metric of transformation "
                 f"({transformation.output_metric!r}) != input metric of measurement "
                 f"({measurement.input_metric!r})"

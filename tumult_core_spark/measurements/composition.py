@@ -13,6 +13,11 @@ from __future__ import annotations
 
 from typing import Any, Callable, List, Sequence
 
+from ..exceptions import (
+    DomainMismatchError,
+    MeasureMismatchError,
+    MetricMismatchError,
+)
 from ..base import Measurement
 from ..exact_number import ExactNumber
 from ..measures import ApproxDP, PureDP, RhoZCDP
@@ -27,11 +32,17 @@ class Composition(Measurement):
         first = measurements[0]
         for m in measurements[1:]:
             if m.input_domain != first.input_domain:
-                raise ValueError("All measurements must share an input domain")
+                raise DomainMismatchError(
+                    "All measurements must share an input domain"
+                )
             if m.input_metric != first.input_metric:
-                raise ValueError("All measurements must share an input metric")
+                raise MetricMismatchError(
+                    "All measurements must share an input metric"
+                )
             if m.output_measure != first.output_measure:
-                raise ValueError("All measurements must share an output measure")
+                raise MeasureMismatchError(
+                    "All measurements must share an output measure"
+                )
             if m.is_interactive:
                 raise ValueError("Cannot compose interactive measurements")
         super().__init__(
