@@ -759,6 +759,33 @@ def q_chunk_pack(spark, sf_dir):
     return pack_sequences(chunks, "chunk_id", "chunk_tokens", window=40, num_buckets=8)
 
 
+def q_rolling_aggregate(spark, sf_dir):
+    """Per-row trailing 1-hour count/sum per user over the events
+    stream, epoch-microsecond frame; the DECIMAL-accumulated sum makes
+    the result engine-exact."""
+    from tumult_core_spark.extensions.timeseries import rolling_aggregate
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _load(spark, sf_dir, "events")
+    out = rolling_aggregate(ev, ["user_id"], "ts", "value", 3600)
+    return out.select(
+        "event_id", "rolling_count", F.round("rolling_sum", 6).alias("rolling_sum")
+    )
+
+
+def q_sessionize_batch(spark, sf_dir):
+    """Batch gap-based sessionization (islands construction), 30-minute
+    gap, event_id tiebreak; oracle replays lag -> running-sum -> group
+    in SQL over the same epoch-microsecond ordering."""
+    from tumult_core_spark.extensions.timeseries import sessionize_batch
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _load(spark, sf_dir, "events")
+    return sessionize_batch(
+        ev, "user_id", "ts", gap_seconds=1800, tiebreak_col="event_id"
+    )
+
+
 def q_preprocess_pipeline(spark, sf_dir):
     """Four-stage preprocessing DAG verified as ONE relation
     cross-engine: length gate -> corpus-wide paragraph dedup (with
@@ -1475,6 +1502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_quantiles": q_profile_quantiles,
         "bpe_tokens": q_bpe_tokens,
         "preprocess_pipeline": q_preprocess_pipeline,
+        "rolling_aggregate": q_rolling_aggregate,
+        "sessionize_batch": q_sessionize_batch,
         "redact_pii": q_redact_pii,
         "profile_table": q_profile_table,
     }
@@ -1517,6 +1546,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pca_project": f"""
             SELECT vec_id, pc1, pc2 FROM '{pca_fixture}'
+        """,
+        "rolling_aggregate": """
+            SELECT event_id,
+                   COUNT(*) OVER w AS rolling_count,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w
+                              AS DOUBLE), 6) AS rolling_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING
+                               AND CURRENT ROW)
+        """,
+        "sessionize_batch": """
+            WITH o AS (
+                SELECT user_id, event_id, epoch_us(ts) AS t,
+                       LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS prev
+                FROM events),
+            m AS (
+                SELECT user_id, t,
+                       SUM(CASE WHEN prev IS NULL
+                                     OR t - prev > 1800000000
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY t, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o)
+            SELECT user_id, MIN(t) AS session_start_us,
+                   MAX(t) AS session_end_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM m GROUP BY user_id, sid
         """,
         "preprocess_pipeline": """
             WITH RECURSIVE g AS (

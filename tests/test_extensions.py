@@ -1332,6 +1332,51 @@ class TestMultimodal:
         assert np.allclose(feats, feats[0], atol=1e-3)
 
 
+class TestRollingAndSessions:
+    def test_rolling_aggregate_hand_case(self, spark):
+        from datetime import datetime
+
+        from tumult_core_spark.extensions.timeseries import rolling_aggregate
+
+        rows = [
+            (1, 1, datetime(2024, 1, 1, 0, 0, 0), 10.0),
+            (2, 1, datetime(2024, 1, 1, 0, 30, 0), 20.0),
+            (3, 1, datetime(2024, 1, 1, 1, 15, 0), 5.0),   # 0:15 drops out
+            (4, 2, datetime(2024, 1, 1, 0, 45, 0), 7.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        )
+        out = {
+            r["event_id"]: (r["rolling_count"], r["rolling_sum"])
+            for r in rolling_aggregate(df, ["user_id"], "ts", "value", 3600).collect()
+        }
+        assert out[1] == (1, 10.0)
+        assert out[2] == (2, 30.0)
+        assert out[3] == (2, 25.0)  # event 1 fell outside the hour
+        assert out[4] == (1, 7.0)
+
+    def test_sessionize_batch_gap_split(self, spark):
+        from datetime import datetime
+
+        from tumult_core_spark.extensions.timeseries import sessionize_batch
+
+        rows = [
+            (1, 1, datetime(2024, 1, 1, 0, 0, 0)),
+            (2, 1, datetime(2024, 1, 1, 0, 20, 0)),
+            (3, 1, datetime(2024, 1, 1, 1, 30, 0)),  # > 30 min gap: new session
+            (4, 2, datetime(2024, 1, 1, 0, 0, 0)),
+        ]
+        df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+        got = sorted(
+            (r["user_id"], r["n_events"])
+            for r in sessionize_batch(
+                df, "user_id", "ts", 1800, tiebreak_col="event_id"
+            ).collect()
+        )
+        assert got == [(1, 1), (1, 2), (2, 1)]
+
+
 class TestTimeseries:
     @pytest.fixture(scope="class")
     def frames(self, spark):

@@ -140,3 +140,84 @@ def time_rollup(
             *aggs.keys(),
         )
     )
+
+
+def rolling_aggregate(
+    df: DataFrame,
+    key_cols: List[str],
+    ts_col: str,
+    value_col: str,
+    window_seconds: int,
+    count_col: str = "rolling_count",
+    sum_col: str = "rolling_sum",
+) -> DataFrame:
+    """Per-row trailing-window aggregates: for each row, the count and
+    sum of ``value_col`` over the same keys within the last
+    ``window_seconds`` (inclusive of the current row) — the feature
+    shape behind rate counters and rolling activity signals.
+
+    One window function over epoch-MICROSECOND ordering (second-cast
+    ordering would silently merge sub-second neighbors), i.e. a single
+    shuffle on the keys; the frame sum runs inside the JVM.  The sum
+    accumulates in DECIMAL so the result is order-independent and
+    engine-exact (float window sums depend on frame evaluation order).
+    """
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be > 0")
+    # parquet TIMESTAMP without UTC adjustment loads as NTZ under
+    # Spark 4; unix_micros requires TIMESTAMP (cast is wall-clock
+    # preserving under a UTC session timezone)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(*[F.col(c) for c in key_cols])
+        .orderBy(us)
+        .rangeBetween(-window_seconds * 1_000_000, 0)
+    )
+    val = F.col(value_col).cast("decimal(28,6)")
+    return (
+        df.withColumn(count_col, F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn(sum_col, F.sum(val).over(w).cast("double"))
+    )
+
+
+def sessionize_batch(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    tiebreak_col: Optional[str] = None,
+) -> DataFrame:
+    """Batch gap-based sessionization (the islands construction): rows
+    of a user closer than ``gap_seconds`` merge into one session; emits
+    ``(user, session_start, session_end, n_events)`` epoch-microsecond
+    bounds for every session.
+
+    Two window passes over one shuffle on the user key: a lag marks
+    session starts, a running sum numbers sessions, then a groupBy
+    collapses them.  ``tiebreak_col`` makes ordering total when a user
+    has equal timestamps (required for a deterministic lag).
+    """
+    if gap_seconds <= 0:
+        raise ValueError("gap_seconds must be > 0")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    order = [us] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(F.col(user_col)).orderBy(*order)
+    lagged = F.lag(us).over(w)
+    new_session = (
+        lagged.isNull() | ((us - lagged) > gap_seconds * 1_000_000)
+    ).cast("long")
+    numbered = df.withColumn("__t", us).withColumn(
+        "__sid",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        numbered.groupBy(F.col(user_col), F.col("__sid"))
+        .agg(
+            F.min("__t").alias("session_start_us"),
+            F.max("__t").alias("session_end_us"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .drop("__sid")
+    )
