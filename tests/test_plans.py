@@ -198,6 +198,27 @@ def test_round4_ops_stay_jvm_side(spark, sf_dir):
     assert "Exchange" not in enc_plan
 
 
+def test_rolling_and_sessionize_single_exchange(spark, sf_dir):
+    """Rolling aggregates and batch sessionization are one-shuffle
+    window constructions: exactly one Exchange (on the key), no Python
+    evaluation nodes."""
+    from tumult_core_spark.extensions.timeseries import (
+        rolling_aggregate,
+        sessionize_batch,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for out in [
+        rolling_aggregate(ev, ["user_id"], "ts", "value", 3600),
+        sessionize_batch(ev, "user_id", "ts", 1800, tiebreak_col="event_id"),
+    ]:
+        import re
+
+        plan = plan_of(out)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
 def test_sanitize_large_output_keeps_parallelism(spark):
     """The REBALANCE sanitize must still fan a large release out to
     many partitions (the small-release coalescing must not collapse
