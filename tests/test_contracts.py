@@ -480,3 +480,33 @@ class TestMiscValidationParity:
             validate_exact_number(0, minimum=0, minimum_is_inclusive=False)
         with _pytest.raises(ValueError, match="less than or equal"):
             validate_exact_number(2, maximum=1)
+
+
+class TestTextAndBinarySources:
+    def test_read_text_line_and_whole_file(self, spark, tmp_path):
+        from tumult_core_spark.sources.io import read_text
+
+        d = tmp_path / "corpus"
+        d.mkdir()
+        (d / "a.txt").write_text("line one\nline two\n")
+        (d / "b.txt").write_text("solo\n")
+        lines = read_text(spark, str(d))
+        assert sorted(r["value"] for r in lines.collect()) == [
+            "line one", "line two", "solo",
+        ]
+        whole = read_text(spark, str(d), whole_file=True, line_col="text")
+        got = sorted(r["text"] for r in whole.collect())
+        assert got == ["line one\nline two\n", "solo\n"]
+
+    def test_read_binary_files_glob(self, spark, tmp_path):
+        from tumult_core_spark.sources.io import read_binary_files
+
+        d = tmp_path / "blobs"
+        d.mkdir()
+        (d / "x.wav").write_bytes(b"RIFFxxxx")
+        (d / "y.bin").write_bytes(b"\x00\x01")
+        all_files = read_binary_files(spark, str(d))
+        assert all_files.count() == 2
+        assert set(all_files.columns) >= {"path", "length", "content"}
+        wavs = read_binary_files(spark, str(d), path_glob="*.wav").collect()
+        assert len(wavs) == 1 and bytes(wavs[0]["content"]) == b"RIFFxxxx"

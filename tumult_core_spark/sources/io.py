@@ -134,3 +134,41 @@ def write_jsonl(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.json(path)
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    whole_file: bool = False,
+    line_col: str = "value",
+) -> DataFrame:
+    """Plain-text corpus source.
+
+    Line mode (default): one row per line (``value`` string) — the
+    shape of most raw text dumps; splittable, so a 100 TB directory
+    parallelizes by file blocks.  ``whole_file=True``: one row per
+    FILE (wholetext), for document-per-file corpora — files then
+    cannot be split, so parallelism is bounded by file count.
+    """
+    # NOTE: must go through the text() kwarg — a prior .option call is
+    # discarded by PySpark's text() wrapper
+    df = spark.read.text(path, wholetext=whole_file)
+    return df.withColumnRenamed("value", line_col) if line_col != "value" else df
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    path_glob: Optional[str] = None,
+) -> DataFrame:
+    """Opaque-binary source for multimodal corpora: one row per file
+    with ``(path, modificationTime, length, content binary)`` — the
+    input shape of :mod:`tumult_core_spark.extensions.multimodal`.
+    Files are never split; size the input directories so file count
+    >> executor count.  ``path_glob`` filters (e.g. ``*.wav``)
+    scan-side via ``pathGlobFilter``.
+    """
+    reader = spark.read.format("binaryFile")
+    if path_glob:
+        reader = reader.option("pathGlobFilter", path_glob)
+    return reader.load(path)
