@@ -237,6 +237,16 @@ class TestParagraphDedup:
         assert out[3]["text"] == ""
         assert (out[3]["n_units"], out[3]["n_kept"]) == (1, 0)
 
+    def test_null_text_does_not_vanish(self, spark):
+        from tumult_core_spark.extensions.dedup import dedup_paragraphs
+
+        df = spark.createDataFrame(
+            [(1, "alpha"), (2, None)], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in dedup_paragraphs(df).collect()}
+        assert set(out) == {1, 2}
+        assert out[2]["text"] == "" and out[2]["n_units"] == 1
+
     def test_hot_paragraph_skew(self, spark):
         """Corpus-wide boilerplate: 150k documents all sharing one
         paragraph (plus a unique one each).  The winner aggregation

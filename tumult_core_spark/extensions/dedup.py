@@ -69,8 +69,10 @@ def dedup_paragraphs(
     units = df.select(
         F.col(id_col),
         F.posexplode(
-            # F.split takes a Java regex; quote the literal separator
-            F.split(F.col(text_col), _re.escape(separator))
+            # F.split takes a Java regex; quote the literal separator.
+            # NULL text coalesces to '' so the document yields one
+            # empty unit instead of vanishing through the explode.
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(separator))
         ).alias("__pos", "__unit"),
     )
     winners = units.groupBy("__unit").agg(
