@@ -230,3 +230,30 @@ def test_sanitize_large_output_keeps_parallelism(spark):
     )
     pre = sanitize_df(big, materialize_output=False)
     assert pre.rdd.getNumPartitions() > 1
+
+
+def test_layout_for_scan_prunes_partitions_and_rowgroups(spark, tmp_path):
+    """A layout_for_scan write must make a filtered read-back prune:
+    partition filters on the directory column (never listed, let alone
+    read) and pushed filters on the sort column (row-group min/max
+    skipping)."""
+    from pyspark.sql import functions as F
+
+    from tumult_core_spark.sources.io import layout_for_scan
+
+    df = spark.range(10_000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("int").alias("shard"),
+        (F.col("id") * 7 % 1000).alias("score"),
+    )
+    p = str(tmp_path / "layout")
+    layout_for_scan(
+        df, p, partition_by=["shard"], sort_by=["score"], target_partitions=4
+    )
+    back = spark.read.parquet(p).filter("shard = 2 AND score < 50")
+    plan = plan_of(back)
+    assert "PartitionFilters" in plan and "shard" in plan.split("PartitionFilters")[1].split("\n")[0]
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "score" in pushed
+    # and it returns the right rows
+    assert back.count() == df.filter("shard = 2 AND score < 50").count()

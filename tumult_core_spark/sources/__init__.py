@@ -1,4 +1,5 @@
 from .io import (
+    layout_for_scan,
     read_binary_files,
     read_csv,
     read_json,

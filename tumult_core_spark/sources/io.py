@@ -172,3 +172,40 @@ def read_binary_files(
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     return reader.load(path)
+
+
+def layout_for_scan(
+    df: DataFrame,
+    path: str,
+    partition_by: Optional[list] = None,
+    sort_by: Optional[list] = None,
+    target_partitions: Optional[int] = None,
+    mode: str = "error",
+) -> None:
+    """Write with a scan-optimized layout: hive directory partitioning
+    on ``partition_by`` (directory pruning for equality/range filters
+    on those columns) plus ``repartitionByRange`` + in-file sorting on
+    ``sort_by`` so parquet row-group min/max statistics become
+    selective (the poor man's Z-order for one sort dimension) and
+    same-key rows cluster into few files.
+
+    A filtered read back shows ``PartitionFilters`` (directories never
+    listed) and tight ``PushedFilters`` row-group skipping — the two
+    mechanisms that make a 100 TB table behave like the small slice a
+    query touches.
+    """
+    from pyspark.sql import functions as F
+
+    out = df
+    if sort_by:
+        cols = [F.col(c) for c in sort_by]
+        out = (
+            out.repartitionByRange(target_partitions, *cols)
+            if target_partitions
+            else out.repartitionByRange(*cols)
+        )
+        out = out.sortWithinPartitions(*cols)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
