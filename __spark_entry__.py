@@ -1609,8 +1609,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        unnest(list_transform(
                            range(1, greatest(len(toks), 1) + 1, 30),
-                           s -> array_to_string(list_slice(toks, s, s + 39),
-                                                ' '))) AS chunk_text,
+                           s -> COALESCE(array_to_string(
+                               list_slice(toks, s, s + 39), ' '), ''))) AS chunk_text,
                        generate_subscripts(range(1, greatest(len(toks), 1) + 1,
                                                  30), 1) - 1 AS chunk_idx
                 FROM t),
@@ -1914,8 +1914,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        unnest(list_transform(
                            range(1, greatest(len(toks), 1) + 1, 30),
-                           s -> array_to_string(list_slice(toks, s, s + 39),
-                                                ' '))) AS chunk_text,
+                           s -> COALESCE(array_to_string(
+                               list_slice(toks, s, s + 39), ' '), ''))) AS chunk_text,
                        generate_subscripts(range(1, greatest(len(toks), 1) + 1,
                                                  30), 1) - 1 AS chunk_idx
                 FROM t)
@@ -1960,8 +1960,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        unnest(list_transform(
                            range(1, greatest(len(toks), 1) + 1, 30),
-                           s -> array_to_string(list_slice(toks, s, s + 39),
-                                                ' '))) AS chunk_text,
+                           s -> COALESCE(array_to_string(
+                               list_slice(toks, s, s + 39), ' '), ''))) AS chunk_text,
                        generate_subscripts(range(1, greatest(len(toks), 1) + 1,
                                                  30), 1) - 1 AS chunk_idx
                 FROM t),
