@@ -1550,7 +1550,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_aggregate": """
             SELECT event_id,
                    COUNT(*) OVER w AS rolling_count,
-                   ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(38,12))) OVER w
                               AS DOUBLE), 6) AS rolling_sum
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)

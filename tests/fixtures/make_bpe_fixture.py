@@ -6,7 +6,10 @@ ONLY pyarrow + stdlib — no tumult_core_spark imports — so the fixture
 independently re-derives what ``bpe_train`` / ``bpe_encode`` must
 produce.  Shared spec (documented on both sides):
 
-* words = lowercased whitespace tokens; symbols = chars + '</w>';
+* words = lowercased tokens split on the ASCII whitespace class
+  [ \\t\\n\\x0b\\f\\r]+ (Java \\s, what the engine's tokens_col
+  uses — NOT Python str.split(), which splits Unicode whitespace);
+  symbols = chars + '</w>';
 * train: per round, count adjacent symbol pairs weighted by word
   frequency; merge the pair with the highest count, ties broken by
   lexicographically smallest pair; merging replaces left-to-right
@@ -18,6 +21,7 @@ Run:  python tests/fixtures/make_bpe_fixture.py
 """
 
 import os
+import re
 from collections import Counter
 
 import pyarrow as pa
@@ -81,17 +85,19 @@ def encode_word(word, ranks, memo):
 def main():
     t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
     docs = list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
     vocab = Counter()
     for _, text in docs:
-        vocab.update((text or "").lower().split())
+        vocab.update(w for w in ws.split((text or "").lower()) if w)
     merges = train(vocab)
     ranks = {pair: i for i, pair in enumerate(merges)}
     memo = {}
     ids, toks, counts = [], [], []
     for doc_id, text in docs:
         out = []
-        for w in (text or "").lower().split():
-            out.extend(encode_word(w, ranks, memo))
+        for w in ws.split((text or "").lower()):
+            if w:
+                out.extend(encode_word(w, ranks, memo))
         ids.append(doc_id)
         toks.append(out)
         counts.append(len(out))

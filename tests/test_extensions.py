@@ -711,7 +711,13 @@ class TestSQ:
         spans = np.where(hi > lo, hi - lo, 1.0)
         for r in rows:
             x = np.asarray(r["embedding"], dtype=np.float64)
-            exp = np.clip(np.round((x - lo) / spans * 255), 0, 255).astype(int) - 128
+            # Spark F.round is HALF_UP (away from zero for these
+            # non-negative scaled values); np.round is half-to-even,
+            # so use floor(x + 0.5) as the reference
+            exp = (
+                np.clip(np.floor((x - lo) / spans * 255 + 0.5), 0, 255).astype(int)
+                - 128
+            )
             assert list(exp) == got[r["vec_id"]], r["vec_id"]
 
     def test_knn_recall_vs_exact(self, spark, embs):
@@ -974,6 +980,29 @@ class TestText:
             rebuilt = "".join(r["bpe_tokens"]).replace("</w>", " ").strip()
             assert rebuilt == " ".join(texts[r["doc_id"]].lower().split())
             assert r["n_bpe_tokens"] == len(r["bpe_tokens"])
+
+    def test_bpe_exotic_whitespace_and_nul_tokens(self, spark):
+        """Train and encode must agree on word boundaries: U+00A0 is
+        NOT a separator (Java \\s is ASCII-only), so 'foo\\u00a0bar'
+        is ONE word in both.  Tokens containing NUL bytes must not
+        break the distributed pair-counting path (struct keys, not
+        string packing)."""
+        from tumult_core_spark.extensions.text import bpe_encode, bpe_train
+
+        df = spark.createDataFrame(
+            [(1, "foo bar foo bar baz"), (2, "a\x00b a\x00b")],
+            ["doc_id", "text"],
+        )
+        m_driver = bpe_train(df, num_merges=5)
+        m_dist = bpe_train(df, num_merges=5, driver_vocab_threshold=0)
+        assert m_driver == m_dist
+        out = {r["doc_id"]: r["bpe_tokens"] for r in bpe_encode(df, merges=m_driver).collect()}
+        # encode sees the same single word the vocabulary was built on:
+        # rebuilding doc 1 yields exactly two ASCII-space-separated words
+        rebuilt = "".join(out[1]).replace("</w>", " ").strip()
+        assert rebuilt == "foo bar foo bar baz"
+        rebuilt2 = "".join(out[2]).replace("</w>", " ").strip()
+        assert rebuilt2 == "a\x00b a\x00b"
 
     def test_repetition_stats_hand_cases(self, spark):
         from tumult_core_spark.extensions.text import repetition_stats

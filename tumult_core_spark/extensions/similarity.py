@@ -849,6 +849,11 @@ def sq_fit(corpus: DataFrame, vector_col: str = "embedding"):
     if first is None:
         raise ValueError("empty corpus")
     d = first["d"]
+    if d is None or d < 1:
+        raise ValueError(
+            f"{vector_col!r} must be a non-null, non-empty array "
+            f"(first row has size {d!r})"
+        )
     vec = F.col(vector_col).cast("array<double>")
     aggs = []
     for i in range(d):
@@ -857,6 +862,11 @@ def sq_fit(corpus: DataFrame, vector_col: str = "embedding"):
     row = corpus.agg(*aggs).first()
     lo = np.array([row[f"lo{i}"] for i in range(d)], dtype=np.float64)
     hi = np.array([row[f"hi{i}"] for i in range(d)], dtype=np.float64)
+    if np.isnan(lo).any() or np.isnan(hi).any():
+        raise ValueError(
+            "NULL/NaN values in vector dimensions — clean the corpus "
+            "(DropNulls/DropNaNs) before fitting quantization bounds"
+        )
     return lo, hi
 
 

@@ -578,7 +578,6 @@ def bpe_train(
 
     import pandas as pd
 
-    sep = "\x00"
     cur = words.withColumn(
         "syms", F.concat(F.split("w", "(?!$)"), F.array(F.lit("</w>")))
     ).select("freq", "syms").localCheckpoint(eager=True)
@@ -588,21 +587,29 @@ def bpe_train(
         idx = F.when(
             F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
         ).otherwise(F.array().cast("array<int>"))
+        # pairs stay a (left, right) struct end-to-end — string-packing
+        # with a separator would crash or mis-split on tokens containing
+        # the separator byte (raw web text does contain NULs), and the
+        # (c desc, a asc, b asc) ordering matches the driver path's
+        # (-count, (a, b)) tuple tie-break exactly
         pair = F.transform(
             idx,
-            lambda i: F.concat_ws(
-                sep, F.element_at(syms, i), F.element_at(syms, i + 1)
+            lambda i: F.struct(
+                F.element_at(syms, i).alias("a"),
+                F.element_at(syms, i + 1).alias("b"),
             ),
         )
         counts = (
             cur.select("freq", F.explode(pair).alias("p"))
-            .groupBy("p")
+            .groupBy("p.a", "p.b")
             .agg(F.sum("freq").alias("c"))
         )
-        top = counts.orderBy(F.desc("c"), F.asc("p")).limit(1).collect()
+        top = counts.orderBy(
+            F.desc("c"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()
         if not top or top[0]["c"] < min_frequency:
             break
-        a, b = top[0]["p"].split(sep)
+        a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
 
         def _make_apply(_a, _b):
@@ -636,10 +643,20 @@ def bpe_encode(
     batch (natural text repeats words heavily) and the tiny ranks dict
     rides into executors in the UDF closure.  Emits the token array
     and ``n_bpe_tokens``.
+
+    Word boundaries are the SAME as :func:`bpe_train`'s
+    (``tokens_col``: lowercase + Java ``\\s+``, an ASCII whitespace
+    class) — Python's ``str.split()`` would split on Unicode
+    whitespace like U+00A0 and disagree with the vocabulary the
+    merges were learned from.
     """
+    import re as _re
+
     import pandas as pd
 
     ranks = {(a, b): i for i, (a, b) in enumerate(merges or [])}
+    # Java \s used by tokens_col = [ \t\n\x0B\f\r] (ASCII only)
+    ws = _re.compile(r"[ \t\n\x0b\f\r]+")
 
     def _enc_batch(col):
         memo = {}
@@ -665,8 +682,9 @@ def bpe_encode(
         out = []
         for text in col:
             toks = []
-            for w in (text or "").lower().split():
-                toks.extend(enc_word(w))
+            for w in ws.split((text or "").lower()):
+                if w:
+                    toks.extend(enc_word(w))
             out.append(toks)
         return pd.Series(out)
 

@@ -159,11 +159,25 @@ def rolling_aggregate(
     One window function over epoch-MICROSECOND ordering (second-cast
     ordering would silently merge sub-second neighbors), i.e. a single
     shuffle on the keys; the frame sum runs inside the JVM.  The sum
-    accumulates in DECIMAL so the result is order-independent and
-    engine-exact (float window sums depend on frame evaluation order).
+    accumulates in DECIMAL(38, 12) so the result is order-independent
+    and engine-reproducible (float window sums depend on frame
+    evaluation order).  The decimal trade-offs, stated plainly:
+    values quantize at 12 decimal places, and values with |x| >= 1e26
+    overflow the decimal — they are REJECTED up front (one cheap
+    aggregate) rather than silently nulled out of the sum.
     """
     if window_seconds <= 0:
         raise ValueError("window_seconds must be > 0")
+    bad = df.agg(
+        F.sum(
+            (F.abs(F.col(value_col)) >= F.lit(1e26)).cast("long")
+        ).alias("n")
+    ).first()["n"]
+    if bad:
+        raise ValueError(
+            f"{bad} value(s) of {value_col!r} exceed the DECIMAL(38,12) "
+            "accumulator range (|x| >= 1e26); rescale the column first"
+        )
     # parquet TIMESTAMP without UTC adjustment loads as NTZ under
     # Spark 4; unix_micros requires TIMESTAMP (cast is wall-clock
     # preserving under a UTC session timezone)
@@ -173,7 +187,7 @@ def rolling_aggregate(
         .orderBy(us)
         .rangeBetween(-window_seconds * 1_000_000, 0)
     )
-    val = F.col(value_col).cast("decimal(28,6)")
+    val = F.col(value_col).cast("decimal(38,12)")
     return (
         df.withColumn(count_col, F.count(F.lit(1)).over(w).cast("long"))
         .withColumn(sum_col, F.sum(val).over(w).cast("double"))
