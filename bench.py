@@ -446,9 +446,19 @@ def main():
         "metric": "headline_queries_wall_clock",
         "value": total,
         "unit": "sec",
+        # bench_schema_version history:
+        #   1 (r1-r3): single/median timings, 'ratios' = median-based
+        #   2 (r4):    'ratios' silently became min-based (BENCH_r04's
+        #              vs_reference is NOT comparable to r1-r3's)
+        #   3 (r5+):   'ratios'/'max_ratio' are median-based again
+        #              (comparable to r1-r3); the min basis lives under
+        #              'ratios_min'/'max_ratio_min'
+        "bench_schema_version": 3,
         "queries": timings,
         "queries_min": timings_min,
-        "runs_per_query": "3-5 (adaptive: 5 when min < 3 s)",
+        "runs_per_query": 3,
+        "runs_per_query_max": 5,
+        "runs_note": "3 timed runs; up to 5 when min < 3 s",
         "aggregation": "median",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -470,28 +480,26 @@ def main():
                     ratios[name] = round(mine / theirs, 3)
                     if timings_min.get(name) is not None:
                         ratios_min[name] = round(timings_min[name] / theirs, 3)
-            # The reference side was measured with warmup + ONE timed run
-            # on an idle machine.  The like-for-like basis on this side is
-            # therefore the min-of-3 (timeit-style: the lowest observed
-            # time is the least contaminated by co-tenant interference),
-            # NOT the median: BENCH_r03 recorded partition_selection
-            # median 4.82 s while the same code re-times at 0.9 s on this
-            # machine — the medians absorb whatever load shares the round
-            # run, which the reference's idle number never did.  Min under
-            # load is still >= idle time, and the reference shims only
-            # speed the reference up, so the min-based ratios remain an
-            # UPPER bound on the true rebuild/reference ratio.  Both
-            # aggregations are reported.
+            # 'ratios'/'max_ratio' are MEDIAN-based — the same basis
+            # r1-r3 used, so round-over-round comparisons of the
+            # headline keys are apples-to-apples (r4 briefly redefined
+            # them to min-based under the same names; schema_version 3
+            # reverts that).  The min basis is still worth reporting —
+            # the reference was measured with ONE timed run on an idle
+            # machine, so min-of-N is the least contention-contaminated
+            # like-for-like number — but it lives under its own keys.
             out["vs_reference"] = {
-                "ratios": ratios_min,
-                "max_ratio": max(ratios_min.values()) if ratios_min else None,
-                "ratio_basis": "min-of-3 vs reference single idle run",
-                "ratios_median": ratios,
-                "max_ratio_median": max(ratios.values()) if ratios else None,
+                "ratios": ratios,
+                "max_ratio": max(ratios.values()) if ratios else None,
+                "ratio_basis": "median of 3-5 runs vs reference single idle run",
+                "ratios_min": ratios_min,
+                "max_ratio_min": max(ratios_min.values()) if ratios_min else None,
+                "ratio_min_basis": "min of 3-5 runs vs reference single idle run",
                 "reference_total_sec": ref["value"],
                 "note": "reference measured via benchmarks/reference_bench.py "
-                "(shimmed, idle, single timed run: min-based ratios are "
-                "upper bounds on the true ratio)",
+                "(shimmed, idle, single timed run; its shims only speed it "
+                "up, so both ratio bases are upper bounds on the true "
+                "rebuild/reference ratio)",
             }
     print(json.dumps(out))
     spark.stop()

@@ -209,6 +209,17 @@ class ExactNumber:
         return str(self._expr)
 
 
+class UnsupportedSympyExprError(ValueError):
+    """A sympy expression cannot represent an exact real number
+    (free symbols, floats, imaginary parts...).
+
+    Parity with reference ``exceptions.py:248``; subclasses
+    ``ValueError`` because that is what these sites historically
+    raised, so existing ``except ValueError`` handlers keep working.
+    Re-exported from :mod:`tumult_core_spark.exceptions`.
+    """
+
+
 def _to_sympy(value: ExactNumberInput) -> sp.Expr:
     """Validate and convert supported inputs to a sympy expression."""
     if isinstance(value, ExactNumber):
@@ -238,11 +249,15 @@ def _to_sympy(value: ExactNumberInput) -> sp.Expr:
 
 def _check_expr(expr: sp.Expr) -> sp.Expr:
     if expr.free_symbols:
-        raise ValueError(f"Expression {expr} contains free symbols")
+        raise UnsupportedSympyExprError(
+            f"Expression {expr} contains free symbols"
+        )
     if not (expr.is_real or expr in (sp.oo, -sp.oo)):
-        raise ValueError(f"Expression {expr} is not a real number")
+        raise UnsupportedSympyExprError(
+            f"Expression {expr} is not a real number"
+        )
     if isinstance(expr, sp.Float):
-        raise ValueError(
+        raise UnsupportedSympyExprError(
             f"sympy Float {expr} is inexact; use Rational instead"
         )
     return expr

@@ -5,16 +5,22 @@ reference's exception classes keeps working here.
 Every class subclasses the builtin this package historically raised at
 the corresponding site (``ValueError`` / ``TypeError``), so existing
 ``except ValueError`` handlers keep catching them too.
-``OutOfDomainError`` lives in :mod:`tumult_core_spark.domains` (it
-predates this module) and is re-exported here for parity.
+``OutOfDomainError`` lives in :mod:`tumult_core_spark.domains` and
+``UnsupportedSympyExprError`` in :mod:`tumult_core_spark.exact_number`
+(they predate this module / avoid an import cycle) and are re-exported
+here for parity.  The base classes deliberately differ from the
+reference where the reference subclasses ``Exception`` directly — see
+LIMITATIONS.md "Exception base classes".
 """
 
 from __future__ import annotations
 
 from .domains import OutOfDomainError
+from .exact_number import UnsupportedSympyExprError
 
 __all__ = [
     "OutOfDomainError",
+    "UnsupportedSympyExprError",
     "DomainMismatchError",
     "UnsupportedDomainError",
     "DomainKeyError",

@@ -855,11 +855,25 @@ def sq_fit(corpus: DataFrame, vector_col: str = "embedding"):
             f"(first row has size {d!r})"
         )
     vec = F.col(vector_col).cast("array<double>")
-    aggs = []
+    # ragged input would otherwise corrupt silently: element_at past a
+    # short vector yields NULL, min/max skip NULLs, and the encoder
+    # would emit variable-length codes — so validate uniform length in
+    # the SAME scan (two extra map-side-combined aggregates, no extra
+    # pass)
+    aggs = [
+        F.min(F.size(F.col(vector_col))).alias("__dmin"),
+        F.max(F.size(F.col(vector_col))).alias("__dmax"),
+    ]
     for i in range(d):
         aggs.append(F.min(F.element_at(vec, i + 1)).alias(f"lo{i}"))
         aggs.append(F.max(F.element_at(vec, i + 1)).alias(f"hi{i}"))
     row = corpus.agg(*aggs).first()
+    if row["__dmin"] != d or row["__dmax"] != d:
+        raise ValueError(
+            f"ragged {vector_col!r}: vector sizes range "
+            f"[{row['__dmin']}, {row['__dmax']}] but the first row has "
+            f"size {d}; quantization bounds require uniform dimensionality"
+        )
     lo = np.array([row[f"lo{i}"] for i in range(d)], dtype=np.float64)
     hi = np.array([row[f"hi{i}"] for i in range(d)], dtype=np.float64)
     if np.isnan(lo).any() or np.isnan(hi).any():

@@ -161,22 +161,31 @@ def rolling_aggregate(
     shuffle on the keys; the frame sum runs inside the JVM.  The sum
     accumulates in DECIMAL(38, 12) so the result is order-independent
     and engine-reproducible (float window sums depend on frame
-    evaluation order).  The decimal trade-offs, stated plainly:
-    values quantize at 12 decimal places, and values with |x| >= 1e26
-    overflow the decimal — they are REJECTED up front (one cheap
-    aggregate) rather than silently nulled out of the sum.
+    evaluation order).  The decimal trade-offs, stated plainly: values
+    quantize at 12 decimal places, and any window whose sum reaches
+    the 26-integer-digit capacity would overflow the decimal — so keys
+    where SUM(|x|) could reach it are REJECTED up front (one cheap
+    map-side-combined aggregate on the same shuffle key as the window)
+    rather than silently nulled out of the sum.  SUM(|x|) per key
+    bounds every trailing window's |sum| for that key, so the guard
+    covers many-small-value overflow, not just single huge values; it
+    accumulates in double with a 1% guard band (9.9e25) to absorb
+    float summation error in the *check* itself.
     """
     if window_seconds <= 0:
         raise ValueError("window_seconds must be > 0")
-    bad = df.agg(
-        F.sum(
-            (F.abs(F.col(value_col)) >= F.lit(1e26)).cast("long")
-        ).alias("n")
-    ).first()["n"]
+    bad = (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.sum(F.abs(F.col(value_col)).cast("double")).alias("__sabs"))
+        .agg(F.sum((F.col("__sabs") >= F.lit(9.9e25)).cast("long")).alias("n"))
+        .first()["n"]
+    )
     if bad:
         raise ValueError(
-            f"{bad} value(s) of {value_col!r} exceed the DECIMAL(38,12) "
-            "accumulator range (|x| >= 1e26); rescale the column first"
+            f"{bad} key group(s) have SUM(|{value_col}|) >= 9.9e25, which "
+            "could overflow the DECIMAL(38,12) rolling-sum accumulator "
+            "(capacity 1e26, checked with a 1% guard band); rescale the "
+            "column first"
         )
     # parquet TIMESTAMP without UTC adjustment loads as NTZ under
     # Spark 4; unix_micros requires TIMESTAMP (cast is wall-clock

@@ -60,7 +60,18 @@ def profile_numeric(
 ) -> DataFrame:
     """(column, n_rows, n_nulls, min, max, mean) for numeric columns —
     exact, one aggregate over one scan, reshaped long like
-    :func:`profile_table`.  Defaults to every numeric column."""
+    :func:`profile_table`.  Defaults to every numeric column.
+
+    The mean is accumulated as ``SUM(CAST(col AS DECIMAL(38,12))) /
+    COUNT(col)`` rather than a float ``avg``: decimal addition is
+    exact and therefore independent of partition count and merge
+    order, so the reported mean is bit-identical across engines and
+    across cluster sizes.  A float ``avg`` is not — when the true mean
+    lands near a rounding boundary, the accumulation order (which
+    varies with partitioning) can flip the last digit, which showed up
+    as a one-in-many-runs hash flake against the DuckDB oracle.
+    Values with more than 26 integer digits would overflow
+    DECIMAL(38,12); numeric *profiling* inputs are far inside that."""
     from pyspark.sql.types import NumericType
 
     numeric = [
@@ -77,7 +88,12 @@ def profile_numeric(
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
         aggs.append(F.min(F.col(c)).cast("double").alias(f"__min_{c}"))
         aggs.append(F.max(F.col(c)).cast("double").alias(f"__max_{c}"))
-        aggs.append(F.avg(F.col(c)).alias(f"__mean_{c}"))
+        aggs.append(
+            (
+                F.sum(F.col(c).cast("decimal(38,12)")).cast("double")
+                / F.count(F.col(c))
+            ).alias(f"__mean_{c}")
+        )
     row = df.agg(*aggs)
     tuples = ", ".join(
         f"'{c}', `__nulls_{c}`, `__min_{c}`, `__max_{c}`, `__mean_{c}`"
