@@ -510,3 +510,206 @@ class TestFullSparkPathNoise:
 
         p = ks_pvalue(ks_statistic(noise, cdf), len(noise))
         assert p > P_THRESHOLD, f"KS p={p}"
+
+
+def laplace_cdf(scale):
+    def cdf(x):
+        x = np.asarray(x, dtype=float)
+        return np.where(
+            x < 0, 0.5 * np.exp(x / scale), 1 - 0.5 * np.exp(-x / scale)
+        )
+
+    return cdf
+
+
+def gaussian_cdf(sigma):
+    def cdf(x):
+        return 0.5 * (
+            1 + np.vectorize(math.erf)(np.asarray(x) / (sigma * math.sqrt(2)))
+        )
+
+    return cdf
+
+
+class TestComposedMeasurementDistributions:
+    """End-to-end noise laws of the COMPOSED avg/var/stddev measurements
+    (reference test/system/noise_distribution_tests/test_average.py,
+    test_variance.py, test_standard_deviation.py).
+
+    The composed outputs are ratios of noisy statistics with no
+    tractable closed form, so — exactly like the reference — the
+    measurements run with ``keep_intermediates`` and each noisy
+    statistic is tested against ITS expected law at ITS budget share
+    (d/2 + d/2 for average, d/3 x 3 for variance/stddev), drawn iid
+    through the complete Spark path with one group per sample.  The
+    composed column itself is then checked to be the exact
+    deterministic postprocess of those same intermediates.
+    """
+
+    N_GROUPS = 2000
+    VALUE = 2.5  # one row per group, bounds [0, 10] -> midpoint 5
+    # true per-group stats: sod = -2.5, sos = 6.25, count = 1
+    TRUE_SOD = VALUE - 5.0
+    TRUE_SOS = (VALUE - 5.0) ** 2
+
+    def _dataset(self, spark):
+        return spark.createDataFrame(
+            [(g, self.VALUE) for g in range(self.N_GROUPS)], "g long, x double"
+        )
+
+    def _domain_and_groupby(self, df, use_l2):
+        from tumult_core_spark.domains import SparkDataFrameDomain
+        from tumult_core_spark.metrics import SymmetricDifference
+        from tumult_core_spark.transformations.groupby import (
+            create_groupby_from_list_of_keys,
+        )
+
+        dom = SparkDataFrameDomain.from_spark_schema(df.schema, strict=True)
+        gb = create_groupby_from_list_of_keys(
+            dom, SymmetricDifference(), use_l2, ["g"],
+            [(g,) for g in range(self.N_GROUPS)],
+        )
+        return dom, gb
+
+    def _check_geometric(self, noise, scale):
+        lim = int(10 * scale) + 6
+        support = np.arange(-lim, lim + 1)
+        observed = np.array([(noise == k).sum() for k in support], dtype=float)
+        expected = double_sided_geometric_pmf(support, scale) * len(noise)
+        p = chi2_pvalue(observed, expected)
+        assert p > P_THRESHOLD, f"count chi2 p={p} (scale {scale})"
+
+    def _check_discrete_gaussian(self, noise, sigma2):
+        lim = int(6 * math.sqrt(sigma2)) + 4
+        support = np.arange(-lim, lim + 1)
+        observed = np.array([(noise == k).sum() for k in support], dtype=float)
+        expected = discrete_gaussian_pmf(support, sigma2) * len(noise)
+        p = chi2_pvalue(observed, expected)
+        assert p > P_THRESHOLD, f"count chi2 p={p} (sigma2 {sigma2})"
+
+    def test_average_intermediates_laplace_and_geometric(self, spark):
+        """avg at eps=1: sod Laplace at scale sens/(eps/2)=10, count
+        two-sided geometric at scale 1/(eps/2)=2, composed column ==
+        exact postprocess of the intermediates."""
+        from tumult_core_spark.measures import PureDP
+        from tumult_core_spark.metrics import SymmetricDifference
+        from tumult_core_spark.measurements.aggregations import (
+            create_average_measurement,
+        )
+
+        df = self._dataset(spark)
+        dom, gb = self._domain_and_groupby(df, use_l2=False)
+        m = create_average_measurement(
+            dom, SymmetricDifference(), PureDP(), 1, 1, "x", 0, 10,
+            groupby_transformation=gb, keep_intermediates=True,
+            average_column="avg_x", sum_column="sod_x", count_column="n",
+        )
+        rows = m(df).collect()
+        assert len(rows) == self.N_GROUPS
+        sod_noise = np.array([r["sod_x"] - self.TRUE_SOD for r in rows])
+        cnt_noise = np.array([r["n"] - 1 for r in rows])
+        p = ks_pvalue(ks_statistic(sod_noise, laplace_cdf(10.0)), len(sod_noise))
+        assert p > P_THRESHOLD, f"sod KS p={p}"
+        self._check_geometric(cnt_noise, 2.0)
+        for r in rows:
+            expect = r["sod_x"] / max(1, r["n"]) + 5.0
+            assert r["avg_x"] == pytest.approx(expect, abs=1e-9)
+
+    def test_variance_intermediates_laplace_and_geometric(self, spark):
+        """var at eps=1: sod Laplace scale 5/(1/3)=15, sos Laplace scale
+        25/(1/3)=75, count geometric scale 3; var column == clamped
+        exact postprocess."""
+        from tumult_core_spark.measures import PureDP
+        from tumult_core_spark.metrics import SymmetricDifference
+        from tumult_core_spark.measurements.aggregations import (
+            create_variance_measurement,
+        )
+
+        df = self._dataset(spark)
+        dom, gb = self._domain_and_groupby(df, use_l2=False)
+        m = create_variance_measurement(
+            dom, SymmetricDifference(), PureDP(), 1, 1, "x", 0, 10,
+            groupby_transformation=gb, keep_intermediates=True,
+            variance_column="var_x", sum_of_deviations_column="sod_x",
+            sum_of_squared_deviations_column="sos_x", count_column="n",
+        )
+        rows = m(df).collect()
+        assert len(rows) == self.N_GROUPS
+        sod_noise = np.array([r["sod_x"] - self.TRUE_SOD for r in rows])
+        sos_noise = np.array([r["sos_x"] - self.TRUE_SOS for r in rows])
+        cnt_noise = np.array([r["n"] - 1 for r in rows])
+        p = ks_pvalue(ks_statistic(sod_noise, laplace_cdf(15.0)), len(sod_noise))
+        assert p > P_THRESHOLD, f"sod KS p={p}"
+        p = ks_pvalue(ks_statistic(sos_noise, laplace_cdf(75.0)), len(sos_noise))
+        assert p > P_THRESHOLD, f"sos KS p={p}"
+        self._check_geometric(cnt_noise, 3.0)
+        for r in rows:
+            n = max(1, r["n"])
+            expect = max(0.0, r["sos_x"] / n - (r["sod_x"] / n) ** 2)
+            assert r["var_x"] == pytest.approx(expect, abs=1e-9)
+
+    def test_stddev_intermediates_gaussian_and_discrete_gaussian(self, spark):
+        """stddev at rho=1/2 (share rho/3 each): sod Gaussian
+        sigma^2=25/(2/6)=75, sos sigma^2=625/(1/3)=1875, count discrete
+        Gaussian sigma^2=3; stddev column == sqrt of clamped
+        postprocess."""
+        from tumult_core_spark.measures import RhoZCDP
+        from tumult_core_spark.metrics import SymmetricDifference
+        from tumult_core_spark.measurements.aggregations import (
+            create_standard_deviation_measurement,
+        )
+
+        df = self._dataset(spark)
+        dom, gb = self._domain_and_groupby(df, use_l2=True)
+        m = create_standard_deviation_measurement(
+            dom, SymmetricDifference(), RhoZCDP(), 1, "1/2", "x", 0, 10,
+            groupby_transformation=gb, keep_intermediates=True,
+            standard_deviation_column="std_x", sum_of_deviations_column="sod_x",
+            sum_of_squared_deviations_column="sos_x", count_column="n",
+        )
+        rows = m(df).collect()
+        assert len(rows) == self.N_GROUPS
+        sod_noise = np.array([r["sod_x"] - self.TRUE_SOD for r in rows])
+        sos_noise = np.array([r["sos_x"] - self.TRUE_SOS for r in rows])
+        cnt_noise = np.array([r["n"] - 1 for r in rows])
+        p = ks_pvalue(
+            ks_statistic(sod_noise, gaussian_cdf(math.sqrt(75.0))), len(sod_noise)
+        )
+        assert p > P_THRESHOLD, f"sod KS p={p}"
+        p = ks_pvalue(
+            ks_statistic(sos_noise, gaussian_cdf(math.sqrt(1875.0))), len(sos_noise)
+        )
+        assert p > P_THRESHOLD, f"sos KS p={p}"
+        self._check_discrete_gaussian(cnt_noise, 3.0)
+        for r in rows:
+            n = max(1, r["n"])
+            expect = max(0.0, r["sos_x"] / n - (r["sod_x"] / n) ** 2) ** 0.5
+            assert r["std_x"] == pytest.approx(expect, abs=1e-9)
+
+    def test_ungrouped_keep_intermediates_dict(self, spark):
+        """Ungrouped keep_intermediates returns the dict surface with
+        every intermediate present (noise-off so values are exact)."""
+        from tumult_core_spark.measures import PureDP
+        from tumult_core_spark.metrics import SymmetricDifference
+        from tumult_core_spark.measurements.aggregations import (
+            create_variance_measurement,
+        )
+
+        df = self._dataset(spark)
+        dom, _ = self._domain_and_groupby(df, use_l2=False)
+        m = create_variance_measurement(
+            dom, SymmetricDifference(), PureDP(), 1, float("inf"), "x", 0, 10,
+            keep_intermediates=True,
+        )
+        out = m(df)
+        assert set(out) == {
+            "variance", "sum_of_deviations", "sum_of_squared_deviations", "count",
+        }
+        assert out["count"] == self.N_GROUPS
+        assert out["sum_of_deviations"] == pytest.approx(
+            self.TRUE_SOD * self.N_GROUPS
+        )
+        assert out["sum_of_squared_deviations"] == pytest.approx(
+            self.TRUE_SOS * self.N_GROUPS
+        )
+        assert out["variance"] == pytest.approx(0.0)

@@ -385,15 +385,36 @@ def create_variance_measurement(
     noise_mechanism: Optional[NoiseMechanism] = None,
     groupby_transformation: Optional[GroupBy] = None,
     variance_column: Optional[str] = None,
+    keep_intermediates: bool = False,
+    sum_of_deviations_column: Optional[str] = None,
+    sum_of_squared_deviations_column: Optional[str] = None,
+    count_column: Optional[str] = None,
     _sqrt_output: bool = False,
 ) -> Measurement:
     """Noisy population variance via sod + sum-of-squared-deviations +
     count (each at d_out/3): var = sos/n - (sod/n)^2 (midpoint shifts
-    cancel), clamped to >= 0 — all three statistics from ONE scan."""
+    cancel), clamped to >= 0 — all three statistics from ONE scan.
+
+    With ``keep_intermediates`` the three noisy statistics accompany
+    the variance: extra dict entries ungrouped, extra
+    ``sum_of_deviations_column`` / ``sum_of_squared_deviations_column``
+    / ``count_column`` columns grouped (reference
+    ``aggregations.py:1134-1137, 1564-1567``) — the hook the noise
+    distribution tests use to check each statistic against its own law
+    instead of the intractable composed ratio distribution.
+    """
     lower_e, upper_e = ExactNumber(lower), ExactNumber(upper)
     variance_column = variance_column or (
         f"var({measure_column})" if not _sqrt_output else f"stddev({measure_column})"
     )
+    sum_of_deviations_column = (
+        sum_of_deviations_column or f"sum_of_deviations({measure_column})"
+    )
+    sum_of_squared_deviations_column = (
+        sum_of_squared_deviations_column
+        or f"sum_of_squared_deviations({measure_column})"
+    )
+    count_column = count_column or "count"
     sqrt_out = _sqrt_output
 
     if groupby_transformation is None:
@@ -401,7 +422,15 @@ def create_variance_measurement(
         def post(stats):
             n = max(1.0, stats["count"])
             var = max(0.0, stats["sos"] / n - (stats["sod"] / n) ** 2)
-            return float(var**0.5) if sqrt_out else float(var)
+            out = float(var**0.5) if sqrt_out else float(var)
+            if keep_intermediates:
+                return {
+                    ("standard_deviation" if sqrt_out else "variance"): out,
+                    "sum_of_deviations": stats["sod"],
+                    "sum_of_squared_deviations": stats["sos"],
+                    "count": stats["count"],
+                }
+            return out
 
     else:
         keys = groupby_transformation.groupby_columns
@@ -414,9 +443,14 @@ def create_variance_measurement(
             ratio = F.col("sod") / n
             var = F.greatest(F.col("sos") / n - ratio * ratio, F.lit(0.0))
             out = F.sqrt(var) if sqrt_out else var
-            return df.select(
-                *[F.col(f"`{c}`") for c in keys], out.alias(variance_column)
-            )
+            cols = [*[F.col(f"`{c}`") for c in keys], out.alias(variance_column)]
+            if keep_intermediates:
+                cols += [
+                    F.col("sod").alias(sum_of_deviations_column),
+                    F.col("sos").alias(sum_of_squared_deviations_column),
+                    F.col("count").alias(count_column),
+                ]
+            return df.select(*cols)
 
     m = FusedMomentsMeasurement(
         input_domain, input_metric, output_measure, d_in, d_out,
@@ -439,6 +473,10 @@ def create_standard_deviation_measurement(
     noise_mechanism: Optional[NoiseMechanism] = None,
     groupby_transformation: Optional[GroupBy] = None,
     standard_deviation_column: Optional[str] = None,
+    keep_intermediates: bool = False,
+    sum_of_deviations_column: Optional[str] = None,
+    sum_of_squared_deviations_column: Optional[str] = None,
+    count_column: Optional[str] = None,
 ) -> Measurement:
     return create_variance_measurement(
         input_domain,
@@ -452,6 +490,10 @@ def create_standard_deviation_measurement(
         noise_mechanism,
         groupby_transformation,
         variance_column=standard_deviation_column,
+        keep_intermediates=keep_intermediates,
+        sum_of_deviations_column=sum_of_deviations_column,
+        sum_of_squared_deviations_column=sum_of_squared_deviations_column,
+        count_column=count_column,
         _sqrt_output=True,
     )
 
