@@ -546,3 +546,207 @@ class TestDictionary:
         assert set(out) == {"t", "t2"}
         assert out["t2"].count() == 151
         assert tv.stability_function({"t": 1}) == {"t": 1, "t2": 1}
+
+    def test_queue_transformation_on_inactive_accountant(self, spark, values):
+        """Port of reference test/system/measurements/
+        test_interactive_measurements.py:48-97: queueing on a
+        WAITING_FOR_CHILDREN accountant updates domain/metric/d_in
+        immediately and applies the transformation to the data once the
+        accountant reactivates."""
+        from tumult_core_spark.transformations.partition import PartitionByKeys
+
+        dom = v_domain()
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), PureDP(), d_in=1,
+            privacy_budget=PureDPBudget(6),
+        )
+        acct = PrivacyAccountant.launch(sc, values)
+        part = PartitionByKeys(
+            dom, SymmetricDifference(), False, ["g"], [("a",), ("b",)]
+        )
+        children = acct.split(part, PureDPBudget(3))
+        assert acct.state == AccountantState.WAITING_FOR_CHILDREN
+
+        t = CreateDictFromValue(dom, SymmetricDifference(), key="data")
+        acct.queue_transformation(t)
+        # properties reflect the pending transformation immediately
+        assert acct.input_domain == t.output_domain
+        assert acct.input_metric == t.output_metric
+        assert acct.d_in == t.stability_function(1)
+        assert len(acct._pending_transformations) == 1
+        # ... but the data is untouched until reactivation
+        assert not isinstance(acct._data, dict)
+
+        for c in children:
+            c.measure(
+                create_count_measurement(
+                    dom, SymmetricDifference(), PureDP(), 1, 1
+                )
+            )
+            c.retire()
+
+        assert acct.state == AccountantState.ACTIVE
+        assert acct._pending_transformations == []
+        assert isinstance(acct._data, dict) and set(acct._data) == {"data"}
+        # the accountant is fully usable at the transformed shape
+        count_dict = GetValue(
+            t.output_domain, t.output_metric, "data"
+        ) | create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 1)
+        out = acct.measure(count_dict)
+        assert int(out) >= 0
+        assert acct.privacy_budget.value == 2
+
+    def test_queue_transformation_on_active_is_transform_in_place(
+        self, spark, values
+    ):
+        dom = v_domain()
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), PureDP(), d_in=1,
+            privacy_budget=PureDPBudget(1),
+        )
+        acct = PrivacyAccountant.launch(sc, values)
+        acct.queue_transformation(Filter(dom, SymmetricDifference(), "x > 100"))
+        # applied immediately: no pending entry, data already filtered
+        assert acct._pending_transformations == []
+        out = acct.measure(
+            create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 1)
+        )
+        assert abs(int(out) - 50) < 40  # 50 true rows with x > 100, eps=1
+
+    def test_queue_multiple_transformations_chain(self, spark, values):
+        """Queued transformations chain: the second validates against
+        the FIRST's output domain, and both run in order on
+        activation."""
+        from tumult_core_spark.transformations.partition import PartitionByKeys
+
+        dom = v_domain()
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), PureDP(), d_in=1,
+            privacy_budget=PureDPBudget(4),
+        )
+        acct = PrivacyAccountant.launch(sc, values)
+        part = PartitionByKeys(
+            dom, SymmetricDifference(), False, ["g"], [("a",), ("b",)]
+        )
+        (c0, c1) = acct.split(part, PureDPBudget(2))
+
+        f1 = Filter(dom, SymmetricDifference(), "x > 100")
+        acct.queue_transformation(f1)
+        t2 = CreateDictFromValue(dom, SymmetricDifference(), key="d")
+        acct.queue_transformation(t2)
+        assert len(acct._pending_transformations) == 2
+        assert acct.input_domain == t2.output_domain
+
+        # a transformation that does not match the PENDING output shape
+        # is rejected up front
+        with pytest.raises(ValueError, match="pending"):
+            acct.queue_transformation(
+                Filter(dom, SymmetricDifference(), "x > 0")
+            )
+
+        c0.retire()
+        c1.retire()
+        assert acct.state == AccountantState.ACTIVE
+        assert isinstance(acct._data, dict)
+        n = acct.measure(
+            GetValue(t2.output_domain, t2.output_metric, "d")
+            | create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 2)
+        )
+        assert abs(int(n) - 50) < 40
+
+    def test_queue_transformation_on_retired_raises(self, spark, values):
+        dom = v_domain()
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), PureDP(), d_in=1,
+            privacy_budget=PureDPBudget(1),
+        )
+        acct = PrivacyAccountant.launch(sc, values)
+        acct.retire()
+        with pytest.raises(RuntimeError, match="RETIRED"):
+            acct.queue_transformation(
+                Filter(dom, SymmetricDifference(), "x > 0")
+            )
+
+    def test_queued_sibling_runs_pending_on_activation(self, spark, values):
+        """A WAITING_FOR_SIBLING child can queue transformations; they
+        run when its predecessor retires and it becomes ACTIVE."""
+        from tumult_core_spark.transformations.partition import PartitionByKeys
+
+        dom = v_domain()
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), PureDP(), d_in=1,
+            privacy_budget=PureDPBudget(2),
+        )
+        acct = PrivacyAccountant.launch(sc, values)
+        part = PartitionByKeys(
+            dom, SymmetricDifference(), False, ["g"], [("a",), ("b",)]
+        )
+        (c0, c1) = acct.split(part, PureDPBudget(2))
+        c1.queue_transformation(Filter(dom, SymmetricDifference(), "x >= 140"))
+        assert c1.state == AccountantState.WAITING_FOR_SIBLING
+        assert len(c1._pending_transformations) == 1
+        c0.retire()
+        assert c1.state == AccountantState.ACTIVE
+        assert c1._pending_transformations == []
+        n = c1.measure(
+            create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 2)
+        )
+        assert abs(int(n) - 11) < 30  # partition b has x in 50..150
+
+    def test_mixed_split_measure_transform_ordering(self, spark, values):
+        """Mixed-action scenario: measure -> transform_in_place ->
+        split -> per-child transform+measure -> parent resumes with the
+        right remaining budget and can still measure."""
+        from tumult_core_spark.transformations.partition import PartitionByKeys
+
+        dom = v_domain()
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), PureDP(), d_in=1,
+            privacy_budget=PureDPBudget(6),
+        )
+        acct = PrivacyAccountant.launch(sc, values)
+        count = create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 1)
+        acct.measure(count)  # spend 1 -> 5
+        acct.transform_in_place(Filter(dom, SymmetricDifference(), "x >= 10"))
+        (c0, c1) = acct.split(
+            PartitionByKeys(dom, SymmetricDifference(), False, ["g"],
+                            [("a",), ("b",)]),
+            PureDPBudget(2),
+        )  # spend 2 -> 3
+        c0.transform_in_place(Filter(dom, SymmetricDifference(), "x < 50"))
+        c0.measure(count)  # child budget 2 -> 1
+        with pytest.raises(ValueError, match="Insufficient budget"):
+            c0.measure(
+                create_count_measurement(
+                    dom, SymmetricDifference(), PureDP(), 1, 2
+                )
+            )
+        c0.measure(count)  # exactly exhausts the child budget
+        assert c0.privacy_budget.value == 0
+        c0.retire()
+        c1.measure(count)
+        c1.retire()
+        assert acct.state == AccountantState.ACTIVE
+        assert acct.privacy_budget.value == 3
+        acct.measure(count)
+        assert acct.privacy_budget.value == 2
+
+    def test_budget_exhaustion_mid_queryable(self, spark, values):
+        """SequentialComposition queryable: a query exceeding the
+        remaining budget fails WITHOUT consuming anything; the exact
+        remainder is still spendable afterwards."""
+        dom = v_domain()
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), PureDP(), d_in=1,
+            privacy_budget=PureDPBudget(3),
+        )
+        q = sc(values)
+        count = create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 1)
+        q(count)  # 3 -> 2
+        with pytest.raises(ValueError, match="[Ii]nsufficient"):
+            q(create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 3))
+        assert q.remaining_budget.value == 2  # failed query cost nothing
+        q(create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 2))
+        assert q.remaining_budget.value == 0
+        with pytest.raises(ValueError, match="[Ii]nsufficient"):
+            q(count)

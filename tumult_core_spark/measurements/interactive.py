@@ -200,6 +200,9 @@ class PrivacyAccountant:
         )
         self._parent = _parent
         self._children: List[PrivacyAccountant] = []
+        # transformations queued while not ACTIVE; domain/metric/d_in
+        # already reflect them, the data application is deferred
+        self._pending_transformations: List[Transformation] = []
 
     @classmethod
     def launch(
@@ -250,6 +253,49 @@ class PrivacyAccountant:
         self.input_domain = transformation.output_domain
         self.input_metric = transformation.output_metric
 
+    def queue_transformation(self, transformation: Transformation) -> None:
+        """Queue ``transformation`` to run when this accountant becomes
+        ACTIVE (reference ``interactive_measurements.py:1700-1800``).
+
+        ACTIVE -> same as :meth:`transform_in_place`.  WAITING_* ->
+        ``input_domain`` / ``input_metric`` / ``d_in`` update
+        IMMEDIATELY (so further queued transformations chain against
+        the pending output, and queries can be planned against the
+        post-transformation shape), but the data application is
+        deferred until activation.  Multiple transformations queue in
+        order.  RETIRED -> RuntimeError.
+        """
+        if self._state == AccountantState.RETIRED:
+            raise RuntimeError(
+                "Cannot queue transformations on a RETIRED accountant"
+            )
+        if self._state == AccountantState.ACTIVE:
+            self.transform_in_place(transformation)
+            return
+        # self.input_domain/metric already reflect earlier queued
+        # transformations, so validating against them chains correctly
+        if transformation.input_domain != self.input_domain:
+            raise ValueError(
+                "Transformation input domain does not match the accountant's "
+                "(pending) input domain"
+            )
+        if transformation.input_metric != self.input_metric:
+            raise ValueError(
+                "Transformation input metric does not match the accountant's "
+                "(pending) input metric"
+            )
+        self._pending_transformations.append(transformation)
+        self.d_in = transformation.stability_function(self.d_in)
+        self.input_domain = transformation.output_domain
+        self.input_metric = transformation.output_metric
+
+    def _become_active(self) -> None:
+        """Set ACTIVE and run any transformations queued while waiting
+        (domain/metric/d_in were already updated at queue time)."""
+        self._state = AccountantState.ACTIVE
+        while self._pending_transformations:
+            self._data = self._pending_transformations.pop(0)(self._data)
+
     def measure(self, measurement: Measurement, d_out: Any = None) -> Any:
         self._require_active()
         if measurement.input_domain != self.input_domain:
@@ -299,7 +345,7 @@ class PrivacyAccountant:
             for part in parts
         ]
         if self._children:
-            self._children[0]._state = AccountantState.ACTIVE
+            self._children[0]._become_active()
         self._state = AccountantState.WAITING_FOR_CHILDREN
         return self._children
 
@@ -356,9 +402,9 @@ class PrivacyAccountant:
         the last child retires."""
         index = self._children.index(child)
         if index == len(self._children) - 1:
-            self._state = AccountantState.ACTIVE
+            self._become_active()
         else:
-            self._children[index + 1]._state = AccountantState.ACTIVE
+            self._children[index + 1]._become_active()
 
     def _retire_preceding_siblings(self, child: "PrivacyAccountant") -> None:
         index = self._children.index(child)
