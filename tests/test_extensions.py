@@ -1844,3 +1844,70 @@ class TestStreamingDP:
         assert set(["window_start", "window_end", "event_type", "noisy_count"]) <= set(out.columns)
         true_total = static.count()
         assert abs(out["noisy_count"].sum() - true_total) < 100
+
+    def test_dp_windowed_counts_accounting(self, spark, tmp_path):
+        """Privacy accounting of the streaming DP counts (see
+        LIMITATIONS.md "Streaming DP counts"): tumbling windows
+        partition events into disjoint cells — verified on a crafted
+        3-window stream where every event lands in exactly one emitted
+        window — so event-level spend parallel-composes to one
+        epsilon_per_window while user-level spend is k * epsilon."""
+        import datetime as dt
+
+        import pandas as pd
+
+        from tumult_core_spark.streaming import read_stream_parquet
+        from tumult_core_spark.streaming.ops import (
+            dp_windowed_counts,
+            dp_windowed_counts_privacy,
+        )
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        base = dt.datetime(2026, 1, 1, 0, 0, 0)
+        # 3 tumbling 1-hour windows: 5, 7, 11 events; one straddler at
+        # an exact window boundary belongs to the LATER window only
+        rows = (
+            [(base + dt.timedelta(minutes=m), "u1") for m in (0, 10, 20, 30, 40)]
+            + [(base + dt.timedelta(minutes=60 + m), "u1")
+               for m in (0, 5, 15, 25, 35, 45, 55)]
+            + [(base + dt.timedelta(minutes=120 + m), "u2")
+               for m in (0, 4, 8, 12, 16, 20, 24, 28, 32, 36, 40)]
+        )
+        src = str(tmp_path / "dp_acct_src")
+        spark.createDataFrame(rows, "ts timestamp, user string").coalesce(
+            1
+        ).write.parquet(src)
+
+        collected = []
+
+        def sink(pdf, batch_id):
+            collected.append(pdf)
+
+        stream = read_stream_parquet(spark, src, nanos_ts_cols=["ts"])
+        start = dp_windowed_counts(
+            stream, "ts", epsilon_per_window=float("inf"),
+            window_duration="1 hour", watermark="0 seconds",
+        )
+        q = start(sink, output_mode="complete")
+        q.awaitTermination(120)
+        out = pd.concat(collected, ignore_index=True)
+        got = {
+            r["window_start"].to_pydatetime(): int(r["noisy_count"])
+            for _, r in out.iterrows()
+        }
+        # disjoint partition: each event in exactly one window, counts
+        # exact at epsilon=inf (noise scale 0)
+        assert got == {
+            base: 5,
+            base + dt.timedelta(hours=1): 7,
+            base + dt.timedelta(hours=2): 11,
+        }
+        assert sum(got.values()) == len(rows)
+
+        # the accounting contract the disjointness licenses
+        k = len(got)
+        assert dp_windowed_counts_privacy(0.5, k, "event") == 0.5
+        assert dp_windowed_counts_privacy(0.5, k, "user") == 0.5 * k
+        assert dp_windowed_counts_privacy(0.5, 0, "event") == 0.0
+        with pytest.raises(ValueError, match="neighboring"):
+            dp_windowed_counts_privacy(0.5, k, "row")

@@ -147,3 +147,58 @@ class TestMetrics:
         df1 = spark.createDataFrame([(1,), (2,), (3,)], ["x"])
         df2 = spark.createDataFrame([(1,), (2,), (4,)], ["x"])
         assert HammingDistance().distance(df1, df2) == 1
+
+
+class TestConfiguration:
+    """Session-config parity (reference utils/configuration.py) plus
+    the rebuild's check_spark_config validation."""
+
+    def test_temp_db_name_stable_and_unique_format(self):
+        from tumult_core_spark.utils.configuration import Config
+
+        a, b = Config.temp_db_name(), Config.temp_db_name()
+        assert a == b  # stable within the process
+        assert a.startswith("tumult_temp_")
+
+    def test_java11_config(self):
+        from tumult_core_spark.utils.configuration import get_java11_config
+
+        conf = get_java11_config()
+        assert (
+            conf.get("spark.driver.extraJavaOptions")
+            == "-Dio.netty.tryReflectionSetAccessible=true"
+        )
+        assert (
+            conf.get("spark.executor.extraJavaOptions")
+            == "-Dio.netty.tryReflectionSetAccessible=true"
+        )
+
+    def test_check_spark_config_clean_session(self, spark):
+        from tumult_core_spark.utils.configuration import check_spark_config
+
+        # the test session enables arrow + UTC, so no diagnostics
+        assert check_spark_config(spark) == []
+        assert check_spark_config(spark, strict=True) == []
+
+    def test_check_spark_config_flags_and_restores(self, spark):
+        from tumult_core_spark.utils.configuration import (
+            SparkConfigError,
+            check_spark_config,
+        )
+
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            problems = check_spark_config(spark)
+            assert any("timezone" in p.lower() for p in problems)
+            with pytest.raises(SparkConfigError, match="timezone"):
+                check_spark_config(spark, strict=True)
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", tz)
+
+        try:
+            spark.conf.set("spark.sql.ansi.enabled", "true")
+            with pytest.raises(SparkConfigError, match="ansi"):
+                check_spark_config(spark)
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", "false")

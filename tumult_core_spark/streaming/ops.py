@@ -435,3 +435,40 @@ def dp_windowed_counts(
         )
 
     return start
+
+
+def dp_windowed_counts_privacy(
+    epsilon_per_window: float,
+    n_windows: int,
+    neighboring: str = "event",
+) -> float:
+    """Total privacy spend of a :func:`dp_windowed_counts` stream that
+    has emitted ``n_windows`` windows.
+
+    The accounting model (see LIMITATIONS.md "Streaming DP counts"):
+
+    - ``neighboring="event"`` — neighboring streams differ by ONE
+      event.  Tumbling windows partition event time into disjoint
+      cells and the grouped count partitions each window further, so
+      one event changes exactly one emitted (window, group) count.
+      Parallel composition applies: the total spend is
+      ``epsilon_per_window`` regardless of how many windows the
+      stream emits.
+    - ``neighboring="user"`` — neighboring streams differ by all
+      events of one user.  A user may contribute to every window, so
+      the per-window mechanisms compose sequentially across windows:
+      ``n_windows * epsilon_per_window``.  (Within ONE window the
+      grouped counts still parallel-compose over groups, but a user
+      with unbounded rows per window also has unbounded sensitivity —
+      bound it upstream with LimitRowsPerGroup before relying on this
+      number.)
+    """
+    if epsilon_per_window < 0:
+        raise ValueError("epsilon_per_window must be >= 0")
+    if n_windows < 0:
+        raise ValueError("n_windows must be >= 0")
+    if neighboring == "event":
+        return epsilon_per_window if n_windows > 0 else 0.0
+    if neighboring == "user":
+        return n_windows * epsilon_per_window
+    raise ValueError(f"unknown neighboring model: {neighboring!r}")
