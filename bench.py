@@ -376,6 +376,114 @@ def bench_text_quality(spark):
     tfidf_top_terms(docs, k=3).count()
 
 
+def _scaled_union(df, k: int, id_cols):
+    """k disjoint copies of ``df`` with each id column shifted per copy
+    — the honest way to scale row count 10x without changing the data
+    distribution (duplicate ids would instead change dedup/join
+    selectivity)."""
+    from pyspark.sql import functions as F
+
+    if k == 1:
+        return df
+    out = None
+    for i in range(k):
+        part = df
+        for c in id_cols:
+            part = part.withColumn(c, F.col(c) + F.lit(i * 10_000_000))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def sf_sweep(spark, k: int = 10):
+    """Wall-clock scaling evidence for the heavy extension operators:
+    each op runs on 1x and kx the SF's rows (k id-shifted copies), one
+    timed run each after the main benchmark loop has warmed the op
+    family.  ``factor`` = t_kx / t_1x; linear scaling on a fixed
+    32-core machine is ``k``, and anything <= ~1.5*k rules out a
+    super-linear blowup (quadratic pair explosion, driver-state
+    accumulation) at the next order of magnitude."""
+    from pyspark.sql import functions as F
+
+    from tumult_core_spark.extensions.components import connected_components
+    from tumult_core_spark.extensions.dedup import decontaminate, dedup_paragraphs
+    from tumult_core_spark.extensions.text import (
+        bpe_encode,
+        bpe_train,
+        repetition_stats,
+        tfidf_top_terms,
+    )
+
+    docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def docs(scale):
+        return _scaled_union(docs0, scale, ["doc_id"]).repartition(CPUS)
+
+    def edges(scale):
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+            (F.col("c_custkey") + F.lit(1_000_000)).alias("id_a"),
+            F.col("c_nationkey").cast("long").alias("id_b"),
+        )
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+            (F.col("o_orderkey") + F.lit(2_000_000)).alias("id_a"),
+            (F.col("o_custkey") + F.lit(1_000_000)).alias("id_b"),
+        )
+        return _scaled_union(cust.unionByName(orders), scale, ["id_a", "id_b"])
+
+    def op_components(scale):
+        connected_components(edges(scale)).count()
+
+    def op_dedup_paragraphs(scale):
+        dedup_paragraphs(docs(scale), separator=" table ").count()
+
+    def op_text_quality(scale):
+        d = docs(scale)
+        repetition_stats(d).count()
+        tfidf_top_terms(d, k=3).count()
+
+    def op_bpe(scale):
+        d = docs(scale)
+        bpe_encode(d, merges=bpe_train(d, num_merges=30)).count()
+
+    def op_decontaminate(scale):
+        d = docs(scale)
+        holdout = d.filter("doc_id % 50 = 0").withColumn(
+            "doc_id", F.col("doc_id") + 500_000_000
+        )
+        decontaminate(d, holdout, "doc_id", "text", threshold=0.99).count()
+
+    ops = {
+        "components": op_components,
+        "dedup_paragraphs": op_dedup_paragraphs,
+        "text_quality": op_text_quality,
+        "bpe": op_bpe,
+        "decontaminate": op_decontaminate,
+    }
+    results = {}
+    for name, fn in ops.items():
+        try:
+            spark.catalog.clearCache()
+            fn(1)  # warm the op family so t_1x is not codegen/UDF startup
+            times = {}
+            for scale in (1, k):
+                start = time.perf_counter()
+                fn(scale)
+                times[scale] = round(time.perf_counter() - start, 3)
+            results[name] = {
+                "t_1x": times[1],
+                f"t_{k}x": times[k],
+                "factor": round(times[k] / max(times[1], 1e-9), 2),
+            }
+        except Exception as exc:  # pragma: no cover
+            results[name] = {"error": str(exc)[:200]}
+            print(f"# sf_sweep {name} failed: {exc}", file=sys.stderr)
+    return {
+        "scale_multiplier": k,
+        "method": "k id-shifted disjoint copies of the SF tables, "
+        "one timed run per scale on the same cores (linear = factor k)",
+        "ops": results,
+    }
+
+
 BENCHES = {
     "groupby_count_sum": bench_groupby_count_sum,
     "quantile": bench_quantile,
@@ -442,6 +550,10 @@ def main():
             print(f"# bench {name} failed: {exc}", file=sys.stderr)
     total = round(sum(v for v in timings.values() if v is not None), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # cross-SF scale evidence (skippable for quick local iteration)
+    sweep = None
+    if os.environ.get("SPARK_GRAFT_SKIP_SWEEP", "") != "1":
+        sweep = sf_sweep(spark, k=int(os.environ.get("SPARK_GRAFT_SWEEP_K", "10")))
     out = {
         "metric": "headline_queries_wall_clock",
         "value": total,
@@ -462,6 +574,8 @@ def main():
         "aggregation": "median",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if sweep is not None:
+        out["sf_sweep"] = sweep
     # Per-workload rebuild/reference ratio against the measured reference
     # baseline (benchmarks/reference_bench.py -> REFERENCE_BENCH.json).
     # The reference numbers are a lower bound (its shims only speed it

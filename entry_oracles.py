@@ -190,6 +190,27 @@ def oracle_sql() -> dict[str, str]:
                          6) AS var_qty
             FROM s
         """,
+        "variance_intermediates": """
+            WITH keys(l_returnflag) AS (VALUES ('A'),('N'),('R'),('X')),
+            b AS (SELECT l_returnflag,
+                         LEAST(GREATEST(CAST(FLOOR(l_quantity) AS BIGINT), 0),
+                               50) - 25 AS d
+                  FROM lineitem),
+            s AS (SELECT l_returnflag, SUM(d) AS sod, SUM(d * d) AS sos,
+                         COUNT(*) AS n
+                  FROM b GROUP BY 1)
+            SELECT k.l_returnflag,
+                   ROUND(CASE WHEN COALESCE(n, 0) = 0 THEN 0.0
+                              ELSE GREATEST(CAST(sos AS DOUBLE) / n
+                                            - (CAST(sod AS DOUBLE) / n)
+                                              * (CAST(sod AS DOUBLE) / n),
+                                            0.0)
+                         END, 6) AS var_qty,
+                   CAST(COALESCE(sod, 0) AS BIGINT) AS sod_qty,
+                   CAST(COALESCE(sos, 0) AS BIGINT) AS sos_qty,
+                   CAST(COALESCE(n, 0) AS BIGINT) AS n
+            FROM keys k LEFT JOIN s USING (l_returnflag)
+        """,
         "public_join": """
             SELECT o.o_custkey AS c_custkey, o.o_orderkey, o.o_totalprice, c.c_name
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey

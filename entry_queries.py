@@ -210,6 +210,35 @@ def q_variance(spark, sf_dir):
     return out.select(F.round("var_qty", 6).alias("var_qty"))
 
 
+def q_variance_intermediates(spark, sf_dir):
+    """Grouped variance with keep_intermediates: the noisy sod/sos/
+    count accompany the variance column (noise-off here, so all four
+    are exact and SQL-replayable, including the 0-filled absent key)."""
+    from tumult_core_spark.base import ChainTM
+    from tumult_core_spark.measures import PureDP
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.measurements.aggregations import (
+        create_variance_measurement,
+    )
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    derive, dom2 = _with_qty_long(li, dom)
+    m = create_variance_measurement(
+        dom2, SymmetricDifference(), PureDP(), 1, INF,
+        measure_column="qty", lower=0, upper=50,
+        groupby_transformation=_flag_keys_groupby(dom2),
+        variance_column="var_qty", keep_intermediates=True,
+        sum_of_deviations_column="sod_qty",
+        sum_of_squared_deviations_column="sos_qty", count_column="n",
+    )
+    out = ChainTM(derive, m)(li)
+    return out.select(
+        "l_returnflag", F.round("var_qty", 6).alias("var_qty"),
+        "sod_qty", "sos_qty", "n",
+    )
+
+
 def q_public_join(spark, sf_dir):
     from tumult_core_spark.metrics import SymmetricDifference
     from tumult_core_spark.transformations.join import PublicJoin
@@ -1458,6 +1487,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         # --- fixed after r4's hash flake (decimal-mean) ---
         "profile_numeric": q_profile_numeric,
+        # --- new in r5 (keep_intermediates surface) ---
+        "variance_intermediates": q_variance_intermediates,
         # --- last driver-checked in r3 ---
         "add_unique_column": q_add_unique_column,
         "join_on_nulls": q_join_on_nulls,
