@@ -696,6 +696,21 @@ class TestSimilarity:
 
 
 class TestSQ:
+    def test_ragged_vectors_rejected(self, spark):
+        """sq_fit validates uniform dimensionality in the fit scan:
+        ragged input raises instead of silently producing NULL-skewed
+        bounds and variable-length codes."""
+        import pytest as _pytest
+
+        from tumult_core_spark.extensions.similarity import sq_fit
+
+        ragged = spark.createDataFrame(
+            [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0]), (3, [0.0, 1.0, 2.0])],
+            "vec_id long, embedding array<double>",
+        )
+        with _pytest.raises(ValueError, match="ragged"):
+            sq_fit(ragged, "embedding")
+
     def test_codes_match_numpy(self, spark, embs):
         import numpy as np
 
@@ -1372,6 +1387,39 @@ class TestMultimodal:
 
 
 class TestRollingAndSessions:
+    def test_rolling_sum_overflow_guard_per_key(self, spark):
+        """The overflow guard bounds per-key SUM(|x|), so many values
+        each individually small still trip it before the decimal
+        accumulator could silently overflow to NULL."""
+        from datetime import datetime, timedelta
+
+        import pytest as _pytest
+
+        from tumult_core_spark.extensions.timeseries import rolling_aggregate
+
+        base = datetime(2024, 1, 1)
+        # 4 values of 3e25: each below the old 1e26 per-value bound,
+        # but SUM(|x|) = 1.2e26 exceeds the DECIMAL(38,12) capacity
+        rows = [
+            (i, 1, base + timedelta(seconds=i), 3.0e25) for i in range(4)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        )
+        with _pytest.raises(ValueError, match="SUM"):
+            rolling_aggregate(df, ["user_id"], "ts", "value", 3600)
+
+        # the same magnitudes split across DIFFERENT keys stay under
+        # the per-key bound and succeed
+        ok_rows = [
+            (i, i, base + timedelta(seconds=i), 3.0e25) for i in range(4)
+        ]
+        ok = spark.createDataFrame(
+            ok_rows, "event_id long, user_id long, ts timestamp, value double"
+        )
+        out = rolling_aggregate(ok, ["user_id"], "ts", "value", 3600)
+        assert out.count() == 4
+
     def test_rolling_aggregate_hand_case(self, spark):
         from datetime import datetime
 

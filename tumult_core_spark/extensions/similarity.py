@@ -855,18 +855,21 @@ def sq_fit(corpus: DataFrame, vector_col: str = "embedding"):
             f"(first row has size {d!r})"
         )
     vec = F.col(vector_col).cast("array<double>")
-    # ragged input would otherwise corrupt silently: element_at past a
-    # short vector yields NULL, min/max skip NULLs, and the encoder
-    # would emit variable-length codes — so validate uniform length in
-    # the SAME scan (two extra map-side-combined aggregates, no extra
-    # pass)
+    # ragged input must fail LOUDLY, not corrupt: validate uniform
+    # length in the SAME scan (two extra map-side-combined aggregates,
+    # no extra pass).  The per-dimension aggregates use
+    # try_element_at — Spark 4's element_at throws on an out-of-bounds
+    # index, which would abort the scan with an index error before the
+    # ragged check below could produce its diagnostic; try_element_at
+    # yields NULL there (min/max skip it) and the size aggregates then
+    # reject the input with the real reason.
     aggs = [
         F.min(F.size(F.col(vector_col))).alias("__dmin"),
         F.max(F.size(F.col(vector_col))).alias("__dmax"),
     ]
     for i in range(d):
-        aggs.append(F.min(F.element_at(vec, i + 1)).alias(f"lo{i}"))
-        aggs.append(F.max(F.element_at(vec, i + 1)).alias(f"hi{i}"))
+        aggs.append(F.min(F.try_element_at(vec, F.lit(i + 1))).alias(f"lo{i}"))
+        aggs.append(F.max(F.try_element_at(vec, F.lit(i + 1))).alias(f"hi{i}"))
     row = corpus.agg(*aggs).first()
     if row["__dmin"] != d or row["__dmax"] != d:
         raise ValueError(
