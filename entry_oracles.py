@@ -190,6 +190,18 @@ def oracle_sql() -> dict[str, str]:
                          6) AS var_qty
             FROM s
         """,
+        "json_extract": """
+            SELECT event_type,
+                   COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS n_with_k,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS sum_k,
+                   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS min_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS max_k
+            FROM events GROUP BY 1
+        """,
         "variance_intermediates": """
             WITH keys(l_returnflag) AS (VALUES ('A'),('N'),('R'),('X')),
             b AS (SELECT l_returnflag,

@@ -239,6 +239,26 @@ def q_variance_intermediates(spark, sf_dir):
     )
 
 
+def q_json_extract(spark, sf_dir):
+    """Typed JSON field extraction from the events.props column (pure
+    Catalyst get_json_object) feeding a grouped aggregate — the
+    semi-structured projection every event pipeline runs at scan
+    speed."""
+    from tumult_core_spark.extensions.semistructured import extract_json_fields
+
+    ev = _load(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    out = extract_json_fields(ev, "props", {"k": ("$.k", "long")})
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def q_public_join(spark, sf_dir):
     from tumult_core_spark.metrics import SymmetricDifference
     from tumult_core_spark.transformations.join import PublicJoin
@@ -1487,8 +1507,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         # --- fixed after r4's hash flake (decimal-mean) ---
         "profile_numeric": q_profile_numeric,
-        # --- new in r5 (keep_intermediates surface) ---
+        # --- new in r5 (keep_intermediates + semistructured surfaces) ---
         "variance_intermediates": q_variance_intermediates,
+        "json_extract": q_json_extract,
         # --- last driver-checked in r3 ---
         "add_unique_column": q_add_unique_column,
         "join_on_nulls": q_join_on_nulls,

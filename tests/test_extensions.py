@@ -1959,3 +1959,92 @@ class TestStreamingDP:
         assert dp_windowed_counts_privacy(0.5, 0, "event") == 0.0
         with pytest.raises(ValueError, match="neighboring"):
             dp_windowed_counts_privacy(0.5, k, "row")
+
+
+class TestSemistructured:
+    def test_extract_json_fields_typed_and_missing(self, spark):
+        from tumult_core_spark.extensions.semistructured import (
+            extract_json_fields,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, '{"k": 7, "tag": "a", "nested": {"x": 1.5}}'),
+                (2, '{"k": "12", "nested": {}}'),   # numeric string casts
+                (3, 'not json at all'),
+                (4, None),
+            ],
+            "id long, props string",
+        )
+        out = extract_json_fields(
+            df, "props",
+            {
+                "k": ("$.k", "long"),
+                "tag": "$.tag",
+                "x": ("$.nested.x", "double"),
+            },
+        ).orderBy("id")
+        rows = [tuple(r) for r in out.collect()]
+        assert rows == [
+            (1, 7, "a", 1.5),
+            (2, 12, None, None),
+            (3, None, None, None),
+            (4, None, None, None),
+        ]
+        assert "props" not in out.columns  # dropped unless keep_json
+
+    def test_flatten_json_parses_once_with_schema(self, spark):
+        from tumult_core_spark.extensions.semistructured import flatten_json
+
+        df = spark.createDataFrame(
+            [(1, '{"a": 3, "b": "hi"}'), (2, '{"a": null}'), (3, "broken")],
+            "id long, j string",
+        )
+        out = flatten_json(df, "j", "a long, b string").orderBy("id")
+        assert [tuple(r) for r in out.collect()] == [
+            (1, 3, "hi"), (2, None, None), (3, None, None),
+        ]
+        with pytest.raises(ValueError, match="collide"):
+            flatten_json(df, "j", "id long, b string")
+
+    def test_infer_json_schema_bounded_sample(self, spark):
+        from tumult_core_spark.extensions.semistructured import (
+            infer_json_schema,
+        )
+
+        df = spark.createDataFrame(
+            [(f'{{"k": {i}, "s": "v{i}"}}',) for i in range(50)]
+            + [(None,)],
+            "props string",
+        )
+        schema = infer_json_schema(df, "props", sample_rows=10)
+        assert {f.name for f in schema.fields} == {"k", "s"}
+
+    def test_json_array_explode_outer(self, spark):
+        from tumult_core_spark.extensions.semistructured import (
+            json_array_explode,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, '[{"t": "a", "n": 1}, {"t": "b", "n": 2}]'),
+                (2, "[]"),
+                (3, None),
+            ],
+            "id long, calls string",
+        )
+        out = json_array_explode(df, "calls", "t string, n long").orderBy("id")
+        rows = [(r["id"], None if r["element"] is None else tuple(r["element"]))
+                for r in out.collect()]
+        assert rows == [(1, ("a", 1)), (1, ("b", 2)), (2, None), (3, None)]
+
+    def test_extract_is_pure_catalyst(self, spark):
+        """No Python in the plan: extraction must stay in codegen."""
+        from tumult_core_spark.extensions.semistructured import (
+            extract_json_fields,
+        )
+
+        df = spark.createDataFrame([(1, '{"k": 2}')], "id long, props string")
+        out = extract_json_fields(df, "props", {"k": ("$.k", "long")})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
