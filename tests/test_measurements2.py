@@ -750,3 +750,23 @@ class TestDictionary:
         assert q.remaining_budget.value == 0
         with pytest.raises(ValueError, match="[Ii]nsufficient"):
             q(count)
+
+    def test_transform_with_explicit_d_out(self, spark, values):
+        """transform_in_place/queue_transformation accept a claimed
+        d_out validated against the stability relation; an unsound
+        claim is rejected, a sound one becomes the new d_in."""
+        dom = v_domain()
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), PureDP(), d_in=1,
+            privacy_budget=PureDPBudget(2),
+        )
+        acct = PrivacyAccountant.launch(sc, values)
+        f = Filter(dom, SymmetricDifference(), "x > 0")
+        with pytest.raises(ValueError, match="stability relation"):
+            acct.transform_in_place(f, d_out=ExactNumber("1/2"))
+        acct.transform_in_place(f, d_out=5)  # sound (>= true bound 1)
+        assert acct.d_in == 5
+        acct.measure(
+            create_count_measurement(dom, SymmetricDifference(), PureDP(), 5, 2)
+        )
+        assert acct.privacy_budget.value == 0

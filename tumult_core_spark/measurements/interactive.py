@@ -242,18 +242,41 @@ class PrivacyAccountant:
         if self._state != AccountantState.ACTIVE:
             raise RuntimeError(f"Accountant is {self._state.value}, not active")
 
-    def transform_in_place(self, transformation: Transformation) -> None:
+    def transform_in_place(
+        self, transformation: Transformation, d_out: Any = None
+    ) -> None:
+        """Apply ``transformation`` to the private data in place.
+
+        ``d_out``, when given, claims an output distance for the
+        transformation at the accountant's current ``d_in``; it is
+        validated against ``stability_relation`` and then used as the
+        new ``d_in`` (reference ``interactive_measurements.py``
+        transform_in_place d_out semantics — useful when the claimed
+        bound is tighter than ``stability_function``'s generic one).
+        """
         self._require_active()
         if transformation.input_domain != self.input_domain:
             raise ValueError("Transformation input domain does not match")
         if transformation.input_metric != self.input_metric:
             raise ValueError("Transformation input metric does not match")
+        if d_out is not None and not transformation.stability_relation(
+            self.d_in, d_out
+        ):
+            raise ValueError(
+                f"Claimed d_out {d_out} does not satisfy the transformation's "
+                f"stability relation at d_in {self.d_in}"
+            )
         self._data = transformation(self._data)
-        self.d_in = transformation.stability_function(self.d_in)
+        self.d_in = (
+            d_out if d_out is not None
+            else transformation.stability_function(self.d_in)
+        )
         self.input_domain = transformation.output_domain
         self.input_metric = transformation.output_metric
 
-    def queue_transformation(self, transformation: Transformation) -> None:
+    def queue_transformation(
+        self, transformation: Transformation, d_out: Any = None
+    ) -> None:
         """Queue ``transformation`` to run when this accountant becomes
         ACTIVE (reference ``interactive_measurements.py:1700-1800``).
 
@@ -270,7 +293,7 @@ class PrivacyAccountant:
                 "Cannot queue transformations on a RETIRED accountant"
             )
         if self._state == AccountantState.ACTIVE:
-            self.transform_in_place(transformation)
+            self.transform_in_place(transformation, d_out=d_out)
             return
         # self.input_domain/metric already reflect earlier queued
         # transformations, so validating against them chains correctly
@@ -284,8 +307,18 @@ class PrivacyAccountant:
                 "Transformation input metric does not match the accountant's "
                 "(pending) input metric"
             )
+        if d_out is not None and not transformation.stability_relation(
+            self.d_in, d_out
+        ):
+            raise ValueError(
+                f"Claimed d_out {d_out} does not satisfy the transformation's "
+                f"stability relation at d_in {self.d_in}"
+            )
         self._pending_transformations.append(transformation)
-        self.d_in = transformation.stability_function(self.d_in)
+        self.d_in = (
+            d_out if d_out is not None
+            else transformation.stability_function(self.d_in)
+        )
         self.input_domain = transformation.output_domain
         self.input_metric = transformation.output_metric
 
