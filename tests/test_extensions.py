@@ -2048,3 +2048,142 @@ class TestSemistructured:
         out = extract_json_fields(df, "props", {"k": ("$.k", "long")})
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestEmptyInputs:
+    """Every extension op must handle 0-row input cleanly: relational
+    ops return an empty result with the right schema; fit-style ops
+    raise a clear ValueError — never an index error or a Py4J crash.
+    At corpus scale an empty filter result is routine, and an op that
+    crashes on it takes the whole pipeline down."""
+
+    @pytest.fixture()
+    def empty_docs(self, spark):
+        return spark.createDataFrame(
+            [], "doc_id long, text string, lang string, source string, n_chars long"
+        )
+
+    @pytest.fixture()
+    def empty_embs(self, spark):
+        return spark.createDataFrame(
+            [], "vec_id long, embedding array<double>, label int"
+        )
+
+    @pytest.fixture()
+    def empty_events(self, spark):
+        return spark.createDataFrame(
+            [], "event_id long, user_id long, ts timestamp, value double,"
+            " event_type string"
+        )
+
+    def test_relational_ops_return_empty(
+        self, spark, empty_docs, empty_embs, empty_events
+    ):
+        from pyspark.sql import functions as F
+
+        from tumult_core_spark.extensions import (
+            components,
+            dedup,
+            packing,
+            sampling,
+            similarity,
+            text,
+            timeseries,
+        )
+
+        edges = spark.createDataFrame([], "id_a long, id_b long")
+        cases = {
+            "exact_dedup": lambda: dedup.exact_dedup(empty_docs, ["text"]),
+            "minhash_pairs": lambda: dedup.minhash_lsh_candidate_pairs(
+                empty_docs, "doc_id", "text", 16, 4
+            ),
+            "dedup_paragraphs": lambda: dedup.dedup_paragraphs(empty_docs),
+            "decontaminate": lambda: dedup.decontaminate(
+                empty_docs, empty_docs, "doc_id", "text"
+            ),
+            "ngram_jaccard": lambda: dedup.ngram_jaccard_pairs(
+                empty_docs, "doc_id", "text"
+            ),
+            "fuzzy_join": lambda: dedup.fuzzy_join_edit1(
+                empty_docs.select("doc_id", "text"),
+                empty_docs.select(
+                    F.col("doc_id").alias("rid"), F.col("text").alias("rtext")
+                ),
+                "text", "rtext", "doc_id", "rid",
+            ),
+            "connected_components": lambda: components.connected_components(
+                edges
+            ),
+            "embedding_near_dups": lambda: similarity.embedding_near_duplicates(
+                empty_embs, "vec_id", "embedding"
+            ),
+            "token_count": lambda: text.token_count(empty_docs),
+            "repetition_stats": lambda: text.repetition_stats(empty_docs),
+            "tfidf": lambda: text.tfidf_top_terms(empty_docs, k=2),
+            "unigram_logprob": lambda: text.unigram_logprob(empty_docs),
+            "chunk_documents": lambda: text.chunk_documents(
+                empty_docs, max_tokens=10, overlap=2
+            ),
+            "pack_sequences": lambda: packing.pack_sequences(
+                text.chunk_documents(empty_docs, max_tokens=10, overlap=2),
+                "doc_id", "chunk_tokens", 100,
+            ),
+            "hash_split": lambda: sampling.hash_split(
+                empty_docs, "doc_id", [("a", 0.5), ("b", 0.5)], seed=1
+            ),
+            "stratified_sample": lambda: sampling.stratified_sample(
+                empty_docs, "lang", "doc_id", 10, seed=1
+            ),
+            "temperature_mix": lambda: sampling.temperature_mix(
+                empty_docs, "source", "doc_id", temperature=2.0
+            ),
+            "asof_join": lambda: timeseries.asof_join(
+                empty_events.select("event_id", "user_id", "ts"),
+                empty_events.select(
+                    "user_id", "ts", F.col("value").alias("v")
+                ),
+                ["user_id"], "ts",
+            ),
+            "rolling_aggregate": lambda: timeseries.rolling_aggregate(
+                empty_events, ["user_id"], "ts", "value", 60
+            ),
+            "sessionize_batch": lambda: timeseries.sessionize_batch(
+                empty_events, "user_id", "ts"
+            ),
+            "time_rollup": lambda: timeseries.time_rollup(
+                empty_events, "ts", "1 hour"
+            ),
+        }
+        failures = []
+        for name, fn in cases.items():
+            try:
+                assert fn().count() == 0
+            except Exception as exc:  # noqa: BLE001
+                failures.append(f"{name}: {type(exc).__name__}: {exc}")
+        assert not failures, "\n".join(failures)
+
+    def test_fit_ops_raise_clearly(self, spark, empty_docs, empty_embs):
+        from pyspark.sql import functions as F
+
+        from tumult_core_spark.extensions import similarity
+
+        for name, fn in {
+            "pca_fit": lambda: similarity.pca_fit(empty_embs, "embedding", k=2),
+            "sq_fit": lambda: similarity.sq_fit(empty_embs, "embedding"),
+            "pq_fit": lambda: similarity.pq_fit(empty_embs, "embedding"),
+            "kmeans_centroids": lambda: similarity.kmeans_centroids(
+                empty_embs, "embedding", 2
+            ),
+            "brute_force_knn": lambda: similarity.brute_force_knn(
+                empty_embs,
+                empty_embs.select(F.col("vec_id").alias("qid"), "embedding"),
+                "vec_id", "qid", "embedding", k=3,
+            ),
+        }.items():
+            with pytest.raises(ValueError):
+                fn()
+
+    def test_bpe_train_empty_returns_no_merges(self, spark, empty_docs):
+        from tumult_core_spark.extensions.text import bpe_train
+
+        assert bpe_train(empty_docs, num_merges=5) == []

@@ -150,6 +150,10 @@ def kmeans_centroids(
     given (corpus, seed).  Empty cells keep their previous centroid.
     """
     cents = sample_centroids(corpus, vector_col, num_centroids, seed)
+    if not cents.head(1):
+        # consistent with pca_fit / sq_fit / pq_fit: a fit on nothing
+        # is a caller error, not an empty result to propagate silently
+        raise ValueError("empty corpus")
     c = corpus.select(F.col(vector_col).cast("array<double>").alias("__v"))
     for _ in range(max(0, iterations)):
         assigned = _nearest_centroids(
