@@ -713,3 +713,39 @@ class TestComposedMeasurementDistributions:
             self.TRUE_SOS * self.N_GROUPS
         )
         assert out["variance"] == pytest.approx(0.0)
+
+    def test_approxdp_delta_pos_average_intermediates(self, spark):
+        """ApproxDP with delta>0 routes the composed average through
+        the zCDP core at rho = (sqrt(L+eps)-sqrt(L))^2, L = ln(1/delta)
+        (Bun-Steinke matched). End-to-end check of the ACTUAL noise:
+        sod must be Gaussian at sigma^2 = sens^2/(2*(rho/2)) and count
+        discrete Gaussian at sigma^2 = 1/rho — drawn through the full
+        Spark path, not just asserted on the privacy function."""
+        from tumult_core_spark.measures import ApproxDP
+        from tumult_core_spark.metrics import SymmetricDifference
+        from tumult_core_spark.measurements.aggregations import (
+            create_average_measurement,
+        )
+
+        eps, delta = 1.0, 1e-5
+        L = math.log(1 / delta)
+        rho = (math.sqrt(L + eps) - math.sqrt(L)) ** 2
+
+        df = self._dataset(spark)
+        dom, gb = self._domain_and_groupby(df, use_l2=True)
+        m = create_average_measurement(
+            dom, SymmetricDifference(), ApproxDP(), 1, (1, "1/100000"),
+            "x", 0, 10,
+            groupby_transformation=gb, keep_intermediates=True,
+            average_column="avg_x", sum_column="sod_x", count_column="n",
+        )
+        rows = m(df).collect()
+        assert len(rows) == self.N_GROUPS
+        sod_noise = np.array([r["sod_x"] - self.TRUE_SOD for r in rows])
+        cnt_noise = np.array([r["n"] - 1 for r in rows])
+        sigma_sod = math.sqrt(25.0 / rho)  # sens 5, share rho/2
+        p = ks_pvalue(
+            ks_statistic(sod_noise, gaussian_cdf(sigma_sod)), len(sod_noise)
+        )
+        assert p > P_THRESHOLD, f"sod KS p={p} (sigma {sigma_sod:.2f})"
+        self._check_discrete_gaussian(cnt_noise, 1.0 / rho)
