@@ -770,3 +770,90 @@ class TestDictionary:
             create_count_measurement(dom, SymmetricDifference(), PureDP(), 5, 2)
         )
         assert acct.privacy_budget.value == 0
+
+    def test_make_interactive_single_use(self, spark, values):
+        """MakeInteractive wraps a non-interactive measurement as a
+        queryable that answers EXACTLY once (reference
+        interactive_measurements.py:724): second call refuses, privacy
+        function passes through, wrapping an interactive measurement is
+        rejected."""
+        from tumult_core_spark.measurements.interactive import MakeInteractive
+
+        dom = v_domain()
+        count = create_count_measurement(
+            dom, SymmetricDifference(), PureDP(), 1, 2
+        )
+        mi = MakeInteractive(count)
+        assert mi.is_interactive
+        assert mi.privacy_function(1) == count.privacy_function(1)
+        q = mi(values)
+        out = q()
+        assert int(out) >= 0
+        with pytest.raises(RuntimeError, match="already answered"):
+            q()
+        with pytest.raises(ValueError, match="already interactive"):
+            MakeInteractive(mi)
+
+    def test_decorate_queryable_pre_and_post(self, spark, values):
+        """DecorateQueryable wraps an interactive measurement's
+        queryable with query preprocessing and answer postprocessing
+        (reference interactive_measurements.py:413); privacy function
+        passes through and a non-interactive inner is rejected."""
+        from tumult_core_spark.measurements.interactive import (
+            DecorateQueryable,
+            SequentialComposition,
+        )
+
+        dom = v_domain()
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), PureDP(), d_in=1,
+            privacy_budget=PureDPBudget(3),
+        )
+
+        # queries arrive as plain epsilon numbers; answers leave as dicts
+        def pre(eps):
+            return create_count_measurement(
+                dom, SymmetricDifference(), PureDP(), 1, eps
+            )
+
+        def post(ans):
+            return {"count": int(ans)}
+
+        dq = DecorateQueryable(sc, pre, post)
+        assert dq.is_interactive
+        assert dq.privacy_function(1) == sc.privacy_function(1)
+        queryable = dq(values)
+        a1 = queryable(1)
+        a2 = queryable(2)
+        assert set(a1) == {"count"} and set(a2) == {"count"}
+        assert abs(a1["count"] - 201) < 60  # 201 rows, eps=1
+
+        count = create_count_measurement(
+            dom, SymmetricDifference(), PureDP(), 1, 1
+        )
+        with pytest.raises(ValueError, match="interactive"):
+            DecorateQueryable(count, pre, post)
+
+    def test_decorated_budget_still_enforced(self, spark, values):
+        """Decoration must not bypass the inner queryable's budget."""
+        from tumult_core_spark.measurements.interactive import (
+            DecorateQueryable,
+            SequentialComposition,
+        )
+
+        dom = v_domain()
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), PureDP(), d_in=1,
+            privacy_budget=PureDPBudget(1),
+        )
+        dq = DecorateQueryable(
+            sc,
+            lambda eps: create_count_measurement(
+                dom, SymmetricDifference(), PureDP(), 1, eps
+            ),
+            int,
+        )
+        queryable = dq(values)
+        queryable(1)
+        with pytest.raises(ValueError, match="[Ii]nsufficient"):
+            queryable(1)
