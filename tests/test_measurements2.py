@@ -857,3 +857,25 @@ class TestDictionary:
         queryable(1)
         with pytest.raises(ValueError, match="[Ii]nsufficient"):
             queryable(1)
+
+    def test_sequential_queryable_transform(self, spark, values):
+        """SequentialQueryable.transform rewrites the held data in
+        place (d_in via stability); subsequent queries see the
+        transformed relation and budget accounting is unchanged."""
+        dom = v_domain()
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), PureDP(), d_in=1,
+            privacy_budget=PureDPBudget(2),
+        )
+        q = sc(values)
+        q.transform(Filter(dom, SymmetricDifference(), "x >= 140"))
+        n = q(create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 2))
+        assert abs(int(n) - 11) < 15  # 11 rows have x >= 140
+        assert q.remaining_budget.value == 0
+        with pytest.raises(ValueError):
+            q.transform(
+                Filter(
+                    SparkDataFrameDomain({"z": INT}),
+                    SymmetricDifference(), "z > 0",
+                )
+            )

@@ -299,3 +299,46 @@ def test_temperature_one_keeps_everything(counts):
     from tumult_core_spark.extensions.sampling import _MOD, temperature_thresholds
 
     assert set(temperature_thresholds(counts, 1.0).values()) == {_MOD}
+
+
+class TestJsonExtractionProperty:
+    """Property: for any flat dict of typed values, json.dumps ->
+    extract_json_fields round-trips every field (Catalyst JSON parsing
+    agrees with Python's encoder)."""
+
+    @given(
+        st.dictionaries(
+            # keys: lowercase identifier-ish (Spark column resolution is
+            # case-insensitive and JSONPath dislikes leading digits)
+            st.from_regex(r"[a-z][a-z0-9]{0,7}", fullmatch=True),
+            st.one_of(
+                st.integers(min_value=-(2**53), max_value=2**53),
+                st.text(max_size=20),
+                st.booleans(),
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_roundtrip(self, payload):
+        import json
+
+        from tumult_core_spark.extensions.semistructured import (
+            extract_json_fields,
+        )
+        from tumult_core_spark.utils.misc import get_spark
+
+        spark = get_spark("prop-json", cpus=2)
+        df = spark.createDataFrame([(json.dumps(payload),)], "j string")
+        fields = {}
+        for k, v in payload.items():
+            if isinstance(v, bool):
+                fields[f"f_{k}"] = (f"$.{k}", "boolean")
+            elif isinstance(v, int):
+                fields[f"f_{k}"] = (f"$.{k}", "long")
+            else:
+                fields[f"f_{k}"] = f"$.{k}"
+        row = extract_json_fields(df, "j", fields).first()
+        for k, v in payload.items():
+            assert row[f"f_{k}"] == v, (k, v, row[f"f_{k}"])
