@@ -190,6 +190,9 @@ def oracle_sql() -> dict[str, str]:
                          6) AS var_qty
             FROM s
         """,
+        "streaming_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events
+        """,
         "json_extract": """
             SELECT event_type,
                    COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))

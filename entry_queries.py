@@ -877,6 +877,31 @@ def q_streaming_window_counts(spark, sf_dir):
     )
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Streaming exactly-once keys (dropDuplicatesWithinWatermark):
+    emit each (user_id, event_type) pair once.  Which ROW survives a
+    dedup is arrival-order dependent, so the query projects the key
+    columns only — the surviving key SET is deterministic and equals
+    SELECT DISTINCT."""
+    from tumult_core_spark.streaming import (
+        read_stream_parquet,
+        write_stream_memory,
+    )
+    from tumult_core_spark.streaming.ops import streaming_dedup
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_stream_parquet(
+        spark, f"{sf_dir}/events.parquet", nanos_ts_cols=["ts"]
+    ).select("user_id", "event_type", "ts")
+    deduped = streaming_dedup(
+        stream, ["user_id", "event_type"], "ts", watermark="48 hours"
+    ).select("user_id", "event_type")
+    name = "q_stream_dedup"
+    q = write_stream_memory(deduped, name, output_mode="append")
+    q.awaitTermination(300)
+    return spark.sql(f"select user_id, event_type from {name}")
+
+
 def q_bpe_tokens(spark, sf_dir):
     """Distributed BPE: train 30 merges from the corpus word-frequency
     table, then encode every document.  The oracle is an independent
@@ -1510,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r5 (keep_intermediates + semistructured surfaces) ---
         "variance_intermediates": q_variance_intermediates,
         "json_extract": q_json_extract,
+        "streaming_dedup": q_streaming_dedup,
         # --- last driver-checked in r3 ---
         "add_unique_column": q_add_unique_column,
         "join_on_nulls": q_join_on_nulls,
