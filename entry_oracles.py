@@ -864,6 +864,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, list(code ORDER BY i) AS sq_code
             FROM enc GROUP BY vec_id
         """,
+        "sq_knn": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+            dims AS (
+                SELECT i, MIN(v[i]) AS lo, MAX(v[i]) AS hi,
+                       CASE WHEN MAX(v[i]) > MIN(v[i])
+                            THEN MAX(v[i]) - MIN(v[i]) ELSE 1.0 END AS span
+                FROM e, unnest(generate_series(1, len(v))) AS t(i)
+                GROUP BY i),
+            enc AS (
+                SELECT e.vec_id, d.i, d.lo, d.span,
+                       CAST(least(greatest(round(
+                           (v[d.i] - d.lo) / d.span * 255), 0), 255)
+                           AS INTEGER) - 128 AS code
+                FROM e, dims d),
+            dec AS (
+                SELECT vec_id,
+                       list(lo + (CAST(code AS DOUBLE) + 128) / 255 * span
+                            ORDER BY i) AS v
+                FROM enc GROUP BY vec_id),
+            q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+                  FROM embeddings WHERE vec_id < 20),
+            scored AS (
+                SELECT q.qid, dec.vec_id,
+                       list_cosine_similarity(q.qvec, dec.v) AS score
+                FROM q CROSS JOIN dec),
+            ranked AS (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY score DESC, vec_id ASC)
+                           AS rank
+                FROM scored)
+            SELECT qid, vec_id, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
         "stream_interval_join": """
             WITH v AS (
                 SELECT user_id, ts AS view_ts, event_id AS view_id

@@ -940,6 +940,22 @@ def q_sq_codes(spark, sf_dir):
     return sq_encode(embs, "vec_id", "embedding", lo, hi)
 
 
+def q_sq_knn(spark, sf_dir):
+    """Cosine top-k over the int8-quantized corpus (fit -> encode ->
+    Catalyst decode -> BLAS top-k).  The oracle replays the whole
+    chain in SQL — identical bounds, rounding, decode arithmetic —
+    and ranks with the same (score DESC, vec_id ASC) tie-break;
+    ranks only, scores excluded from the hash as in ann_topk."""
+    from tumult_core_spark.extensions.similarity import sq_knn
+
+    embs = _load(spark, sf_dir, "embeddings")
+    queries = embs.filter("vec_id < 20").select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = sq_knn(embs, queries, "vec_id", "qid", "embedding", k=3)
+    return out.select("qid", "vec_id", "rank")
+
+
 def q_stream_interval_join(spark, sf_dir):
     """Stream-stream interval join (attribution window): each 'view'
     event pairs with the same user's 'purchase' events within the next
@@ -1536,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variance_intermediates": q_variance_intermediates,
         "json_extract": q_json_extract,
         "streaming_dedup": q_streaming_dedup,
+        "sq_knn": q_sq_knn,
         # --- last driver-checked in r3 ---
         "add_unique_column": q_add_unique_column,
         "join_on_nulls": q_join_on_nulls,
