@@ -2187,3 +2187,28 @@ class TestEmptyInputs:
         from tumult_core_spark.extensions.text import bpe_train
 
         assert bpe_train(empty_docs, num_merges=5) == []
+
+    def test_null_vectors_in_knn(self, spark):
+        """NULL corpus vectors are dropped (IsNotNull pushed to the
+        scan) instead of crashing the BLAS batch; NULL query vectors
+        raise a clear error."""
+        from pyspark.sql import functions as F
+
+        from tumult_core_spark.extensions.similarity import brute_force_knn
+
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        q = spark.createDataFrame(
+            [(9, [1.0, 0.0])], "qid long, embedding array<double>"
+        )
+        out = brute_force_knn(corpus, q, "vec_id", "qid", "embedding", k=2)
+        rows = [(r["vec_id"], r["rank"]) for r in out.orderBy("rank").collect()]
+        assert rows == [(1, 1), (3, 2)]  # null row simply absent
+
+        bad_q = spark.createDataFrame(
+            [(9, None)], "qid long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            brute_force_knn(corpus, bad_q, "vec_id", "qid", "embedding", k=2)

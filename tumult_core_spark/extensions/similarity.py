@@ -82,6 +82,11 @@ def brute_force_knn(
             "raise max_queries explicitly if this is intended, or use "
             "ivf_knn for large query sets"
         )
+    if any(r[1] is None for r in qrows):
+        raise ValueError(
+            f"queries contain NULL {vector_col!r} vectors; drop or impute "
+            "them before searching"
+        )
     qids = np.array([r[0] for r in qrows])
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     Qn = Q / np.clip(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30, None)
@@ -107,8 +112,13 @@ def brute_force_knn(
                 }
             )
 
-    candidates = corpus.select(corpus_id, vector_col).mapInPandas(
-        score_batches, schema=out_schema
+    # NULL corpus vectors can never match — drop them JVM-side (the
+    # IsNotNull filter pushes into the scan) instead of letting the
+    # ragged batch crash the BLAS matmul inside the Python worker
+    candidates = (
+        corpus.select(corpus_id, vector_col)
+        .where(F.col(vector_col).isNotNull())
+        .mapInPandas(score_batches, schema=out_schema)
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
     return (
