@@ -2212,3 +2212,24 @@ class TestEmptyInputs:
         )
         with pytest.raises(ValueError, match="NULL"):
             brute_force_knn(corpus, bad_q, "vec_id", "qid", "embedding", k=2)
+
+    def test_null_vectors_in_ivf(self, spark):
+        """ivf_knn drops NULL vectors on both sides: they can't become
+        centroids or occupy top-k slots with NULL scores."""
+        from tumult_core_spark.extensions.similarity import ivf_knn
+
+        corpus = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(1, 9)] + [(99, None)],
+            "vec_id long, embedding array<double>",
+        )
+        q = spark.createDataFrame(
+            [(1, [8.0, 1.0]), (2, None)], "qid long, embedding array<double>"
+        )
+        out = ivf_knn(
+            corpus, q, "vec_id", "qid", "embedding",
+            k=3, num_centroids=2, nprobe=2,
+        )
+        rows = out.collect()
+        assert all(r["vec_id"] != 99 for r in rows)
+        assert all(r["qid"] == 1 for r in rows)  # null query dropped
+        assert all(r["score"] is not None for r in rows)

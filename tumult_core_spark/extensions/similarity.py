@@ -241,14 +241,17 @@ def ivf_knn(
     nprobe).  Corpus cell assignment is reusable across query batches
     (write it out once for a static corpus).
     """
+    # NULL vectors would otherwise become centroids (nulling every
+    # cosine) or hold top-k slots with NULL scores — drop them at the
+    # scan on both sides (plan stays all-Catalyst either way)
     c = corpus.select(
         F.col(corpus_id).alias("__cid"),
         F.col(vector_col).cast("array<double>").alias("__cvec"),
-    )
+    ).where(F.col("__cvec").isNotNull())
     q = queries.select(
         F.col(query_id).alias("__qid"),
         F.col(vector_col).cast("array<double>").alias("__qvec"),
-    )
+    ).where(F.col("__qvec").isNotNull())
     if train_iterations > 0:
         centroids = kmeans_centroids(
             c, "__cvec", num_centroids, iterations=train_iterations
