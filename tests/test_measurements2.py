@@ -879,3 +879,47 @@ class TestDictionary:
                     SymmetricDifference(), "z > 0",
                 )
             )
+
+    def test_nested_split(self, spark, values):
+        """Recursive accountants: a child can split again; sibling
+        ordering and budget accounting hold at every level, and
+        retiring the deepest level cascades activation upward."""
+        from tumult_core_spark.transformations.partition import PartitionByKeys
+
+        dom = v_domain()
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), PureDP(), d_in=1,
+            privacy_budget=PureDPBudget(6),
+        )
+        acct = PrivacyAccountant.launch(sc, values)
+        count = create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 1)
+        by_g = PartitionByKeys(
+            dom, SymmetricDifference(), False, ["g"], [("a",), ("b",)]
+        )
+        (c0, c1) = acct.split(by_g, PureDPBudget(4))
+        # split the ACTIVE child again, partitioning by value range
+        by_x = PartitionByKeys(
+            dom, SymmetricDifference(), False, ["g"], [("a",)]
+        )
+        (g0,) = c0.split(by_x, PureDPBudget(2))
+        assert c0.state == AccountantState.WAITING_FOR_CHILDREN
+        assert c1.state == AccountantState.WAITING_FOR_SIBLING
+        assert g0.state == AccountantState.ACTIVE
+        assert g0.privacy_budget.value == 2
+        n = int(g0.measure(count))
+        assert abs(n - 100) < 40  # partition 'a' has 100 rows
+        g0.retire()
+        # grandchild retirement resumes c0 (not acct, not c1)
+        assert c0.state == AccountantState.ACTIVE
+        assert c1.state == AccountantState.WAITING_FOR_SIBLING
+        assert acct.state == AccountantState.WAITING_FOR_CHILDREN
+        assert c0.privacy_budget.value == 2  # 4 - 2 spent on the split
+        c0.measure(count)
+        c0.retire()
+        assert c1.state == AccountantState.ACTIVE
+        c1.retire()
+        assert acct.state == AccountantState.ACTIVE
+        assert acct.privacy_budget.value == 2
+        # parent/children links reflect the tree
+        assert g0.parent is c0 and c0.parent is acct and acct.parent is None
+        assert acct.children == [c0, c1] and c0.children == [g0]
