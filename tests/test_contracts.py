@@ -510,3 +510,100 @@ class TestTextAndBinarySources:
         assert set(all_files.columns) >= {"path", "length", "content"}
         wavs = read_binary_files(spark, str(d), path_glob="*.wav").collect()
         assert len(wavs) == 1 and bytes(wavs[0]["content"]) == b"RIFFxxxx"
+
+
+@pytest.mark.parametrize("name", CASE_NAMES)
+class TestEmpiricalStability:
+    """The claimed stability bound, checked empirically under the
+    TRANSFORMATION'S OWN metrics: for neighboring inputs (single-row
+    removal, and whole-group replacement for group-counting metrics),
+    distance(outputs) under the output metric must be <=
+    stability_function(distance(inputs) under the input metric).  This
+    is the privacy calculus's load-bearing inequality — a
+    transformation whose real sensitivity exceeds its claim silently
+    destroys the DP guarantee of everything chained after it.  (This
+    suite caught the pre-r5 LimitKeysPerGroup output-metric
+    unsoundness.)"""
+
+    @staticmethod
+    def _distance(metric, rows_a, rows_b, cols):
+        """Metric distance between two row multisets (reference
+        metrics.py distance semantics: SymmetricDifference is row
+        multiset symdiff; IfGroupedBy(col, SymmetricDifference) counts
+        differing groups — 1 if one side is empty, else 2; SumOf /
+        RootSumOfSquared aggregate inner distances per group)."""
+        import math as _math
+        from collections import Counter
+
+        from tumult_core_spark.metrics import (
+            IfGroupedBy,
+            RootSumOfSquared,
+            SumOf,
+            SymmetricDifference,
+        )
+
+        dist = TestEmpiricalStability._distance
+        if isinstance(metric, SymmetricDifference):
+            ca, cb = Counter(rows_a), Counter(rows_b)
+            return sum((ca - cb).values()) + sum((cb - ca).values())
+        if isinstance(metric, IfGroupedBy):
+            idx = cols.index(metric.column)
+            groups = {}
+            for r in rows_a:
+                groups.setdefault(r[idx], ([], []))[0].append(r)
+            for r in rows_b:
+                groups.setdefault(r[idx], ([], []))[1].append(r)
+            inner = metric.inner_metric
+            if isinstance(inner, SymmetricDifference):
+                d = 0
+                for ga, gb in groups.values():
+                    if Counter(ga) != Counter(gb):
+                        d += 1 if (not ga or not gb) else 2
+                return d
+            if isinstance(inner, (SumOf, RootSumOfSquared)):
+                parts = [
+                    dist(inner.inner_metric, ga, gb, cols)
+                    for ga, gb in groups.values()
+                ]
+                if isinstance(inner, SumOf):
+                    return sum(parts)
+                return _math.sqrt(sum(p * p for p in parts))
+        raise NotImplementedError(repr(metric))
+
+    def _check_neighbor(self, spark, t, kv, neighbor_rows):
+        base_rows = [tuple(r) for r in kv.collect()]
+        cols = kv.columns
+        in_d = self._distance(t.input_metric, base_rows, neighbor_rows, cols)
+        if in_d == 0:
+            return
+        bound = ExactNumber(t.stability_function(in_d)).to_float(round_up=True)
+        out_base = [tuple(r) for r in t(kv).collect()]
+        neighbor = spark.createDataFrame(neighbor_rows, kv.schema)
+        out_nbr = [tuple(r) for r in t(neighbor).collect()]
+        out_cols = [f.name for f in t.output_domain.spark_schema.fields]
+        out_d = self._distance(t.output_metric, out_base, out_nbr, out_cols)
+        assert out_d <= bound + 1e-9, (
+            f"input distance {in_d} -> output distance {out_d} exceeds "
+            f"claimed stability {bound}"
+        )
+
+    def test_single_row_removal_neighbors(self, spark, kv, cases, name):
+        t = cases[name]
+        rows = [tuple(r) for r in kv.collect()]
+        for i in range(len(rows)):
+            self._check_neighbor(
+                spark, t, kv, [r for j, r in enumerate(rows) if j != i]
+            )
+
+    def test_group_replacement_neighbor(self, spark, kv, cases, name):
+        """For group-counting input metrics the harshest d_in=2
+        neighbor is a wholly REPLACED group — swap every row of the
+        k=3 group (including its v keys)."""
+        from tumult_core_spark.metrics import IfGroupedBy
+
+        t = cases[name]
+        if not isinstance(t.input_metric, IfGroupedBy):
+            pytest.skip("row-level metric: covered by removal neighbors")
+        rows = [tuple(r) for r in kv.collect()]
+        replaced = [r for r in rows if r[0] != 3] + [(3, "x"), (3, "y")]
+        self._check_neighbor(spark, t, kv, replaced)

@@ -346,3 +346,114 @@ class TestGroupKeySemantics:
             create_groupby_from_list_of_keys(
                 dom, SymmetricDifference(), False, ["f"], [(1.0,)]
             )
+
+
+class TestTruncationMetricChain:
+    """The reference's canonical contribution-bounding chain
+    (truncation.py:255-571): LimitKeysPerGroup emits IfGroupedBy(key,
+    SumOf(IfGroupedBy(group, SymmetricDifference()))) at threshold*d,
+    which LimitRowsPerKeyPerGroup consumes and converts to row-level
+    SymmetricDifference at threshold*d — the composition bounds any
+    single group's influence by tau_keys * tau_rows rows."""
+
+    def test_chain_metrics_and_stability(self, spark):
+        from tumult_core_spark.base import ChainTT
+        from tumult_core_spark.metrics import (
+            IfGroupedBy,
+            RootSumOfSquared,
+            SumOf,
+            SymmetricDifference,
+        )
+        from tumult_core_spark.transformations.truncation import (
+            LimitKeysPerGroup,
+            LimitRowsPerKeyPerGroup,
+        )
+
+        dom = SparkDataFrameDomain({"g": INT, "u": INT, "v": STR})
+        lk = LimitKeysPerGroup(
+            dom, IfGroupedBy("g", SymmetricDifference()), "u", 2
+        )
+        assert lk.output_metric == IfGroupedBy(
+            "u", SumOf(IfGroupedBy("g", SymmetricDifference()))
+        )
+        assert lk.stability_function(2) == 4  # tau_keys * d
+        lr = LimitRowsPerKeyPerGroup(dom, lk.output_metric, "u", 3)
+        assert lr.grouping_column == "g"
+        assert lr.output_metric == SymmetricDifference()
+        assert lr.stability_function(4) == 12  # tau_rows * d
+        chain = ChainTT(lk, lr)
+        assert chain.stability_function(2) == 12  # 2 * tau_keys * tau_rows
+
+        df = spark.createDataFrame(
+            [(1, u, f"r{u}{i}") for u in range(5) for i in range(5)],
+            "g long, u long, v string",
+        )
+        out = chain(df)
+        per = out.groupBy("g", "u").count().collect()
+        assert all(r["count"] <= 3 for r in per)
+        assert out.select("u").distinct().count() <= 2
+
+    def test_l2_forms(self, spark):
+        from tumult_core_spark.exact_number import ExactNumber
+        from tumult_core_spark.metrics import (
+            IfGroupedBy,
+            RootSumOfSquared,
+            SymmetricDifference,
+        )
+        from tumult_core_spark.transformations.truncation import (
+            LimitKeysPerGroup,
+            LimitRowsPerKeyPerGroup,
+        )
+
+        dom = SparkDataFrameDomain({"g": INT, "u": INT, "v": STR})
+        rss = IfGroupedBy(
+            "u", RootSumOfSquared(IfGroupedBy("g", SymmetricDifference()))
+        )
+        lk = LimitKeysPerGroup(
+            dom, IfGroupedBy("g", SymmetricDifference()), "u", 4,
+            output_metric=rss,
+        )
+        assert lk.stability_function(3) == ExactNumber(3) * ExactNumber(4).sqrt()
+        lr = LimitRowsPerKeyPerGroup(dom, rss, "u", 2)
+        assert lr.output_metric == IfGroupedBy(
+            "u", RootSumOfSquared(SymmetricDifference())
+        )
+        assert lr.stability_function(1) == 2
+
+    def test_grouping_metric_passthrough_option(self, spark):
+        from tumult_core_spark.metrics import IfGroupedBy, SymmetricDifference
+        from tumult_core_spark.transformations.truncation import (
+            LimitKeysPerGroup,
+        )
+
+        dom = SparkDataFrameDomain({"g": INT, "u": INT, "v": STR})
+        gmetric = IfGroupedBy("g", SymmetricDifference())
+        lk = LimitKeysPerGroup(dom, gmetric, "u", 7, output_metric=gmetric)
+        assert lk.output_metric == gmetric
+        assert lk.stability_function(5) == 5  # d, independent of tau
+
+    def test_invalid_metrics_rejected(self, spark):
+        from tumult_core_spark.metrics import IfGroupedBy, SymmetricDifference
+        from tumult_core_spark.transformations.truncation import (
+            LimitKeysPerGroup,
+            LimitRowsPerKeyPerGroup,
+        )
+
+        dom = SparkDataFrameDomain({"g": INT, "u": INT, "v": STR})
+        # the pre-r5 unsound output metric is refused
+        with pytest.raises(ValueError, match="output metric"):
+            LimitKeysPerGroup(
+                dom, IfGroupedBy("g", SymmetricDifference()), "u", 2,
+                output_metric=IfGroupedBy("u", SymmetricDifference()),
+            )
+        # nested form whose outer column is not the key column
+        from tumult_core_spark.metrics import SumOf
+
+        with pytest.raises(ValueError, match="key column"):
+            LimitRowsPerKeyPerGroup(
+                dom,
+                IfGroupedBy(
+                    "v", SumOf(IfGroupedBy("g", SymmetricDifference()))
+                ),
+                "u", 2,
+            )
