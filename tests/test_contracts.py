@@ -34,6 +34,8 @@ def base_domain():
 CASE_NAMES = [
     "identity", "filter", "select", "rename", "derive",
     "map", "flatmap", "limit_rows", "limit_keys", "limit_rows_per_key",
+    "public_join", "grouping_flatmap_l1", "grouping_flatmap_l2",
+    "flatmap_by_key", "add_unique", "drop_nulls", "replace_nulls",
 ]
 
 
@@ -98,7 +100,94 @@ def make_cases():
         ("limit_rows", LimitRowsPerGroup(d, grouped, 2)),
         ("limit_keys", LimitKeysPerGroup(d, grouped, "v", 1)),
         ("limit_rows_per_key", LimitRowsPerKeyPerGroup(d, grouped, "v", 1)),
+        ("public_join", _public_join_case(d, sym)),
+        ("grouping_flatmap_l1", _grouping_flatmap_case(l2=False)),
+        ("grouping_flatmap_l2", _grouping_flatmap_case(l2=True)),
+        ("flatmap_by_key", _flatmap_by_key_case(d)),
+        ("add_unique", _add_unique_case(d)),
+        ("drop_nulls", _drop_nulls_case(sym)),
+        ("replace_nulls", _replace_nulls_case(sym)),
     ]
+
+
+def _public_join_case(d, sym):
+    """Public dim with key multiplicity 2 -> claimed stability 2."""
+    from pyspark.sql import SparkSession
+
+    from tumult_core_spark.transformations.join import PublicJoin
+
+    spark = SparkSession.getActiveSession()
+    pub = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z"), (3, "w")], "k long, tag string"
+    )
+    return PublicJoin(d, sym, pub)
+
+
+def _grouping_flatmap_case(l2):
+    from tumult_core_spark.metrics import RootSumOfSquared, SumOf
+    from tumult_core_spark.transformations.map import (
+        GroupingFlatMap,
+        RowToRowsTransformation,
+    )
+
+    om = (
+        RootSumOfSquared(SymmetricDifference())
+        if l2
+        else SumOf(SymmetricDifference())
+    )
+    return GroupingFlatMap(
+        om,
+        RowToRowsTransformation(
+            SparkRowDomain({"k": INT, "v": STR}),
+            SparkRowDomain({"k": INT, "v": STR, "tag": INT}),
+            lambda r: [{"tag": 0}, {"tag": 1}],
+            augment=True,
+        ),
+        max_num_rows=2,
+    )
+
+
+def _flatmap_by_key_case(d):
+    from tumult_core_spark.transformations.map import (
+        FlatMapByKey,
+        RowsToRowsTransformation,
+    )
+
+    return FlatMapByKey(
+        d,
+        IfGroupedBy("k", SymmetricDifference()),
+        RowsToRowsTransformation(
+            SparkRowDomain({"v": STR}),
+            SparkRowDomain({"n": INT}),
+            lambda rows: [{"n": len(rows)}],
+        ),
+    )
+
+
+def _add_unique_case(d):
+    from tumult_core_spark.transformations.rows import AddUniqueColumn
+
+    return AddUniqueColumn(d, "uid")
+
+
+def _drop_nulls_case(sym):
+    from tumult_core_spark.domains import SparkStringColumnDescriptor
+    from tumult_core_spark.transformations.rows import DropNulls
+
+    dn = SparkDataFrameDomain(
+        {"k": INT, "v": SparkStringColumnDescriptor(allow_null=True)}
+    )
+    return DropNulls(dn, sym, ["v"])
+
+
+def _replace_nulls_case(sym):
+    from tumult_core_spark.domains import SparkStringColumnDescriptor
+    from tumult_core_spark.transformations.rows import ReplaceNulls
+
+    rn = SparkDataFrameDomain(
+        {"k": INT, "v": SparkStringColumnDescriptor(allow_null=True)}
+    )
+    return ReplaceNulls(rn, sym, {"v": "filled"})
 
 
 @pytest.fixture(scope="module")
@@ -565,9 +654,10 @@ class TestEmpiricalStability:
                     dist(inner.inner_metric, ga, gb, cols)
                     for ga, gb in groups.values()
                 ]
-                if isinstance(inner, SumOf):
-                    return sum(parts)
-                return _math.sqrt(sum(p * p for p in parts))
+                # RootSumOfSquared subclasses SumOf: check it first
+                if isinstance(inner, RootSumOfSquared):
+                    return _math.sqrt(sum(p * p for p in parts))
+                return sum(parts)
         raise NotImplementedError(repr(metric))
 
     def _check_neighbor(self, spark, t, kv, neighbor_rows):
