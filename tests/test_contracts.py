@@ -697,3 +697,110 @@ class TestEmpiricalStability:
         rows = [tuple(r) for r in kv.collect()]
         replaced = [r for r in rows if r[0] != 3] + [(3, "x"), (3, "y")]
         self._check_neighbor(spark, t, kv, replaced)
+
+
+class TestEmpiricalStabilityComposite:
+    """Empirical stability for operators whose inputs/outputs are not
+    single DataFrames: PrivateJoin (dict input, the most intricate
+    stability formula in the package) and PartitionByKeys (list
+    output under SumOf / RootSumOfSquared)."""
+
+    def _symdiff(self, rows_a, rows_b):
+        from collections import Counter
+
+        ca, cb = Counter(rows_a), Counter(rows_b)
+        return sum((ca - cb).values()) + sum((cb - ca).values())
+
+    @pytest.mark.parametrize(
+        "strategy_name", ["TRUNCATE", "DROP", "NO_TRUNCATION_left_only"]
+    )
+    def test_private_join_neighbors(self, spark, strategy_name):
+        """For every single-row removal on either side, the output
+        row symdiff must be within stability_function of the
+        corresponding one-sided dict distance."""
+        from tumult_core_spark.domains import DictDomain
+        from tumult_core_spark.transformations.join import (
+            PrivateJoin,
+            TruncationStrategy,
+        )
+
+        left_rows = [(1, i) for i in range(5)] + [(2, 9)] + [(3, 7)]
+        right_rows = [(1, "a"), (1, "b"), (1, "c"), (2, "d"), (4, "e")]
+        left = spark.createDataFrame(left_rows, "k long, x long")
+        right = spark.createDataFrame(right_rows, "k long, t string")
+        dd = DictDomain(
+            {
+                "l": SparkDataFrameDomain.from_spark_schema(left.schema),
+                "r": SparkDataFrameDomain.from_spark_schema(right.schema),
+            }
+        )
+        if strategy_name == "TRUNCATE":
+            sl = sr = TruncationStrategy.TRUNCATE
+            tl, tr = 2, 2
+        elif strategy_name == "DROP":
+            sl = sr = TruncationStrategy.DROP
+            tl, tr = 3, 2
+        else:
+            sl, sr = TruncationStrategy.NO_TRUNCATION, TruncationStrategy.TRUNCATE
+            tl, tr = float("inf"), 2
+        t = PrivateJoin(dd, "l", "r", sl, sr, tl, tr)
+        if strategy_name == "NO_TRUNCATION_left_only":
+            # infinite stability is the documented contract; also check
+            # the construction-time threshold validation
+            assert not t.stability_function({"l": 1, "r": 0}).is_finite
+            with pytest.raises(ValueError, match="inf"):
+                PrivateJoin(dd, "l", "r", sl, sr, None, tr)
+            return
+
+        def run(l_rows, r_rows):
+            out = t(
+                {
+                    "l": spark.createDataFrame(l_rows, left.schema),
+                    "r": spark.createDataFrame(r_rows, right.schema),
+                }
+            )
+            return [tuple(r) for r in out.collect()]
+
+        base = run(left_rows, right_rows)
+        bound_l = ExactNumber(
+            t.stability_function({"l": 1, "r": 0})
+        ).to_float(round_up=True)
+        bound_r = ExactNumber(
+            t.stability_function({"l": 0, "r": 1})
+        ).to_float(round_up=True)
+        for i in range(len(left_rows)):
+            nbr = run([r for j, r in enumerate(left_rows) if j != i], right_rows)
+            d = self._symdiff(base, nbr)
+            assert d <= bound_l + 1e-9, f"left row {i}: {d} > {bound_l}"
+        for i in range(len(right_rows)):
+            nbr = run(left_rows, [r for j, r in enumerate(right_rows) if j != i])
+            d = self._symdiff(base, nbr)
+            assert d <= bound_r + 1e-9, f"right row {i}: {d} > {bound_r}"
+
+    @pytest.mark.parametrize("use_l2", [False, True])
+    def test_partition_by_keys_neighbors(self, spark, kv, use_l2):
+        import math
+
+        from tumult_core_spark.transformations.partition import PartitionByKeys
+
+        d = base_domain()
+        t = PartitionByKeys(
+            d, SymmetricDifference(), use_l2, ["k"], [(1,), (2,), (3,)]
+        )
+        rows = [tuple(r) for r in kv.collect()]
+
+        def run(in_rows):
+            parts = t(spark.createDataFrame(in_rows, kv.schema))
+            return [[tuple(r) for r in p.collect()] for p in parts]
+
+        base = run(rows)
+        bound = ExactNumber(t.stability_function(1)).to_float(round_up=True)
+        for i in range(len(rows)):
+            nbr = run([r for j, r in enumerate(rows) if j != i])
+            per_part = [self._symdiff(a, b) for a, b in zip(base, nbr)]
+            dist = (
+                math.sqrt(sum(x * x for x in per_part))
+                if use_l2
+                else sum(per_part)
+            )
+            assert dist <= bound + 1e-9, f"row {i}: {dist} > {bound}"

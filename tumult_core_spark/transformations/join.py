@@ -149,6 +149,24 @@ class PrivateJoin(Transformation):
         join_cols: Optional[List[str]] = None,
         join_on_nulls: bool = False,
     ):
+        for strat, thresh, side in (
+            (left_truncation_strategy, left_truncation_threshold, "left"),
+            (right_truncation_strategy, right_truncation_threshold, "right"),
+        ):
+            if strat == TruncationStrategy.NO_TRUNCATION:
+                # reference join.py:659-666: the threshold must be
+                # explicitly infinite so the infinite stability is a
+                # stated choice, not an accident of a missing value
+                if thresh != float("inf"):
+                    raise ValueError(
+                        f"The {side}_truncation_threshold must be float('inf') "
+                        f"when the {side}_truncation_strategy is NO_TRUNCATION"
+                    )
+            elif not isinstance(thresh, int) or thresh < 0:
+                raise ValueError(
+                    f"The {side}_truncation_threshold must be a nonnegative "
+                    f"int for {strat}; got {thresh!r}"
+                )
         left_domain = input_domain[left_key]
         right_domain = input_domain[right_key]
         on = validate_join(left_domain, right_domain, join_cols, "inner")
@@ -177,7 +195,12 @@ class PrivateJoin(Transformation):
         s_r = truncation_strategy_stability(self.right_truncation_strategy, tau_r)
         d_l = ExactNumber(d_in[self.left_key])
         d_r = ExactNumber(d_in[self.right_key])
-        return tau_l * s_r * d_r + tau_r * s_l * d_l
+        # inf * 0 = 0 convention: an untouched side contributes nothing
+        # even when the other side's strategy has infinite stability
+        # (sympy would otherwise produce nan)
+        term_r = tau_l * s_r * d_r if d_r != 0 else ExactNumber(0)
+        term_l = tau_r * s_l * d_l if d_l != 0 else ExactNumber(0)
+        return term_r + term_l
 
     def _truncate(
         self, df: DataFrame, strategy: TruncationStrategy, threshold
