@@ -804,3 +804,68 @@ class TestEmpiricalStabilityComposite:
                 else sum(per_part)
             )
             assert dist <= bound + 1e-9, f"row {i}: {dist} > {bound}"
+
+    def test_add_remove_keys_neighbors(self, spark):
+        """AddRemoveKeys neighbors differ by ALL rows of one key value
+        across every frame; output key-distance (number of key values
+        whose slices differ in any output frame) must be <=
+        stability_function(1) for PrivateJoinOnKey and the lifts."""
+        from tumult_core_spark.domains import DictDomain
+        from tumult_core_spark.metrics import AddRemoveKeys
+        from tumult_core_spark.transformations.add_remove_keys import (
+            FilterValue,
+        )
+        from tumult_core_spark.transformations.join import PrivateJoinOnKey
+        from tumult_core_spark.transformations.rows import Filter
+
+        ldom = SparkDataFrameDomain({"uid": INT, "x": INT})
+        rdom = SparkDataFrameDomain({"uid": INT, "t": STR})
+        dd = DictDomain({"l": ldom, "r": rdom})
+        metric = AddRemoveKeys({"l": "uid", "r": "uid"})
+        l_rows = [(1, 10), (1, 11), (2, 20), (3, 30)]
+        r_rows = [(1, "a"), (2, "b"), (2, "c"), (4, "d")]
+
+        def key_distance(frames_a, frames_b, key_col="uid"):
+            keys = set()
+            for fa, fb in zip(frames_a, frames_b):
+                from collections import Counter
+
+                by_key_a, by_key_b = {}, {}
+                for row in fa:
+                    by_key_a.setdefault(row[0], []).append(row)
+                for row in fb:
+                    by_key_b.setdefault(row[0], []).append(row)
+                for k in set(by_key_a) | set(by_key_b):
+                    if Counter(by_key_a.get(k, [])) != Counter(by_key_b.get(k, [])):
+                        keys.add(k)
+            return len(keys)
+
+        pj = PrivateJoinOnKey(dd, metric, "l", "r", "joined")
+        fv = FilterValue(
+            dd, metric, Filter(ldom, SymmetricDifference(), "x < 25"), "l", "l2"
+        )
+        for t, out_keys in ((pj, ["l", "r", "joined"]), (fv, ["l", "r", "l2"])):
+            bound = ExactNumber(t.stability_function(1)).to_float(round_up=True)
+
+            def run(lr, rr, _t=t, _keys=out_keys):
+                out = _t(
+                    {
+                        "l": spark.createDataFrame(lr, "uid long, x long"),
+                        "r": spark.createDataFrame(rr, "uid long, t string"),
+                    }
+                )
+                return [
+                    [tuple(r) for r in out[k].collect()] for k in _keys
+                ]
+
+            base = run(l_rows, r_rows)
+            for uid in (1, 2, 3, 4):
+                nbr = run(
+                    [r for r in l_rows if r[0] != uid],
+                    [r for r in r_rows if r[0] != uid],
+                )
+                d = key_distance(base, nbr)
+                assert d <= bound + 1e-9, (
+                    f"{type(t).__name__}: removing uid {uid} changed {d} "
+                    f"key slices, claimed {bound}"
+                )

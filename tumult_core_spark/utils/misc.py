@@ -38,6 +38,8 @@ def get_spark(app_name: str = "tumult_core_spark", cpus: Optional[int] = None) -
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # progress bars interleave carriage returns into harness stdout
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
 
