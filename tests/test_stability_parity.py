@@ -20,6 +20,8 @@ from tumult_core_spark.metrics import (
     DictMetric,
     HammingDistance,
     IfGroupedBy,
+    RootSumOfSquared,
+    SumOf,
     SymmetricDifference,
 )
 
@@ -136,6 +138,20 @@ class TestStabilityValues:
             dom2(), IfGroupedBy("k", SumOf(SymmetricDifference()))
         )
         assert u.stability_function(3) == 3
+        # L2 inner: L1 row symdiff <= (L2 distance)^2 (reference
+        # converters.py:59-74)
+        from tumult_core_spark.metrics import RootSumOfSquared
+
+        u2 = UnwrapIfGroupedBy(
+            dom2(), IfGroupedBy("k", RootSumOfSquared(SymmetricDifference()))
+        )
+        assert u2.stability_function(3) == 9
+        # the group-counting inner metric admits no finite row-level
+        # stability (one added group can hold unboundedly many rows)
+        with pytest.raises(ValueError, match="unbounded"):
+            UnwrapIfGroupedBy(
+                dom2(), IfGroupedBy("k", SymmetricDifference())
+            )
 
     def test_public_join_ifgroupedby_stability_is_identity(self, spark):
         from tumult_core_spark.transformations.join import PublicJoin
@@ -145,6 +161,28 @@ class TestStabilityValues:
             dom2(), IfGroupedBy("k", SymmetricDifference()), pub
         )
         assert t.stability_function(2) == 2  # not multiplied by multiplicity
+
+        # SumOf/RootSumOfSquared inners count ROWS: the fan-out
+        # multiplies exactly as under the row-level metric (the pre-r5
+        # factor-1 claim for these inners was unsound)
+        t_sum = PublicJoin(
+            dom2(), IfGroupedBy("k", SumOf(SymmetricDifference())), pub
+        )
+        assert t_sum.stability_function(2) == 4  # multiplicity 2
+        from tumult_core_spark.metrics import RootSumOfSquared
+
+        t_l2 = PublicJoin(
+            dom2(),
+            IfGroupedBy("k", RootSumOfSquared(SymmetricDifference())),
+            pub,
+        )
+        assert t_l2.stability_function(2) == 4
+        with pytest.raises(ValueError, match="[Ii]nner metric"):
+            PublicJoin(
+                dom2(),
+                IfGroupedBy("k", SumOf(SumOf(SymmetricDifference()))),
+                pub,
+            )
 
 
 class TestPrivacyValues:

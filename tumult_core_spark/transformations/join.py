@@ -30,6 +30,8 @@ from ..metrics import (
     HammingDistance,
     IfGroupedBy,
     Metric,
+    RootSumOfSquared,
+    SumOf,
     SymmetricDifference,
 )
 from ..utils.join import (
@@ -44,10 +46,15 @@ from ..utils.truncation import drop_large_groups, truncate_large_groups
 class PublicJoin(Transformation):
     """Join the private table with a public DataFrame.
 
-    ``how`` in {"inner", "left"}.  Stability: ``d_in * max
-    multiplicity of any join key in the public table`` under
-    SymmetricDifference; ``d_in`` under IfGroupedBy (each private
-    row's group membership is unchanged).
+    ``how`` in {"inner", "left"}.  Stability (reference
+    ``join.py:206-235, 336-349``): ``d_in * max multiplicity of any
+    join key in the public table`` under SymmetricDifference AND under
+    ``IfGroupedBy(col, SumOf/RootSumOfSquared(SymmetricDifference()))``
+    (those inner metrics count ROWS, and each private row joins to up
+    to the multiplicity); ``d_in`` only under ``IfGroupedBy(col,
+    SymmetricDifference())``, whose distance counts GROUPS — a changed
+    group deterministically maps to one changed group regardless of
+    fan-out.
     """
 
     def __init__(
@@ -63,6 +70,16 @@ class PublicJoin(Transformation):
             raise ValueError(f"PublicJoin how must be inner/left, got {how!r}")
         if not isinstance(metric, (SymmetricDifference, IfGroupedBy)):
             raise ValueError(f"Unsupported metric {metric!r}")
+        if isinstance(metric, IfGroupedBy) and metric.inner_metric not in (
+            SymmetricDifference(),
+            SumOf(SymmetricDifference()),
+            RootSumOfSquared(SymmetricDifference()),
+        ):
+            raise ValueError(
+                "IfGroupedBy inner metric must be SymmetricDifference, "
+                "SumOf(SymmetricDifference()), or "
+                "RootSumOfSquared(SymmetricDifference())"
+            )
         public_domain = SparkDataFrameDomain.from_spark_schema(public_df.schema)
         on = validate_join(input_domain, public_domain, join_cols, how)
         if isinstance(metric, IfGroupedBy):
@@ -86,17 +103,26 @@ class PublicJoin(Transformation):
         self.how = how
         self.join_on_nulls = join_on_nulls
         # stability factor = max join-key multiplicity in the public table
-        # (single scalar aggregate, no driver-side count table)
-        if isinstance(metric, SymmetricDifference):
+        # (single scalar aggregate, no driver-side count table); factor 1
+        # ONLY for the group-counting IfGroupedBy(col, SymmetricDifference)
+        # inner metric — SumOf/RootSumOfSquared inners count rows and
+        # multiply by the fan-out like the row-level metric does
+        # (reference join.py:336-349)
+        if isinstance(metric, IfGroupedBy) and isinstance(
+            metric.inner_metric, SymmetricDifference
+        ):
+            self._stability_factor = ExactNumber(1)
+        else:
+            keys = public_df.select(*on)
+            if not join_on_nulls:
+                keys = keys.dropna()
             row = (
-                public_df.groupBy(*on)
+                keys.groupBy(*on)
                 .agg(F.count(F.lit(1)).alias("__m"))
                 .agg(F.max("__m").alias("m"))
                 .first()
             )
             self._stability_factor = ExactNumber(int(row["m"] or 0))
-        else:
-            self._stability_factor = ExactNumber(1)
 
     def stability_function(self, d_in: Any) -> ExactNumber:
         self.input_metric.validate(d_in)
