@@ -342,3 +342,124 @@ class TestJsonExtractionProperty:
         row = extract_json_fields(df, "j", fields).first()
         for k, v in payload.items():
             assert row[f"f_{k}"] == v, (k, v, row[f"f_{k}"])
+
+
+class TestTruncationStabilityFuzz:
+    """Randomized empirical stability for the truncation family: on
+    random small datasets and thresholds, a random single-row-removal
+    neighbor must keep the metric-correct output distance within the
+    claimed stability. Hash-ordered truncation is where adversarial
+    orderings would hide, so it gets the fuzzing."""
+
+    @staticmethod
+    def _distance(metric, rows_a, rows_b, cols):
+        import math as _math
+        from collections import Counter
+
+        from tumult_core_spark.metrics import (
+            IfGroupedBy,
+            RootSumOfSquared,
+            SumOf,
+            SymmetricDifference,
+        )
+
+        dist = TestTruncationStabilityFuzz._distance
+        if isinstance(metric, SymmetricDifference):
+            ca, cb = Counter(rows_a), Counter(rows_b)
+            return sum((ca - cb).values()) + sum((cb - ca).values())
+        if isinstance(metric, IfGroupedBy):
+            idx = cols.index(metric.column)
+            groups = {}
+            for r in rows_a:
+                groups.setdefault(r[idx], ([], []))[0].append(r)
+            for r in rows_b:
+                groups.setdefault(r[idx], ([], []))[1].append(r)
+            inner = metric.inner_metric
+            if isinstance(inner, SymmetricDifference):
+                d = 0
+                for ga, gb in groups.values():
+                    if Counter(ga) != Counter(gb):
+                        d += 1 if (not ga or not gb) else 2
+                return d
+            parts = [
+                dist(inner.inner_metric, ga, gb, cols)
+                for ga, gb in groups.values()
+            ]
+            if isinstance(inner, RootSumOfSquared):
+                return _math.sqrt(sum(p * p for p in parts))
+            return sum(parts)
+        raise NotImplementedError(repr(metric))
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),
+                st.integers(min_value=0, max_value=4),
+            ),
+            min_size=2,
+            max_size=12,
+        ),
+        threshold=st.integers(min_value=1, max_value=3),
+        drop_idx=st.integers(min_value=0, max_value=11),
+        op=st.sampled_from(
+            ["limit_rows", "limit_keys", "limit_rows_per_key", "lrpk_nested"]
+        ),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_random_neighbors(self, rows, threshold, drop_idx, op):
+        from tumult_core_spark.domains import (
+            SparkDataFrameDomain,
+            SparkIntegerColumnDescriptor,
+        )
+        from tumult_core_spark.metrics import (
+            IfGroupedBy,
+            SumOf,
+            SymmetricDifference,
+        )
+        from tumult_core_spark.transformations.truncation import (
+            LimitKeysPerGroup,
+            LimitRowsPerGroup,
+            LimitRowsPerKeyPerGroup,
+        )
+        from tumult_core_spark.utils.misc import get_spark
+
+        spark = get_spark("fuzz-trunc", cpus=2)
+        INT64 = SparkIntegerColumnDescriptor(size=64)
+        dom = SparkDataFrameDomain({"g": INT64, "u": INT64})
+        grouped = IfGroupedBy("g", SymmetricDifference())
+        if op == "limit_rows":
+            t = LimitRowsPerGroup(dom, grouped, threshold)
+        elif op == "limit_keys":
+            t = LimitKeysPerGroup(dom, grouped, "u", threshold)
+        elif op == "limit_rows_per_key":
+            t = LimitRowsPerKeyPerGroup(dom, grouped, "u", threshold)
+        else:
+            nested = IfGroupedBy(
+                "u", SumOf(IfGroupedBy("g", SymmetricDifference()))
+            )
+            t = LimitRowsPerKeyPerGroup(dom, nested, "u", threshold)
+
+        drop_idx = drop_idx % len(rows)
+        neighbor_rows = [r for i, r in enumerate(rows) if i != drop_idx]
+        cols = ["g", "u"]
+        in_d = self._distance(t.input_metric, rows, neighbor_rows, cols)
+        if in_d == 0:
+            return
+        bound = float(
+            ExactNumber(t.stability_function(in_d)).to_float(round_up=True)
+        )
+        base = [
+            tuple(r)
+            for r in t(spark.createDataFrame(rows, "g long, u long")).collect()
+        ]
+        nbr = [
+            tuple(r)
+            for r in t(
+                spark.createDataFrame(neighbor_rows, "g long, u long")
+            ).collect()
+        ]
+        out_d = self._distance(t.output_metric, base, nbr, cols)
+        assert out_d <= bound + 1e-9, (
+            f"{op} tau={threshold} rows={rows} drop={drop_idx}: "
+            f"in_d={in_d} out_d={out_d} bound={bound}"
+        )
