@@ -864,6 +864,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, list(code ORDER BY i) AS sq_code
             FROM enc GROUP BY vec_id
         """,
+        "normalize_text": """
+            SELECT doc_id, text,
+                   TRIM(REGEXP_REPLACE(LOWER(NFC_NORMALIZE(text)),
+                                       '\\s+', ' ', 'g')) AS norm_text
+            FROM documents
+        """,
         "sq_knn": """
             WITH e AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -902,6 +902,16 @@ def q_streaming_dedup(spark, sf_dir):
     return spark.sql(f"select user_id, event_type from {name}")
 
 
+def q_normalize_text(spark, sf_dir):
+    """Unicode NFC + lowercase + whitespace-collapse + trim text
+    canonicalization; DuckDB replays it with nfc_normalize/lower/
+    regexp_replace/trim byte-for-byte."""
+    from tumult_core_spark.extensions.text import normalize_text
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return normalize_text(docs, "text", out_col="norm_text", unicode_form="NFC")
+
+
 def q_bpe_tokens(spark, sf_dir):
     """Distributed BPE: train 30 merges from the corpus word-frequency
     table, then encode every document.  The oracle is an independent
@@ -1553,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "streaming_dedup": q_streaming_dedup,
         "sq_knn": q_sq_knn,
+        "normalize_text": q_normalize_text,
         # --- last driver-checked in r3 ---
         "add_unique_column": q_add_unique_column,
         "join_on_nulls": q_join_on_nulls,

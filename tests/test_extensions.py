@@ -2233,3 +2233,68 @@ class TestEmptyInputs:
         assert all(r["vec_id"] != 99 for r in rows)
         assert all(r["qid"] == 1 for r in rows)  # null query dropped
         assert all(r["score"] is not None for r in rows)
+
+
+class TestNormalizeText:
+    def test_catalyst_only_path(self, spark):
+        from tumult_core_spark.extensions.text import normalize_text
+
+        df = spark.createDataFrame(
+            [(1, "  Hello   WORLD \t x "), (2, None), (3, "AB\n\nCD")],
+            "doc_id long, text string",
+        )
+        out = normalize_text(df, "text")
+        rows = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert rows == {1: "hello world x", 2: None, 3: "ab cd"}
+        # no Python in the default plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+
+    def test_unicode_forms(self, spark):
+        import unicodedata
+
+        from tumult_core_spark.extensions.text import normalize_text
+
+        decomposed = "école"       # e + combining acute
+        composed = "école"           # precomposed
+        compat = "ﬁle ①"        # fi-ligature, circled one
+        df = spark.createDataFrame(
+            [(1, decomposed), (2, compat), (3, None)], "doc_id long, text string"
+        )
+        nfc = {
+            r["doc_id"]: r["text"]
+            for r in normalize_text(
+                df, "text", unicode_form="NFC", lowercase=False,
+                collapse_whitespace=False, strip=False,
+            ).collect()
+        }
+        assert nfc[1] == composed
+        assert nfc[3] is None
+        nfkc = {
+            r["doc_id"]: r["text"]
+            for r in normalize_text(
+                df, "text", unicode_form="NFKC", lowercase=False,
+                collapse_whitespace=False, strip=False,
+            ).collect()
+        }
+        assert nfkc[2] == unicodedata.normalize("NFKC", compat)
+        with pytest.raises(ValueError, match="unicode_form"):
+            normalize_text(df, "text", unicode_form="NFX")
+
+    def test_normalized_variants_collide_for_dedup(self, spark):
+        """The point of the op: case/whitespace/encoding variants of
+        one document hash identically after normalization."""
+        from tumult_core_spark.extensions.dedup import exact_dedup
+        from tumult_core_spark.extensions.text import normalize_text
+
+        df = spark.createDataFrame(
+            [
+                (1, "The  Quick\tBrown Fox"),
+                (2, "the quick brown fox"),
+                (3, "THE QUICK  BROWN FOX  "),
+                (4, "a different document"),
+            ],
+            "doc_id long, text string",
+        )
+        norm = normalize_text(df, "text")
+        assert exact_dedup(norm, ["text"]).count() == 2

@@ -692,3 +692,53 @@ def bpe_encode(
     return df.select(
         F.col(id_col), enc(F.col(text_col)).alias(out_col)
     ).withColumn("n_bpe_tokens", F.size(F.col(out_col)))
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: Optional[str] = None,
+    unicode_form: Optional[str] = None,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip: bool = True,
+) -> DataFrame:
+    """Canonicalize a text column — the step dedup pipelines run
+    BEFORE hashing so that byte-level variants of the same content
+    (case, runs of whitespace, combining-character encodings) collide.
+
+    ``lowercase`` / ``collapse_whitespace`` / ``strip`` are pure
+    Catalyst (lower / regexp_replace / trim — codegen'd, scan-speed).
+    ``unicode_form`` ("NFC", "NFKC", "NFD", "NFKD") applies Unicode
+    normalization via an Arrow-batched pandas UDF over stdlib
+    ``unicodedata`` — the one sub-step Catalyst cannot express; omit
+    it (None) to stay Python-free.  NULL text stays NULL.
+    """
+    if unicode_form is not None and unicode_form not in (
+        "NFC", "NFKC", "NFD", "NFKD"
+    ):
+        raise ValueError(f"unknown unicode_form {unicode_form!r}")
+    out_col = out_col or text_col
+    col = F.col(text_col)
+    if unicode_form is not None:
+        from pyspark.sql.functions import pandas_udf
+
+        form = unicode_form
+
+        def _norm_series(s):
+            import unicodedata
+
+            return s.map(
+                lambda v: unicodedata.normalize(form, v) if v is not None else None
+            )
+
+        # hint-free form: `from __future__ import annotations` would
+        # stringify pd.Series hints beyond pandas_udf's resolver
+        col = pandas_udf(_norm_series, "string")(col)
+    if lowercase:
+        col = F.lower(col)
+    if collapse_whitespace:
+        col = F.regexp_replace(col, r"\s+", " ")
+    if strip:
+        col = F.trim(col)
+    return df.withColumn(out_col, col)
