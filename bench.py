@@ -405,7 +405,11 @@ def sf_sweep(spark, k: int = 10):
     from pyspark.sql import functions as F
 
     from tumult_core_spark.extensions.components import connected_components
-    from tumult_core_spark.extensions.dedup import decontaminate, dedup_paragraphs
+    from tumult_core_spark.extensions.dedup import (
+        decontaminate,
+        dedup_paragraphs,
+        minhash_lsh_candidate_pairs,
+    )
     from tumult_core_spark.extensions.text import (
         bpe_encode,
         bpe_train,
@@ -451,12 +455,20 @@ def sf_sweep(spark, k: int = 10):
         )
         decontaminate(d, holdout, "doc_id", "text", threshold=0.99).count()
 
+    def op_dedup_minhash(scale):
+        # banded LSH: the op where a super-linear pair explosion would
+        # surface (docs() copies are id-shifted so signatures repeat
+        # exactly k times per band bucket — a worst-ish case for the
+        # bucket cap)
+        minhash_lsh_candidate_pairs(docs(scale), "doc_id", "text", 64, 16).count()
+
     ops = {
         "components": op_components,
         "dedup_paragraphs": op_dedup_paragraphs,
         "text_quality": op_text_quality,
         "bpe": op_bpe,
         "decontaminate": op_decontaminate,
+        "dedup_minhash": op_dedup_minhash,
     }
     results = {}
     for name, fn in ops.items():
