@@ -2298,3 +2298,23 @@ class TestNormalizeText:
         )
         norm = normalize_text(df, "text")
         assert exact_dedup(norm, ["text"]).count() == 2
+
+    def test_new_ops_empty_inputs(self, spark):
+        """normalize_text and the JSON ops on 0-row input."""
+        from tumult_core_spark.extensions.semistructured import (
+            extract_json_fields,
+            flatten_json,
+            infer_json_schema,
+            json_array_explode,
+        )
+        from tumult_core_spark.extensions.text import normalize_text
+
+        empty = spark.createDataFrame([], "doc_id long, text string")
+        assert normalize_text(empty, "text").count() == 0
+        assert normalize_text(empty, "text", unicode_form="NFKC").count() == 0
+        ej = spark.createDataFrame([], "id long, j string")
+        assert extract_json_fields(ej, "j", {"k": ("$.k", "long")}).count() == 0
+        assert flatten_json(ej, "j", "a long").count() == 0
+        assert json_array_explode(ej, "j", "a long").count() == 0
+        with pytest.raises(ValueError, match="[Nn]o non-null"):
+            infer_json_schema(ej, "j")
