@@ -463,3 +463,78 @@ class TestTruncationStabilityFuzz:
             f"{op} tau={threshold} rows={rows} drop={drop_idx}: "
             f"in_d={in_d} out_d={out_d} bound={bound}"
         )
+
+
+class TestPublicJoinStabilityFuzz:
+    """Randomized empirical check of PublicJoin's multiplicity-factor
+    stability under the row-level metric and the row-counting
+    IfGroupedBy inner (both fixed to multiply in r5)."""
+
+    @given(
+        priv=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),
+                st.integers(min_value=0, max_value=5),
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        pub=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),
+                st.integers(min_value=0, max_value=2),
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        drop_idx=st.integers(min_value=0, max_value=7),
+        grouped=st.booleans(),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_removal_neighbors(self, priv, pub, drop_idx, grouped):
+        from collections import Counter
+
+        from tumult_core_spark.domains import (
+            SparkDataFrameDomain,
+            SparkIntegerColumnDescriptor,
+        )
+        from tumult_core_spark.metrics import (
+            IfGroupedBy,
+            SumOf,
+            SymmetricDifference,
+        )
+        from tumult_core_spark.transformations.join import PublicJoin
+        from tumult_core_spark.utils.misc import get_spark
+
+        spark = get_spark("fuzz-pj", cpus=2)
+        INT64 = SparkIntegerColumnDescriptor(size=64)
+        dom = SparkDataFrameDomain({"k": INT64, "x": INT64})
+        metric = (
+            IfGroupedBy("k", SumOf(SymmetricDifference()))
+            if grouped
+            else SymmetricDifference()
+        )
+        pub_df = spark.createDataFrame(pub, "k long, tag long")
+        t = PublicJoin(dom, metric, pub_df)
+        bound = float(
+            ExactNumber(t.stability_function(1)).to_float(round_up=True)
+        )
+        drop_idx = drop_idx % len(priv)
+        nbr_rows = [r for i, r in enumerate(priv) if i != drop_idx]
+
+        def run(rows):
+            if not rows:
+                return Counter()
+            return Counter(
+                tuple(r)
+                for r in t(spark.createDataFrame(rows, "k long, x long")).collect()
+            )
+
+        a, b = run(priv), run(nbr_rows)
+        diff = sum((a - b).values()) + sum((b - a).values())
+        # one removed private row joins to at most the multiplicity of
+        # its key <= max multiplicity = claimed stability at d_in = 1
+        assert diff <= bound + 1e-9, (
+            f"priv={priv} pub={pub} drop={drop_idx} grouped={grouped}: "
+            f"{diff} > {bound}"
+        )
