@@ -749,3 +749,42 @@ class TestComposedMeasurementDistributions:
         )
         assert p > P_THRESHOLD, f"sod KS p={p} (sigma {sigma_sod:.2f})"
         self._check_discrete_gaussian(cnt_noise, 1.0 / rho)
+
+
+class TestQuantileMechanismDistribution:
+    """Reference test_quantile.py analogue: the exponential mechanism's
+    interval-selection frequencies must match the analytic law
+    P(i) ∝ width_i * exp(-eps/(2*max(q,1-q)) * |rank_i - q*n|), and the
+    within-interval draw must be uniform."""
+
+    def test_selection_probabilities_and_uniformity(self):
+        import pandas as pd
+
+        from tumult_core_spark.measures import PureDP
+        from tumult_core_spark.measurements.quantile import NoisyQuantile
+
+        q, eps, lower, upper = 0.5, 1.0, 0.0, 10.0
+        data = pd.DataFrame({"x": [2.0, 4.0]})
+        m = NoisyQuantile("x", q, lower, upper, 1, PureDP())
+        assert m.privacy_function(1) == 1
+
+        # analytic: intervals [0,2],[2,4],[4,10]; ranks 0,1,2; target 1
+        widths = np.array([2.0, 2.0, 6.0])
+        dists = np.array([1.0, 0.0, 1.0])
+        coeff = eps / (2 * max(q, 1 - q))
+        weights = widths * np.exp(-coeff * dists)
+        probs = weights / weights.sum()
+
+        n = 3000
+        samples = np.array([m(data)[m.output_column].iloc[0] for _ in range(n)])
+        assert ((samples >= lower) & (samples <= upper)).all()
+        edges = np.array([0.0, 2.0, 4.0, 10.0])
+        observed = np.histogram(samples, bins=edges)[0].astype(float)
+        p = chi2_pvalue(observed, probs * n)
+        assert p > P_THRESHOLD, f"selection chi2 p={p}: {observed} vs {probs*n}"
+
+        # uniform within the modal interval [2, 4]
+        inside = samples[(samples >= 2.0) & (samples < 4.0)]
+        u = (inside - 2.0) / 2.0
+        p = ks_pvalue(ks_statistic(u, lambda x: np.clip(x, 0, 1)), len(u))
+        assert p > P_THRESHOLD, f"within-interval KS p={p}"
