@@ -788,3 +788,50 @@ class TestQuantileMechanismDistribution:
         u = (inside - 2.0) / 2.0
         p = ks_pvalue(ks_statistic(u, lambda x: np.clip(x, 0, 1)), len(u))
         assert p > P_THRESHOLD, f"within-interval KS p={p}"
+
+
+class TestPartitionSelectionDistribution:
+    """GeometricPartitionSelection through the full Spark path: each
+    group of true count c must be released with analytic probability
+    P(c + Geom_alpha >= tau) = 1 - CMF_alpha(tau - 1 - c), and the
+    released noisy counts, conditioned on release, must follow the
+    truncated two-sided geometric."""
+
+    def test_release_probability_and_truncated_counts(self, spark):
+        from tumult_core_spark.domains import (
+            SparkDataFrameDomain,
+            SparkIntegerColumnDescriptor,
+        )
+        from tumult_core_spark.measurements.spark import (
+            GeometricPartitionSelection,
+        )
+        from tumult_core_spark.utils.distributions import (
+            double_sided_geometric_cmf,
+        )
+
+        alpha, tau, c = 2.0, 5, 3
+        n_groups = 3000
+        df = spark.createDataFrame(
+            [(g,) for g in range(n_groups) for _ in range(c)], "g long"
+        )
+        dom = SparkDataFrameDomain({"g": SparkIntegerColumnDescriptor(size=64)})
+        m = GeometricPartitionSelection(dom, tau, 2)
+        out = {r["g"]: r["count"] for r in m(df).collect()}
+
+        # release probability: noise >= tau - c
+        p_release = float(1 - double_sided_geometric_cmf(tau - 1 - c, alpha))
+        k = len(out)
+        # normal approximation of the binomial, generous 5-sigma band
+        sigma = math.sqrt(n_groups * p_release * (1 - p_release))
+        assert abs(k - n_groups * p_release) < 5 * sigma, (
+            f"released {k}, expected {n_groups * p_release:.1f} ± {5*sigma:.1f}"
+        )
+
+        counts = np.array(list(out.values()))
+        assert (counts >= tau).all()
+        # conditional law: P(count = v | released) for v >= tau
+        support = np.arange(tau, tau + 15)
+        pmf = double_sided_geometric_pmf(support - c, alpha) / p_release
+        observed = np.array([(counts == v).sum() for v in support], dtype=float)
+        p = chi2_pvalue(observed, pmf * k)
+        assert p > P_THRESHOLD, f"truncated-count chi2 p={p}"
