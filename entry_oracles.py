@@ -138,7 +138,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_tokens": f"""
             SELECT doc_id, CAST(n_bpe_tokens AS INTEGER) AS n_bpe_tokens,
-                   bpe_tokens
+                   array_to_string(bpe_tokens, ' ') AS bpe_tokens
             FROM '{bpe_fixture}'
         """,
         "filter_select": (
@@ -197,8 +197,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
                        AS n_with_k,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                       AS sum_k,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
                    MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
                        AS min_k,
                    MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
@@ -467,21 +467,24 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(mean, 6) AS mean
             FROM m, (
                 SELECT 'l_quantity' AS col,
-                       SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_nulls,
                        CAST(MIN(l_quantity) AS DOUBLE) AS mn,
                        CAST(MAX(l_quantity) AS DOUBLE) AS mx,
                        CAST(SUM(CAST(l_quantity AS DECIMAL(38,12))) AS DOUBLE)
                            / COUNT(l_quantity) AS mean FROM lineitem
                 UNION ALL
                 SELECT 'l_extendedprice',
-                       SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+                       CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+                            AS BIGINT),
                        CAST(MIN(l_extendedprice) AS DOUBLE),
                        CAST(MAX(l_extendedprice) AS DOUBLE),
                        CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS DOUBLE)
                            / COUNT(l_extendedprice) FROM lineitem
                 UNION ALL
                 SELECT 'l_discount',
-                       SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+                       CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+                            AS BIGINT),
                        CAST(MIN(l_discount) AS DOUBLE),
                        CAST(MAX(l_discount) AS DOUBLE),
                        CAST(SUM(CAST(l_discount AS DECIMAL(38,12))) AS DOUBLE)
@@ -861,7 +864,8 @@ def oracle_sql() -> dict[str, str]:
                                    ELSE 1.0 END)
                            * 255), 0), 255) AS INTEGER) - 128 AS code
                 FROM e, dims d)
-            SELECT vec_id, list(code ORDER BY i) AS sq_code
+            SELECT vec_id,
+                   string_agg(CAST(code AS VARCHAR), ' ' ORDER BY i) AS sq_code
             FROM enc GROUP BY vec_id
         """,
         "normalize_text": """
@@ -1117,22 +1121,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "profile_table": """
             SELECT 'o_orderkey' AS column, COUNT(*) AS n_rows,
-                   SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                   CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
                    COUNT(DISTINCT o_orderkey) AS n_distinct
             FROM orders
             UNION ALL
             SELECT 'o_custkey' AS column, COUNT(*) AS n_rows,
-                   SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
                    COUNT(DISTINCT o_custkey) AS n_distinct
             FROM orders
             UNION ALL
             SELECT 'o_orderstatus' AS column, COUNT(*) AS n_rows,
-                   SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                   CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
                    COUNT(DISTINCT o_orderstatus) AS n_distinct
             FROM orders
             UNION ALL
             SELECT 'o_totalprice' AS column, COUNT(*) AS n_rows,
-                   SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                   CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
                    COUNT(DISTINCT o_totalprice) AS n_distinct
             FROM orders
         """,

@@ -922,9 +922,12 @@ def q_bpe_tokens(spark, sf_dir):
 
     docs = _load(spark, sf_dir, "documents")
     merges = bpe_train(docs, num_merges=30)
+    # array_join: the driver's pandas canonicalizer lexsorts output
+    # columns and cannot factorize list cells, so serialize the token
+    # array to one canonical string on both engines.
     return bpe_encode(docs, merges=merges).select(
         "doc_id", F.col("n_bpe_tokens").cast("int").alias("n_bpe_tokens"),
-        "bpe_tokens",
+        F.array_join("bpe_tokens", " ").alias("bpe_tokens"),
     )
 
 
@@ -947,7 +950,12 @@ def q_sq_codes(spark, sf_dir):
 
     embs = _load(spark, sf_dir, "embeddings")
     lo, hi = sq_fit(embs, "embedding")
-    return sq_encode(embs, "vec_id", "embedding", lo, hi)
+    # serialize the int8 code array to a string: the driver's pandas
+    # canonicalizer cannot sort list-valued cells (see q_bpe_tokens)
+    return sq_encode(embs, "vec_id", "embedding", lo, hi).select(
+        "vec_id",
+        F.array_join(F.col("sq_code").cast("array<string>"), " ").alias("sq_code"),
+    )
 
 
 def q_sq_knn(spark, sf_dir):
@@ -1531,67 +1539,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order.  The per-round driver checks roughly the first 50 registry
     # entries against the DuckDB oracle, so each round the entries with
     # the least-fresh driver evidence go FIRST:
-    #   r5 front block = the 18 queries never driver-checked in any
-    #   round + the 8 queries last checked in r3 + profile_numeric
-    #   (r4's one red row, now fixed via decimal-mean accumulation).
-    #   The tail = r4-green entries, freshest last.  r6: rotate again —
-    #   move whatever the r5 batch did not reach back to the front.
+    #   r6 front block = the 5 rows red in r5 (all five fixed this
+    #   round: BIGINT-cast oracles for profile_table / profile_numeric /
+    #   json_extract; string-serialized array outputs for sq_codes /
+    #   bpe_tokens) + the 31 tail entries the r5 batch did not reach
+    #   (all r4-green on unchanged code).  The tail = the 45 r5-green
+    #   entries in their r5 order.  r7: rotate again — move whatever
+    #   the r6 batch does not reach back to the front.
     return {
-        # --- never driver-checked before r5 (local-green since r4) ---
-        "connected_components": q_connected_components,
-        "dedup_connected": q_dedup_connected,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        "training_mix": q_training_mix,
-        "decontaminate": q_decontaminate,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "bigram_logprob": q_bigram_logprob,
-        "stream_interval_join": q_stream_interval_join,
-        "sq_codes": q_sq_codes,
-        "profile_quantiles": q_profile_quantiles,
-        "bpe_tokens": q_bpe_tokens,
-        "preprocess_pipeline": q_preprocess_pipeline,
-        "rolling_aggregate": q_rolling_aggregate,
-        "sessionize_batch": q_sessionize_batch,
-        "redact_pii": q_redact_pii,
+        # --- red in r5, fixed this round: re-check first ---
         "profile_table": q_profile_table,
-        # --- fixed after r4's hash flake (decimal-mean) ---
         "profile_numeric": q_profile_numeric,
-        # --- new in r5 (keep_intermediates + semistructured surfaces) ---
-        "variance_intermediates": q_variance_intermediates,
         "json_extract": q_json_extract,
-        "streaming_dedup": q_streaming_dedup,
-        "sq_knn": q_sq_knn,
-        "normalize_text": q_normalize_text,
-        # --- last driver-checked in r3 ---
-        "add_unique_column": q_add_unique_column,
-        "join_on_nulls": q_join_on_nulls,
-        "ann_ivf": q_ann_ivf,
-        "sessionize": q_sessionize,
-        "embedding_near_dups": q_embedding_near_dups,
-        "private_join_on_key": q_private_join_on_key,
-        "limit_rows_per_key_per_group": q_limit_rows_per_key_per_group,
-        "groupby_stddev": q_groupby_stddev,
-        # --- r4-green (rotate back to the front in r6 as they stale) ---
-        "filter_select": q_filter_select,
-        "rename": q_rename,
-        "groupby_count": q_groupby_count,
-        "groupby_count_distinct": q_groupby_count_distinct,
-        "groupby_sum": q_groupby_sum,
-        "total_counts": q_total_counts,
-        "average": q_average,
-        "variance": q_variance,
-        "public_join": q_public_join,
-        "private_join_drop": q_private_join_drop,
-        "limit_rows_per_group": q_limit_rows_per_group,
-        "limit_keys_per_group": q_limit_keys_per_group,
-        "partition_selection": q_partition_selection,
-        "bounds": q_bounds,
-        "quantile_median": q_quantile_median,
-        "partition_by_keys": q_partition_by_keys,
-        "map_revenue": q_map_derive,
-        "flatmap_by_key": q_flatmap_by_key,
+        "sq_codes": q_sq_codes,
+        "bpe_tokens": q_bpe_tokens,
+        # --- r4-green tail the r5 batch did not reach ---
         "replace_nulls": q_replace_nulls,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -1623,6 +1585,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replace_nans_infs": q_replace_nans_infs,
         "flatmap_explode": q_flatmap_explode,
         "grouping_flatmap": q_grouping_flatmap,
+        # --- r5-green (freshest evidence; tail of the r6 batch) ---
+        "connected_components": q_connected_components,
+        "dedup_connected": q_dedup_connected,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "training_mix": q_training_mix,
+        "decontaminate": q_decontaminate,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "bigram_logprob": q_bigram_logprob,
+        "stream_interval_join": q_stream_interval_join,
+        "profile_quantiles": q_profile_quantiles,
+        "preprocess_pipeline": q_preprocess_pipeline,
+        "rolling_aggregate": q_rolling_aggregate,
+        "sessionize_batch": q_sessionize_batch,
+        "redact_pii": q_redact_pii,
+        "variance_intermediates": q_variance_intermediates,
+        "streaming_dedup": q_streaming_dedup,
+        "sq_knn": q_sq_knn,
+        "normalize_text": q_normalize_text,
+        "add_unique_column": q_add_unique_column,
+        "join_on_nulls": q_join_on_nulls,
+        "ann_ivf": q_ann_ivf,
+        "sessionize": q_sessionize,
+        "embedding_near_dups": q_embedding_near_dups,
+        "private_join_on_key": q_private_join_on_key,
+        "limit_rows_per_key_per_group": q_limit_rows_per_key_per_group,
+        "groupby_stddev": q_groupby_stddev,
+        "filter_select": q_filter_select,
+        "rename": q_rename,
+        "groupby_count": q_groupby_count,
+        "groupby_count_distinct": q_groupby_count_distinct,
+        "groupby_sum": q_groupby_sum,
+        "total_counts": q_total_counts,
+        "average": q_average,
+        "variance": q_variance,
+        "public_join": q_public_join,
+        "private_join_drop": q_private_join_drop,
+        "limit_rows_per_group": q_limit_rows_per_group,
+        "limit_keys_per_group": q_limit_keys_per_group,
+        "partition_selection": q_partition_selection,
+        "bounds": q_bounds,
+        "quantile_median": q_quantile_median,
+        "partition_by_keys": q_partition_by_keys,
+        "map_revenue": q_map_derive,
+        "flatmap_by_key": q_flatmap_by_key,
     }
 
 
