@@ -257,3 +257,40 @@ def test_layout_for_scan_prunes_partitions_and_rowgroups(spark, tmp_path):
     assert "score" in pushed
     # and it returns the right rows
     assert back.count() == df.filter("shard = 2 AND score < 50").count()
+
+
+def test_decontaminate_broadcast_is_size_gated(spark, sf_dir):
+    """The holdout postings index must broadcast only below the size
+    gate: above it (forced here with a zero threshold) the gram join
+    falls back to a plain shuffle join instead of an unbounded
+    broadcast — the executor-OOM class at corpus scale.  Both paths
+    must return identical rows."""
+    from tumult_core_spark.extensions.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.xxhash64("doc_id") % 3 != 0).limit(60)
+    holdout = docs.filter(F.xxhash64("doc_id") % 3 == 0).limit(40)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # disable Catalyst's own size-based broadcast so only our explicit
+    # hint (or its absence) decides the initial join strategy
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bcast = decontaminate(train, holdout, "doc_id", "text", threshold=0.99)
+        shuffle = decontaminate(
+            train, holdout, "doc_id", "text", threshold=0.99,
+            broadcast_threshold_bytes=0,
+        )
+        bplan, splan = plan_of(bcast), plan_of(shuffle)
+        # gram-index join (the only inner join): hinted broadcast
+        # below the gate...
+        assert "BroadcastHashJoin Inner" in bplan
+        assert "SortMergeJoin Inner" not in bplan
+        # ...plain shuffle join above it (the stop-gram anti-join may
+        # still broadcast — it joins the tiny per-gram counts)
+        assert "SortMergeJoin Inner" in splan or "ShuffledHashJoin Inner" in splan
+        assert "BroadcastHashJoin Inner" not in splan
+        rows_b = sorted(tuple(r) for r in bcast.collect())
+        rows_s = sorted(tuple(r) for r in shuffle.collect())
+        assert rows_b == rows_s
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -578,6 +578,12 @@ def simhash_near_duplicates(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+#: conservative per-row estimate for a surviving holdout posting
+#: (doc id string + int total + gram string, pre-compression): used to
+#: decide whether the postings index fits a broadcast.
+_EST_POSTING_ROW_BYTES = 96
+
+
 def decontaminate(
     train: DataFrame,
     holdout: DataFrame,
@@ -586,6 +592,7 @@ def decontaminate(
     n: int = 3,
     threshold: float = 0.8,
     max_gram_doc_freq: int = 10_000,
+    broadcast_threshold_bytes: int = 100 * 1024 * 1024,
 ) -> DataFrame:
     """(train_id, holdout_id, jaccard) for training documents whose
     word n-gram Jaccard with ANY holdout (eval/test) document reaches
@@ -604,6 +611,14 @@ def decontaminate(
     surviving gram (intersection via the posting counts; union from
     per-doc distinct-gram totals), so dropped stop-grams only affect
     candidate GENERATION, never the verified jaccard value itself.
+
+    The index-vs-corpus join is size-gated: the surviving holdout
+    postings count (a scalar aggregate over the already-built per-gram
+    document frequencies) estimates the index size, and the index is
+    broadcast only when that estimate fits ``broadcast_threshold_bytes``
+    — the common case, since holdouts are benchmark-sized.  A large or
+    mis-specified holdout falls back to a plain shuffle join instead of
+    OOM-ing every executor with an unbounded broadcast.
     """
     tg = (
         train.select(
@@ -619,17 +634,32 @@ def decontaminate(
     )
     h_post = hg.select("__hid", "__hn", F.explode("__g").alias("__gram"))
     gram_df = h_post.groupBy("__gram").agg(F.count(F.lit(1)).alias("__df"))
+    # scalar: how many postings survive stop-gram removal (sum of the
+    # per-gram doc frequencies at or under the cap) — one extra pass
+    # over the SMALL (holdout) side only; the train corpus is untouched
+    surviving_postings = (
+        gram_df.filter(F.col("__df") <= max_gram_doc_freq)
+        .agg(F.coalesce(F.sum("__df"), F.lit(0)).alias("n"))
+        .first()["n"]
+    )
     h_post = h_post.join(
         F.broadcast(gram_df.filter(F.col("__df") > max_gram_doc_freq)),
         "__gram",
         "left_anti",
     )
     t_post = tg.select("__tid", "__tn", F.explode("__g").alias("__gram"))
-    # holdout sets are benchmark-sized by definition, so the surviving
-    # holdout postings broadcast: the train side never shuffles — the
-    # index join runs map-side over the corpus scan
+    # usually holdout sets are benchmark-sized, so the surviving
+    # postings broadcast and the train side never shuffles — the index
+    # join runs map-side over the corpus scan; but broadcast only when
+    # the estimate fits the gate, else a mis-specified holdout becomes
+    # an unbounded broadcast (executor OOM at corpus scale) — fall back
+    # to a plain shuffle join on the gram key instead
+    if surviving_postings * _EST_POSTING_ROW_BYTES <= broadcast_threshold_bytes:
+        h_index = F.broadcast(h_post)
+    else:
+        h_index = h_post
     shared = (
-        t_post.join(F.broadcast(h_post), "__gram")
+        t_post.join(h_index, "__gram")
         .groupBy("__tid", "__hid")
         .agg(
             F.count(F.lit(1)).alias("__shared"),
