@@ -18,10 +18,15 @@ def oracle_sql() -> dict[str, str]:
     flags_cte = "keys(l_returnflag) AS (VALUES ('A'),('N'),('R'),('X'))"
     # absolute path: the multimodal oracle reads a precomputed fixture
     # (independent pyarrow+numpy rendering of the deterministic fake
-    # decode; regenerate with tests/fixtures/make_multimodal_fixture.py)
+    # decode; regenerate with tests/fixtures/make_multimodal_fixture.py).
+    # Fixtures are SF-KEYED: each covers sf0.001/0.01/0.1 with an
+    # sf_key column (DuckDB content fingerprint of the source table);
+    # the SQL selects the matching block and ERRORS when the table it
+    # runs against matches no block, instead of silently comparing
+    # another SF's rows.
     mm_fixture = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        "tests", "fixtures", "multimodal_expected_sf001.parquet",
+        "tests", "fixtures", "multimodal_expected.parquet",
     )
     # same pattern for PCA: the eigendecomposition is not
     # SQL-expressible, so the oracle is an independent pyarrow+numpy
@@ -29,22 +34,40 @@ def oracle_sql() -> dict[str, str]:
     # covariance and sign conventions, no tumult_core_spark imports)
     pca_fixture = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        "tests", "fixtures", "pca_expected_sf001.parquet",
+        "tests", "fixtures", "pca_expected.parquet",
     )
     # independent from-scratch BPE (train + encode) fixture — the merge
     # loop is iterative and not SQL-expressible
     # (tests/fixtures/make_bpe_fixture.py, pyarrow + stdlib only)
     bpe_fixture = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        "tests", "fixtures", "bpe_expected_sf001.parquet",
+        "tests", "fixtures", "bpe_expected.parquet",
     )
     return {
         "multimodal_features": f"""
-            SELECT doc_id, f0, f1, f2, dim
-            FROM '{mm_fixture}'
+            WITH k AS (SELECT bit_xor(hash(doc_id, text)) AS key FROM documents)
+            SELECT f.doc_id, f.f0, f.f1, f.f2, f.dim
+            FROM '{mm_fixture}' f, k WHERE f.sf_key = k.key
+            UNION ALL
+            SELECT CAST(error('multimodal fixture has no block for this '
+                              'documents table — regenerate with '
+                              'tests/fixtures/make_multimodal_fixture.py')
+                        AS BIGINT),
+                   NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::INTEGER
+            FROM k WHERE k.key NOT IN (SELECT sf_key FROM '{mm_fixture}')
         """,
         "pca_project": f"""
-            SELECT vec_id, pc1, pc2 FROM '{pca_fixture}'
+            WITH k AS (SELECT bit_xor(hash(vec_id, embedding)) AS key
+                       FROM embeddings)
+            SELECT f.vec_id, f.pc1, f.pc2
+            FROM '{pca_fixture}' f, k WHERE f.sf_key = k.key
+            UNION ALL
+            SELECT CAST(error('pca fixture has no block for this embeddings '
+                              'table — regenerate with '
+                              'tests/fixtures/make_pca_fixture.py')
+                        AS BIGINT),
+                   NULL::DOUBLE, NULL::DOUBLE
+            FROM k WHERE k.key NOT IN (SELECT sf_key FROM '{pca_fixture}')
         """,
         "rolling_aggregate": """
             SELECT event_id,
@@ -137,9 +160,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT chunk_id, bucket, bin FROM packed
         """,
         "bpe_tokens": f"""
-            SELECT doc_id, CAST(n_bpe_tokens AS INTEGER) AS n_bpe_tokens,
-                   array_to_string(bpe_tokens, ' ') AS bpe_tokens
-            FROM '{bpe_fixture}'
+            WITH k AS (SELECT bit_xor(hash(doc_id, text)) AS key FROM documents)
+            SELECT f.doc_id, CAST(f.n_bpe_tokens AS INTEGER) AS n_bpe_tokens,
+                   array_to_string(f.bpe_tokens, ' ') AS bpe_tokens
+            FROM '{bpe_fixture}' f, k WHERE f.sf_key = k.key
+            UNION ALL
+            SELECT CAST(error('bpe fixture has no block for this documents '
+                              'table — regenerate with '
+                              'tests/fixtures/make_bpe_fixture.py')
+                        AS BIGINT),
+                   NULL::INTEGER, NULL::VARCHAR
+            FROM k WHERE k.key NOT IN (SELECT sf_key FROM '{bpe_fixture}')
         """,
         "filter_select": (
             "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity < 25"

@@ -1,10 +1,14 @@
-"""Generate the independent BPE oracle fixture for sf0.01.
+"""Generate the independent BPE oracle fixture.
 
 A from-scratch implementation of Sennrich-style BPE (train 30 merges,
-then encode) over ``/root/testdata/sf0.01/documents.parquet`` using
-ONLY pyarrow + stdlib — no tumult_core_spark imports — so the fixture
-independently re-derives what ``bpe_train`` / ``bpe_encode`` must
-produce.  Shared spec (documented on both sides):
+then encode) over every scale factor's ``documents.parquet`` using
+ONLY pyarrow + stdlib (+ duckdb for the SF fingerprint) — no
+tumult_core_spark imports — so the fixture independently re-derives
+what ``bpe_train`` / ``bpe_encode`` must produce.  One fixture file
+covers all SFs, keyed by ``sf_key`` = DuckDB's
+``bit_xor(hash(doc_id, text))`` fingerprint of the source documents
+table (see make_multimodal_fixture.py).  Shared spec (documented on
+both sides):
 
 * words = lowercased tokens split on the ASCII whitespace class
   [ \\t\\n\\x0b\\f\\r]+ (Java \\s, what the engine's tokens_col
@@ -17,19 +21,25 @@ produce.  Shared spec (documented on both sides):
 * encode: per word, repeatedly apply the present merge with the
   lowest rank until none applies.
 
-Run:  python tests/fixtures/make_bpe_fixture.py
+Run:  python tests/fixtures/make_bpe_fixture.py [sf_dir ...]
 """
 
 import os
 import re
+import sys
 from collections import Counter
 
+import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+SF_DIRS = sys.argv[1:] or [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                   "bpe_expected_sf001.parquet")
+                   "bpe_expected.parquet")
 NUM_MERGES = 30
 MIN_FREQUENCY = 2
 
@@ -82,8 +92,11 @@ def encode_word(word, ranks, memo):
     return syms
 
 
-def main():
-    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+def block(sf_dir):
+    sf_key = duckdb.sql(
+        f"SELECT bit_xor(hash(doc_id, text)) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     docs = list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
     vocab = Counter()
@@ -101,15 +114,20 @@ def main():
         ids.append(doc_id)
         toks.append(out)
         counts.append(len(out))
-    out_t = pa.table(
+    return pa.table(
         {
+            "sf_key": pa.array([sf_key] * len(ids), type=pa.uint64()),
             "doc_id": pa.array(ids, type=pa.int64()),
             "n_bpe_tokens": pa.array(counts, type=pa.int32()),
             "bpe_tokens": pa.array(toks, type=pa.list_(pa.string())),
         }
     )
+
+
+def main():
+    out_t = pa.concat_tables([block(d) for d in SF_DIRS])
     pq.write_table(out_t, OUT)
-    print(f"wrote {OUT}: {out_t.num_rows} rows, {len(merges)} merges")
+    print(f"wrote {OUT}: {out_t.num_rows} rows ({len(SF_DIRS)} SFs)")
 
 
 if __name__ == "__main__":
