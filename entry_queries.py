@@ -1539,67 +1539,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order.  The per-round driver checks roughly the first 50 registry
     # entries against the DuckDB oracle, so each round the entries with
     # the least-fresh driver evidence go FIRST:
-    #   r6 front block = the 5 rows red in r5 (all five fixed this
-    #   round: BIGINT-cast oracles for profile_table / profile_numeric /
-    #   json_extract; string-serialized array outputs for sq_codes /
-    #   bpe_tokens) + the 31 tail entries the r5 batch did not reach
-    #   (all r4-green on unchanged code).  The tail = the 45 r5-green
-    #   entries in their r5 order.  r7: rotate again — move whatever
-    #   the r6 batch does not reach back to the front.
+    #   r7 front block = the 31 entries the r6 batch did not reach
+    #   (all r5-green; code unchanged since except decontaminate's
+    #   broadcast size gate, which sits in the tail and was
+    #   oracle-verified by hand this round).  The tail = the 50
+    #   r6-green entries in their r6 order.  r8: rotate again — move
+    #   whatever the r7 batch does not reach back to the front.
     return {
-        # --- red in r5, fixed this round: re-check first ---
-        "profile_table": q_profile_table,
-        "profile_numeric": q_profile_numeric,
-        "json_extract": q_json_extract,
-        "sq_codes": q_sq_codes,
-        "bpe_tokens": q_bpe_tokens,
-        # --- r4-green tail the r5 batch did not reach ---
-        "replace_nulls": q_replace_nulls,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ann_topk": q_ann_topk,
-        "token_counts": q_token_counts,
-        "lang_id": q_lang_id,
-        "fingerprint_distinct": q_fingerprint_distinct,
-        "quality_scores": q_quality_scores,
-        "repetition_stats": q_repetition_stats,
-        "asof_join": q_asof_join,
-        "time_rollup": q_time_rollup,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "temperature_mix": q_temperature_mix,
-        "pca_project": q_pca_project,
-        "unigram_logprob": q_unigram_logprob,
-        "weighted_sample": q_weighted_sample,
-        "fuzzy_join": q_fuzzy_join,
-        "chunk_documents": q_chunk_documents,
-        "chunk_pack": q_chunk_pack,
-        "streaming_window_counts": q_streaming_window_counts,
-        "multimodal_features": q_multimodal_features,
-        "zcdp_groupby_count": q_zcdp_groupby_count,
-        "approxdp_groupby_count": q_approxdp_groupby_count,
-        "groupby_sum_cents": q_groupby_sum_cents,
-        "groupby_column_domains": q_groupby_column_domains,
-        "drop_nulls_nans": q_drop_nulls_nans,
-        "replace_nans_infs": q_replace_nans_infs,
-        "flatmap_explode": q_flatmap_explode,
-        "grouping_flatmap": q_grouping_flatmap,
-        # --- r5-green (freshest evidence; tail of the r6 batch) ---
-        "connected_components": q_connected_components,
-        "dedup_connected": q_dedup_connected,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        "training_mix": q_training_mix,
-        "decontaminate": q_decontaminate,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "bigram_logprob": q_bigram_logprob,
-        "stream_interval_join": q_stream_interval_join,
-        "profile_quantiles": q_profile_quantiles,
-        "preprocess_pipeline": q_preprocess_pipeline,
-        "rolling_aggregate": q_rolling_aggregate,
-        "sessionize_batch": q_sessionize_batch,
+        # --- r5-green front: the r6 batch stopped before these ---
         "redact_pii": q_redact_pii,
         "variance_intermediates": q_variance_intermediates,
         "streaming_dedup": q_streaming_dedup,
@@ -1631,6 +1578,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_by_keys": q_partition_by_keys,
         "map_revenue": q_map_derive,
         "flatmap_by_key": q_flatmap_by_key,
+        # --- r6-green tail, r6 order ---
+        "profile_table": q_profile_table,
+        "profile_numeric": q_profile_numeric,
+        "json_extract": q_json_extract,
+        "sq_codes": q_sq_codes,
+        "bpe_tokens": q_bpe_tokens,
+        "replace_nulls": q_replace_nulls,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_topk": q_ann_topk,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "fingerprint_distinct": q_fingerprint_distinct,
+        "quality_scores": q_quality_scores,
+        "repetition_stats": q_repetition_stats,
+        "asof_join": q_asof_join,
+        "time_rollup": q_time_rollup,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "temperature_mix": q_temperature_mix,
+        "pca_project": q_pca_project,
+        "unigram_logprob": q_unigram_logprob,
+        "weighted_sample": q_weighted_sample,
+        "fuzzy_join": q_fuzzy_join,
+        "chunk_documents": q_chunk_documents,
+        "chunk_pack": q_chunk_pack,
+        "streaming_window_counts": q_streaming_window_counts,
+        "multimodal_features": q_multimodal_features,
+        "zcdp_groupby_count": q_zcdp_groupby_count,
+        "approxdp_groupby_count": q_approxdp_groupby_count,
+        "groupby_sum_cents": q_groupby_sum_cents,
+        "groupby_column_domains": q_groupby_column_domains,
+        "drop_nulls_nans": q_drop_nulls_nans,
+        "replace_nans_infs": q_replace_nans_infs,
+        "flatmap_explode": q_flatmap_explode,
+        "grouping_flatmap": q_grouping_flatmap,
+        "connected_components": q_connected_components,
+        "dedup_connected": q_dedup_connected,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "training_mix": q_training_mix,
+        "decontaminate": q_decontaminate,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "bigram_logprob": q_bigram_logprob,
+        "stream_interval_join": q_stream_interval_join,
+        "profile_quantiles": q_profile_quantiles,
+        "preprocess_pipeline": q_preprocess_pipeline,
+        "rolling_aggregate": q_rolling_aggregate,
+        "sessionize_batch": q_sessionize_batch,
     }
 
 
