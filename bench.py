@@ -394,14 +394,16 @@ def _scaled_union(df, k: int, id_cols):
     return out
 
 
-def sf_sweep(spark, k: int = 10):
+def sf_sweep(spark, k: int = 10, reps: int = None):
     """Wall-clock scaling evidence for the heavy extension operators:
-    each op runs on 1x and kx the SF's rows (k id-shifted copies), one
-    timed run each after the main benchmark loop has warmed the op
-    family.  ``factor`` = t_kx / t_1x; linear scaling on a fixed
-    32-core machine is ``k``, and anything <= ~1.5*k rules out a
-    super-linear blowup (quadratic pair explosion, driver-state
-    accumulation) at the next order of magnitude."""
+    each op runs on 1x and kx the SF's rows (k id-shifted copies),
+    ``reps`` timed runs each (min taken — single-run factors swung
+    2.7-5.3 on identical code/rounds, pure GC/shuffle noise) after the
+    main benchmark loop has warmed the op family.  ``factor`` =
+    t_kx / t_1x; linear scaling on a fixed 32-core machine is ``k``,
+    and anything <= ~1.5*k rules out a super-linear blowup (quadratic
+    pair explosion, driver-state accumulation) at the next order of
+    magnitude."""
     from pyspark.sql import functions as F
 
     from tumult_core_spark.extensions.components import connected_components
@@ -434,7 +436,13 @@ def sf_sweep(spark, k: int = 10):
         return _scaled_union(cust.unionByName(orders), scale, ["id_a", "id_b"])
 
     def op_components(scale):
+        from tumult_core_spark.extensions import components as components_mod
+
         connected_components(edges(scale)).count()
+        # report the fixpoint round count: the dominant variance source
+        # for this op's sweep factor (each round is a fixed stage set,
+        # so factor ~ rounds_kx/rounds_1x x per-round data growth)
+        return {"rounds": components_mod.last_run_stats.get("rounds")}
 
     def op_dedup_paragraphs(scale):
         dedup_paragraphs(docs(scale), separator=" table ").count()
@@ -470,28 +478,40 @@ def sf_sweep(spark, k: int = 10):
         "decontaminate": op_decontaminate,
         "dedup_minhash": op_dedup_minhash,
     }
+    if reps is None:
+        reps = int(os.environ.get("SPARK_GRAFT_SWEEP_REPS", "2"))
     results = {}
     for name, fn in ops.items():
         try:
             spark.catalog.clearCache()
             fn(1)  # warm the op family so t_1x is not codegen/UDF startup
-            times = {}
+            times, extras = {}, {}
             for scale in (1, k):
-                start = time.perf_counter()
-                fn(scale)
-                times[scale] = round(time.perf_counter() - start, 3)
+                best = None
+                for _ in range(reps):
+                    start = time.perf_counter()
+                    extra = fn(scale)
+                    t = time.perf_counter() - start
+                    best = t if best is None else min(best, t)
+                    if isinstance(extra, dict):
+                        for ek, ev in extra.items():
+                            extras[f"{ek}_{scale}x"] = ev
+                times[scale] = round(best, 3)
             results[name] = {
                 "t_1x": times[1],
                 f"t_{k}x": times[k],
                 "factor": round(times[k] / max(times[1], 1e-9), 2),
+                **extras,
             }
         except Exception as exc:  # pragma: no cover
             results[name] = {"error": str(exc)[:200]}
             print(f"# sf_sweep {name} failed: {exc}", file=sys.stderr)
     return {
         "scale_multiplier": k,
+        "timed_reps": reps,
         "method": "k id-shifted disjoint copies of the SF tables, "
-        "one timed run per scale on the same cores (linear = factor k)",
+        f"min of {reps} timed runs per scale on the same cores "
+        "(linear = factor k)",
         "ops": results,
     }
 

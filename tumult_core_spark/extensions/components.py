@@ -29,6 +29,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+#: diagnostics from the most recent ``connected_components`` call in
+#: this process (currently ``{"rounds": <fixpoint rounds used>}``).
+#: Written by the library, read by bench.py's sf_sweep so a
+#: round-over-round sweep-factor change can be attributed to fixpoint
+#: round-count variance vs a real per-round cost change.
+last_run_stats: dict = {}
+
 
 def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Undirected edge set as (u < v) long pairs, self-loops dropped."""
@@ -92,7 +99,8 @@ def connected_components(
     default_par = spark.sparkContext.defaultParallelism
     par = default_par
     prev_fp = None
-    for _ in range(max_rounds):
+    rounds_used = 0
+    for rounds_used in range(1, max_rounds + 1):
         # checkpoint between the stars too: the small-star references
         # its input three times (both sym orientations + the mins
         # aggregate), so an unmaterialized large-star subtree would be
@@ -119,6 +127,7 @@ def connected_components(
         par = max(2, min(default_par, int(fp["n"] or 0) // 100_000 + 1))
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_rounds} rounds")
+    last_run_stats["rounds"] = rounds_used
     # fixpoint edges are stars (v = component min); centers map to themselves
     nodes = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     centers = e.select(F.col("v").alias("node")).distinct().withColumn(
