@@ -43,6 +43,14 @@ def oracle_sql() -> dict[str, str]:
         os.path.dirname(os.path.abspath(__file__)),
         "tests", "fixtures", "bpe_expected.parquet",
     )
+    # NOTE on integer sums: DuckDB sums integers into HUGEINT (int128),
+    # which pandas silently converts to float64 and breaks the value
+    # hash, so every integer-sum oracle is CAST(... AS BIGINT).  That
+    # cast assumes the exact sum fits int64 — true with huge margin at
+    # every shipped SF (clipped/boolean summands, <=1e7 rows) — but at
+    # a vastly larger fixture DuckDB would raise on the cast while
+    # Spark's long sum wraps (or throws under ANSI): a loud conversion
+    # error on the oracle side, not a silent mismatch.
     return {
         "multimodal_features": f"""
             WITH k AS (SELECT bit_xor(hash(doc_id, text)) AS key FROM documents)

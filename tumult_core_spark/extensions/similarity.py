@@ -912,14 +912,15 @@ def sq_encode(
     hi,
     out_col: str = "sq_code",
 ) -> DataFrame:
-    """Encode vectors to int8 codes: ``round((x - lo) / span * 255) -
-    128`` per dimension, clamped to [0, 255] before the shift so
-    out-of-range values (vectors not seen at fit time) saturate
-    instead of wrapping.
+    """Encode vectors to int8 codes (``array<tinyint>``, values in
+    [-128, 127]): ``round((x - lo) / span * 255) - 128`` per dimension,
+    clamped to [0, 255] before the shift so out-of-range values
+    (vectors not seen at fit time) saturate instead of wrapping.
 
     Pure Catalyst — an indexed ``transform`` against broadcast literal
     bound arrays; a 100 TB corpus encodes as a projection inside
-    whole-stage codegen with no Python and no shuffle.
+    whole-stage codegen with no Python and no shuffle, and the tinyint
+    codes store/shuffle at a quarter of float32.
     """
     spans = [float(h - l) if h > l else 1.0 for l, h in zip(lo, hi)]
     lo_arr = F.array(*[F.lit(float(v)) for v in lo])
@@ -940,7 +941,7 @@ def sq_encode(
                 F.lit(255.0),
             ).cast("int")
             - 128
-        ),
+        ).cast("tinyint"),
     )
     return corpus.select(F.col(id_col), codes.alias(out_col))
 
