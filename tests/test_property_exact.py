@@ -538,3 +538,176 @@ class TestPublicJoinStabilityFuzz:
             f"priv={priv} pub={pub} drop={drop_idx} grouped={grouped}: "
             f"{diff} > {bound}"
         )
+
+
+class TestPrivateJoinStabilityFuzz:
+    """Randomized empirical stability of PrivateJoin across
+    TRUNCATE/DROP strategy pairs: the claimed bound
+    ``tau_l*s_r*d_r + tau_r*s_l*d_l`` (join.py:217-231, reference
+    join.py:739-771) is a PRODUCT of per-stage claims, so the
+    composite gets its own removal-neighbor fuzz on either side.
+    Valid because truncation order is a content hash (xxhash64, no
+    per-run salt), so both runs truncate identically-present rows the
+    same way."""
+
+    @given(
+        left=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),
+                st.integers(min_value=0, max_value=3),
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        right=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),
+                st.integers(min_value=0, max_value=3),
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        tau_l=st.integers(min_value=1, max_value=2),
+        tau_r=st.integers(min_value=1, max_value=2),
+        strat_l=st.sampled_from(["TRUNCATE", "DROP"]),
+        strat_r=st.sampled_from(["TRUNCATE", "DROP"]),
+        drop_left=st.booleans(),
+        drop_idx=st.integers(min_value=0, max_value=7),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_removal_neighbors(
+        self, left, right, tau_l, tau_r, strat_l, strat_r, drop_left, drop_idx
+    ):
+        from collections import Counter
+
+        from tumult_core_spark.domains import (
+            DictDomain,
+            SparkDataFrameDomain,
+            SparkIntegerColumnDescriptor,
+        )
+        from tumult_core_spark.transformations.join import (
+            PrivateJoin,
+            TruncationStrategy,
+        )
+        from tumult_core_spark.utils.misc import get_spark
+
+        spark = get_spark("fuzz-prj", cpus=2)
+        INT64 = SparkIntegerColumnDescriptor(size=64)
+        dom = DictDomain(
+            {
+                "l": SparkDataFrameDomain({"k": INT64, "x": INT64}),
+                "r": SparkDataFrameDomain({"k": INT64, "y": INT64}),
+            }
+        )
+        t = PrivateJoin(
+            dom,
+            "l",
+            "r",
+            TruncationStrategy[strat_l],
+            TruncationStrategy[strat_r],
+            tau_l,
+            tau_r,
+        )
+        base = {"l": left, "r": right}
+        side = "l" if drop_left else "r"
+        drop_idx = drop_idx % len(base[side])
+        nbr = dict(base)
+        nbr[side] = [r for i, r in enumerate(base[side]) if i != drop_idx]
+        d_in = {"l": int(side == "l"), "r": int(side == "r")}
+        bound = float(
+            ExactNumber(t.stability_function(d_in)).to_float(round_up=True)
+        )
+
+        def run(tables):
+            dfs = {
+                "l": spark.createDataFrame(tables["l"], "k long, x long"),
+                "r": spark.createDataFrame(tables["r"], "k long, y long"),
+            }
+            return Counter(tuple(r) for r in t(dfs).collect())
+
+        a, b = run(base), run(nbr)
+        diff = sum((a - b).values()) + sum((b - a).values())
+        assert diff <= bound + 1e-9, (
+            f"strats=({strat_l},{strat_r}) taus=({tau_l},{tau_r}) "
+            f"side={side} drop={drop_idx} left={left} right={right}: "
+            f"{diff} > {bound}"
+        )
+
+
+class TestFlatMapByKeyStabilityFuzz:
+    """Randomized empirical stability of FlatMapByKey under
+    ``IfGroupedBy(key, SymmetricDifference())``: the claimed identity
+    stability rests on per-key independence of the trusted [Rows] ->
+    [Rows] function — neighbors differing in one key's rows must
+    change only that key's output groups (map.py:304+)."""
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),
+                st.integers(min_value=0, max_value=4),
+            ),
+            min_size=2,
+            max_size=10,
+        ),
+        drop_idx=st.integers(min_value=0, max_value=9),
+        drop_whole_group=st.booleans(),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_random_neighbors(self, rows, drop_idx, drop_whole_group):
+        from tumult_core_spark.domains import (
+            SparkDataFrameDomain,
+            SparkIntegerColumnDescriptor,
+            SparkRowDomain,
+        )
+        from tumult_core_spark.metrics import IfGroupedBy, SymmetricDifference
+        from tumult_core_spark.transformations.map import (
+            FlatMapByKey,
+            RowsToRowsTransformation,
+        )
+        from tumult_core_spark.utils.misc import get_spark
+
+        spark = get_spark("fuzz-fmbk", cpus=2)
+        INT64 = SparkIntegerColumnDescriptor(size=64)
+        dom = SparkDataFrameDomain({"g": INT64, "u": INT64})
+        # order-independent trusted fn: sorted distinct values + total
+        rt = RowsToRowsTransformation(
+            SparkRowDomain({"u": INT64}),
+            SparkRowDomain({"s": INT64}),
+            lambda rs: [{"s": v} for v in sorted({r["u"] for r in rs})]
+            + [{"s": -sum(r["u"] for r in rs) - 1}],
+        )
+        metric = IfGroupedBy("g", SymmetricDifference())
+        t = FlatMapByKey(dom, metric, rt)
+
+        drop_idx = drop_idx % len(rows)
+        if drop_whole_group:
+            gone = rows[drop_idx][0]
+            nbr_rows = [r for r in rows if r[0] != gone]
+        else:
+            nbr_rows = [r for i, r in enumerate(rows) if i != drop_idx]
+        if not nbr_rows:
+            return
+        cols = ["g", "u"]
+        dist = TestTruncationStabilityFuzz._distance
+        in_d = dist(metric, rows, nbr_rows, cols)
+        if in_d == 0:
+            return
+        bound = float(
+            ExactNumber(t.stability_function(in_d)).to_float(round_up=True)
+        )
+        base = [
+            tuple(r)
+            for r in t(spark.createDataFrame(rows, "g long, u long")).collect()
+        ]
+        nbr = [
+            tuple(r)
+            for r in t(
+                spark.createDataFrame(nbr_rows, "g long, u long")
+            ).collect()
+        ]
+        out_d = dist(t.output_metric, base, nbr, ["g", "s"])
+        assert out_d <= bound + 1e-9, (
+            f"rows={rows} nbr={nbr_rows}: in_d={in_d} out_d={out_d} "
+            f"bound={bound}"
+        )
