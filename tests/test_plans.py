@@ -294,3 +294,49 @@ def test_decontaminate_broadcast_is_size_gated(spark, sf_dir):
         assert rows_b == rows_s
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_broadcast_below_gates_on_estimated_size(spark):
+    """broadcast_below must hint only under the byte gate; above it
+    the join planner falls back to a shuffle join."""
+    from tumult_core_spark.utils.scale import broadcast_below
+
+    big = spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    dim = spark.range(50).select(F.col("id"), F.lit("x").alias("tag"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = big.join(broadcast_below(dim, 50), "id")
+        unhinted = big.join(broadcast_below(dim, 50, threshold_bytes=0), "id")
+        assert "BroadcastHashJoin" in plan_of(hinted)
+        assert "SortMergeJoin" in plan_of(unhinted) or "ShuffledHashJoin" in plan_of(unhinted)
+        assert "BroadcastHashJoin" not in plan_of(unhinted)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_cap_hot_buckets_broadcast_is_size_gated(spark, sf_dir):
+    """The over-cap bucket key set must broadcast only below the size
+    gate; a pathological all-boilerplate corpus falls back to a
+    shuffled left join.  Both paths must return identical rows."""
+    from tumult_core_spark.extensions.dedup import cap_hot_buckets
+
+    df = spark.range(200).select(
+        (F.col("id") % 3).alias("bucket"), F.col("id").alias("doc")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bcast = cap_hot_buckets(df, ["bucket"], "doc", cap=10)
+        shuffle = cap_hot_buckets(
+            df, ["bucket"], "doc", cap=10, broadcast_threshold_bytes=0
+        )
+        assert "BroadcastHashJoin" in plan_of(bcast)
+        splan = plan_of(shuffle)
+        assert "SortMergeJoin" in splan or "ShuffledHashJoin" in splan
+        assert "BroadcastHashJoin" not in splan
+        rows_b = sorted(tuple(r) for r in bcast.collect())
+        rows_s = sorted(tuple(r) for r in shuffle.collect())
+        assert rows_b == rows_s and len(rows_b) == 30
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

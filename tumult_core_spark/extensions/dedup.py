@@ -103,12 +103,18 @@ def dedup_paragraphs(
     )
 
 
+#: conservative per-row estimate for an over-cap bucket key (band
+#: index + bucket hash + flag, pre-compression) in the broadcast gate.
+_EST_BUCKET_KEY_BYTES = 64
+
+
 def cap_hot_buckets(
     df: DataFrame,
     bucket_cols: List[str],
     id_col: str,
     cap: int,
     salt: int = 0x5EED,
+    broadcast_threshold_bytes: int = 100 * 1024 * 1024,
 ) -> DataFrame:
     """Truncate buckets larger than ``cap`` to their top-``cap`` members.
 
@@ -133,9 +139,14 @@ def cap_hot_buckets(
     systematically evict the highest ids (e.g. every renumbered
     duplicate) from hot buckets.
 
-    The over-cap bucket key set is broadcast: it has at most
-    ``count(df)/cap`` entries and in practice only degenerate
-    boilerplate buckets exceed the cap.
+    The over-cap bucket key set is broadcast when it fits a size gate:
+    it has at most ``count(df)/cap`` entries and in practice only
+    degenerate boilerplate buckets exceed the cap — but that bound
+    still grows linearly with the corpus, so a pathological corpus
+    (everything boilerplate) falls back to a plain shuffle join on the
+    bucket key instead of an unbounded broadcast.  Counting the hot
+    set is a scalar aggregate over the persisted input, so the extra
+    action reuses the cache the function needs anyway.
     """
     from pyspark import StorageLevel
 
@@ -146,7 +157,9 @@ def cap_hot_buckets(
         .drop("__bsz")
         .withColumn("__hot", F.lit(True))
     )
-    flagged = df.join(F.broadcast(hot), on=list(bucket_cols), how="left")
+    if hot.count() * _EST_BUCKET_KEY_BYTES <= broadcast_threshold_bytes:
+        hot = F.broadcast(hot)
+    flagged = df.join(hot, on=list(bucket_cols), how="left")
     cold = flagged.filter(F.col("__hot").isNull()).drop("__hot")
     hot_rows = flagged.filter(F.col("__hot").isNotNull()).drop("__hot")
     w = Window.partitionBy(*bucket_cols).orderBy(

@@ -298,8 +298,14 @@ class SparseVectorPrefixSums(SparkMeasurement):
         agg_exprs = [F.sum(cnt).alias("__total")]
         if gcols:
             totals = data.groupBy(*gcols).agg(*agg_exprs)
+            # size-gate the per-group totals broadcast: group count is
+            # unbounded, so count the PRE-noise aggregate (no released
+            # draw depends on it) and fall back to a shuffle join for
+            # huge group sets instead of an unbounded broadcast
+            n_groups = totals.count()
         else:
             totals = data.agg(*agg_exprs)
+            n_groups = 1
         totals = totals.withColumn(
             "__noisy_threshold",
             (F.lit(frac) * noise_total(F.col("__total"))).cast("double"),
@@ -313,10 +319,15 @@ class SparseVectorPrefixSums(SparkMeasurement):
         prefixed = data.withColumn(
             "__prefix", noise_prefix(F.sum(cnt).over(w).cast("long"))
         )
+        from tumult_core_spark.utils.scale import broadcast_below
+
+        totals_hinted = broadcast_below(
+            totals, n_groups, est_row_bytes=32 * len(gcols) + 48
+        )
         if gcols:
-            joined = prefixed.join(F.broadcast(totals), on=gcols, how="inner")
+            joined = prefixed.join(totals_hinted, on=gcols, how="inner")
         else:
-            joined = prefixed.crossJoin(F.broadcast(totals))
+            joined = prefixed.crossJoin(totals_hinted)
 
         crossing = F.when(
             F.col("__prefix") >= F.col("__noisy_threshold"), F.col(rank)

@@ -118,7 +118,16 @@ class GroupedDataFrame:
         for c in cols:
             clause = self._dataframe[c].eqNullSafe(keys[c])
             cond = clause if cond is None else cond & clause
-        present = self._dataframe.join(F.broadcast(keys), cond, "left_semi")
+        # size-gated broadcast: public key sets are usually tiny, but a
+        # column-domain product can be arbitrarily large — fall back to
+        # a shuffled semi-join instead of an unbounded broadcast (the
+        # scalar count() is against the key relation, never the data)
+        from tumult_core_spark.utils.scale import broadcast_below
+
+        keys_hinted = broadcast_below(
+            keys, keys.count(), est_row_bytes=32 * len(cols) + 32
+        )
+        present = self._dataframe.join(keys_hinted, cond, "left_semi")
 
         key_fields = [self._group_keys.schema[c] for c in cols]
         full_schema = T.StructType(list(key_fields) + list(output_schema.fields))

@@ -15,6 +15,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def broadcast_below(
+    df: DataFrame,
+    n_rows: int,
+    est_row_bytes: int = 64,
+    threshold_bytes: int = 100 * 1024 * 1024,
+) -> DataFrame:
+    """``F.broadcast(df)`` only when ``n_rows * est_row_bytes`` fits
+    ``threshold_bytes``; otherwise return ``df`` unhinted so the join
+    planner falls back to a shuffle join.
+
+    The unconditional-broadcast OOM is a scale-killer class: a
+    relation that is "small by convention" (public key sets, hot
+    bucket keys, holdout postings) has no hard bound, and a broadcast
+    of an unexpectedly large one kills every executor at once.  The
+    caller supplies the row count it already knows (or pays one scalar
+    ``count()`` against data it was going to materialize anyway).
+    """
+    if n_rows * est_row_bytes <= threshold_bytes:
+        return F.broadcast(df)
+    return df
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,
