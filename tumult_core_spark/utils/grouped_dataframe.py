@@ -120,13 +120,21 @@ class GroupedDataFrame:
             cond = clause if cond is None else cond & clause
         # size-gated broadcast: public key sets are usually tiny, but a
         # column-domain product can be arbitrarily large — fall back to
-        # a shuffled semi-join instead of an unbounded broadcast (the
-        # scalar count() is against the key relation, never the data)
-        from tumult_core_spark.utils.scale import broadcast_below
+        # a shuffled semi-join instead of an unbounded broadcast.  A
+        # driver-local key relation (createDataFrame from a literal key
+        # list, the common case) already fits in driver memory by
+        # construction, so it broadcasts without paying a count() job;
+        # only distributed key relations (e.g. a generated column-domain
+        # product) are counted, and that scalar count() is against the
+        # key relation, never the data.
+        if keys.isLocal():
+            keys_hinted = F.broadcast(keys)
+        else:
+            from tumult_core_spark.utils.scale import broadcast_below
 
-        keys_hinted = broadcast_below(
-            keys, keys.count(), est_row_bytes=32 * len(cols) + 32
-        )
+            keys_hinted = broadcast_below(
+                keys, keys.count(), est_row_bytes=32 * len(cols) + 32
+            )
         present = self._dataframe.join(keys_hinted, cond, "left_semi")
 
         key_fields = [self._group_keys.schema[c] for c in cols]
