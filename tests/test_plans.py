@@ -340,3 +340,45 @@ def test_cap_hot_buckets_broadcast_is_size_gated(spark, sf_dir):
         assert rows_b == rows_s and len(rows_b) == 30
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_apply_in_pandas_distributed_keys_path(spark, monkeypatch):
+    """A column-domain key product above the driver limit arrives as a
+    DISTRIBUTED relation (isLocal False): apply_in_pandas must take
+    the counted broadcast-gate branch and still 0-fill every absent
+    key, identical to the driver-local path."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from tumult_core_spark.transformations import groupby as gb_mod
+    from tumult_core_spark.utils.grouped_dataframe import GroupedDataFrame
+
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.LongType())]
+    )
+    domains = {"a": [0, 1, 2], "b": [0, 1, 2]}
+    monkeypatch.setattr(gb_mod, "_DRIVER_PRODUCT_LIMIT", 4)
+    dist_keys = gb_mod.compute_full_domain_df(spark, domains, schema)
+    monkeypatch.setattr(gb_mod, "_DRIVER_PRODUCT_LIMIT", 100_000)
+    local_keys = gb_mod.compute_full_domain_df(spark, domains, schema)
+
+    data = spark.createDataFrame(
+        [(0, 0, 5), (0, 0, 7), (2, 1, 1)], "a long, b long, v long"
+    )
+    out_schema = T.StructType([T.StructField("s", T.LongType())])
+
+    def per_group(pdf):
+        return pd.DataFrame({"s": [int(pdf["v"].sum())]})
+
+    results = []
+    # unknown size (pays the count) vs construction-known n_keys
+    for gdf in (
+        GroupedDataFrame(data, dist_keys),
+        GroupedDataFrame(data, local_keys, n_keys=9),
+    ):
+        out = gdf.apply_in_pandas(per_group, out_schema)
+        results.append({(r["a"], r["b"]): r["s"] for r in out.collect()})
+    dist, local = results
+    assert dist == local
+    assert len(dist) == 9 and dist[(0, 0)] == 12 and dist[(2, 1)] == 1
+    assert dist[(1, 1)] == 0  # absent key 0-filled through the same path

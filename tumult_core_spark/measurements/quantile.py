@@ -319,7 +319,7 @@ class _PreAggregatedQuantile(Measurement):
                 *keys, F.col(f"`{self.agg.measure_column}`")
             ).agg(F.count(F.lit(1)).alias("__cnt"))
         )
-        regrouped = GroupedDataFrame(counts, gdf.group_keys)
+        regrouped = GroupedDataFrame(counts, gdf.group_keys, n_keys=gdf.n_keys)
         out = regrouped.apply_in_pandas(self.agg, self.agg.output_spark_schema)
         return sanitize_df(out)
 

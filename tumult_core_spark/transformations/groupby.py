@@ -14,7 +14,7 @@ which does not survive 100 TB key domains.
 from __future__ import annotations
 
 import itertools
-from typing import Any, Dict, List, Mapping, Sequence, Tuple, Union
+from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple, Union
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,6 +45,7 @@ class GroupBy(Transformation):
         input_metric: Metric,
         use_l2: bool,
         group_keys: DataFrame,
+        n_keys: Optional[int] = None,
     ):
         groupby_columns = list(group_keys.columns)
         missing = [c for c in groupby_columns if c not in input_domain.schema]
@@ -94,6 +95,7 @@ class GroupBy(Transformation):
         self.group_keys = group_keys.dropDuplicates()
         self.groupby_columns = groupby_columns
         self.use_l2 = use_l2
+        self.n_keys = n_keys
 
     def stability_function(self, d_in: Any) -> Any:
         self.input_metric.validate(d_in)
@@ -103,7 +105,7 @@ class GroupBy(Transformation):
         return d
 
     def __call__(self, data: DataFrame) -> GroupedDataFrame:
-        return GroupedDataFrame(data, self.group_keys)
+        return GroupedDataFrame(data, self.group_keys, n_keys=self.n_keys)
 
 
 def compute_full_domain_df(
@@ -148,7 +150,10 @@ def create_groupby_from_column_domains(
         [input_domain[c].to_field(c) for c in column_to_values]
     )
     keys = compute_full_domain_df(spark, column_to_values, schema)
-    return GroupBy(input_domain, input_metric, use_l2, keys)
+    total = 1
+    for vals in column_to_values.values():
+        total *= len(vals)
+    return GroupBy(input_domain, input_metric, use_l2, keys, n_keys=total)
 
 
 def create_groupby_from_list_of_keys(
@@ -161,5 +166,6 @@ def create_groupby_from_list_of_keys(
     """GroupBy with an explicit list of key tuples."""
     spark = SparkSession.active()
     schema = T.StructType([input_domain[c].to_field(c) for c in groupby_columns])
-    keys_df = spark.createDataFrame(list(keys), schema=schema)
-    return GroupBy(input_domain, input_metric, use_l2, keys_df)
+    key_list = list(keys)
+    keys_df = spark.createDataFrame(key_list, schema=schema)
+    return GroupBy(input_domain, input_metric, use_l2, keys_df, n_keys=len(key_list))

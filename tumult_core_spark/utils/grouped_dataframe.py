@@ -27,7 +27,15 @@ from pyspark.sql import types as T
 class GroupedDataFrame:
     """DataFrame + public group-keys DataFrame."""
 
-    def __init__(self, dataframe: DataFrame, group_keys: DataFrame):
+    def __init__(
+        self,
+        dataframe: DataFrame,
+        group_keys: DataFrame,
+        n_keys: Optional[int] = None,
+    ):
+        """``n_keys``: upper bound on the key count when the caller
+        already knows it (literal key lists, column-domain products) —
+        lets the broadcast size gate skip a ``count()`` job."""
         key_cols = group_keys.columns
         missing = [c for c in key_cols if c not in dataframe.columns]
         if missing:
@@ -42,6 +50,7 @@ class GroupedDataFrame:
                 )
         self._dataframe = dataframe
         self._group_keys = group_keys.dropDuplicates()
+        self._n_keys = n_keys
 
     @property
     def dataframe(self) -> DataFrame:
@@ -50,6 +59,11 @@ class GroupedDataFrame:
     @property
     def group_keys(self) -> DataFrame:
         return self._group_keys
+
+    @property
+    def n_keys(self) -> Optional[int]:
+        """Construction-time key-count bound, if the caller knew it."""
+        return self._n_keys
 
     @property
     def groupby_columns(self) -> List[str]:
@@ -120,21 +134,15 @@ class GroupedDataFrame:
             cond = clause if cond is None else cond & clause
         # size-gated broadcast: public key sets are usually tiny, but a
         # column-domain product can be arbitrarily large — fall back to
-        # a shuffled semi-join instead of an unbounded broadcast.  A
-        # driver-local key relation (createDataFrame from a literal key
-        # list, the common case) already fits in driver memory by
-        # construction, so it broadcasts without paying a count() job;
-        # only distributed key relations (e.g. a generated column-domain
-        # product) are counted, and that scalar count() is against the
+        # a shuffled semi-join instead of an unbounded broadcast.  The
+        # construction-time key count (len of a literal list, product
+        # of domain sizes) feeds the gate without a job; only key
+        # relations of unknown size pay a scalar count(), against the
         # key relation, never the data.
-        if keys.isLocal():
-            keys_hinted = F.broadcast(keys)
-        else:
-            from tumult_core_spark.utils.scale import broadcast_below
+        from tumult_core_spark.utils.scale import broadcast_below
 
-            keys_hinted = broadcast_below(
-                keys, keys.count(), est_row_bytes=32 * len(cols) + 32
-            )
+        n = self._n_keys if self._n_keys is not None else keys.count()
+        keys_hinted = broadcast_below(keys, n, est_row_bytes=32 * len(cols) + 32)
         present = self._dataframe.join(keys_hinted, cond, "left_semi")
 
         key_fields = [self._group_keys.schema[c] for c in cols]
@@ -172,4 +180,6 @@ class GroupedDataFrame:
 
     def select(self, columns: List[str]) -> "GroupedDataFrame":
         keep = list(dict.fromkeys(self.groupby_columns + columns))
-        return GroupedDataFrame(self._dataframe.select(*keep), self._group_keys)
+        return GroupedDataFrame(
+            self._dataframe.select(*keep), self._group_keys, n_keys=self._n_keys
+        )
