@@ -107,26 +107,36 @@ class PublicJoin(Transformation):
         # ONLY for the group-counting IfGroupedBy(col, SymmetricDifference)
         # inner metric — SumOf/RootSumOfSquared inners count rows and
         # multiply by the fan-out like the row-level metric does
-        # (reference join.py:336-349)
+        # (reference join.py:336-349).  Computed lazily on the first
+        # stability_function call: constructing and running a join that
+        # never asks for its stability (plain pipelines, benches) should
+        # not pay a scan of the public table.
         if isinstance(metric, IfGroupedBy) and isinstance(
             metric.inner_metric, SymmetricDifference
         ):
-            self._stability_factor = ExactNumber(1)
+            self._stability_factor: Optional[ExactNumber] = ExactNumber(1)
         else:
-            keys = public_df.select(*on)
-            if not join_on_nulls:
+            self._stability_factor = None
+
+    @property
+    def stability_factor(self) -> ExactNumber:
+        """Max join-key multiplicity of the public table (cached scan)."""
+        if self._stability_factor is None:
+            keys = self.public_df.select(*self.join_cols)
+            if not self.join_on_nulls:
                 keys = keys.dropna()
             row = (
-                keys.groupBy(*on)
+                keys.groupBy(*self.join_cols)
                 .agg(F.count(F.lit(1)).alias("__m"))
                 .agg(F.max("__m").alias("m"))
                 .first()
             )
             self._stability_factor = ExactNumber(int(row["m"] or 0))
+        return self._stability_factor
 
     def stability_function(self, d_in: Any) -> ExactNumber:
         self.input_metric.validate(d_in)
-        return ExactNumber(d_in) * self._stability_factor
+        return ExactNumber(d_in) * self.stability_factor
 
     def __call__(self, data: DataFrame) -> DataFrame:
         return join(
