@@ -2,11 +2,14 @@
 
 Two tiers, same distributions:
 
-* **Vectorized float samplers** (NumPy) — the executor hot path inside
-  Arrow-batched pandas UDFs.  These replace the reference's per-value
-  ``Series.apply`` loops (``pandas_measurements/series.py:305-309``)
-  with whole-batch array sampling, which is the main single-node
-  throughput win of the rebuild.
+* **Vectorized float samplers** (NumPy) — fast distribution-level
+  reference implementations, now used only by the distribution test
+  suite as the comparison baseline; every production noise path
+  (scalar, column, and streaming) draws from the exact samplers below
+  or from ``exact_sampling.py``.  They replace the reference's
+  per-value ``Series.apply`` loops
+  (``pandas_measurements/series.py:305-309``) with whole-batch array
+  sampling.
 * **Exact integer samplers** (``fractions.Fraction`` arithmetic, no
   floats anywhere) for the two-sided geometric and discrete Gaussian,
   following the published rejection samplers of Canonne, Kapralov &
@@ -23,12 +26,12 @@ Two tiers, same distributions:
   Exactly the scalar distribution at near-NumPy throughput.
 
 Continuous Laplace/Gaussian sampling here is float-based (NumPy) and
-feeds the *continuous vectorized column* path only; the scalar
-measurement paths use the floating-point-safe interval inverse-CDF
-samplers in :mod:`tumult_core_spark.exact_sampling` (the analogue of
-the reference's MPFR/Arb samplers).  The continuous column float path
-remains a documented, upgradeable weakening for column noise
-(reference ``doc/topic-guides/known-vulnerabilities.rst``).
+test-only: BOTH the scalar and the vectorized column measurement
+paths draw from the floating-point-safe certified samplers in
+:mod:`tumult_core_spark.exact_sampling` (the analogue of the
+reference's MPFR/Arb samplers; see LIMITATIONS.md "Closed" — the
+column-path float weakening was closed when the dd-certified
+vectorized samplers landed).
 
 Every sampler treats ``scale == 0`` as "no noise" and returns the
 input unchanged — the deterministic mode used by correctness oracles.

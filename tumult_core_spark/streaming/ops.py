@@ -404,7 +404,17 @@ def dp_windowed_counts(
             "__exact",
         )
     )
-    scale = 0.0 if epsilon_per_window == float("inf") else 1.0 / epsilon_per_window
+    # exact Fraction scale: the certified discrete-Laplace sampler then
+    # matches the batch measurement path bit-for-bit in distribution
+    # (the float-parameterized sampler had a q = e^{-1/scale} rounding
+    # skew the batch path never had)
+    from fractions import Fraction
+
+    scale = (
+        Fraction(0)
+        if epsilon_per_window == float("inf")
+        else Fraction(1) / Fraction(epsilon_per_window)
+    )
 
     out_fields = [f for f in counts.schema.fields if f.name != "__exact"]
     out_schema = T.StructType(
@@ -414,9 +424,9 @@ def dp_windowed_counts(
 
     def add_noise(batches):
         for pdf in batches:
-            pdf[count_column] = pdf["__exact"].to_numpy() + samplers.two_sided_geometric(
-                scale, len(pdf)
-            )
+            pdf[count_column] = pdf[
+                "__exact"
+            ].to_numpy() + samplers.two_sided_geometric_exact_vec(scale, len(pdf))
             yield pdf[out_cols]
 
     def start(sink_writer, output_mode: str = "append"):
