@@ -246,11 +246,6 @@ def _discrete_laplace_exact(scale: Fraction) -> int:
         return magnitude if positive else -magnitude
 
 
-def uniform(lower: float, upper: float) -> float:
-    """Uniform sample in [lower, upper] (float path)."""
-    return float(rng().uniform(lower, upper))
-
-
 # ---------------------------------------------------------------------------
 # Vectorized EXACT integer samplers (executor column path)
 # ---------------------------------------------------------------------------
