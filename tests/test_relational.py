@@ -198,6 +198,54 @@ class TestJoins:
         t_ne = PublicJoin(dom, SymmetricDifference(), pub, join_on_nulls=False)
         assert t_ne(df).count() == 1
 
+    def test_public_join_float_keys_and_declared_domain(self, spark):
+        """Float join keys are allowed (reference test_join.py joins on
+        a float column): Spark's NaN = NaN is TRUE, so NaN keys match
+        when both sides may carry them, and a declared public_df_domain
+        with allow_nan=False FILTERS the public side and intersects the
+        output flag (reference join.py:295-307)."""
+        import dataclasses
+
+        from tumult_core_spark.domains import SparkFloatColumnDescriptor
+
+        dom = SparkDataFrameDomain(
+            {
+                "k": SparkFloatColumnDescriptor(allow_nan=True),
+                "v": INT,
+            }
+        )
+        priv = spark.createDataFrame(
+            [(1.0, 5), (float("nan"), 7)], "k double, v long"
+        )
+        pub = spark.createDataFrame(
+            [(1.0, 10), (float("nan"), 30)], "k double, tag long"
+        )
+        # inferred public domain allows NaN: NaN = NaN matches
+        t = PublicJoin(dom, SymmetricDifference(), pub)
+        assert t.output_domain["k"].allow_nan
+        assert t(priv).count() == 2
+        # declared no-NaN domain: public NaN rows filtered, flag False
+        inferred = SparkDataFrameDomain.from_spark_schema(pub.schema)
+        declared = SparkDataFrameDomain(
+            {
+                **inferred.schema,
+                "k": dataclasses.replace(inferred["k"], allow_nan=False),
+            }
+        )
+        t2 = PublicJoin(
+            dom, SymmetricDifference(), pub, public_df_domain=declared
+        )
+        assert not t2.output_domain["k"].allow_nan
+        rows = sorted(tuple(r) for r in t2(priv).collect())
+        assert rows == [(1.0, 5, 10)]
+        with pytest.raises(ValueError, match="does not match"):
+            PublicJoin(
+                dom,
+                SymmetricDifference(),
+                pub.drop("tag"),
+                public_df_domain=declared,
+            )
+
     def test_private_join(self, spark, kv):
         other = spark.createDataFrame(
             [(1, 100), (1, 200), (2, 300)], "k long, w long"

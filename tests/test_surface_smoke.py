@@ -399,6 +399,53 @@ class TestHelperFunctions:
         assert after["b"] == ("b", "b")  # join column originates from both
         assert set(after) >= {"a", "b", "c"}
 
+    def test_join_domain_float_key_flag_merge(self):
+        """Float join keys merge allow_nan/allow_inf like nulls under
+        nulls_are_equal=True (Spark: NaN = NaN is TRUE): intersection
+        for inner, the surviving side for one-sided joins, union for
+        outer — reference utils/join.py domain_after_join and the
+        parameterized cases of reference test_join.py."""
+        from tumult_core_spark.domains import (
+            SparkDataFrameDomain,
+            SparkFloatColumnDescriptor as FD,
+            SparkStringColumnDescriptor as SD,
+        )
+        from tumult_core_spark.utils.join import join_output_domain
+
+        left = SparkDataFrameDomain(
+            {
+                "A": FD(allow_null=True, allow_inf=True, allow_nan=True),
+                "B": SD(allow_null=True),
+            }
+        )
+        right = SparkDataFrameDomain(
+            {
+                "A": FD(allow_null=True, allow_inf=True, allow_nan=False),
+                "B": SD(allow_null=False),
+            }
+        )
+        inner = join_output_domain(left, right, ["A"], "inner", True)
+        assert inner == SparkDataFrameDomain(
+            {
+                "A": FD(allow_null=True, allow_inf=True, allow_nan=False),
+                "B_left": SD(allow_null=True),
+                "B_right": SD(allow_null=False),
+            }
+        )
+        assert join_output_domain(left, right, ["A"], "outer", True)[
+            "A"
+        ].allow_nan
+        assert join_output_domain(left, right, ["A"], "left", True)[
+            "A"
+        ].allow_nan
+        assert not join_output_domain(left, right, ["A"], "right", True)[
+            "A"
+        ].allow_nan
+        # inner without null-equality additionally forbids null keys
+        assert not join_output_domain(left, right, ["A"], "inner", False)[
+            "A"
+        ].allow_null
+
     def test_truncation_strategy_stability(self):
         from tumult_core_spark.transformations.join import (
             TruncationStrategy,

@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..base import Transformation
-from ..domains import DictDomain, SparkDataFrameDomain
+from ..domains import (
+    DictDomain,
+    SparkDataFrameDomain,
+    SparkFloatColumnDescriptor,
+)
 from ..exact_number import ExactNumber
 from ..metrics import (
     AddRemoveKeys,
@@ -65,9 +69,27 @@ class PublicJoin(Transformation):
         join_cols: Optional[List[str]] = None,
         how: str = "inner",
         join_on_nulls: bool = False,
+        public_df_domain: Optional[SparkDataFrameDomain] = None,
     ):
         if how not in ("inner", "left"):
             raise ValueError(f"PublicJoin how must be inner/left, got {how!r}")
+        if public_df_domain is not None:
+            # reference join.py:295-307: a declared public domain must
+            # match the DataFrame's Spark schema, and float columns are
+            # FILTERED to the declared special-value permissions so the
+            # inferred output domain is actually sound
+            if public_df.schema != public_df_domain.spark_schema:
+                raise ValueError(
+                    "public_df's Spark schema does not match public_df_domain"
+                )
+            for col, desc in public_df_domain.schema.items():
+                if isinstance(desc, SparkFloatColumnDescriptor):
+                    if not desc.allow_inf:
+                        public_df = public_df.filter(
+                            ~F.col(col).isin([float("inf"), -float("inf")])
+                        )
+                    if not desc.allow_nan:
+                        public_df = public_df.filter(~F.isnan(F.col(col)))
         if not isinstance(metric, (SymmetricDifference, IfGroupedBy)):
             raise ValueError(f"Unsupported metric {metric!r}")
         if isinstance(metric, IfGroupedBy) and metric.inner_metric not in (
@@ -80,7 +102,11 @@ class PublicJoin(Transformation):
                 "SumOf(SymmetricDifference()), or "
                 "RootSumOfSquared(SymmetricDifference())"
             )
-        public_domain = SparkDataFrameDomain.from_spark_schema(public_df.schema)
+        public_domain = (
+            public_df_domain
+            if public_df_domain is not None
+            else SparkDataFrameDomain.from_spark_schema(public_df.schema)
+        )
         on = validate_join(input_domain, public_domain, join_cols, how)
         if isinstance(metric, IfGroupedBy):
             out_cols = set(

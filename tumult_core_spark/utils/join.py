@@ -88,8 +88,10 @@ def validate_join(
         rt = right_domain[c].data_type()
         if lt != rt:
             raise ValueError(f"Join column {c!r} type mismatch: {lt} vs {rt}")
-        if isinstance(left_domain[c], SparkFloatColumnDescriptor):
-            raise ValueError(f"Cannot join on float column {c!r}")
+        # float join keys are allowed, as in the reference: Spark's
+        # comparison semantics make NaN = NaN TRUE, and the output
+        # domain intersects allow_nan/allow_inf accordingly (see
+        # join_output_domain)
     # suffix collisions
     out_cols = columns_after_join(
         left_domain.columns, right_domain.columns, on, how
@@ -129,7 +131,26 @@ def join_output_domain(
                 allow_null = rd.allow_null
             else:
                 allow_null = ld.allow_null or rd.allow_null
-            schema[name] = dataclasses.replace(ld, allow_null=allow_null)
+            d = dataclasses.replace(ld, allow_null=allow_null)
+            if isinstance(ld, SparkFloatColumnDescriptor):
+                # Spark comparison semantics: NaN = NaN is TRUE and
+                # inf = inf is TRUE, so float-key special values merge
+                # like nulls under nulls_are_equal — intersection for
+                # inner, the surviving side's flag for one-sided joins
+                # (reference utils/join.py domain_after_join)
+                assert isinstance(rd, SparkFloatColumnDescriptor)
+                if how == "inner":
+                    allow_nan = ld.allow_nan and rd.allow_nan
+                    allow_inf = ld.allow_inf and rd.allow_inf
+                elif how in ("left", "left_anti", "left_semi"):
+                    allow_nan, allow_inf = ld.allow_nan, ld.allow_inf
+                elif how == "right":
+                    allow_nan, allow_inf = rd.allow_nan, rd.allow_inf
+                else:
+                    allow_nan = ld.allow_nan or rd.allow_nan
+                    allow_inf = ld.allow_inf or rd.allow_inf
+                d = dataclasses.replace(d, allow_nan=allow_nan, allow_inf=allow_inf)
+            schema[name] = d
         elif l_col is not None:
             d = left_domain[l_col]
             if how in ("right", "outer"):
