@@ -232,3 +232,33 @@ class TestColumnDomainsConformance:
             key=str,
         )
         assert keys == [(1,), (None,)]
+
+
+class TestNoisyQuantileConformance:
+    def test_equal_clamping_bounds(self):
+        """Equal bounds are legal and release the bound exactly
+        (reference test_series.py test_equal_clamping_bounds)."""
+        import pandas as pd
+
+        from tumult_core_spark.measurements.quantile import NoisyQuantile
+        from tumult_core_spark.measures import PureDP
+
+        nq = NoisyQuantile(
+            "x",
+            quantile=0.5,
+            lower=1 / 7,
+            upper=1 / 7,
+            epsilon=10_000_000,
+            output_measure=PureDP(),
+        )
+        out = nq(pd.DataFrame({"x": [10.0, 155.0, -9.0]}))
+        assert float(out.iloc[0, 0]) == 1 / 7
+        with pytest.raises(ValueError):
+            NoisyQuantile(
+                "x",
+                quantile=0.5,
+                lower=2.0,
+                upper=1.0,
+                epsilon=1,
+                output_measure=PureDP(),
+            )

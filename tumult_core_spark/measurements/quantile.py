@@ -147,8 +147,12 @@ class NoisyQuantile(Aggregate):
     ):
         if not 0 <= quantile <= 1:
             raise ValueError("quantile must be in [0, 1]")
-        if not lower < upper:
-            raise ValueError("need lower < upper")
+        # equal bounds are legal (reference test_series.py
+        # test_equal_clamping_bounds): every candidate interval is
+        # zero-width and the mechanism deterministically releases the
+        # bound itself
+        if not lower <= upper:
+            raise ValueError("need lower <= upper")
         if not isinstance(output_measure, (PureDP, RhoZCDP)):
             raise ValueError(f"Unsupported measure {output_measure!r}")
         self.epsilon = ExactNumber(epsilon)
