@@ -262,3 +262,47 @@ class TestNoisyQuantileConformance:
                 epsilon=1,
                 output_measure=PureDP(),
             )
+
+
+class TestTruncationConformance:
+    def test_duplicate_rows_not_clumped(self, spark):
+        """Truncating a group of repeated duplicate rows must keep a
+        spread of the distinct rows, not `threshold` copies of one
+        (reference test_truncation.py
+        test_hash_truncation_duplicate_rows_not_clumped)."""
+        from tumult_core_spark.utils.truncation import truncate_large_groups
+
+        df = spark.createDataFrame(
+            [(1, 2, "A")] * 5 + [(2, 4, "A")] * 5, "X long, Y long, Z string"
+        )
+        kept = [tuple(r) for r in truncate_large_groups(df, ["Z"], 5).collect()]
+        assert len(kept) == 5
+        assert len(set(kept)) == 2  # both distinct rows represented
+
+    def test_duplicate_interleave_partition_independent(self, spark):
+        """The interleaved selection is a pure function of the input
+        multiset: repartitioned and shuffled inputs keep the identical
+        row multiset, and a removal neighbor changes it by at most 2."""
+        from collections import Counter
+
+        from pyspark.sql import functions as F
+
+        from tumult_core_spark.utils.truncation import truncate_large_groups
+
+        rows = [(i % 3, i % 4, "g") for i in range(40)]
+        df = spark.createDataFrame(rows, "X long, Y long, Z string")
+        base = Counter(
+            tuple(r) for r in truncate_large_groups(df, ["Z"], 7).collect()
+        )
+        for variant in (df.repartition(13), df.orderBy(F.rand(5))):
+            alt = Counter(
+                tuple(r)
+                for r in truncate_large_groups(variant, ["Z"], 7).collect()
+            )
+            assert alt == base
+        nbr = spark.createDataFrame(rows[1:], "X long, Y long, Z string")
+        nbr_kept = Counter(
+            tuple(r) for r in truncate_large_groups(nbr, ["Z"], 7).collect()
+        )
+        diff = sum((base - nbr_kept).values()) + sum((nbr_kept - base).values())
+        assert diff <= 2

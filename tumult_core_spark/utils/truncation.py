@@ -14,19 +14,25 @@ Physical deltas vs the reference, for 100 TB scale:
   the hash evaluates inside WholeStageCodegen.  Neither hash is keyed,
   so both are equally predictable to an adversary; the property that
   matters (independence from row order / partitioning) is preserved.
-* The reference adds a within-duplicate index via an extra window over
-  *all* columns so the sort key is a total order
-  (``utils/truncation.py:24-88``).  For truncation that extra shuffle
-  is unnecessary: hash ties only occur between identical rows (or
-  vanishing-probability collisions), and identical rows are
-  interchangeable — any k of them is the same multiset.  Dropping it
-  halves the shuffles: one window per truncation.
+* Like the reference, ``truncate_large_groups`` includes a
+  within-duplicate copy index in the hash (an extra window over *all*
+  columns, ``utils/truncation.py:24-88``): without it, every copy of a
+  duplicated row shares one hash and sorts adjacently, so a truncated
+  hot group collapses to ``threshold`` copies of a single row instead
+  of a spread sample (the reference pins this with
+  ``test_hash_truncation_duplicate_rows_not_clumped``).  Copies beyond
+  the threshold are dropped the moment they are numbered, so the extra
+  window's output — and everything downstream — is bounded even for a
+  row duplicated a billion times.  ``limit_keys_per_group`` and
+  ``drop_large_groups`` select whole key sets / groups, where copy
+  identity cannot matter, and skip the index.
 
-Skew note: ``truncate_large_groups`` runs a salted two-phase window
-(local top-k per input-partition salt, exact top-k over the bounded
-survivors), so a hot key is ranked by many tasks instead of
-concentrating its full group in one; the result is identical to the
-single global window.
+Skew note: ``truncate_large_groups`` additionally runs a salted
+two-phase window (local top-k per input-partition salt, exact top-k
+over the bounded survivors), so a hot key is ranked by many tasks
+instead of concentrating its full group in one; the result is
+identical to the single global window because the per-row order key
+is fixed before the local pass.
 """
 
 from __future__ import annotations
@@ -50,37 +56,75 @@ def truncate_large_groups(
 ) -> DataFrame:
     """Keep at most ``threshold`` hash-chosen rows per group.
 
-    Skew-safe two-phase window: a local pass keeps the top
-    ``threshold`` rows per (group, salt) — the salt is the input
-    partition id, so a hot key is ranked by up to ``salt_buckets``
-    tasks instead of collapsing onto one — and the exact pass ranks
-    the at most ``threshold * salt_buckets`` survivors per group.
+    The selection key is ``xxhash64(row content, copy index)`` where
+    the copy index numbers identical rows 1..m — the reference's
+    duplicate-interleaving scheme (``utils/truncation.py:144-151``,
+    pinned by its ``test_hash_truncation_duplicate_rows_not_clumped``):
+    without the index, all copies of one duplicated row sort adjacently
+    and a truncated hot group degenerates to ``threshold`` copies of a
+    single row instead of a hash-spread sample.  Copies beyond the
+    threshold are dropped as soon as they are numbered — they can never
+    be selected, so a row duplicated a billion times costs ``threshold``
+    rows downstream, and a removal neighbor changes the candidate set
+    by at most one element (stability factor 2 as before, empirically
+    fuzzed in tests/test_property_exact.py).
 
-    The result is identical to a single global window and still
-    partition-independent: any row in a group's true hash-ordered
-    top-``threshold`` is by construction in the local top-``threshold``
-    of whichever salt bucket it landed in, so the pre-filter never
-    drops a winner, and the final pass uses only the deterministic
-    content-hash order.  ``salt_buckets=1`` (or 0) disables the local
-    pass.
+    Skew-safe three-phase plan: a map-side-combined count aggregate
+    collapses duplicates before its shuffle and regenerates
+    ``min(m, threshold)`` numbered copies per distinct row (rows are
+    fully described by their columns, so this is the same multiset —
+    and cheaper than a window, which would shuffle and sort every
+    input row); then a local pass keeps the top ``threshold`` rows per
+    (group, salt) — the salt is the input partition id, so a hot key
+    is ranked by up to ``salt_buckets`` tasks instead of collapsing
+    onto one — and the exact pass ranks the at most
+    ``threshold * salt_buckets`` survivors per group.  The local pass is sound because the order
+    key is fixed per row before it runs: a group's true global
+    top-``threshold`` is contained in the local top-``threshold`` of
+    whichever salt bucket each row landed in.  ``salt_buckets=1`` (or
+    0) disables the local pass.  The result is multiset-deterministic
+    and partition-independent: identical rows are interchangeable, so
+    the arbitrary copy-index assignment among them never changes the
+    released multiset.
     """
     if threshold < 0:
         raise ValueError("threshold must be >= 0")
     if threshold == 0:
         return df.limit(0)
     cols = df.columns
-    row_hash = F.xxhash64(*[F.col(c) for c in cols])
+    # copy indexes from a count aggregate, not a window: rows are fully
+    # described by their columns, so regenerating min(m, threshold)
+    # numbered copies per distinct row is the same multiset — and the
+    # groupBy gets map-side partial aggregation (duplicates collapse
+    # BEFORE the shuffle; no sort), where a window over all columns
+    # would shuffle and sort every input row
+    df = (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .select(
+            *cols,
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.least(F.col("__m"), F.lit(threshold))
+                )
+            ).alias("__copy"),
+        )
+    )
+    order_key = F.xxhash64(*[F.col(c) for c in cols], F.col("__copy"))
+    tiebreak = [F.col(c) for c in cols] + [F.col("__copy")]
     if salt_buckets and salt_buckets > 1:
         salted = df.withColumn(
             "__salt", (F.spark_partition_id() % salt_buckets).cast("int")
         )
-        w_local = Window.partitionBy(*grouping_columns, "__salt").orderBy(row_hash)
+        w_local = Window.partitionBy(*grouping_columns, "__salt").orderBy(
+            order_key, *tiebreak
+        )
         df = (
             salted.withColumn("__rn", F.row_number().over(w_local))
             .filter(F.col("__rn") <= threshold)
-            .select(*cols)
+            .drop("__rn", "__salt")
         )
-    w = Window.partitionBy(*grouping_columns).orderBy(row_hash)
+    w = Window.partitionBy(*grouping_columns).orderBy(order_key, *tiebreak)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= threshold)
