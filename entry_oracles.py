@@ -1183,4 +1183,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT o_totalprice) AS n_distinct
             FROM orders
         """,
+        # the permutation is ascending (mix(id, 17), id); positions
+        # dense in [0, n) — the bucket-offset scheme in
+        # extensions/sampling.py::global_shuffle must equal this one
+        # global ROW_NUMBER exactly
+        "global_shuffle": """
+            SELECT doc_id, lang,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY (((2654435761 * CAST((((doc_id + 17) % 4294967296) - ((doc_id + 17) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 2654435761 * (((doc_id + 17) % 4294967296) % 65536)) % 4294967296,
+                                doc_id) - 1 AS BIGINT) AS pos
+            FROM documents
+        """,
     }

@@ -1402,6 +1402,17 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_global_shuffle(spark, sf_dir):
+    """Deterministic seed-keyed global permutation of the corpus (the
+    reproducible shuffle a training pipeline runs to fix example
+    order); positions are dense in [0, n) and the oracle replays the
+    same integer mix as ROW_NUMBER() OVER (ORDER BY mix, id)."""
+    from tumult_core_spark.extensions.sampling import global_shuffle
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return global_shuffle(docs, "doc_id", seed=17)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Greedy sequence packing of documents (by n_chars) into 4096-char
     windows across 16 hash buckets; the oracle replays the same serial
@@ -1629,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preprocess_pipeline": q_preprocess_pipeline,
         "rolling_aggregate": q_rolling_aggregate,
         "sessionize_batch": q_sessionize_batch,
+        "global_shuffle": q_global_shuffle,
     }
 
 

@@ -561,6 +561,86 @@ class TestSampling:
         )
         assert a == b
 
+    def test_global_shuffle_is_a_permutation(self, spark, docs):
+        from tumult_core_spark.extensions.sampling import global_shuffle
+
+        n = docs.count()
+        out = global_shuffle(docs, "doc_id", seed=3)
+        assert out.columns == docs.columns + ["pos"]
+        positions = [r["pos"] for r in out.select("pos").collect()]
+        assert sorted(positions) == list(range(n))
+
+    def test_global_shuffle_partitioning_independent(self, spark, docs):
+        from tumult_core_spark.extensions.sampling import global_shuffle
+
+        base = {
+            (r["doc_id"], r["pos"])
+            for r in global_shuffle(docs, "doc_id", seed=3)
+            .select("doc_id", "pos")
+            .collect()
+        }
+        for variant in (docs.repartition(17), docs.orderBy(F.rand(9))):
+            alt = {
+                (r["doc_id"], r["pos"])
+                for r in global_shuffle(variant, "doc_id", seed=3)
+                .select("doc_id", "pos")
+                .collect()
+            }
+            assert alt == base
+
+    def test_global_shuffle_bucket_count_invariant(self, spark, docs):
+        """The released permutation is the global (mix, id) order
+        whatever the bucket parallelism — including buckets far
+        exceeding the row count (empty buckets) and a single bucket
+        (one global window)."""
+        from tumult_core_spark.extensions.sampling import global_shuffle
+
+        base = {
+            (r["doc_id"], r["pos"])
+            for r in global_shuffle(docs, "doc_id", seed=1, buckets=1)
+            .select("doc_id", "pos")
+            .collect()
+        }
+        for b in (7, 1024, 65536):
+            alt = {
+                (r["doc_id"], r["pos"])
+                for r in global_shuffle(docs, "doc_id", seed=1, buckets=b)
+                .select("doc_id", "pos")
+                .collect()
+            }
+            assert alt == base
+
+    def test_global_shuffle_seed_changes_order(self, spark, docs):
+        from tumult_core_spark.extensions.sampling import global_shuffle
+
+        a = {
+            (r["doc_id"], r["pos"])
+            for r in global_shuffle(docs, "doc_id", seed=0)
+            .select("doc_id", "pos")
+            .collect()
+        }
+        b = {
+            (r["doc_id"], r["pos"])
+            for r in global_shuffle(docs, "doc_id", seed=1)
+            .select("doc_id", "pos")
+            .collect()
+        }
+        assert a != b
+        assert {x[0] for x in a} == {x[0] for x in b}
+
+    def test_global_shuffle_rejects_existing_position_col(self, spark, docs):
+        from tumult_core_spark.extensions.sampling import global_shuffle
+
+        with pytest.raises(ValueError, match="already exists"):
+            global_shuffle(docs, "doc_id", position_col="doc_id")
+        with pytest.raises(ValueError, match="buckets"):
+            global_shuffle(docs, "doc_id", buckets=0)
+
+    def test_global_shuffle_empty_input(self, spark, docs):
+        from tumult_core_spark.extensions.sampling import global_shuffle
+
+        assert global_shuffle(docs.limit(0), "doc_id").count() == 0
+
 
 class TestPacking:
     def test_pack_respects_window_and_greedy_order(self, spark):

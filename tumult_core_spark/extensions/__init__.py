@@ -16,6 +16,7 @@ from .dedup import (
 )
 from .packing import pack_sequences
 from .sampling import (
+    global_shuffle,
     hash_sample,
     hash_split,
     stratified_sample,

@@ -211,3 +211,79 @@ def weighted_sample(
     w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
     threshold = F.floor(w * F.lit(float(_MOD))).cast("long")
     return df.filter(_mix(F.col(id_col).cast("long"), seed) < threshold)
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    position_col: str = "pos",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Assign every row its position in a deterministic seed-keyed
+    permutation of the whole dataset — the reproducible global shuffle
+    a training pipeline runs before writing example order (re-running
+    on any cluster layout yields the identical order; changing
+    ``seed`` yields an unrelated one).
+
+    The permutation is ascending ``(mix(id, seed), id)`` — the same
+    public integer arithmetic as the rest of this module, so oracles
+    replay it verbatim in SQL with ``ROW_NUMBER() OVER (ORDER BY ...)``.
+    Positions are dense in ``[0, n)``.
+
+    Scale path — no single-task global sort: the mix's hash space is
+    cut into ``buckets`` equal ranges (the mix is uniform, so ranges
+    are balanced regardless of id distribution), per-bucket row counts
+    (one map-side-combined aggregate over the pruned id column) turn
+    into cumulative offsets on the driver (``buckets`` integers), and
+    positions are ``offset[bucket] + row_number() - 1`` under a
+    per-bucket window.  One tiny aggregate + one balanced window
+    exchange; parallelism equals ``buckets``, so set it at or above
+    the cluster's core count for a 100 TB run.  Consumers that want
+    physical order then range-write by ``position_col`` (e.g.
+    ``sources.io.layout_for_scan``).
+
+    Rows must carry non-negative int64 ids; rows SHARING an id are
+    interchangeable in the permutation (their relative order within
+    the shared slot range is arbitrary), matching the id contract of
+    the other samplers here.
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    if position_col in df.columns:
+        raise ValueError(f"column {position_col!r} already exists")
+    spark = df.sparkSession
+    mix = _mix(F.col(id_col).cast("long"), seed)
+    width = (_MOD + buckets - 1) // buckets
+    bucket = F.floor(mix / F.lit(width)).cast("long")
+    # counts prune to the id column only; map-side combine collapses
+    # each task's rows to <= `buckets` partial counts before the
+    # (tiny) exchange
+    counts = dict(
+        df.select(bucket.alias("__b"))
+        .groupBy("__b")
+        .count()
+        .collect()
+    )
+    offsets, acc = [], 0
+    for b in range(buckets):
+        c = counts.get(b, 0)
+        if c:
+            offsets.append((b, acc))
+            acc += c
+    offsets_df = spark.createDataFrame(
+        offsets, "___b long, __offset long"
+    ) if offsets else spark.createDataFrame([], "___b long, __offset long")
+    w = Window.partitionBy("__b").orderBy("__mix", id_col)
+    return (
+        df.withColumn("__mix", mix)
+        .withColumn("__b", bucket)
+        .join(F.broadcast(offsets_df), F.col("__b") == F.col("___b"))
+        .withColumn(
+            position_col,
+            (F.col("__offset") + F.row_number().over(w) - F.lit(1)).cast(
+                "long"
+            ),
+        )
+        .drop("__mix", "__b", "___b", "__offset")
+    )
