@@ -382,3 +382,36 @@ def test_apply_in_pandas_distributed_keys_path(spark, monkeypatch):
     assert dist == local
     assert len(dist) == 9 and dist[(0, 0)] == 12 and dist[(2, 1)] == 1
     assert dist[(1, 1)] == 0  # absent key 0-filled through the same path
+
+
+def test_truncation_copy_index_is_partial_aggregated(spark, lineitem):
+    """truncate_large_groups derives the duplicate copy index from a
+    count aggregate, not a window over all columns: the plan must show
+    a partial (map-side) HashAggregate — duplicates collapse before
+    the shuffle — and stay within 3 exchanges (collapse, salted local
+    window, exact window)."""
+    import re
+
+    from tumult_core_spark.utils.truncation import truncate_large_groups
+
+    out = truncate_large_groups(
+        lineitem.select("l_orderkey", "l_linestatus", "l_quantity"),
+        ["l_orderkey"],
+        3,
+    )
+    plan = plan_of(out)
+    assert "partial_count" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_global_shuffle_no_single_task_sort(spark, sf_dir):
+    """global_shuffle's released positions come from per-bucket
+    windows: the plan must not contain a SinglePartition exchange (a
+    global orderBy/row_number would) and must stay JVM-side."""
+    from tumult_core_spark.extensions.sampling import global_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(global_shuffle(docs, "doc_id", seed=1))
+    assert "SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
