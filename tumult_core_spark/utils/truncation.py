@@ -97,7 +97,10 @@ def truncate_large_groups(
     # numbered copies per distinct row is the same multiset — and the
     # groupBy gets map-side partial aggregation (duplicates collapse
     # BEFORE the shuffle; no sort), where a window over all columns
-    # would shuffle and sort every input row
+    # would shuffle and sort every input row.  One normalization rides
+    # along: Spark groupBy keys equate -0.0 with 0.0 (and all NaN bit
+    # patterns), so a float -0.0 is released as 0.0 — values Spark
+    # already treats as equal in every comparison, join, and group
     df = (
         df.groupBy(*cols)
         .agg(F.count(F.lit(1)).alias("__m"))
