@@ -1554,8 +1554,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   (all r5-green; code unchanged since except decontaminate's
     #   broadcast size gate, which sits in the tail and was
     #   oracle-verified by hand this round).  The tail = the 50
-    #   r6-green entries in their r6 order.  r8: rotate again — move
-    #   whatever the r7 batch does not reach back to the front.
+    #   r6-green entries in their r6 order, plus global_shuffle
+    #   (added late in r7; hand-verified vs oracle at sf0.001/0.01/0.1).
+    #   r8: rotate again — move whatever the r7 batch does not reach
+    #   back to the front.
     return {
         # --- r5-green front: the r6 batch stopped before these ---
         "redact_pii": q_redact_pii,
