@@ -484,6 +484,12 @@ def sf_sweep(spark, k: int = 10, reps: int = None):
     for name, fn in ops.items():
         try:
             spark.catalog.clearCache()
+            # settle the JVM heap before timing: the sweep runs after
+            # the 18-query main loop, whose accumulated garbage
+            # otherwise charges one op with a collection pause (one
+            # observed text_quality run tripled, factor 3.1 -> 8.7, on
+            # identical code purely from heap state)
+            spark.sparkContext._jvm.System.gc()
             fn(1)  # warm the op family so t_1x is not codegen/UDF startup
             times, extras = {}, {}
             for scale in (1, k):
