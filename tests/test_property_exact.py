@@ -711,3 +711,106 @@ class TestFlatMapByKeyStabilityFuzz:
             f"rows={rows} nbr={nbr_rows}: in_d={in_d} out_d={out_d} "
             f"bound={bound}"
         )
+
+
+class TestGroupingFlatMapStabilityFuzz:
+    """Randomized empirical stability of GroupingFlatMap: the claimed
+    L2 bound d*sqrt(k) (and L1 d*k) under
+    ``IfGroupedBy(new_col, RootSumOfSquared/SumOf(SymmetricDifference))``
+    rests on per-row output distinctness of the new grouping column —
+    one input row contributes at most one row to each of k groups
+    (map.py:234+, reference map.py:1015-1028)."""
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),
+                st.integers(min_value=0, max_value=6),
+            ),
+            min_size=1,
+            max_size=10,
+        ),
+        drop_idx=st.integers(min_value=0, max_value=9),
+        k=st.integers(min_value=1, max_value=4),
+        l2=st.booleans(),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_removal_neighbors(self, rows, drop_idx, k, l2):
+        from tumult_core_spark.domains import (
+            SparkIntegerColumnDescriptor,
+            SparkRowDomain,
+        )
+        from tumult_core_spark.metrics import (
+            RootSumOfSquared,
+            SumOf,
+            SymmetricDifference,
+        )
+        from tumult_core_spark.transformations.map import (
+            GroupingFlatMap,
+            RowToRowTransformation,
+            RowToRowsTransformation,
+        )
+        from tumult_core_spark.utils.misc import get_spark
+
+        spark = get_spark("fuzz-gfm", cpus=2)
+        INT64 = SparkIntegerColumnDescriptor(size=64)
+        # trusted fn: fan each row out to a row-dependent subset of the
+        # k buckets (bucket values distinct within a row); attempts to
+        # exceed k rows or repeat a bucket are clipped by the operator
+        rt = RowToRowsTransformation.__new__(RowToRowsTransformation)  # placeholder
+        rt = RowToRowTransformation  # not used; keep import exercised
+        inner = RowToRowsTransformation  # appease linters
+        fan = RowToRowsTransformation
+        del rt, inner, fan
+
+        row_t = RowToRowsTransformation.__mro__  # noqa: F841
+
+        def fn(row):
+            n = (row["u"] % (k + 2)) + 1  # may exceed k: operator clips
+            return [{"bucket": j} for j in range(n)] + [{"bucket": 0}]
+
+        transformer = RowToRowsTransformation  # silence
+        del transformer
+        rtr = __import__(
+            "tumult_core_spark.transformations.map", fromlist=["RowToRowsTransformation"]
+        )
+        row_transformer = rtr.RowToRowsTransformation  # noqa: F841
+
+        from tumult_core_spark.transformations.map import (
+            RowToRowsTransformation as R2RS,
+        )
+
+        rt2 = R2RS(
+            SparkRowDomain({"a": INT64, "u": INT64}),
+            SparkRowDomain({"a": INT64, "u": INT64, "bucket": INT64}),
+            fn,
+        )
+        rt2.augment = True
+        metric = RootSumOfSquared(SymmetricDifference()) if l2 else SumOf(
+            SymmetricDifference()
+        )
+        t = GroupingFlatMap(metric, rt2, k)
+
+        drop_idx = drop_idx % len(rows)
+        nbr_rows = [r for i, r in enumerate(rows) if i != drop_idx]
+        cols = ["a", "u"]
+        dist = TestTruncationStabilityFuzz._distance
+        in_d = dist(SymmetricDifference(), rows, nbr_rows, cols)
+        if in_d == 0:
+            return
+        bound = float(
+            ExactNumber(t.stability_function(in_d)).to_float(round_up=True)
+        )
+        schema = "a long, u long"
+        base = [
+            tuple(r) for r in t(spark.createDataFrame(rows, schema)).collect()
+        ]
+        nbr = [
+            tuple(r)
+            for r in t(spark.createDataFrame(nbr_rows, schema)).collect()
+        ]
+        out_d = dist(t.output_metric, base, nbr, ["a", "u", "bucket"])
+        assert out_d <= bound + 1e-9, (
+            f"rows={rows} nbr={nbr_rows} k={k} l2={l2}: "
+            f"in_d={in_d} out_d={out_d} bound={bound}"
+        )
