@@ -43,6 +43,15 @@ def oracle_sql() -> dict[str, str]:
         os.path.dirname(os.path.abspath(__file__)),
         "tests", "fixtures", "bpe_expected.parquet",
     )
+    # SF-keyed pinned constants (temperature_mix thresholds and the
+    # dedup candidate-set cardinality regression pins) — deterministic
+    # functions of the documents corpus, one block per shipped SF,
+    # loud error() on an unknown corpus
+    # (tests/fixtures/make_pinned_constants.py)
+    pin_fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "pinned_constants.parquet",
+    )
     # NOTE on integer sums: DuckDB sums integers into HUGEINT (int128),
     # which pandas silently converts to float64 and breaks the value
     # hash, so every integer-sum oracle is CAST(... AS BIGINT).  That
@@ -405,18 +414,27 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY doc_id ORDER BY score DESC, term ASC) <= 3
         """,
-        "temperature_mix": """
-            -- thresholds = temperature_thresholds(sf0.01 lang counts,
-            -- T=2), pinned (valid at the sf0.01 gate only)
-            SELECT doc_id, lang FROM documents
-            WHERE (((2654435761 * CAST((((doc_id + 11) % 4294967296) - ((doc_id + 11) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 2654435761 * (((doc_id + 11) % 4294967296) % 65536)) % 4294967296 <
-                  CASE lang
-                      WHEN 'de' THEN 4106774230
-                      WHEN 'en' THEN 2327135125
-                      WHEN 'es' THEN 4021503195
-                      WHEN 'fr' THEN 4294967296
-                      WHEN 'zh' THEN 3967520839
-                  END
+        "temperature_mix": f"""
+            -- thresholds = temperature-2 mixing rule over this
+            -- corpus's lang histogram, recomputed independently per SF
+            -- by tests/fixtures/make_pinned_constants.py and keyed on
+            -- the documents fingerprint (loud error on unknown corpus)
+            WITH k AS (SELECT bit_xor(hash(doc_id, text)) AS key FROM documents),
+            thr AS (SELECT p.key AS lang, p.value AS threshold
+                    FROM '{pin_fixture}' p, k
+                    WHERE p.sf_key = k.key AND p.name = 'temperature_mix')
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN thr t ON d.lang = t.lang
+            WHERE (((2654435761 * CAST((((d.doc_id + 11) % 4294967296) - ((d.doc_id + 11) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 2654435761 * (((d.doc_id + 11) % 4294967296) % 65536)) % 4294967296 < t.threshold
+            UNION ALL
+            SELECT CAST(error('pinned-constants fixture has no '
+                              'temperature_mix block for this documents '
+                              'table — regenerate with '
+                              'tests/fixtures/make_pinned_constants.py')
+                        AS BIGINT),
+                   NULL::VARCHAR
+            FROM k WHERE k.key NOT IN (SELECT sf_key FROM '{pin_fixture}'
+                                       WHERE name = 'temperature_mix')
         """,
         "unigram_logprob": """
             WITH t AS (
@@ -663,26 +681,64 @@ def oracle_sql() -> dict[str, str]:
                     AND y.symbol_word_ratio <= 0.10) AS keep
             FROM stats s JOIN sym y USING (doc_id)
         """,
-        # total_pairs constants below are regression pins: the full
+        # total_pairs values below are regression pins: the full
         # candidate/pair set is not SQL-expressible (it depends on the
         # minhash/simhash signatures), but it IS a deterministic,
-        # partition-invariant function of the sf0.01 corpus, verified
-        # by re-running under different parallelism.  A recall or
+        # partition-invariant function of the corpus, verified by
+        # re-running under different parallelism.  A recall or
         # over-generation change anywhere in the corpus flips them.
-        "dedup_minhash": """
+        # SF-keyed via the pinned-constants fixture (one value per
+        # shipped SF; loud error on an unknown corpus).
+        "dedup_minhash": f"""
+            WITH k AS (SELECT bit_xor(hash(doc_id, text)) AS key FROM documents),
+            pin AS (SELECT p.value AS total_pairs FROM '{pin_fixture}' p, k
+                    WHERE p.sf_key = k.key AND p.name = 'dedup_minhash')
             SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
-                   CAST(2461 AS BIGINT) AS total_pairs
-            FROM documents WHERE doc_id < 50
+                   CAST(pin.total_pairs AS BIGINT) AS total_pairs
+            FROM documents, pin WHERE doc_id < 50
+            UNION ALL
+            SELECT CAST(error('pinned-constants fixture has no '
+                              'dedup_minhash block for this documents '
+                              'table — regenerate with '
+                              'tests/fixtures/make_pinned_constants.py')
+                        AS BIGINT),
+                   NULL::BIGINT, NULL::BIGINT
+            FROM k WHERE k.key NOT IN (SELECT sf_key FROM '{pin_fixture}'
+                                       WHERE name = 'dedup_minhash')
         """,
-        "dedup_simhash": """
+        "dedup_simhash": f"""
+            WITH k AS (SELECT bit_xor(hash(doc_id, text)) AS key FROM documents),
+            pin AS (SELECT p.value AS total_pairs FROM '{pin_fixture}' p, k
+                    WHERE p.sf_key = k.key AND p.name = 'dedup_simhash')
             SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
-                   CAST(55 AS BIGINT) AS total_pairs
-            FROM documents WHERE doc_id < 50
+                   CAST(pin.total_pairs AS BIGINT) AS total_pairs
+            FROM documents, pin WHERE doc_id < 50
+            UNION ALL
+            SELECT CAST(error('pinned-constants fixture has no '
+                              'dedup_simhash block for this documents '
+                              'table — regenerate with '
+                              'tests/fixtures/make_pinned_constants.py')
+                        AS BIGINT),
+                   NULL::BIGINT, NULL::BIGINT
+            FROM k WHERE k.key NOT IN (SELECT sf_key FROM '{pin_fixture}'
+                                       WHERE name = 'dedup_simhash')
         """,
-        "ngram_jaccard": """
+        "ngram_jaccard": f"""
+            WITH k AS (SELECT bit_xor(hash(doc_id, text)) AS key FROM documents),
+            pin AS (SELECT p.value AS total_pairs FROM '{pin_fixture}' p, k
+                    WHERE p.sf_key = k.key AND p.name = 'ngram_jaccard')
             SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
-                   CAST(100 AS BIGINT) AS total_pairs
-            FROM documents WHERE doc_id < 100
+                   CAST(pin.total_pairs AS BIGINT) AS total_pairs
+            FROM documents, pin WHERE doc_id < 100
+            UNION ALL
+            SELECT CAST(error('pinned-constants fixture has no '
+                              'ngram_jaccard block for this documents '
+                              'table — regenerate with '
+                              'tests/fixtures/make_pinned_constants.py')
+                        AS BIGINT),
+                   NULL::BIGINT, NULL::BIGINT
+            FROM k WHERE k.key NOT IN (SELECT sf_key FROM '{pin_fixture}'
+                                       WHERE name = 'ngram_jaccard')
         """,
         "limit_keys_per_group": """
             SELECT o_custkey, CAST(LEAST(COUNT(DISTINCT o_orderkey), 2) AS BIGINT) AS n_keys

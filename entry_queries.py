@@ -1550,67 +1550,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order.  The per-round driver checks roughly the first 50 registry
     # entries against the DuckDB oracle, so each round the entries with
     # the least-fresh driver evidence go FIRST:
-    #   r7 front block = the 31 entries the r6 batch did not reach
-    #   (all r5-green; code unchanged since except decontaminate's
-    #   broadcast size gate, which sits in the tail and was
-    #   oracle-verified by hand this round).  The tail = the 50
-    #   r6-green entries in their r6 order, plus global_shuffle
-    #   (added late in r7; hand-verified vs oracle at sf0.001/0.01/0.1).
-    #   r8: rotate again — move whatever the r7 batch does not reach
+    #   r8 front block = global_shuffle (added late in r7, never
+    #   driver-checked — hand-verified vs oracle at sf0.001/0.01/0.1)
+    #   followed by the 31 entries the r7 batch did not reach (all
+    #   r6-green; code unchanged since except where re-oracle-verified
+    #   by hand in r7).  The tail = the 50 r7-green entries in their
+    #   r7 order.
+    #   r9: rotate again — move whatever the r8 batch does not reach
     #   back to the front.
     return {
-        # --- r5-green front: the r6 batch stopped before these ---
-        "redact_pii": q_redact_pii,
-        "variance_intermediates": q_variance_intermediates,
-        "streaming_dedup": q_streaming_dedup,
-        "sq_knn": q_sq_knn,
-        "normalize_text": q_normalize_text,
-        "add_unique_column": q_add_unique_column,
-        "join_on_nulls": q_join_on_nulls,
-        "ann_ivf": q_ann_ivf,
-        "sessionize": q_sessionize,
-        "embedding_near_dups": q_embedding_near_dups,
-        "private_join_on_key": q_private_join_on_key,
-        "limit_rows_per_key_per_group": q_limit_rows_per_key_per_group,
-        "groupby_stddev": q_groupby_stddev,
-        "filter_select": q_filter_select,
-        "rename": q_rename,
-        "groupby_count": q_groupby_count,
-        "groupby_count_distinct": q_groupby_count_distinct,
-        "groupby_sum": q_groupby_sum,
-        "total_counts": q_total_counts,
-        "average": q_average,
-        "variance": q_variance,
-        "public_join": q_public_join,
-        "private_join_drop": q_private_join_drop,
-        "limit_rows_per_group": q_limit_rows_per_group,
-        "limit_keys_per_group": q_limit_keys_per_group,
-        "partition_selection": q_partition_selection,
-        "bounds": q_bounds,
-        "quantile_median": q_quantile_median,
-        "partition_by_keys": q_partition_by_keys,
-        "map_revenue": q_map_derive,
-        "flatmap_by_key": q_flatmap_by_key,
-        # --- r6-green tail, r6 order ---
-        "profile_table": q_profile_table,
-        "profile_numeric": q_profile_numeric,
-        "json_extract": q_json_extract,
-        "sq_codes": q_sq_codes,
-        "bpe_tokens": q_bpe_tokens,
-        "replace_nulls": q_replace_nulls,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ann_topk": q_ann_topk,
-        "token_counts": q_token_counts,
-        "lang_id": q_lang_id,
-        "fingerprint_distinct": q_fingerprint_distinct,
-        "quality_scores": q_quality_scores,
-        "repetition_stats": q_repetition_stats,
-        "asof_join": q_asof_join,
-        "time_rollup": q_time_rollup,
-        "tfidf_top_terms": q_tfidf_top_terms,
+        # --- r8 front: global_shuffle (never driver-checked) then the
+        # --- 31 entries the r7 batch did not reach (all r6-green) ---
+        "global_shuffle": q_global_shuffle,
         "temperature_mix": q_temperature_mix,
         "pca_project": q_pca_project,
         "unigram_logprob": q_unigram_logprob,
@@ -1642,7 +1593,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preprocess_pipeline": q_preprocess_pipeline,
         "rolling_aggregate": q_rolling_aggregate,
         "sessionize_batch": q_sessionize_batch,
-        "global_shuffle": q_global_shuffle,
+        # --- tail: the 50 r7-green entries in their r7 order ---
+        "redact_pii": q_redact_pii,
+        "variance_intermediates": q_variance_intermediates,
+        "streaming_dedup": q_streaming_dedup,
+        "sq_knn": q_sq_knn,
+        "normalize_text": q_normalize_text,
+        "add_unique_column": q_add_unique_column,
+        "join_on_nulls": q_join_on_nulls,
+        "ann_ivf": q_ann_ivf,
+        "sessionize": q_sessionize,
+        "embedding_near_dups": q_embedding_near_dups,
+        "private_join_on_key": q_private_join_on_key,
+        "limit_rows_per_key_per_group": q_limit_rows_per_key_per_group,
+        "groupby_stddev": q_groupby_stddev,
+        "filter_select": q_filter_select,
+        "rename": q_rename,
+        "groupby_count": q_groupby_count,
+        "groupby_count_distinct": q_groupby_count_distinct,
+        "groupby_sum": q_groupby_sum,
+        "total_counts": q_total_counts,
+        "average": q_average,
+        "variance": q_variance,
+        "public_join": q_public_join,
+        "private_join_drop": q_private_join_drop,
+        "limit_rows_per_group": q_limit_rows_per_group,
+        "limit_keys_per_group": q_limit_keys_per_group,
+        "partition_selection": q_partition_selection,
+        "bounds": q_bounds,
+        "quantile_median": q_quantile_median,
+        "partition_by_keys": q_partition_by_keys,
+        "map_revenue": q_map_derive,
+        "flatmap_by_key": q_flatmap_by_key,
+        "profile_table": q_profile_table,
+        "profile_numeric": q_profile_numeric,
+        "json_extract": q_json_extract,
+        "sq_codes": q_sq_codes,
+        "bpe_tokens": q_bpe_tokens,
+        "replace_nulls": q_replace_nulls,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_topk": q_ann_topk,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "fingerprint_distinct": q_fingerprint_distinct,
+        "quality_scores": q_quality_scores,
+        "repetition_stats": q_repetition_stats,
+        "asof_join": q_asof_join,
+        "time_rollup": q_time_rollup,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
