@@ -653,7 +653,32 @@ def main():
                 "up, so both ratio bases are upper bounds on the true "
                 "rebuild/reference ratio)",
             }
-    print(json.dumps(out))
+    # The driver captures only the LAST 2000 characters of stdout and
+    # json-parses that tail; the full diagnostic dict outgrew that limit
+    # in round 5 and BENCH_r05..r08 all recorded "parsed": null.  So the
+    # ONE printed JSON line is a compact summary guaranteed to fit, and
+    # the full dict (queries_min, sf_sweep, vs_reference detail, notes)
+    # goes to BENCH_DETAILS.json next to this script for the judge.
+    details_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
+    )
+    with open(details_path, "w") as f:
+        json.dump(out, f, indent=1)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+        "max_ratio_vs_reference": out.get("vs_reference", {}).get("max_ratio"),
+        "max_ratio_min_basis": out.get("vs_reference", {}).get("max_ratio_min"),
+        "details": "BENCH_DETAILS.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # pragma: no cover - belt and braces
+        compact.pop("queries", None)
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

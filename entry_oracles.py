@@ -71,7 +71,7 @@ def oracle_sql() -> dict[str, str]:
                               'tests/fixtures/make_multimodal_fixture.py')
                         AS BIGINT),
                    NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::INTEGER
-            FROM k WHERE k.key NOT IN (SELECT sf_key FROM '{mm_fixture}')
+            FROM k WHERE NOT EXISTS (SELECT 1 FROM '{mm_fixture}' WHERE sf_key = k.key)
         """,
         "pca_project": f"""
             WITH k AS (SELECT bit_xor(hash(vec_id, embedding)) AS key
@@ -84,7 +84,7 @@ def oracle_sql() -> dict[str, str]:
                               'tests/fixtures/make_pca_fixture.py')
                         AS BIGINT),
                    NULL::DOUBLE, NULL::DOUBLE
-            FROM k WHERE k.key NOT IN (SELECT sf_key FROM '{pca_fixture}')
+            FROM k WHERE NOT EXISTS (SELECT 1 FROM '{pca_fixture}' WHERE sf_key = k.key)
         """,
         "rolling_aggregate": """
             SELECT event_id,
@@ -187,7 +187,7 @@ def oracle_sql() -> dict[str, str]:
                               'tests/fixtures/make_bpe_fixture.py')
                         AS BIGINT),
                    NULL::INTEGER, NULL::VARCHAR
-            FROM k WHERE k.key NOT IN (SELECT sf_key FROM '{bpe_fixture}')
+            FROM k WHERE NOT EXISTS (SELECT 1 FROM '{bpe_fixture}' WHERE sf_key = k.key)
         """,
         "filter_select": (
             "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity < 25"
@@ -433,8 +433,8 @@ def oracle_sql() -> dict[str, str]:
                               'tests/fixtures/make_pinned_constants.py')
                         AS BIGINT),
                    NULL::VARCHAR
-            FROM k WHERE k.key NOT IN (SELECT sf_key FROM '{pin_fixture}'
-                                       WHERE name = 'temperature_mix')
+            FROM k WHERE NOT EXISTS (SELECT 1 FROM '{pin_fixture}'
+                                       WHERE sf_key = k.key AND name = 'temperature_mix')
         """,
         "unigram_logprob": """
             WITH t AS (
@@ -703,8 +703,8 @@ def oracle_sql() -> dict[str, str]:
                               'tests/fixtures/make_pinned_constants.py')
                         AS BIGINT),
                    NULL::BIGINT, NULL::BIGINT
-            FROM k WHERE k.key NOT IN (SELECT sf_key FROM '{pin_fixture}'
-                                       WHERE name = 'dedup_minhash')
+            FROM k WHERE NOT EXISTS (SELECT 1 FROM '{pin_fixture}'
+                                       WHERE sf_key = k.key AND name = 'dedup_minhash')
         """,
         "dedup_simhash": f"""
             WITH k AS (SELECT bit_xor(hash(doc_id, text)) AS key FROM documents),
@@ -720,8 +720,8 @@ def oracle_sql() -> dict[str, str]:
                               'tests/fixtures/make_pinned_constants.py')
                         AS BIGINT),
                    NULL::BIGINT, NULL::BIGINT
-            FROM k WHERE k.key NOT IN (SELECT sf_key FROM '{pin_fixture}'
-                                       WHERE name = 'dedup_simhash')
+            FROM k WHERE NOT EXISTS (SELECT 1 FROM '{pin_fixture}'
+                                       WHERE sf_key = k.key AND name = 'dedup_simhash')
         """,
         "ngram_jaccard": f"""
             WITH k AS (SELECT bit_xor(hash(doc_id, text)) AS key FROM documents),
@@ -737,8 +737,8 @@ def oracle_sql() -> dict[str, str]:
                               'tests/fixtures/make_pinned_constants.py')
                         AS BIGINT),
                    NULL::BIGINT, NULL::BIGINT
-            FROM k WHERE k.key NOT IN (SELECT sf_key FROM '{pin_fixture}'
-                                       WHERE name = 'ngram_jaccard')
+            FROM k WHERE NOT EXISTS (SELECT 1 FROM '{pin_fixture}'
+                                       WHERE sf_key = k.key AND name = 'ngram_jaccard')
         """,
         "limit_keys_per_group": """
             SELECT o_custkey, CAST(LEAST(COUNT(DISTINCT o_orderkey), 2) AS BIGINT) AS n_keys

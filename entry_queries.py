@@ -1550,68 +1550,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order.  The per-round driver checks roughly the first 50 registry
     # entries against the DuckDB oracle, so each round the entries with
     # the least-fresh driver evidence go FIRST:
-    #   r8 front block = global_shuffle (added late in r7, never
-    #   driver-checked — hand-verified vs oracle at sf0.001/0.01/0.1)
-    #   followed by the 31 entries the r7 batch did not reach (all
-    #   r6-green; code unchanged since except where re-oracle-verified
-    #   by hand in r7).  The tail = the 50 r7-green entries in their
-    #   r7 order.
-    #   r9: rotate again — move whatever the r8 batch does not reach
+    #   r9 front block = the 32 entries the r8 batch (50 rows, all
+    #   green) did not reach — every one r7-driver-green with code
+    #   unchanged since.  The tail = the 50 r8-green entries in their
+    #   r8 order.  After r9, every entry has a driver-green row within
+    #   the last two rounds.
+    #   r10: rotate again — move whatever the r9 batch does not reach
     #   back to the front.
     return {
-        # --- r8 front: global_shuffle (never driver-checked) then the
-        # --- 31 entries the r7 batch did not reach (all r6-green) ---
-        "global_shuffle": q_global_shuffle,
-        "temperature_mix": q_temperature_mix,
-        "pca_project": q_pca_project,
-        "unigram_logprob": q_unigram_logprob,
-        "weighted_sample": q_weighted_sample,
-        "fuzzy_join": q_fuzzy_join,
-        "chunk_documents": q_chunk_documents,
-        "chunk_pack": q_chunk_pack,
-        "streaming_window_counts": q_streaming_window_counts,
-        "multimodal_features": q_multimodal_features,
-        "zcdp_groupby_count": q_zcdp_groupby_count,
-        "approxdp_groupby_count": q_approxdp_groupby_count,
-        "groupby_sum_cents": q_groupby_sum_cents,
-        "groupby_column_domains": q_groupby_column_domains,
-        "drop_nulls_nans": q_drop_nulls_nans,
-        "replace_nans_infs": q_replace_nans_infs,
-        "flatmap_explode": q_flatmap_explode,
-        "grouping_flatmap": q_grouping_flatmap,
-        "connected_components": q_connected_components,
-        "dedup_connected": q_dedup_connected,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        "training_mix": q_training_mix,
-        "decontaminate": q_decontaminate,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "bigram_logprob": q_bigram_logprob,
-        "stream_interval_join": q_stream_interval_join,
-        "profile_quantiles": q_profile_quantiles,
-        "preprocess_pipeline": q_preprocess_pipeline,
-        "rolling_aggregate": q_rolling_aggregate,
-        "sessionize_batch": q_sessionize_batch,
-        # --- tail: the 50 r7-green entries in their r7 order ---
-        "redact_pii": q_redact_pii,
-        "variance_intermediates": q_variance_intermediates,
-        "streaming_dedup": q_streaming_dedup,
-        "sq_knn": q_sq_knn,
-        "normalize_text": q_normalize_text,
-        "add_unique_column": q_add_unique_column,
-        "join_on_nulls": q_join_on_nulls,
-        "ann_ivf": q_ann_ivf,
-        "sessionize": q_sessionize,
-        "embedding_near_dups": q_embedding_near_dups,
-        "private_join_on_key": q_private_join_on_key,
-        "limit_rows_per_key_per_group": q_limit_rows_per_key_per_group,
-        "groupby_stddev": q_groupby_stddev,
-        "filter_select": q_filter_select,
-        "rename": q_rename,
-        "groupby_count": q_groupby_count,
-        "groupby_count_distinct": q_groupby_count_distinct,
-        "groupby_sum": q_groupby_sum,
+        # --- r9 front: the 32 entries the r8 batch (50 rows) did not
+        # --- reach — all r7-driver-green; code unchanged since r7 ---
         "total_counts": q_total_counts,
         "average": q_average,
         "variance": q_variance,
@@ -1644,6 +1592,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "time_rollup": q_time_rollup,
         "tfidf_top_terms": q_tfidf_top_terms,
+        # --- tail: the 50 r8-green entries in their r8 order ---
+        "global_shuffle": q_global_shuffle,
+        "temperature_mix": q_temperature_mix,
+        "pca_project": q_pca_project,
+        "unigram_logprob": q_unigram_logprob,
+        "weighted_sample": q_weighted_sample,
+        "fuzzy_join": q_fuzzy_join,
+        "chunk_documents": q_chunk_documents,
+        "chunk_pack": q_chunk_pack,
+        "streaming_window_counts": q_streaming_window_counts,
+        "multimodal_features": q_multimodal_features,
+        "zcdp_groupby_count": q_zcdp_groupby_count,
+        "approxdp_groupby_count": q_approxdp_groupby_count,
+        "groupby_sum_cents": q_groupby_sum_cents,
+        "groupby_column_domains": q_groupby_column_domains,
+        "drop_nulls_nans": q_drop_nulls_nans,
+        "replace_nans_infs": q_replace_nans_infs,
+        "flatmap_explode": q_flatmap_explode,
+        "grouping_flatmap": q_grouping_flatmap,
+        "connected_components": q_connected_components,
+        "dedup_connected": q_dedup_connected,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "training_mix": q_training_mix,
+        "decontaminate": q_decontaminate,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "bigram_logprob": q_bigram_logprob,
+        "stream_interval_join": q_stream_interval_join,
+        "profile_quantiles": q_profile_quantiles,
+        "preprocess_pipeline": q_preprocess_pipeline,
+        "rolling_aggregate": q_rolling_aggregate,
+        "sessionize_batch": q_sessionize_batch,
+        "redact_pii": q_redact_pii,
+        "variance_intermediates": q_variance_intermediates,
+        "streaming_dedup": q_streaming_dedup,
+        "sq_knn": q_sq_knn,
+        "normalize_text": q_normalize_text,
+        "add_unique_column": q_add_unique_column,
+        "join_on_nulls": q_join_on_nulls,
+        "ann_ivf": q_ann_ivf,
+        "sessionize": q_sessionize,
+        "embedding_near_dups": q_embedding_near_dups,
+        "private_join_on_key": q_private_join_on_key,
+        "limit_rows_per_key_per_group": q_limit_rows_per_key_per_group,
+        "groupby_stddev": q_groupby_stddev,
+        "filter_select": q_filter_select,
+        "rename": q_rename,
+        "groupby_count": q_groupby_count,
+        "groupby_count_distinct": q_groupby_count_distinct,
+        "groupby_sum": q_groupby_sum,
     }
 
 
