@@ -491,22 +491,35 @@ def sf_sweep(spark, k: int = 10, reps: int = None):
             # identical code purely from heap state)
             spark.sparkContext._jvm.System.gc()
             fn(1)  # warm the op family so t_1x is not codegen/UDF startup
-            times, extras = {}, {}
-            for scale in (1, k):
-                best = None
-                for _ in range(reps):
+            # INTERLEAVE the scales (1x, kx, 1x, kx, ...) instead of
+            # timing all 1x reps then all kx reps: a machine-load spike
+            # then inflates a 1x/kx PAIR rather than only the kx block,
+            # so the per-rep paired ratio stays honest under the
+            # contention that produced r8's phantom 16x text_quality
+            # factor (reproduced clean at 2.9 on identical code)
+            runs, extras = {1: [], k: []}, {}
+            for _ in range(reps):
+                for scale in (1, k):
                     start = time.perf_counter()
                     extra = fn(scale)
-                    t = time.perf_counter() - start
-                    best = t if best is None else min(best, t)
+                    runs[scale].append(time.perf_counter() - start)
                     if isinstance(extra, dict):
                         for ek, ev in extra.items():
                             extras[f"{ek}_{scale}x"] = ev
-                times[scale] = round(best, 3)
+            t1, tk = min(runs[1]), min(runs[k])
             results[name] = {
-                "t_1x": times[1],
-                f"t_{k}x": times[k],
-                "factor": round(times[k] / max(times[1], 1e-9), 2),
+                "t_1x": round(t1, 3),
+                f"t_{k}x": round(tk, 3),
+                "factor": round(tk / max(t1, 1e-9), 2),
+                # min over same-rep ratios: immune to a spike that
+                # inflates one whole rep (both scales equally)
+                "factor_paired": round(
+                    min(
+                        b / max(a, 1e-9)
+                        for a, b in zip(runs[1], runs[k])
+                    ),
+                    2,
+                ),
                 **extras,
             }
         except Exception as exc:  # pragma: no cover
@@ -516,8 +529,9 @@ def sf_sweep(spark, k: int = 10, reps: int = None):
         "scale_multiplier": k,
         "timed_reps": reps,
         "method": "k id-shifted disjoint copies of the SF tables, "
-        f"min of {reps} timed runs per scale on the same cores "
-        "(linear = factor k)",
+        f"{reps} interleaved (1x, kx) timed rep pairs on the same "
+        "cores; factor = min(kx)/min(1x), factor_paired = min "
+        "same-rep ratio (linear = factor k)",
         "ops": results,
     }
 

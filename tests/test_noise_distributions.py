@@ -835,3 +835,59 @@ class TestPartitionSelectionDistribution:
         observed = np.array([(counts == v).sum() for v in support], dtype=float)
         p = chi2_pvalue(observed, pmf * k)
         assert p > P_THRESHOLD, f"truncated-count chi2 p={p}"
+
+
+class TestStreamingDPNoiseDistribution:
+    """End-to-end distribution check of the streaming DP path
+    (streaming/ops.py:364+): noise drawn through a REAL micro-batch
+    run — watermarked windowed counts, foreachBatch, executor-side
+    mapInPandas — must follow the two-sided geometric law with scale
+    1/epsilon, exactly like the batch measurement path.  One event
+    per 1-minute tumbling window gives thousands of iid residuals
+    (noisy_count - 1) from a single streaming query."""
+
+    def test_dp_windowed_counts_chi2(self, spark, tmp_path):
+        import datetime as dt
+
+        import pandas as pd
+
+        from tumult_core_spark.streaming import read_stream_parquet
+        from tumult_core_spark.streaming.ops import dp_windowed_counts
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        n_windows = 6000
+        base = dt.datetime(2026, 1, 1, 0, 0, 0)
+        rows = [
+            (base + dt.timedelta(minutes=m),) for m in range(n_windows)
+        ]
+        src = str(tmp_path / "dp_chi2_src")
+        spark.createDataFrame(rows, "ts timestamp").coalesce(4).write.parquet(
+            src
+        )
+
+        collected = []
+
+        def sink(pdf, batch_id):
+            collected.append(pdf)
+
+        stream = read_stream_parquet(spark, src, nanos_ts_cols=["ts"])
+        start = dp_windowed_counts(
+            stream, "ts", epsilon_per_window=1.0,
+            window_duration="1 minute", watermark="0 seconds",
+        )
+        q = start(sink, output_mode="complete")
+        q.awaitTermination(300)
+        out = pd.concat(collected, ignore_index=True)
+        assert len(out) == n_windows
+        residuals = out["noisy_count"].to_numpy() - 1  # exact count is 1
+
+        support = np.arange(-8, 9)
+        observed = np.array(
+            [(residuals == k).sum() for k in support], dtype=float
+        )
+        # epsilon 1 -> scale 1 -> two-sided geometric with alpha = 1
+        expected = double_sided_geometric_pmf(support, 1.0) * n_windows
+        p = chi2_pvalue(observed, expected)
+        assert p > P_THRESHOLD, f"streaming DP chi2 p={p}"
+        # unbiasedness sanity: mean residual ~ 0 (sd of mean ~ alpha-ish)
+        assert abs(residuals.mean()) < 0.1

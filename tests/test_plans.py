@@ -2,6 +2,8 @@
 scan, public-join dimensions broadcast, column pruning works, and the
 relational hot path stays inside WholeStageCodegen."""
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -415,3 +417,26 @@ def test_global_shuffle_no_single_task_sort(spark, sf_dir):
     plan = plan_of(global_shuffle(docs, "doc_id", seed=1))
     assert "SinglePartition" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_reuses_cached_holdout_postings(spark, sf_dir):
+    """The holdout postings feed three consumers (doc-freq aggregate,
+    stop-gram anti-join, index join); the r9 fold persists them so the
+    holdout is exploded ONCE, not once per consumer — the physical
+    plan of the returned relation must read the postings from the
+    cache (InMemoryTableScan), and the gate scalar must already have
+    materialized that cache before the plan is even requested."""
+    from tumult_core_spark.extensions.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.limit(40)
+    holdout = docs.limit(25)
+    out = decontaminate(train, holdout, "doc_id", "text", threshold=0.99)
+    plan = plan_of(out)
+    # the cached relation is the exploded holdout postings: formatted
+    # explain lists the scan's columns in its detail block
+    m = re.search(
+        r"\(\d+\) InMemoryTableScan\nOutput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert m is not None, plan
+    assert "__gram" in m.group(1)

@@ -814,3 +814,140 @@ class TestGroupingFlatMapStabilityFuzz:
             f"rows={rows} nbr={nbr_rows} k={k} l2={l2}: "
             f"in_d={in_d} out_d={out_d} bound={bound}"
         )
+
+
+class TestAddRemoveKeysLiftStabilityFuzz:
+    """Randomized empirical stability of the AddRemoveKeys ``*Value``
+    lifts (add_remove_keys.py:48-179; reference
+    add_remove_keys.py:1-41 rationale): the claimed identity stability
+    rests on the wrapped transformation never moving rows between key
+    values, so a key-neighbor input (one uid's rows removed or
+    rewritten) must change at most that one uid's rows in EVERY output
+    table of the dict."""
+
+    @staticmethod
+    def _ark_distance(metric, out_a, out_b):
+        """AddRemoveKeys distance between two output dicts: the number
+        of key values whose row-multiset differs in ANY table."""
+        from collections import Counter, defaultdict
+
+        diff_keys = set()
+        for tbl, kc in metric.df_to_key_column.items():
+            per_key_a = defaultdict(Counter)
+            per_key_b = defaultdict(Counter)
+            for per_key, out in ((per_key_a, out_a), (per_key_b, out_b)):
+                for row in out[tbl].collect():
+                    d = row.asDict()
+                    per_key[d[kc]][tuple(sorted(d.items()))] += 1
+            for key in set(per_key_a) | set(per_key_b):
+                if per_key_a[key] != per_key_b[key]:
+                    diff_keys.add(key)
+        return len(diff_keys)
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),
+                st.integers(min_value=0, max_value=4),
+            ),
+            min_size=1,
+            max_size=10,
+        ),
+        pick=st.integers(min_value=0, max_value=9),
+        mutate=st.booleans(),
+        lift=st.sampled_from(["map", "flatmap", "public_join"]),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_key_neighbors(self, rows, pick, mutate, lift):
+        from tumult_core_spark.domains import (
+            DictDomain,
+            SparkDataFrameDomain,
+            SparkIntegerColumnDescriptor,
+            SparkRowDomain,
+        )
+        from tumult_core_spark.metrics import (
+            AddRemoveKeys,
+            IfGroupedBy,
+            SymmetricDifference,
+        )
+        from tumult_core_spark.transformations.add_remove_keys import (
+            FlatMapValue,
+            MapValue,
+            PublicJoinValue,
+        )
+        from tumult_core_spark.transformations.join import PublicJoin
+        from tumult_core_spark.transformations.map import (
+            FlatMap,
+            Map,
+            RowToRowsTransformation,
+            RowToRowTransformation,
+        )
+        from tumult_core_spark.utils.misc import get_spark
+
+        spark = get_spark("fuzz-ark", cpus=2)
+        INT64 = SparkIntegerColumnDescriptor(size=64)
+        table_dom = SparkDataFrameDomain({"uid": INT64, "x": INT64})
+        dd = DictDomain({"t": table_dom})
+        metric = AddRemoveKeys({"t": "uid"})
+        in_schema = {"uid": INT64, "x": INT64}
+
+        if lift == "map":
+            t = Map(
+                IfGroupedBy("uid", SymmetricDifference()),
+                RowToRowTransformation(
+                    SparkRowDomain(in_schema),
+                    SparkRowDomain({**in_schema, "x2": INT64}),
+                    lambda r: {"x2": r["x"] * 3 + r["uid"]},
+                    augment=True,
+                ),
+            )
+            tv = MapValue(dd, metric, t, "t", "t2")
+        elif lift == "flatmap":
+            t = FlatMap(
+                IfGroupedBy("uid", SymmetricDifference()),
+                RowToRowsTransformation(
+                    SparkRowDomain(in_schema),
+                    SparkRowDomain({**in_schema, "y": INT64}),
+                    lambda r: [{"y": r["x"]}, {"y": r["x"] + r["uid"]}],
+                    augment=True,
+                ),
+                max_num_rows=2,
+            )
+            tv = FlatMapValue(dd, metric, t, "t", "t2")
+        else:
+            public = spark.createDataFrame(
+                [(0, 10), (0, 11), (1, 12), (2, 13), (2, 13), (3, 14)],
+                "uid long, tag long",
+            )
+            t = PublicJoin(table_dom, SymmetricDifference(), public)
+            tv = PublicJoinValue(dd, metric, t, "t", "t2")
+
+        # key-neighbor: remove ALL rows of one uid, or rewrite one of
+        # its rows in place — both are AddRemoveKeys distance 1
+        pick_uid = rows[pick % len(rows)][0]
+        if mutate:
+            nbr_rows = [
+                (u, x + 1 if u == pick_uid else x) for (u, x) in rows
+            ]
+        else:
+            nbr_rows = [r for r in rows if r[0] != pick_uid]
+        if sorted(nbr_rows) == sorted(rows):
+            return
+        bound = float(
+            ExactNumber(tv.stability_function(1)).to_float(round_up=True)
+        )
+
+        def run(rs):
+            return tv(
+                {"t": spark.createDataFrame(rs, "uid long, x long")}
+                if rs
+                else {
+                    "t": spark.createDataFrame([], "uid long, x long")
+                }
+            )
+
+        out_d = self._ark_distance(tv.output_metric, run(rows), run(nbr_rows))
+        assert out_d <= bound + 1e-9, (
+            f"lift={lift} rows={rows} nbr={nbr_rows} uid={pick_uid}: "
+            f"out_d={out_d} > bound={bound}"
+        )

@@ -633,6 +633,8 @@ def decontaminate(
     mis-specified holdout falls back to a plain shuffle join instead of
     OOM-ing every executor with an unbounded broadcast.
     """
+    from pyspark import StorageLevel
+
     tg = (
         train.select(
             F.col(id_col).alias("__tid"), word_ngrams(text_col, n).alias("__g")
@@ -645,14 +647,29 @@ def decontaminate(
         )
         .withColumn("__hn", F.size("__g"))
     )
-    h_post = hg.select("__hid", "__hn", F.explode("__g").alias("__gram"))
+    # The holdout postings feed THREE consumers (the per-gram doc-freq
+    # aggregate, the stop-gram anti-join, and the index join itself),
+    # so persist them once instead of re-exploding the holdout per
+    # consumer; this is the small side, and MEMORY_AND_DISK spills
+    # rather than OOMs (Spark's ContextCleaner unpersists when the
+    # plan is garbage-collected — same convention as dedup_paragraphs).
+    h_post = hg.select(
+        "__hid", "__hn", F.explode("__g").alias("__gram")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     gram_df = h_post.groupBy("__gram").agg(F.count(F.lit(1)).alias("__df"))
-    # scalar: how many postings survive stop-gram removal (sum of the
-    # per-gram doc frequencies at or under the cap) — one extra pass
-    # over the SMALL (holdout) side only; the train corpus is untouched
+    # ONE aggregation pass over the per-gram doc frequencies yields the
+    # size-gate scalar (sum of frequencies at or under the cap) — the
+    # gate costs a groupBy over the cached postings, not a second
+    # holdout scan; the train corpus is untouched
     surviving_postings = (
-        gram_df.filter(F.col("__df") <= max_gram_doc_freq)
-        .agg(F.coalesce(F.sum("__df"), F.lit(0)).alias("n"))
+        gram_df.agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("__df") <= max_gram_doc_freq, F.col("__df"))
+                ),
+                F.lit(0),
+            ).alias("n")
+        )
         .first()["n"]
     )
     h_post = h_post.join(
