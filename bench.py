@@ -678,6 +678,13 @@ def main():
     )
     with open(details_path, "w") as f:
         json.dump(out, f, indent=1)
+    print(compact_line(out))
+    spark.stop()
+
+
+def compact_line(out: dict, limit: int = 1900) -> str:
+    """The ONE printed JSON line, guaranteed under ``limit`` chars (the
+    driver's tail capture is 2000; see the comment above)."""
     compact = {
         "metric": out["metric"],
         "value": out["value"],
@@ -689,11 +696,10 @@ def main():
         "details": "BENCH_DETAILS.json",
     }
     line = json.dumps(compact)
-    if len(line) > 1900:  # pragma: no cover - belt and braces
+    if len(line) > limit:  # belt and braces: drop per-query detail
         compact.pop("queries", None)
         line = json.dumps(compact)
-    print(line)
-    spark.stop()
+    return line
 
 
 if __name__ == "__main__":

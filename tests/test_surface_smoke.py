@@ -477,3 +477,43 @@ class TestHelperFunctions:
         )
         assert out.count() == 6
         assert out.schema == schema
+
+
+class TestBenchCompactLine:
+    """The driver parses only the LAST 2000 chars of bench.py stdout;
+    rounds 5-8 silently recorded parsed=null because the diagnostic
+    dict outgrew that.  The printed line must stay parseable and under
+    the cap no matter how much diagnostics accumulate."""
+
+    def test_compact_line_fits_and_parses(self):
+        import json
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from bench import compact_line
+
+        out = {
+            "metric": "headline_queries_wall_clock",
+            "value": 25.0,
+            "unit": "sec",
+            "queries": {f"query_name_{i}": round(i * 1.234, 3) for i in range(18)},
+            "sf": 0.1,
+            "sf_sweep": {"ops": {f"op{i}": {"t_1x": 1.0, "t_10x": 3.0} for i in range(6)}},
+            "vs_reference": {
+                "max_ratio": 0.73,
+                "max_ratio_min": 0.65,
+                "ratios": {f"query_name_{i}": 0.5 for i in range(18)},
+                "note": "x" * 5000,
+            },
+        }
+        line = compact_line(out)
+        assert len(line) < 2000
+        d = json.loads(line)
+        assert d["metric"] == "headline_queries_wall_clock"
+        assert d["queries"] and d["max_ratio_vs_reference"] == 0.73
+
+        # pathological: even absurdly many queries cannot overflow
+        out["queries"] = {f"very_long_query_name_number_{i}": 1.0 for i in range(200)}
+        line2 = compact_line(out)
+        assert len(line2) < 2000
+        assert json.loads(line2)["metric"] == "headline_queries_wall_clock"

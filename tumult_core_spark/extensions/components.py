@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..utils.misc import free_local_checkpoint
+
 #: diagnostics from the most recent ``connected_components`` call in
 #: this process (currently ``{"rounds": <fixpoint rounds used>}``).
 #: Written by the library, read by bench.py's sf_sweep so a
@@ -106,6 +108,11 @@ def connected_components(
         # aggregate), so an unmaterialized large-star subtree would be
         # re-evaluated per reference
         half = _star_round(e, large=True, dedupe=False).localCheckpoint(eager=True)
+        if rounds_used > 1:
+            # the previous round's checkpoint is fully consumed into
+            # `half` now — drop its blocks deterministically instead of
+            # waiting on py4j GC (unbounded block churn across rounds)
+            free_local_checkpoint(e)
         nxt = _star_round(half, large=False)
         # checkpoint at a partition count sized to the edge set (known
         # from the previous round's fingerprint): a shrinking graph
@@ -113,6 +120,7 @@ def connected_components(
         # round, and per-task overhead dominates small rounds
         nxt = nxt.coalesce(par)
         nxt = nxt.localCheckpoint(eager=True)  # cut O(rounds) lineage
+        free_local_checkpoint(half)  # consumed into nxt
         fp = nxt.agg(
             F.count(F.lit(1)).alias("n"),
             # xor-fold: order-independent and cannot overflow (ANSI

@@ -13,6 +13,8 @@ from typing import Dict, List, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..utils.misc import free_local_checkpoint
+
 # Minimal per-language stopword seeds for the n-gram/stopword heuristic.
 LANG_STOPWORDS: Dict[str, List[str]] = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "was"],
@@ -621,9 +623,14 @@ def bpe_train(
             return _apply
 
         merge_udf = F.pandas_udf(_make_apply(a, b), "array<string>")
+        prev = cur
         cur = cur.withColumn("syms", merge_udf(syms)).localCheckpoint(
             eager=True
         )
+        # the previous iteration's checkpoint is consumed — drop its
+        # blocks now rather than accumulating every merge round's
+        # storage until py4j GC catches up
+        free_local_checkpoint(prev)
     return merges
 
 

@@ -63,6 +63,28 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.sparkSession.read.parquet(path)
 
 
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Release the block-manager storage behind a ``localCheckpoint``ed
+    DataFrame that will NEVER be used again.
+
+    ``localCheckpoint`` pins its blocks until the backing RDD is
+    garbage-collected on the JVM side, which through the py4j reference
+    graph can lag by many seconds — an iterative operator that
+    checkpoints per round (connected components, distributed BPE)
+    otherwise accumulates every round's blocks for the whole job and
+    repeated runs inherit each other's heap pressure (the observed
+    2-3x wall-clock variance of the components benchmark).  The
+    checkpointed RDD is exactly the ``LogicalRDD`` of the analyzed
+    plan, so it can be dropped deterministically.  After this call any
+    action on ``df`` raises CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — only
+    call it once the frame is dead.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # pragma: no cover - best-effort cleanup
+        pass
+
+
 def sanitize_df(df: DataFrame, materialize_output: bool = True) -> DataFrame:
     """Randomize partitioning and row order, then freeze the result.
 
