@@ -731,6 +731,26 @@ class TestConnectedComponents:
         got = {r["node"]: r["component"] for r in connected_components(df).collect()}
         assert got == {i: 0 for i in range(121)}
 
+    def test_no_checkpoint_block_accumulation(self, spark):
+        # each fixpoint round localCheckpoints twice; consumed rounds
+        # must release their blocks immediately (free_local_checkpoint)
+        # rather than pile up until py4j GC — the multi-round path
+        # (long path graph => several rounds) must end with at most
+        # the final round's checkpoint still stored
+        from tumult_core_spark.extensions.components import connected_components
+
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(120)], "id_a long, id_b long"
+        )
+        baseline = len(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
+        connected_components(df).count()
+        after = len(
+            spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        )
+        assert after - baseline <= 1, (baseline, after)
+
     def test_canonical_duplicates_drop_set(self, spark):
         from tumult_core_spark.extensions.components import canonical_duplicates
 
