@@ -589,8 +589,16 @@ def main():
                 runs.append(time.perf_counter() - start)
             # cheap workloads get two extra runs: their timings are the
             # most contention-sensitive (fixed job overhead ~ measured
-            # time) and the extra runs cost almost nothing
-            while min(runs) < 3.0 and len(runs) < 5:
+            # time) and the extra runs cost almost nothing.  A median
+            # far above the min means a load spike polluted some runs
+            # (the r8/r9 driver windows both showed this) — buy extra
+            # samples so the median recovers
+            def _median(rs):
+                return sorted(rs)[len(rs) // 2]
+
+            while len(runs) < 5 and (
+                min(runs) < 3.0 or _median(runs) > 1.5 * min(runs)
+            ):
                 start = time.perf_counter()
                 fn(spark)
                 runs.append(time.perf_counter() - start)
