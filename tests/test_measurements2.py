@@ -923,3 +923,129 @@ class TestDictionary:
         # parent/children links reflect the tree
         assert g0.parent is c0 and c0.parent is acct and acct.parent is None
         assert acct.children == [c0, c1] and c0.children == [g0]
+
+
+class TestTypedQueriesAndRetirement:
+    """The reference's typed-query decompose/inspect surface
+    (interactive_measurements.py:55-360): MeasurementQuery /
+    TransformationQuery / IndexQuery / RetireQuery, cascade
+    retirement via RetirableQueryable, and the in-order-only
+    ParallelQueryable."""
+
+    def _seq(self, budget=3):
+        from tumult_core_spark.measures import PrivacyBudget
+
+        dom = v_domain()
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), PureDP(), d_in=1,
+            privacy_budget=PureDPBudget(budget),
+        )
+        return dom, sc
+
+    def test_measurement_query_requires_interactive(self, spark, values):
+        from tumult_core_spark.measurements.interactive import (
+            MeasurementQuery,
+        )
+
+        dom, sc = self._seq()
+        q = sc(values)
+        m = create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 1)
+        with pytest.raises(ValueError, match="non-interactive"):
+            q(MeasurementQuery(m))
+        # the bare-measurement convenience path still answers it
+        assert isinstance(q(m), np.int64)
+
+    def test_measurement_query_opens_retirable_session(self, spark, values):
+        from tumult_core_spark.measurements.interactive import (
+            MakeInteractive,
+            MeasurementQuery,
+            RetirableQueryable,
+            RetireQuery,
+        )
+
+        dom, sc = self._seq()
+        q = sc(values)
+        m = create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 1)
+        s1 = q(MeasurementQuery(MakeInteractive(m)))
+        assert isinstance(s1, RetirableQueryable)
+        assert isinstance(s1(None), np.int64)  # GetAnswer through the wrapper
+        # opening the second interactive session retires the first
+        s2 = q(MeasurementQuery(MakeInteractive(m)))
+        assert s1.is_retired
+        with pytest.raises(RuntimeError, match="retired"):
+            s1(None)
+        assert isinstance(s2(None), np.int64)
+        # retirement is idempotent and cascades
+        s2(RetireQuery())
+        s2(RetireQuery())
+        with pytest.raises(RuntimeError, match="retired"):
+            s2(None)
+
+    def test_measurement_query_claimed_d_out(self, spark, values):
+        from tumult_core_spark.measurements.interactive import (
+            MakeInteractive,
+            MeasurementQuery,
+        )
+
+        dom, sc = self._seq(budget=3)
+        q = sc(values)
+        m = create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 1)
+        # a LOOSER claimed d_out (2 >= true loss 1) is valid and is
+        # what gets charged
+        q(MeasurementQuery(MakeInteractive(m), d_out=2))
+        assert q.remaining_budget.value == 1
+        # a claimed d_out below the true loss fails the relation
+        with pytest.raises(ValueError, match="privacy relation"):
+            q(MeasurementQuery(MakeInteractive(m), d_out="1/2"))
+
+    def test_transformation_query(self, spark, values):
+        from tumult_core_spark.measurements.interactive import (
+            TransformationQuery,
+        )
+
+        dom, sc = self._seq()
+        q = sc(values)
+        t = Filter(dom, SymmetricDifference(), "x > 100")
+        assert q(TransformationQuery(t)) is None
+        m = create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 1)
+        # counts only the 50 rows with x > 100 (zero noise at inf? no:
+        # eps 1 — just assert it's in a plausible band around 50)
+        assert abs(int(q(m)) - 50) < 40
+        # claimed d_out below the true stability (1) is rejected
+        t2 = Filter(dom, SymmetricDifference(), "x > 140")
+        with pytest.raises(ValueError, match="stability relation"):
+            q(TransformationQuery(t2, d_out="1/2"))
+
+    def test_parallel_queryable_index_order(self, spark, values):
+        from tumult_core_spark.domains import ListDomain
+        from tumult_core_spark.measurements.interactive import (
+            IndexQuery,
+            MakeInteractive,
+            ParallelComposition,
+            RetirableQueryable,
+        )
+        from tumult_core_spark.metrics import SumOf
+
+        dom = v_domain()
+        m = create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 1)
+        pc = ParallelComposition(
+            ListDomain(dom, length=2),
+            SumOf(SymmetricDifference()),
+            [MakeInteractive(m), MakeInteractive(m)],
+        )
+        parts = [
+            values.filter("g = 'a'"),
+            values.filter("g = 'b'"),
+        ]
+        pq = pc.as_queryable(parts)
+        with pytest.raises(ValueError, match="Bad Index"):
+            pq(IndexQuery(1))
+        s0 = pq(IndexQuery(0))
+        assert isinstance(s0, RetirableQueryable)
+        assert abs(int(s0(None)) - 100) < 50
+        s1 = pq(IndexQuery(1))
+        # opening partition 1 retired partition 0's session
+        assert s0.is_retired
+        with pytest.raises(ValueError, match="Bad Index"):
+            pq(IndexQuery(0))
+        assert abs(int(s1(None)) - 101) < 50

@@ -18,6 +18,7 @@ Driver-side state machines mirroring the reference's interactive layer
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from enum import Enum
 from typing import Any, List, Optional, Sequence
 
@@ -32,7 +33,110 @@ def _loss_to_budget(measure: Measure, loss: Any) -> PrivacyBudget:
     return PrivacyBudget.cast(measure, loss)
 
 
-class SequentialQueryable:
+class Queryable:
+    """Base class for queryables: exactly one public method,
+    ``__call__`` (reference ``interactive_measurements.py:41-52``).
+    Subclassing this is what lets :class:`RetirableQueryable` recognize
+    a nested-queryable answer and wrap it for cascade retirement."""
+
+    def __call__(self, query: Any) -> Any:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+@dataclass
+class MeasurementQuery:
+    """A measurement plus the optional ``d_out`` it claims to satisfy
+    (reference ``interactive_measurements.py:55-82``); ``d_in`` is
+    known by the answering queryable.  ``d_out`` is only needed when
+    the measurement's ``privacy_function`` is not implemented — when
+    given, it is validated against ``privacy_relation``."""
+
+    measurement: Measurement
+    d_out: Optional[Any] = None
+
+    def __post_init__(self) -> None:
+        if not isinstance(self.measurement, Measurement):
+            raise TypeError("measurement must be a Measurement")
+        if self.d_out is not None:
+            self.measurement.output_measure.validate(self.d_out)
+
+
+@dataclass
+class TransformationQuery:
+    """A transformation plus the optional ``d_out`` it claims
+    (reference ``interactive_measurements.py:85-111``); validated
+    against ``stability_relation`` when given."""
+
+    transformation: Transformation
+    d_out: Optional[Any] = None
+
+    def __post_init__(self) -> None:
+        if not isinstance(self.transformation, Transformation):
+            raise TypeError("transformation must be a Transformation")
+        if self.d_out is not None:
+            self.transformation.output_metric.validate(self.d_out)
+
+
+@dataclass
+class IndexQuery:
+    """The index of the next partition to open (reference
+    ``interactive_measurements.py:114-123``); answered by
+    :class:`ParallelQueryable` strictly in ascending order."""
+
+    index: int
+
+
+class RetireQuery:
+    """Retires a :class:`RetirableQueryable` and every descendant
+    (reference ``interactive_measurements.py:126-133``)."""
+
+
+class RetirableQueryable(Queryable):
+    """Wrap a queryable so that it — and transitively every queryable
+    it ever answers with — can be retired in one cascade (reference
+    ``interactive_measurements.py:136-196``).
+
+    Behavior of submitting ``q`` to an instance ``RQ``:
+
+    * ``RetireQuery`` — every child receives ``RetireQuery``, ``RQ``
+      becomes retired, returns ``None`` (idempotent).
+    * otherwise, if active: the inner queryable answers; a queryable
+      answer is wrapped in a new child ``RetirableQueryable``.
+    * otherwise (retired): raises ``RuntimeError``.
+
+    This is the mechanism that lets :class:`SequentialQueryable` and
+    :class:`ParallelQueryable` revoke a previously-opened interactive
+    session when the next one starts — the structural guarantee behind
+    sequential-adaptive composition.
+    """
+
+    def __init__(self, queryable: Queryable):
+        self._inner_queryable = queryable
+        self._children: List["RetirableQueryable"] = []
+        self._is_retired = False
+
+    @property
+    def is_retired(self) -> bool:
+        return self._is_retired
+
+    def __call__(self, query: Any) -> Any:
+        if isinstance(query, RetireQuery):
+            if not self._is_retired:
+                for child in self._children:
+                    child(RetireQuery())
+                self._is_retired = True
+            return None
+        if self._is_retired:
+            raise RuntimeError("Queryable already retired")
+        answer = self._inner_queryable(query)
+        if isinstance(answer, Queryable):
+            child = RetirableQueryable(answer)
+            self._children.append(child)
+            return child
+        return answer
+
+
+class SequentialQueryable(Queryable):
     """Holds private data + remaining budget; answers queries adaptively."""
 
     def __init__(
@@ -50,26 +154,90 @@ class SequentialQueryable:
         self._d_in = d_in
         self._remaining = budget
         self._data = data
+        self._previous_queryable: Optional[RetirableQueryable] = None
 
     @property
     def remaining_budget(self) -> PrivacyBudget:
         return self._remaining
 
-    def __call__(self, measurement: Measurement) -> Any:
+    def __call__(self, query: Any) -> Any:
+        """Answer a query.
+
+        Three accepted forms:
+
+        * a plain ``Measurement`` — answered directly (this engine's
+          convenience path, used by :class:`PrivacyAccountant`);
+        * a :class:`MeasurementQuery` — the reference's typed form
+          (``interactive_measurements.py:235-295``): the measurement
+          must be INTERACTIVE, a claimed ``d_out`` is validated via
+          ``privacy_relation`` and charged instead of calling
+          ``privacy_function``, any previously-returned queryable is
+          retired (with its whole descendant tree), and the answer
+          comes back wrapped in a :class:`RetirableQueryable`;
+        * a :class:`TransformationQuery` — transforms the held data in
+          place (``:296-326``), with an optional claimed ``d_out``
+          validated via ``stability_relation``.
+        """
+        if isinstance(query, TransformationQuery):
+            t = query.transformation
+            if t.input_domain != self._input_domain:
+                raise ValueError("Transformation input domain does not match")
+            if t.input_metric != self._input_metric:
+                raise ValueError("Transformation input metric does not match")
+            self._data = t(self._data)
+            if query.d_out is not None:
+                if not t.stability_relation(self._d_in, query.d_out):
+                    raise ValueError(
+                        "Transformation's stability relation cannot be "
+                        f"satisfied with given d_out ({query.d_out})"
+                    )
+                self._d_in = query.d_out
+            else:
+                self._d_in = t.stability_function(self._d_in)
+            self._input_domain = t.output_domain
+            self._input_metric = t.output_metric
+            return None
+        if isinstance(query, MeasurementQuery):
+            measurement, d_out = query.measurement, query.d_out
+            if not measurement.is_interactive:
+                raise ValueError(
+                    "SequentialQueryable does not answer non-interactive "
+                    "measurement queries via MeasurementQuery; wrap with "
+                    "MakeInteractive (or submit the bare Measurement)"
+                )
+        else:
+            measurement, d_out = query, None
         if measurement.input_domain != self._input_domain:
             raise ValueError("Measurement input domain does not match")
         if measurement.input_metric != self._input_metric:
             raise ValueError("Measurement input metric does not match")
         if measurement.output_measure != self._output_measure:
             raise ValueError("Measurement output measure does not match")
-        cost = _loss_to_budget(
-            self._output_measure, measurement.privacy_function(self._d_in)
-        )
+        if d_out is not None:
+            if not measurement.privacy_relation(self._d_in, d_out):
+                raise ValueError(
+                    "Measurement's privacy relation cannot be satisfied "
+                    f"with given d_out ({d_out})"
+                )
+            loss = d_out
+        else:
+            loss = measurement.privacy_function(self._d_in)
+        cost = _loss_to_budget(self._output_measure, loss)
         if not self._remaining.can_spend(cost):
             raise ValueError(
                 f"Insufficient budget: need {cost}, have {self._remaining}"
             )
-        self._remaining = self._remaining.subtract(cost)
+        if self._remaining.is_finite():
+            self._remaining = self._remaining.subtract(cost)
+        if isinstance(query, MeasurementQuery):
+            # opening a new interactive session revokes the previous
+            # one and its entire descendant tree
+            if self._previous_queryable is not None:
+                self._previous_queryable(RetireQuery())
+            answer = measurement(self._data)
+            wrapped = RetirableQueryable(answer)
+            self._previous_queryable = wrapped
+            return wrapped
         return measurement(self._data)
 
     def transform(self, transformation: Transformation) -> None:
@@ -156,6 +324,51 @@ class ParallelComposition(Measurement):
         if len(data) != len(self.measurements):
             raise ValueError("Partition count mismatch")
         return [m(d) for m, d in zip(self.measurements, data)]
+
+    def as_queryable(self, data: List[Any]) -> "ParallelQueryable":
+        """The reference's interactive form (its ParallelComposition
+        returns a queryable rather than a list,
+        ``interactive_measurements.py:719-721``): partitions are
+        opened one at a time, strictly in index order, and opening
+        the next retires the previous partition's whole session."""
+        if len(data) != len(self.measurements):
+            raise ValueError("Partition count mismatch")
+        return ParallelQueryable(data, self.measurements)
+
+
+class ParallelQueryable(Queryable):
+    """Answers :class:`IndexQuery` on disjoint partitions in ascending
+    index order (reference ``interactive_measurements.py:329-360``);
+    opening partition ``i+1`` retires the queryable opened for ``i``
+    and all its descendants."""
+
+    def __init__(self, data: List[Any], measurements: Sequence[Measurement]):
+        if len(data) != len(measurements):
+            raise ValueError(
+                "Length of input data does not match the number of "
+                "measurements provided"
+            )
+        self._data = data
+        self._measurements = list(measurements)
+        self._next_index = 0
+        self._current_queryable: Optional[RetirableQueryable] = None
+
+    def __call__(self, query: IndexQuery) -> Any:
+        if not isinstance(query, IndexQuery):
+            raise TypeError("ParallelQueryable answers IndexQuery only")
+        if query.index != self._next_index:
+            raise ValueError("Bad Index")
+        if self._current_queryable is not None:
+            self._current_queryable(RetireQuery())
+        self._next_index += 1
+        answer = self._measurements[query.index](self._data[query.index])
+        if not isinstance(answer, Queryable):
+            # non-interactive partition measurement: its answer is
+            # final, nothing to retire later
+            self._current_queryable = None
+            return answer
+        self._current_queryable = RetirableQueryable(answer)
+        return self._current_queryable
 
 
 class AccountantState(Enum):
@@ -469,15 +682,18 @@ class MakeInteractive(Measurement):
         return SingleUseQueryable(self.measurement, data)
 
 
-class SingleUseQueryable:
-    """Answers the wrapped measurement once, then refuses."""
+class SingleUseQueryable(Queryable):
+    """Answers the wrapped measurement once, then refuses (the
+    reference's GetAnswerQueryable, ``interactive_measurements.py:363``,
+    answers ``None`` queries; the optional ``query`` argument keeps
+    that calling form working alongside the zero-arg form)."""
 
     def __init__(self, measurement: Measurement, data: Any):
         self._measurement = measurement
         self._data = data
         self._used = False
 
-    def __call__(self) -> Any:
+    def __call__(self, query: Any = None) -> Any:
         if self._used:
             raise RuntimeError("Queryable already answered its measurement")
         self._used = True
@@ -506,12 +722,20 @@ class DecorateQueryable(Measurement):
     def privacy_function(self, d_in: Any) -> Any:
         return self.measurement.privacy_function(d_in)
 
-    def __call__(self, data: Any):
-        inner = self.measurement(data)
-        pre, post = self.preprocess_query, self.postprocess_answer
+    def __call__(self, data: Any) -> "DecoratedQueryable":
+        return DecoratedQueryable(
+            self.measurement(data), self.preprocess_query, self.postprocess_answer
+        )
 
-        class _Decorated:
-            def __call__(self, query):
-                return post(inner(pre(query)))
 
-        return _Decorated()
+class DecoratedQueryable(Queryable):
+    """Applies ``preprocess_query`` / ``postprocess_answer`` around an
+    inner queryable (reference ``interactive_measurements.py:378``)."""
+
+    def __init__(self, inner: Any, preprocess_query, postprocess_answer):
+        self._inner = inner
+        self._pre = preprocess_query
+        self._post = postprocess_answer
+
+    def __call__(self, query: Any) -> Any:
+        return self._post(self._inner(self._pre(query)))
