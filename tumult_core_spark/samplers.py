@@ -51,9 +51,88 @@ import numpy as np
 _GENERATOR: Optional[np.random.Generator] = None
 _GENERATOR_PID: Optional[int] = None
 
+#: Set to ``1``/``true`` to draw EVERY random word from ``os.urandom``
+#: instead of a urandom-seeded PCG64 — the reference's no-RDRAND
+#: fallback behavior (reference ``random/rng.py:13-26``).  On a
+#: cluster, propagate to workers with
+#: ``spark.executorEnv.TUMULT_CORE_SPARK_CSPRNG=1``.
+CSPRNG_ENV = "TUMULT_CORE_SPARK_CSPRNG"
+
+_MANTISSA_SHIFT = np.uint64(11)
+_INV_TWO53 = float(2.0**-53)
+
+
+class _UrandomGenerator:
+    """``numpy.random.Generator``-compatible shim whose every 64-bit
+    word comes from ``os.urandom`` (a per-draw CSPRNG, no generator
+    state to infer).  Implements exactly the Generator surface the
+    samplers in this package use: ``random``, ``integers``,
+    ``normal``.  Stateless, hence trivially fork-safe.
+
+    ~20-60x slower than PCG64 per word (syscall + no buffering), which
+    is irrelevant for noise draws (one word per released value) but is
+    why this is opt-in via :data:`CSPRNG_ENV` rather than the default.
+    """
+
+    @staticmethod
+    def _words(n: int) -> np.ndarray:
+        return np.frombuffer(os.urandom(8 * int(n)), dtype=np.uint64)
+
+    def random(self, size=None):
+        n = 1 if size is None else int(size)
+        u = (self._words(n) >> _MANTISSA_SHIFT).astype(np.float64) * _INV_TWO53
+        return float(u[0]) if size is None else u
+
+    def integers(self, low, high=None, size=None, dtype=np.int64, endpoint=False):
+        if high is None:
+            low, high = 0, low
+        low = int(low)
+        span = int(high) - low + (1 if endpoint else 0)
+        if span <= 0:
+            raise ValueError("low >= high")
+        bits = (span - 1).bit_length() if span > 1 else 1
+        if bits > 64:
+            raise ValueError("span exceeds 64 bits")
+        mask = np.uint64((1 << bits) - 1)
+        if size is None:
+            # scalar path: masked rejection, expected <2 rounds
+            while True:
+                r = int(self._words(1)[0] & mask)
+                if r < span:
+                    return np.dtype(dtype).type(low + r)
+        out = np.empty(int(size), dtype=np.uint64)
+        filled = 0
+        while filled < out.size:
+            need = out.size - filled
+            # overdraw so one round usually suffices (acceptance > 1/2)
+            cand = self._words(need * 2 + 8) & mask
+            cand = cand[cand < np.uint64(span)] if span < (1 << bits) else cand
+            take = min(need, cand.size)
+            out[filled : filled + take] = cand[:take]
+            filled += take
+        res = out.astype(dtype, copy=False)
+        if low:
+            res = res + np.dtype(dtype).type(low)
+        return res
+
+    def normal(self, loc=0.0, scale=1.0, size=None):
+        n = 1 if size is None else int(size)
+        # Box-Muller; u1 clipped away from 0 (probability 2^-53 per draw)
+        u1 = np.clip(self.random(n), np.finfo(float).tiny, None)
+        u2 = self.random(n)
+        z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+        z = loc + scale * z
+        return float(z[0]) if size is None else z
+
+
+_URANDOM_GENERATOR = _UrandomGenerator()
+
 
 def rng() -> np.random.Generator:
-    """Process-local CSPRNG-seeded generator (fork-safe)."""
+    """Process-local CSPRNG-seeded generator (fork-safe); with
+    :data:`CSPRNG_ENV` set, the per-draw ``os.urandom`` generator."""
+    if os.environ.get(CSPRNG_ENV, "").strip().lower() in ("1", "true", "yes"):
+        return _URANDOM_GENERATOR  # type: ignore[return-value]
     global _GENERATOR, _GENERATOR_PID
     pid = os.getpid()
     if _GENERATOR is None or _GENERATOR_PID != pid:
