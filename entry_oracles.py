@@ -253,6 +253,29 @@ def oracle_sql() -> dict[str, str]:
                        AS max_k
             FROM events GROUP BY 1
         """,
+        "fused_moments": """
+            WITH keys(l_returnflag) AS (VALUES ('A'),('N'),('R'),('X')),
+            b AS (SELECT l_returnflag,
+                         LEAST(GREATEST(CAST(FLOOR(l_quantity) AS BIGINT), 0),
+                               50) - 25 AS d
+                  FROM lineitem),
+            s AS (SELECT l_returnflag, SUM(d) AS sod, SUM(d * d) AS sos,
+                         COUNT(*) AS n
+                  FROM b GROUP BY 1),
+            f AS (SELECT k.l_returnflag,
+                         CAST(COALESCE(sod, 0) AS DOUBLE) AS sod,
+                         CAST(COALESCE(sos, 0) AS DOUBLE) AS sos,
+                         GREATEST(COALESCE(n, 0), 1) AS n
+                  FROM keys k LEFT JOIN s USING (l_returnflag)),
+            v AS (SELECT l_returnflag, sod / n AS ratio,
+                         GREATEST(sos / n - (sod / n) * (sod / n), 0.0) AS var
+                  FROM f)
+            SELECT l_returnflag,
+                   ROUND(ratio + 25.0, 6) AS avg_qty,
+                   ROUND(var, 6) AS var_qty,
+                   ROUND(SQRT(var), 6) AS std_qty
+            FROM v
+        """,
         "variance_intermediates": """
             WITH keys(l_returnflag) AS (VALUES ('A'),('N'),('R'),('X')),
             b AS (SELECT l_returnflag,

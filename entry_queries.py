@@ -239,6 +239,49 @@ def q_variance_intermediates(spark, sf_dir):
     )
 
 
+def q_fused_moments(spark, sf_dir):
+    """Average, variance AND stddev of clipped l_quantity per return
+    flag from ONE aggregation scan — the FusedMomentsMeasurement
+    beyond-reference optimization (aggregations.py:692).  The
+    reference's compositional recipe (reference aggregations.py:
+    829-1567) runs one measurement per statistic, i.e. 2-3 full input
+    scans; here a single groupBy produces (sod, sos, count) and every
+    statistic is post-processing.  Noise off (d_out = inf) so the
+    DuckDB oracle replays all three exactly, including the 0-filled
+    absent key 'X' (avg = midpoint, var = std = 0)."""
+    from tumult_core_spark.base import ChainTM
+    from tumult_core_spark.measures import PureDP
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.measurements.aggregations import (
+        FusedMomentsMeasurement,
+    )
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    derive, dom2 = _with_qty_long(li, dom)
+    gb = _flag_keys_groupby(dom2)
+    keys = gb.groupby_columns
+    mid = 25.0  # exact midpoint of the integral clip bounds [0, 50]
+
+    def post(df):
+        n = F.greatest(F.col("count"), F.lit(1))
+        ratio = F.col("sod") / n
+        var = F.greatest(F.col("sos") / n - ratio * ratio, F.lit(0.0))
+        return df.select(
+            *keys,
+            F.round(ratio + F.lit(mid), 6).alias("avg_qty"),
+            F.round(var, 6).alias("var_qty"),
+            F.round(F.sqrt(var), 6).alias("std_qty"),
+        )
+
+    m = FusedMomentsMeasurement(
+        dom2, SymmetricDifference(), PureDP(), 1, INF,
+        measure_column="qty", lower=0, upper=50, include_squares=True,
+        groupby_transformation=gb, postprocess=post,
+    )
+    return ChainTM(derive, m)(li)
+
+
 def q_json_extract(spark, sf_dir):
     """Typed JSON field extraction from the events.props column (pure
     Catalyst get_json_object) feeding a grouped aggregate — the
@@ -1550,67 +1593,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order.  The per-round driver checks roughly the first 50 registry
     # entries against the DuckDB oracle, so each round the entries with
     # the least-fresh driver evidence go FIRST:
-    #   r9 front block = the 32 entries the r8 batch (50 rows, all
-    #   green) did not reach — every one r7-driver-green with code
-    #   unchanged since.  The tail = the 50 r8-green entries in their
-    #   r8 order.  After r9, every entry has a driver-green row within
-    #   the last two rounds.
-    #   r10: rotate again — move whatever the r9 batch does not reach
+    #   r10 front block = the 32 entries the r9 batch (50 rows, all
+    #   green) did not reach — every one r8-driver-green with code
+    #   unchanged since — plus any entries NEW in r10 (fused_moments),
+    #   which need a first driver row.  The tail = the 50 r9-green
+    #   entries in their r9 order.  After r10, every entry again has a
+    #   driver-green row within the last two rounds.
+    #   r11: rotate again — move whatever the r10 batch does not reach
     #   back to the front.
     return {
-        # --- r9 front: the 32 entries the r8 batch (50 rows) did not
-        # --- reach — all r7-driver-green; code unchanged since r7 ---
-        "total_counts": q_total_counts,
-        "average": q_average,
-        "variance": q_variance,
-        "public_join": q_public_join,
-        "private_join_drop": q_private_join_drop,
-        "limit_rows_per_group": q_limit_rows_per_group,
-        "limit_keys_per_group": q_limit_keys_per_group,
-        "partition_selection": q_partition_selection,
-        "bounds": q_bounds,
-        "quantile_median": q_quantile_median,
-        "partition_by_keys": q_partition_by_keys,
-        "map_revenue": q_map_derive,
-        "flatmap_by_key": q_flatmap_by_key,
-        "profile_table": q_profile_table,
-        "profile_numeric": q_profile_numeric,
-        "json_extract": q_json_extract,
-        "sq_codes": q_sq_codes,
-        "bpe_tokens": q_bpe_tokens,
-        "replace_nulls": q_replace_nulls,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ann_topk": q_ann_topk,
-        "token_counts": q_token_counts,
-        "lang_id": q_lang_id,
-        "fingerprint_distinct": q_fingerprint_distinct,
-        "quality_scores": q_quality_scores,
-        "repetition_stats": q_repetition_stats,
-        "asof_join": q_asof_join,
-        "time_rollup": q_time_rollup,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        # --- tail: the 50 r8-green entries in their r8 order ---
-        "global_shuffle": q_global_shuffle,
-        "temperature_mix": q_temperature_mix,
-        "pca_project": q_pca_project,
-        "unigram_logprob": q_unigram_logprob,
-        "weighted_sample": q_weighted_sample,
-        "fuzzy_join": q_fuzzy_join,
-        "chunk_documents": q_chunk_documents,
-        "chunk_pack": q_chunk_pack,
-        "streaming_window_counts": q_streaming_window_counts,
-        "multimodal_features": q_multimodal_features,
-        "zcdp_groupby_count": q_zcdp_groupby_count,
-        "approxdp_groupby_count": q_approxdp_groupby_count,
-        "groupby_sum_cents": q_groupby_sum_cents,
-        "groupby_column_domains": q_groupby_column_domains,
-        "drop_nulls_nans": q_drop_nulls_nans,
-        "replace_nans_infs": q_replace_nans_infs,
-        "flatmap_explode": q_flatmap_explode,
-        "grouping_flatmap": q_grouping_flatmap,
+        # --- r10 front: new-in-r10 entries first ---
+        "fused_moments": q_fused_moments,
+        # --- then the 32 entries the r9 batch (50 rows) did not
+        # --- reach — all r8-driver-green; code unchanged since r8 ---
         "connected_components": q_connected_components,
         "dedup_connected": q_dedup_connected,
         "hash_split": q_hash_split,
@@ -1643,6 +1638,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_count": q_groupby_count,
         "groupby_count_distinct": q_groupby_count_distinct,
         "groupby_sum": q_groupby_sum,
+        # --- tail: the 50 r9-green entries in their r9 order ---
+        "total_counts": q_total_counts,
+        "average": q_average,
+        "variance": q_variance,
+        "public_join": q_public_join,
+        "private_join_drop": q_private_join_drop,
+        "limit_rows_per_group": q_limit_rows_per_group,
+        "limit_keys_per_group": q_limit_keys_per_group,
+        "partition_selection": q_partition_selection,
+        "bounds": q_bounds,
+        "quantile_median": q_quantile_median,
+        "partition_by_keys": q_partition_by_keys,
+        "map_revenue": q_map_derive,
+        "flatmap_by_key": q_flatmap_by_key,
+        "profile_table": q_profile_table,
+        "profile_numeric": q_profile_numeric,
+        "json_extract": q_json_extract,
+        "sq_codes": q_sq_codes,
+        "bpe_tokens": q_bpe_tokens,
+        "replace_nulls": q_replace_nulls,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_topk": q_ann_topk,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "fingerprint_distinct": q_fingerprint_distinct,
+        "quality_scores": q_quality_scores,
+        "repetition_stats": q_repetition_stats,
+        "asof_join": q_asof_join,
+        "time_rollup": q_time_rollup,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "global_shuffle": q_global_shuffle,
+        "temperature_mix": q_temperature_mix,
+        "pca_project": q_pca_project,
+        "unigram_logprob": q_unigram_logprob,
+        "weighted_sample": q_weighted_sample,
+        "fuzzy_join": q_fuzzy_join,
+        "chunk_documents": q_chunk_documents,
+        "chunk_pack": q_chunk_pack,
+        "streaming_window_counts": q_streaming_window_counts,
+        "multimodal_features": q_multimodal_features,
+        "zcdp_groupby_count": q_zcdp_groupby_count,
+        "approxdp_groupby_count": q_approxdp_groupby_count,
+        "groupby_sum_cents": q_groupby_sum_cents,
+        "groupby_column_domains": q_groupby_column_domains,
+        "drop_nulls_nans": q_drop_nulls_nans,
+        "replace_nans_infs": q_replace_nans_infs,
+        "flatmap_explode": q_flatmap_explode,
+        "grouping_flatmap": q_grouping_flatmap,
     }
 
 

@@ -221,6 +221,31 @@ def test_rolling_and_sessionize_single_exchange(spark, sf_dir):
         assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
 
 
+def test_fused_moments_single_scan_single_exchange(spark, sf_dir, monkeypatch):
+    """FusedMomentsMeasurement reads the input ONCE and shuffles ONCE
+    (the groupBy agg); avg/var/stddev are all post-processing over the
+    (sod, sos, count) relation, and the 4-row public-keys join
+    broadcasts.  sanitize_df is patched to pass-through so the
+    pre-materialize plan is inspectable."""
+    import tumult_core_spark.utils.misc as misc
+
+    monkeypatch.setattr(
+        misc, "sanitize_df", lambda df, materialize_output=True: df
+    )
+    import __spark_entry__ as E
+
+    out = E.queries()["fused_moments"](spark, sf_dir)
+    plan = plan_of(out)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    # exactly one shuffle touches the data: the partial-aggregated
+    # groupBy.  (A second 4-row Exchange dedupes the public key list —
+    # constant-size, not data-dependent.)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan
+    assert "partial_sum" in plan, plan  # map-side combine before the shuffle
+    assert "BroadcastHashJoin" in plan, plan  # keys join never shuffles data
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_sanitize_large_output_keeps_parallelism(spark):
     """The REBALANCE sanitize must still fan a large release out to
     many partitions (the small-release coalescing must not collapse
