@@ -2,11 +2,15 @@
 
 The reference prefers hardware RDRAND and falls back to drawing every
 64-bit word from ``os.urandom`` (reference ``random/rng.py:13-26``).
-With ``TUMULT_CORE_SPARK_CSPRNG=1`` this rebuild matches that fallback
-exactly: every random word consumed by any sampler comes from
-``os.urandom``, so there is no generator state to infer from released
-noise.  These tests pin the shim's Generator-API compatibility and run
-the exact samplers end-to-end through it.
+With ``TUMULT_CORE_SPARK_CSPRNG=1`` this rebuild matches that
+fallback's WORD SOURCE: every random word consumed by any sampler
+comes from ``os.urandom``, so there is no generator state to infer
+from released noise.  (The float ``normal()`` path is Box-Muller over
+those words, not numpy's ziggurat, so its tail differs beyond
+|z| ~ 8.57 sigma — see the ``_UrandomGenerator`` docstring; the
+production exact samplers don't use it.)  These tests pin the shim's
+Generator-API compatibility and run the exact samplers end-to-end
+through it.
 """
 
 from fractions import Fraction
@@ -62,6 +66,28 @@ class TestUrandomGenerator:
         assert int(a.min()) >= 0
         assert int(a.max()) < high
         assert len(np.unique(a)) > 1
+
+    def test_integers_rejects_range_exceeding_dtype(self):
+        """Mirror numpy's Generator bounds check: a span that cannot
+        fit the output dtype raises instead of silently wrapping
+        through the unsigned->signed astype (e.g. integers(0, 1<<64,
+        dtype=int64) used to yield negative values)."""
+        g = _UrandomGenerator()
+        with pytest.raises(ValueError, match="out of bounds"):
+            g.integers(0, 1 << 64, size=8, dtype=np.int64)
+        with pytest.raises(ValueError, match="out of bounds"):
+            g.integers(0, 1 << 64, dtype=np.int64)  # scalar path too
+        with pytest.raises(ValueError, match="out of bounds"):
+            g.integers(-1, 10, size=8, dtype=np.uint64)
+        with pytest.raises(ValueError, match="out of bounds"):
+            g.integers(0, 300, size=8, dtype=np.int8)
+        # numpy itself agrees this is an error
+        with pytest.raises(ValueError):
+            np.random.default_rng(0).integers(0, 1 << 64, size=8, dtype=np.int64)
+        # the legal extremes still work
+        a = g.integers(0, 1 << 64, size=8, dtype=np.uint64)
+        assert a.dtype == np.uint64
+        assert int(g.integers(-(1 << 63), (1 << 63), dtype=np.int64)) is not None
 
     def test_integers_non_power_of_two_uniform(self):
         # chi-squared over [0, 6): df=5, crit(0.999) ~ 20.5

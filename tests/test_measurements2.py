@@ -1049,3 +1049,111 @@ class TestTypedQueriesAndRetirement:
         with pytest.raises(ValueError, match="Bad Index"):
             pq(IndexQuery(0))
         assert abs(int(s1(None)) - 101) < 50
+
+
+class TestAdaptiveComposition:
+    """create_adaptive_composition (reference
+    interactive_measurements.py:1856): a queryable that answers
+    NON-interactive MeasurementQuery / TransformationQuery directly
+    against one shared budget, plus the typed
+    InactiveAccountantError (reference :852)."""
+
+    def _launch(self, values, budget=3):
+        from tumult_core_spark.measurements.interactive import (
+            create_adaptive_composition,
+        )
+
+        dom = v_domain()
+        m = create_adaptive_composition(
+            dom, SymmetricDifference(), 1, PureDPBudget(budget), PureDP()
+        )
+        return dom, m, m(values)
+
+    def test_answers_noninteractive_queries_directly(self, spark, values):
+        from tumult_core_spark.measurements.interactive import (
+            MeasurementQuery,
+            TransformationQuery,
+        )
+
+        dom, m, q = self._launch(values, budget=3)
+        assert m.is_interactive
+        assert m.privacy_function(1) == 3
+        count = create_count_measurement(
+            dom, SymmetricDifference(), PureDP(), 1, 1
+        )
+        # plain answer comes back, no queryable to unwrap (noisy at
+        # eps=1, so compare loosely)
+        a = q(MeasurementQuery(count))
+        assert isinstance(a, np.int64)
+        assert abs(int(a) - 201) < 50
+        # transformation queries update the held data in place
+        assert q(TransformationQuery(Filter(dom, SymmetricDifference(), "x > 100"))) is None
+        b = q(MeasurementQuery(count))
+        assert abs(int(b) - 50) < 50
+        # the shared budget is enforced across queries
+        with pytest.raises(ValueError, match="[Ii]nsufficient"):
+            q(MeasurementQuery(count, d_out=2))
+
+    def test_rejects_interactive_and_unknown_queries(self, spark, values):
+        from tumult_core_spark.measurements.interactive import (
+            MakeInteractive,
+            MeasurementQuery,
+        )
+
+        dom, m, q = self._launch(values)
+        count = create_count_measurement(
+            dom, SymmetricDifference(), PureDP(), 1, 1
+        )
+        with pytest.raises(ValueError, match="interactive"):
+            q(MeasurementQuery(MakeInteractive(count)))
+        with pytest.raises(TypeError, match="MeasurementQuery"):
+            q(count)
+
+    def test_claimed_d_out_is_charged(self, spark, values):
+        from tumult_core_spark.measurements.interactive import (
+            MeasurementQuery,
+        )
+
+        dom, m, q = self._launch(values, budget=3)
+        count = create_count_measurement(
+            dom, SymmetricDifference(), PureDP(), 1, 1
+        )
+        q(MeasurementQuery(count, d_out=2))  # looser claim: charge 2
+        q(MeasurementQuery(count))           # true loss 1: budget exactly dry
+        with pytest.raises(ValueError, match="[Ii]nsufficient"):
+            q(MeasurementQuery(count))
+
+
+class TestInactiveAccountantError:
+    def test_typed_error_from_misuse(self, spark, values):
+        from tumult_core_spark.measurements.interactive import (
+            InactiveAccountantError,
+        )
+        from tumult_core_spark.transformations.partition import PartitionByKeys
+
+        assert issubclass(InactiveAccountantError, RuntimeError)
+        dom = v_domain()
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), PureDP(), d_in=1,
+            privacy_budget=PureDPBudget(4),
+        )
+        acct = PrivacyAccountant.launch(sc, values)
+        part = PartitionByKeys(
+            dom, SymmetricDifference(), False, ["g"], [("a",), ("b",)]
+        )
+        c0, c1 = acct.split(part, PureDPBudget(2))
+        count = create_count_measurement(
+            dom, SymmetricDifference(), PureDP(), 1, 1
+        )
+        # the WAITING_FOR_CHILDREN parent and the WAITING_FOR_SIBLING
+        # child both raise the typed error on actions
+        with pytest.raises(InactiveAccountantError):
+            acct.measure(count)
+        with pytest.raises(InactiveAccountantError):
+            c1.measure(count)
+        with pytest.raises(InactiveAccountantError):
+            c1.transform_in_place(Filter(dom, SymmetricDifference(), "x > 0"))
+        # a RETIRED accountant refuses queued transformations with it too
+        c0.retire()
+        with pytest.raises(InactiveAccountantError):
+            c0.queue_transformation(Filter(dom, SymmetricDifference(), "x > 0"))

@@ -80,3 +80,39 @@ def test_query_and_oracle_registries_align():
     entry_mod = _entry()
     q, o = set(entry_mod.queries()), set(entry_mod.oracle_sql())
     assert o <= q, f"oracles without a query: {sorted(o - q)}"
+
+
+SF_KEYED_ORACLES = [
+    # (entry name, table whose fingerprint keys the fixture)
+    ("multimodal_features", "documents"),
+    ("pca_project", "embeddings"),
+    ("bpe_tokens", "documents"),
+    ("temperature_mix", "documents"),
+    ("dedup_minhash", "documents"),
+    ("dedup_simhash", "documents"),
+    ("ngram_jaccard", "documents"),
+]
+
+
+@pytest.mark.parametrize("name,fp_table", SF_KEYED_ORACLES)
+def test_sf_keyed_oracle_errs_loudly_on_unknown_corpus(sf_dir, name, fp_table):
+    """Every fixture-backed oracle is keyed on a content fingerprint of
+    its source table and must raise DuckDB's error() — never return an
+    empty or silently-wrong result — when run against a corpus the
+    fixture has no block for.  Simulated by shifting the id column,
+    which changes the fingerprint but keeps the schema intact."""
+    oracles = _entry().oracle_sql()
+    con = duckdb.connect()
+    id_col = {"documents": "doc_id", "embeddings": "vec_id"}[fp_table]
+    for t in TABLES:
+        if t == fp_table:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * REPLACE ({id_col} + 999999 AS"
+                f" {id_col}) FROM '{sf_dir}/{t}.parquet'"
+            )
+        else:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+    with pytest.raises(duckdb.Error, match="fixture has no"):
+        con.execute(oracles[name]).fetchall()

@@ -855,7 +855,7 @@ class TestAddRemoveKeysLiftStabilityFuzz:
         ),
         pick=st.integers(min_value=0, max_value=9),
         mutate=st.booleans(),
-        lift=st.sampled_from(["map", "flatmap", "public_join"]),
+        lift=st.sampled_from(["map", "flatmap", "flatmap_by_key", "public_join"]),
     )
     @settings(max_examples=12, deadline=None)
     def test_key_neighbors(self, rows, pick, mutate, lift):
@@ -914,6 +914,30 @@ class TestAddRemoveKeysLiftStabilityFuzz:
                 max_num_rows=2,
             )
             tv = FlatMapValue(dd, metric, t, "t", "t2")
+        elif lift == "flatmap_by_key":
+            from tumult_core_spark.transformations.add_remove_keys import (
+                FlatMapByKeyValue,
+            )
+            from tumult_core_spark.transformations.map import (
+                FlatMapByKey,
+                RowsToRowsTransformation,
+            )
+
+            t = FlatMapByKey(
+                table_dom,
+                IfGroupedBy("uid", SymmetricDifference()),
+                RowsToRowsTransformation(
+                    SparkRowDomain({"x": INT64}),
+                    SparkRowDomain({"s": INT64}),
+                    # whole-group function: output depends on ALL rows
+                    # of the key, the case the per-row lifts can't hit
+                    lambda rs: [
+                        {"s": sum(r["x"] for r in rs)},
+                        {"s": len(rs)},
+                    ],
+                ),
+            )
+            tv = FlatMapByKeyValue(dd, metric, t, "t", "t2")
         else:
             public = spark.createDataFrame(
                 [(0, 10), (0, 11), (1, 12), (2, 13), (2, 13), (3, 14)],

@@ -112,6 +112,53 @@ class TestAddRemoveKeysMapLifts:
         assert uids == {1, 2}
         assert fv.stability_function(2) == ExactNumber(2)
 
+    def test_flat_map_by_key_value(self, spark, setup):
+        """FlatMapByKeyValue (reference add_remove_keys.py:508-542):
+        the per-key [Rows]->[Rows] lift — whole-group output under the
+        same key, rejection when the grouping column is not the
+        tracked key column."""
+        from tumult_core_spark.transformations.add_remove_keys import (
+            FlatMapByKeyValue,
+        )
+        from tumult_core_spark.transformations.map import (
+            FlatMapByKey,
+            RowsToRowsTransformation,
+        )
+
+        table_dom, dd, metric, df = setup
+        rt = RowsToRowsTransformation(
+            SparkRowDomain({"x": FLT}),
+            SparkRowDomain({"s": FLT}),
+            lambda rows: [
+                {"s": sum(r["x"] for r in rows)},
+                {"s": float(len(rows))},
+            ],
+        )
+        fm = FlatMapByKey(
+            table_dom, IfGroupedBy("uid", SymmetricDifference()), rt
+        )
+        fv = FlatMapByKeyValue(dd, metric, fm, "t", "t2")
+        out = fv({"t": df})
+        got = {(r["uid"], r["s"]) for r in out["t2"].collect()}
+        assert got == {(1, 3.0), (1, 2.0), (2, 3.0), (2, 1.0)}
+        assert fv.stability_function(3) == ExactNumber(3)
+        # grouping by a column other than the tracked key is rejected
+        other_dom = SparkDataFrameDomain({"uid": INT, "x": FLT})
+        fm_bad = FlatMapByKey(
+            other_dom,
+            IfGroupedBy("x", SymmetricDifference()),
+            RowsToRowsTransformation(
+                SparkRowDomain({"uid": INT}),
+                SparkRowDomain({"s": FLT}),
+                lambda rows: [{"s": 0.0}],
+            ),
+        )
+        with pytest.raises(ValueError, match="tracks"):
+            FlatMapByKeyValue(dd, metric, fm_bad, "t", "t3")
+        # a non-FlatMapByKey transformation is rejected
+        with pytest.raises(ValueError, match="FlatMapByKey"):
+            FlatMapByKeyValue(dd, metric, object(), "t", "t3")
+
     def test_public_join_value(self, spark, setup):
         from tumult_core_spark.transformations.add_remove_keys import (
             PublicJoinValue,

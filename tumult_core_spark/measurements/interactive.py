@@ -378,6 +378,13 @@ class AccountantState(Enum):
     RETIRED = "retired"
 
 
+class InactiveAccountantError(RuntimeError):
+    """Raised by :class:`PrivacyAccountant` operations that require
+    the ACTIVE state (reference ``interactive_measurements.py:852``).
+    Subclasses RuntimeError, so pre-existing ``except RuntimeError``
+    handlers keep working."""
+
+
 class PrivacyAccountant:
     """Budget ledger over private data with a sequential-adaptive
     lifecycle.  ``launch`` binds data; ``measure`` answers queries
@@ -453,7 +460,9 @@ class PrivacyAccountant:
 
     def _require_active(self) -> None:
         if self._state != AccountantState.ACTIVE:
-            raise RuntimeError(f"Accountant is {self._state.value}, not active")
+            raise InactiveAccountantError(
+                f"Accountant is {self._state.value}, not active"
+            )
 
     def transform_in_place(
         self, transformation: Transformation, d_out: Any = None
@@ -502,7 +511,7 @@ class PrivacyAccountant:
         order.  RETIRED -> RuntimeError.
         """
         if self._state == AccountantState.RETIRED:
-            raise RuntimeError(
+            raise InactiveAccountantError(
                 "Cannot queue transformations on a RETIRED accountant"
             )
         if self._state == AccountantState.ACTIVE:
@@ -739,3 +748,54 @@ class DecoratedQueryable(Queryable):
 
     def __call__(self, query: Any) -> Any:
         return self._post(self._inner(self._pre(query)))
+
+
+def create_adaptive_composition(
+    input_domain: Domain,
+    input_metric: Metric,
+    d_in: Any,
+    privacy_budget: PrivacyBudget,
+    output_measure: Measure,
+) -> DecorateQueryable:
+    """An interactive measurement whose queryable answers
+    NON-interactive :class:`MeasurementQuery`\\ s and
+    :class:`TransformationQuery`\\ s directly, deducting from one
+    shared budget (reference ``interactive_measurements.py:1856``).
+
+    This is :class:`SequentialComposition` decorated both ways:
+    queries-in are wrapped in :class:`MakeInteractive` (the sequential
+    queryable only opens interactive sessions), and queryable-answers
+    are immediately consumed so the caller sees the plain measurement
+    result instead of a one-shot queryable.
+    """
+
+    def preprocess_query(query: Any) -> Any:
+        if isinstance(query, MeasurementQuery):
+            if query.measurement.is_interactive:
+                raise ValueError("Cannot answer interactive measurement query.")
+            return MeasurementQuery(
+                MakeInteractive(query.measurement), d_out=query.d_out
+            )
+        if isinstance(query, TransformationQuery):
+            return query
+        raise TypeError(
+            "create_adaptive_composition answers MeasurementQuery and "
+            f"TransformationQuery, got {type(query).__name__}"
+        )
+
+    def postprocess_answer(answer: Any) -> Any:
+        if isinstance(answer, Queryable):
+            return answer(None)
+        return answer
+
+    return DecorateQueryable(
+        measurement=SequentialComposition(
+            input_domain=input_domain,
+            input_metric=input_metric,
+            output_measure=output_measure,
+            d_in=d_in,
+            privacy_budget=privacy_budget,
+        ),
+        preprocess_query=preprocess_query,
+        postprocess_answer=postprocess_answer,
+    )

@@ -72,6 +72,15 @@ class _UrandomGenerator:
     ~20-60x slower than PCG64 per word (syscall + no buffering), which
     is irrelevant for noise draws (one word per released value) but is
     why this is opt-in via :data:`CSPRNG_ENV` rather than the default.
+
+    Only the WORD SOURCE matches the reference's urandom fallback.
+    ``normal()`` here is Box-Muller over 53-bit uniforms, whose
+    smallest representable ``u1`` caps |z| at ~8.57 sigma, while the
+    reference runs numpy's ziggurat over the same word stream —
+    distributionally different in that far tail.  Production noise
+    paths use the certified exact integer/rational samplers, not this
+    float ``normal()`` (test-only), so the deviation never reaches a
+    released value.
     """
 
     @staticmethod
@@ -90,6 +99,14 @@ class _UrandomGenerator:
         span = int(high) - low + (1 if endpoint else 0)
         if span <= 0:
             raise ValueError("low >= high")
+        # mirror numpy.random.Generator.integers' bounds check: a
+        # range that cannot fit the output dtype must error, never
+        # silently wrap through the unsigned->signed astype below
+        info = np.iinfo(np.dtype(dtype))
+        if low < info.min or low + span - 1 > info.max:
+            raise ValueError(
+                f"low/high are out of bounds for {np.dtype(dtype).name}"
+            )
         bits = (span - 1).bit_length() if span > 1 else 1
         if bits > 64:
             raise ValueError("span exceeds 64 bits")

@@ -161,6 +161,34 @@ class FlatMapValue(TransformValue):
         super().__init__(input_domain, input_metric, transformation, key, new_key)
 
 
+class FlatMapByKeyValue(TransformValue):
+    """Lift FlatMapByKey (reference ``add_remove_keys.py:508-542``):
+    apply a trusted [Rows] -> [Rows] transformer to all rows sharing a
+    key value, storing the result under ``new_key``.
+
+    The wrapped FlatMapByKey must group by the SAME column the
+    AddRemoveKeys metric tracks for ``key``: grouping by any other
+    column would let one tracked key's rows influence another's
+    output, breaking the key-count distance.  Each tracked key is
+    transformed independently, so stability is ``d_in``.
+    """
+
+    def __init__(self, input_domain, input_metric, transformation, key, new_key):
+        from .map import FlatMapByKey
+
+        if not isinstance(transformation, FlatMapByKey):
+            raise ValueError(
+                "FlatMapByKeyValue requires a FlatMapByKey transformation"
+            )
+        key_column = input_metric.df_to_key_column.get(str(key))
+        if key_column is not None and transformation.key_column != key_column:
+            raise ValueError(
+                f"FlatMapByKey groups by {transformation.key_column!r} but the"
+                f" AddRemoveKeys metric tracks {key_column!r} for key {key!r}"
+            )
+        super().__init__(input_domain, input_metric, transformation, key, new_key)
+
+
 class MapValue(TransformValue):
     """Lift Map (augmenting, with IfGroupedBy metric on the key column)."""
 
