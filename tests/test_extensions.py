@@ -751,6 +751,33 @@ class TestConnectedComponents:
         )
         assert after - baseline <= 1, (baseline, after)
 
+    def test_reliable_checkpoint_opt_in_converges(self, spark, tmp_path):
+        # checkpoint_dir switches every round's lineage cut from
+        # localCheckpoint (blocks die with their executor) to a
+        # reliable checkpoint() that survives executor loss at cluster
+        # scale; the fixpoint must be unchanged and the directory must
+        # actually receive the round snapshots
+        import os
+
+        from tumult_core_spark.extensions.components import connected_components
+
+        cdir = str(tmp_path / "ckpt")
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(120)], "id_a long, id_b long"
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, checkpoint_dir=cdir).collect()
+        }
+        assert got == {i: 0 for i in range(121)}
+        rdd_dirs = [
+            f
+            for root, dirs, _ in os.walk(cdir)
+            for f in dirs
+            if f.startswith("rdd-")
+        ]
+        assert rdd_dirs, "no reliable checkpoint was written"
+
     def test_canonical_duplicates_drop_set(self, spark):
         from tumult_core_spark.extensions.components import canonical_duplicates
 
@@ -1083,6 +1110,21 @@ class TestText:
         a = bpe_train(sub, num_merges=8)
         b = bpe_train(sub, num_merges=8, driver_vocab_threshold=0)
         assert a == b and len(a) == 8
+
+    def test_bpe_distributed_reliable_checkpoint(self, spark, docs, tmp_path):
+        # the checkpoint_dir opt-in (reliable checkpoint per merge
+        # round instead of localCheckpoint) must not change the merges
+        from tumult_core_spark.extensions.text import bpe_train
+
+        sub = docs.limit(50)
+        a = bpe_train(sub, num_merges=8)
+        c = bpe_train(
+            sub,
+            num_merges=8,
+            driver_vocab_threshold=0,
+            checkpoint_dir=str(tmp_path / "bpe_ckpt"),
+        )
+        assert a == c and len(c) == 8
 
     def test_bpe_encode_roundtrip_and_memo(self, spark, docs):
         from tumult_core_spark.extensions.text import bpe_encode, bpe_train

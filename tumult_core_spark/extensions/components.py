@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..utils.misc import free_local_checkpoint
+from ..utils.misc import cut_lineage, free_local_checkpoint
 
 #: diagnostics from the most recent ``connected_components`` call in
 #: this process (currently ``{"rounds": <fixpoint rounds used>}``).
@@ -87,6 +87,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 50,
+    checkpoint_dir: str = None,
 ) -> DataFrame:
     """(node, component) for every node of the pair relation, where
     ``component`` is the smallest node id in its connected component.
@@ -95,6 +96,13 @@ def connected_components(
     not invented here — every node of ``edges`` appears exactly once.
     Callers wanting singletons too should left-join this result onto
     their full id set and coalesce with the id itself.
+
+    ``checkpoint_dir``: by default each round cuts lineage with
+    ``localCheckpoint`` — fast, but not fault-tolerant (a lost
+    executor loses its blocks and the job with them).  On a real
+    cluster pass an HDFS/S3 path here to switch every round to a
+    RELIABLE ``checkpoint()`` that survives executor loss (see
+    ``utils.misc.cut_lineage``).
     """
     spark = edges.sparkSession
     e = _canonical_edges(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
@@ -107,8 +115,10 @@ def connected_components(
         # its input three times (both sym orientations + the mins
         # aggregate), so an unmaterialized large-star subtree would be
         # re-evaluated per reference
-        half = _star_round(e, large=True, dedupe=False).localCheckpoint(eager=True)
-        if rounds_used > 1:
+        half = cut_lineage(
+            _star_round(e, large=True, dedupe=False), checkpoint_dir
+        )
+        if rounds_used > 1 and checkpoint_dir is None:
             # the previous round's checkpoint is fully consumed into
             # `half` now — drop its blocks deterministically instead of
             # waiting on py4j GC (unbounded block churn across rounds)
@@ -119,8 +129,9 @@ def connected_components(
         # otherwise drags the input's full partitioning through every
         # round, and per-task overhead dominates small rounds
         nxt = nxt.coalesce(par)
-        nxt = nxt.localCheckpoint(eager=True)  # cut O(rounds) lineage
-        free_local_checkpoint(half)  # consumed into nxt
+        nxt = cut_lineage(nxt, checkpoint_dir)  # cut O(rounds) lineage
+        if checkpoint_dir is None:
+            free_local_checkpoint(half)  # consumed into nxt
         fp = nxt.agg(
             F.count(F.lit(1)).alias("n"),
             # xor-fold: order-independent and cannot overflow (ANSI

@@ -13,7 +13,7 @@ from typing import Dict, List, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..utils.misc import free_local_checkpoint
+from ..utils.misc import cut_lineage, free_local_checkpoint
 
 # Minimal per-language stopword seeds for the n-gram/stopword heuristic.
 LANG_STOPWORDS: Dict[str, List[str]] = {
@@ -546,6 +546,7 @@ def bpe_train(
     num_merges: int = 100,
     min_frequency: int = 2,
     driver_vocab_threshold: int = 1_000_000,
+    checkpoint_dir: str = None,
 ):
     """Learn byte-pair-encoding merges from the corpus (Sennrich et al.
     2016, "Neural Machine Translation of Rare Words with Subword
@@ -565,6 +566,12 @@ def bpe_train(
     Ties break deterministically: highest pair frequency, then
     lexicographically smallest pair.  Returns an ordered list of
     ``(left, right)`` merges.
+
+    ``checkpoint_dir``: the distributed path's per-merge lineage cut
+    is ``localCheckpoint`` by default — not fault-tolerant (a lost
+    executor loses its blocks mid-loop).  On a real cluster pass an
+    HDFS/S3 path to switch to reliable ``checkpoint()`` (see
+    ``utils.misc.cut_lineage``).
     """
     words = (
         corpus.select(F.explode(tokens_col(text_col)).alias("w"))
@@ -580,9 +587,12 @@ def bpe_train(
 
     import pandas as pd
 
-    cur = words.withColumn(
-        "syms", F.concat(F.split("w", "(?!$)"), F.array(F.lit("</w>")))
-    ).select("freq", "syms").localCheckpoint(eager=True)
+    cur = cut_lineage(
+        words.withColumn(
+            "syms", F.concat(F.split("w", "(?!$)"), F.array(F.lit("</w>")))
+        ).select("freq", "syms"),
+        checkpoint_dir,
+    )
     merges = []
     for _ in range(num_merges):
         syms = F.col("syms")
@@ -624,13 +634,12 @@ def bpe_train(
 
         merge_udf = F.pandas_udf(_make_apply(a, b), "array<string>")
         prev = cur
-        cur = cur.withColumn("syms", merge_udf(syms)).localCheckpoint(
-            eager=True
-        )
+        cur = cut_lineage(cur.withColumn("syms", merge_udf(syms)), checkpoint_dir)
         # the previous iteration's checkpoint is consumed — drop its
         # blocks now rather than accumulating every merge round's
         # storage until py4j GC catches up
-        free_local_checkpoint(prev)
+        if checkpoint_dir is None:
+            free_local_checkpoint(prev)
     return merges
 
 

@@ -63,6 +63,36 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.sparkSession.read.parquet(path)
 
 
+def cut_lineage(df: DataFrame, checkpoint_dir: Optional[str] = None) -> DataFrame:
+    """Break lineage for one round of an iterative operator.
+
+    Default (``checkpoint_dir=None``): ``localCheckpoint(eager=True)``
+    — the fastest cut, but its blocks live only on the executors that
+    computed them, so on a real cluster a single lost executor kills
+    the whole iterative job (no lineage left to recompute from).  Fine
+    on local[N]; NOT fault-tolerant at 1000 executors.
+
+    With ``checkpoint_dir`` set: a RELIABLE ``checkpoint()`` into that
+    directory (``sc.setCheckpointDir`` is applied on first use) —
+    survives executor loss at the cost of one distributed-FS
+    round-trip per iteration.  Point it at HDFS/S3 on a cluster; any
+    shared path works on local mode.  Set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` to have
+    consumed rounds' files reclaimed automatically.
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    current = sc._jsc.sc().getCheckpointDir()
+    cur_val = current.get() if current.isDefined() else None
+    # setCheckpointDir appends a fresh UUID subdir each call — only
+    # (re)set when unset or pointed elsewhere, so every round of the
+    # loop shares one directory
+    if cur_val is None or checkpoint_dir not in cur_val:
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
 def free_local_checkpoint(df: DataFrame) -> None:
     """Release the block-manager storage behind a ``localCheckpoint``ed
     DataFrame that will NEVER be used again.
