@@ -253,6 +253,59 @@ def oracle_sql() -> dict[str, str]:
                        AS max_k
             FROM events GROUP BY 1
         """,
+        "embedding_outliers": """
+            WITH e AS (SELECT vec_id, label,
+                              generate_subscripts(embedding, 1) AS pos,
+                              CAST(unnest(embedding) AS DOUBLE) AS val
+                       FROM embeddings),
+            c AS (SELECT label, pos, AVG(val) AS m FROM e GROUP BY 1, 2),
+            d AS (SELECT e.vec_id, e.label,
+                         SUM((e.val - c.m) * (e.val - c.m)) AS ss
+                  FROM e JOIN c ON e.label = c.label AND e.pos = c.pos
+                  GROUP BY 1, 2)
+            SELECT vec_id, label, ROUND(SQRT(ss), 6) AS centroid_dist FROM d
+        """,
+        "pagerank": """
+            WITH raw AS (SELECT DISTINCT c_custkey * 2 AS u,
+                                         c_nationkey * 2 + 1 AS v
+                         FROM customer),
+            e AS (SELECT u, v FROM raw UNION SELECT v, u FROM raw),
+            deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY 1),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM deg),
+            r0 AS (SELECT u AS node, 1.0 / nn AS r FROM deg, n),
+            c1 AS (SELECT e.v AS node, SUM(r0.r / deg.d) AS m
+                   FROM e JOIN r0 ON e.u = r0.node JOIN deg ON e.u = deg.u
+                   GROUP BY 1),
+            r1 AS (SELECT r0.node,
+                          (1.0 - 0.85) / nn + 0.85 * COALESCE(c1.m, 0) AS r
+                   FROM r0 LEFT JOIN c1 USING (node), n),
+            c2 AS (SELECT e.v AS node, SUM(r1.r / deg.d) AS m
+                   FROM e JOIN r1 ON e.u = r1.node JOIN deg ON e.u = deg.u
+                   GROUP BY 1),
+            r2 AS (SELECT r1.node,
+                          (1.0 - 0.85) / nn + 0.85 * COALESCE(c2.m, 0) AS r
+                   FROM r1 LEFT JOIN c2 USING (node), n),
+            c3 AS (SELECT e.v AS node, SUM(r2.r / deg.d) AS m
+                   FROM e JOIN r2 ON e.u = r2.node JOIN deg ON e.u = deg.u
+                   GROUP BY 1),
+            r3 AS (SELECT r2.node,
+                          (1.0 - 0.85) / nn + 0.85 * COALESCE(c3.m, 0) AS r
+                   FROM r2 LEFT JOIN c3 USING (node), n)
+            SELECT node, ROUND(r * nn, 6) AS rank_scaled FROM r3, n
+        """,
+        "hll_distinct": """
+            -- the sketch estimate itself is Spark-side (DataSketches
+            -- HLL, not replayable in DuckDB); the oracle replays the
+            -- EXACT distinct count and the literal TRUE that the
+            -- query computes as |estimate - exact| <= 2% * exact —
+            -- a broken or drifting sketch flips the boolean and the
+            -- value hash
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+                   TRUE AS hll_ok
+            FROM events GROUP BY 1
+            UNION ALL
+            SELECT '__all__', COUNT(DISTINCT user_id), TRUE FROM events
+        """,
         "fused_moments": """
             WITH keys(l_returnflag) AS (VALUES ('A'),('N'),('R'),('X')),
             b AS (SELECT l_returnflag,

@@ -590,6 +590,73 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_embedding_outliers(spark, sf_dir):
+    """Per-label centroid distance over the embeddings table — the
+    embedding-space quality filter (vectors far from their label
+    centroid are mislabeled/junk).  Centroids come from a groups x dim
+    partial-aggregated shuffle and broadcast back; the corpus is
+    scanned once with the distance evaluated JVM-side
+    (similarity.py::embedding_outliers)."""
+    from tumult_core_spark.extensions.similarity import embedding_outliers
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = embedding_outliers(emb, "vec_id", "embedding", "label")
+    return out.select(
+        "vec_id", "label", F.round("centroid_dist", 6).alias("centroid_dist")
+    )
+
+
+def q_pagerank(spark, sf_dir):
+    """3 synchronous PageRank iterations over the (customer, nation)
+    bipartite membership graph (ids disambiguated into even/odd
+    lanes) — link-graph centrality as a corpus-curation weight
+    (components.py::pagerank).  Scaled by the node count so the
+    6-decimal driver rounding keeps resolution."""
+    from tumult_core_spark.extensions.components import pagerank
+
+    cust = _load(spark, sf_dir, "customer")
+    edges = cust.select(
+        (F.col("c_custkey") * 2).alias("id_a"),
+        (F.col("c_nationkey") * 2 + 1).alias("id_b"),
+    )
+    pr = pagerank(edges, iterations=3)
+    n = pr.count()
+    return pr.select(
+        "node", F.round(F.col("rank") * n, 6).alias("rank_scaled")
+    )
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Mergeable-sketch distinct counting: per-event_type approximate
+    distinct users PLUS the grand total from ONE scan (the total row
+    is the lossless union of the per-group sketches —
+    sketches.py::hll_rollup).  Self-validating oracle form: the exact
+    distinct count is emitted alongside a boolean pinning the sketch
+    estimate within 2% of it, so the oracle replays the exact count
+    and the literal TRUE — a broken sketch flips the hash."""
+    from tumult_core_spark.extensions.sketches import hll_rollup
+
+    ev = _load(spark, sf_dir, "events")
+    approx = hll_rollup(ev, "user_id", ["event_type"])
+    exact = (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .unionByName(
+            ev.agg(F.countDistinct("user_id").alias("n_users")).select(
+                F.lit("__all__").alias("event_type"), "n_users"
+            )
+        )
+    )
+    return approx.join(exact, "event_type").select(
+        "event_type",
+        "n_users",
+        (
+            F.abs(F.col("approx_distinct") - F.col("n_users"))
+            <= 0.02 * F.col("n_users")
+        ).alias("hll_ok"),
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     from tumult_core_spark.extensions.similarity import brute_force_knn
 
@@ -1604,6 +1671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r10 front: new-in-r10 entries first ---
         "fused_moments": q_fused_moments,
+        "embedding_outliers": q_embedding_outliers,
+        "pagerank": q_pagerank,
+        "hll_distinct": q_hll_distinct,
         # --- then the 32 entries the r9 batch (50 rows) did not
         # --- reach — all r8-driver-green; code unchanged since r8 ---
         "connected_components": q_connected_components,

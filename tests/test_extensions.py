@@ -2460,3 +2460,173 @@ class TestNormalizeText:
         assert json_array_explode(ej, "j", "a long").count() == 0
         with pytest.raises(ValueError, match="[Nn]o non-null"):
             infer_json_schema(ej, "j")
+
+
+class TestEmbeddingOutliers:
+    def test_hand_case_centroid_distance(self, spark):
+        from tumult_core_spark.extensions.similarity import embedding_outliers
+
+        df = spark.createDataFrame(
+            [
+                (1, [0.0, 0.0], "a"),
+                (2, [2.0, 0.0], "a"),
+                (3, [1.0, 4.0], "a"),  # centroid a = (1, 4/3)
+                (4, [5.0, 5.0], "b"),  # centroid b = itself -> dist 0
+            ],
+            "id long, v array<double>, g string",
+        )
+        got = {
+            r["id"]: round(r["centroid_dist"], 6)
+            for r in embedding_outliers(df, "id", "v", "g").collect()
+        }
+        c = (1.0, 4.0 / 3.0)
+        import math
+
+        want = {
+            1: round(math.hypot(0 - c[0], 0 - c[1]), 6),
+            2: round(math.hypot(2 - c[0], 0 - c[1]), 6),
+            3: round(math.hypot(1 - c[0], 4 - c[1]), 6),
+            4: 0.0,
+        }
+        assert got == want
+
+    def test_top_k_keeps_farthest_with_deterministic_ties(self, spark):
+        from tumult_core_spark.extensions.similarity import embedding_outliers
+
+        df = spark.createDataFrame(
+            [(i, [float(i), 0.0], "a") for i in range(5)],
+            "id long, v array<double>, g string",
+        )
+        out = embedding_outliers(df, "id", "v", "g", top_k=2).collect()
+        # centroid x = 2.0; farthest are ids 0 and 4 (dist 2), ties
+        # would break by ascending id
+        assert sorted(r["id"] for r in out) == [0, 4]
+
+    def test_plan_single_corpus_scan_broadcast_join(self, spark, sf_dir):
+        from tumult_core_spark.extensions.similarity import embedding_outliers
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = embedding_outliers(emb, "vec_id", "embedding", "label")
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        import re
+
+        # centroids come from the same cached scan node or a second
+        # scan of the source; the corpus-distance side must join them
+        # via broadcast with no Python evaluation anywhere
+        assert "BroadcastHashJoin" in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "partial_avg" in plan or "partial_" in plan, plan
+
+
+class TestPageRank:
+    def test_ranks_sum_to_one_and_star_concentrates(self, spark):
+        from tumult_core_spark.extensions.components import pagerank
+
+        # star: center 0 linked to 1..8
+        df = spark.createDataFrame(
+            [(0, i) for i in range(1, 9)], "id_a long, id_b long"
+        )
+        rows = pagerank(df, iterations=10).collect()
+        total = sum(r["rank"] for r in rows)
+        assert abs(total - 1.0) < 1e-9
+        ranks = {r["node"]: r["rank"] for r in rows}
+        assert ranks[0] > max(v for k, v in ranks.items() if k != 0) * 3
+        # leaves are symmetric
+        leaf = [v for k, v in ranks.items() if k != 0]
+        assert max(leaf) - min(leaf) < 1e-12
+
+    def test_partitioning_invariance(self, spark):
+        import random
+
+        from tumult_core_spark.extensions.components import pagerank
+
+        rnd = random.Random(3)
+        edges = [(rnd.randrange(40), rnd.randrange(40)) for _ in range(120)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df1 = spark.createDataFrame(edges, "id_a long, id_b long")
+        df8 = df1.repartition(8)
+        r1 = {r["node"]: round(r["rank"], 9) for r in pagerank(df1).collect()}
+        r8 = {r["node"]: round(r["rank"], 9) for r in pagerank(df8).collect()}
+        assert r1 == r8
+
+    def test_directed_dangling_mass_documented(self, spark):
+        from tumult_core_spark.extensions.components import pagerank
+
+        # 0 -> 1: node 1 is dangling in directed mode; its mass is
+        # dropped (documented simplification), so ranks sum to < 1
+        df = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+        rows = pagerank(df, iterations=3, undirected=False).collect()
+        total = sum(r["rank"] for r in rows)
+        assert 0 < total < 1.0
+
+    def test_reliable_checkpoint_matches_local(self, spark, tmp_path):
+        from tumult_core_spark.extensions.components import pagerank
+
+        df = spark.createDataFrame(
+            [(i, (i + 1) % 12) for i in range(12)], "id_a long, id_b long"
+        )
+        a = {r["node"]: round(r["rank"], 12) for r in pagerank(df).collect()}
+        b = {
+            r["node"]: round(r["rank"], 12)
+            for r in pagerank(df, checkpoint_dir=str(tmp_path / "pr")).collect()
+        }
+        assert a == b
+
+    def test_empty_edges(self, spark):
+        from tumult_core_spark.extensions.components import pagerank
+
+        df = spark.createDataFrame([], "id_a long, id_b long")
+        assert pagerank(df).count() == 0
+
+
+class TestHllSketches:
+    def test_rollup_union_equals_direct_global(self, spark, sf_dir):
+        from tumult_core_spark.extensions.sketches import hll_distinct, hll_rollup
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        roll = hll_rollup(ev, "user_id", ["event_type"])
+        union_total = [
+            r["approx_distinct"]
+            for r in roll.collect()
+            if r["event_type"] == "__all__"
+        ][0]
+        direct = hll_distinct(ev, "user_id").first()["approx_distinct"]
+        # lossless merge: the union of per-group sketches is
+        # BIT-IDENTICAL to sketching the whole corpus directly
+        assert union_total == direct
+
+    def test_estimates_within_error_bound(self, spark, sf_dir):
+        from tumult_core_spark.extensions.sketches import hll_rollup
+        from pyspark.sql import functions as F
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        roll = {
+            r["event_type"]: r["approx_distinct"]
+            for r in hll_rollup(ev, "user_id", ["event_type"]).collect()
+        }
+        exact = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        exact["__all__"] = ev.select("user_id").distinct().count()
+        for k, n in exact.items():
+            assert abs(roll[k] - n) <= max(2, 0.02 * n), (k, roll[k], n)
+
+    def test_determinism_across_partitionings(self, spark, sf_dir):
+        from tumult_core_spark.extensions.sketches import hll_distinct
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        a = hll_distinct(ev, "user_id").first()["approx_distinct"]
+        b = hll_distinct(ev.repartition(16), "user_id").first()["approx_distinct"]
+        assert a == b
+
+    def test_rollup_requires_groups(self, spark, sf_dir):
+        from tumult_core_spark.extensions.sketches import hll_rollup
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        with pytest.raises(ValueError, match="group_cols"):
+            hll_rollup(ev, "user_id", [])

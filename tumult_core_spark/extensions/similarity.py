@@ -457,6 +457,66 @@ def embedding_near_duplicates(
     return within.unionByName(cross)
 
 
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str,
+    vector_col: str,
+    group_col: str,
+    dist_col: str = "centroid_dist",
+    top_k: Optional[int] = None,
+) -> DataFrame:
+    """Distance of every vector to its group's centroid — the standard
+    embedding-space quality filter for training corpora (vectors far
+    from their label/source centroid are mislabeled or junk).
+
+    Scale shape: the centroid is an element-wise mean computed by
+    ``posexplode`` -> per-(group, position) average — map-side partial
+    aggregation means the shuffle carries ``groups x dim`` rows, never
+    the corpus — reassembled into an array and BROADCAST back (groups
+    are assumed dimension-table sized), so the corpus itself is
+    touched once, with the L2 distance evaluated JVM-side via
+    ``zip_with``/``aggregate``.  No Python in the path.
+
+    ``top_k``: keep only the k farthest vectors per group (window
+    rank, ``id_col`` tiebreak for determinism); default all rows.
+    """
+    v = F.col(vector_col).cast("array<double>")
+    base = df.select(F.col(id_col), F.col(group_col), v.alias("__v"))
+    cents = (
+        base.select(group_col, F.posexplode("__v").alias("__pos", "__x"))
+        .groupBy(group_col, "__pos")
+        .agg(F.avg("__x").alias("__m"))
+        .groupBy(group_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias("__pm")
+        )
+        .select(
+            group_col,
+            F.transform(F.col("__pm"), lambda s: s["__m"]).alias("__c"),
+        )
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("__v", "__c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    out = base.join(F.broadcast(cents), group_col).select(
+        F.col(id_col), F.col(group_col), dist.alias(dist_col)
+    )
+    if top_k is not None:
+        w = Window.partitionBy(group_col).orderBy(
+            F.desc(dist_col), F.col(id_col)
+        )
+        out = (
+            out.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= top_k)
+            .drop("__r")
+        )
+    return out
+
+
 def pca_fit(
     corpus: DataFrame,
     vector_col: str,

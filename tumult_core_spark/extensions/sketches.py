@@ -1,0 +1,73 @@
+"""Mergeable cardinality sketches (HyperLogLog) for corpus-scale
+distinct counting.
+
+At 100 TB an exact ``COUNT(DISTINCT x)`` shuffles every distinct value;
+an HLL sketch reduces each partition to a KB-sized buffer that
+map-side-combines, and — because sketches MERGE losslessly — rollups
+(per-group AND grand total) come from ONE corpus scan: union the
+per-group sketches instead of rescanning.  Spark ships the Apache
+DataSketches HLL under ``hll_sketch_agg`` / ``hll_union_agg`` /
+``hll_sketch_estimate`` (public API since 3.5); this module shapes them
+into the two pipeline-facing forms and pins their contracts
+(determinism, exact merge/global agreement, error bound) in tests.
+
+Estimates are deterministic functions of the data (no RNG: item hashes
+are fixed), so results are stable across partitionings and reruns.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Optional[List[str]] = None,
+    lg_k: int = 12,
+    out_col: str = "approx_distinct",
+) -> DataFrame:
+    """Approximate distinct ``value_col`` count (per group, or one
+    global row): one scan, sketch-sized shuffle, relative standard
+    error ~= 1.04 / sqrt(2^lg_k) (~1.6% at the default lg_k=12)."""
+    sk = F.hll_sketch_agg(value_col, F.lit(int(lg_k)))
+    est = F.hll_sketch_estimate(sk).alias(out_col)
+    if group_cols:
+        return df.groupBy(*group_cols).agg(est)
+    return df.agg(est)
+
+
+def hll_rollup(
+    df: DataFrame,
+    value_col: str,
+    group_cols: List[str],
+    lg_k: int = 12,
+    out_col: str = "approx_distinct",
+    total_label: str = "__all__",
+) -> DataFrame:
+    """Per-group approximate distinct counts PLUS the grand total, from
+    ONE corpus scan: the total row is the union of the per-group
+    sketches (lossless HLL merge), never a second pass.  String group
+    columns carry ``total_label`` in the total row; the union estimate
+    is bit-identical to a direct global sketch (pinned in tests).
+    """
+    if not group_cols:
+        raise ValueError("hll_rollup needs group_cols; use hll_distinct")
+    sketches = df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(int(lg_k))).alias("__sk")
+    )
+    # the per-group sketch relation is groups-sized; cache so the
+    # per-group estimates and the union read one materialization
+    sketches = sketches.persist()
+    per_group = sketches.select(
+        *group_cols, F.hll_sketch_estimate("__sk").alias(out_col)
+    )
+    total = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias(out_col)
+    ).select(
+        *[F.lit(total_label).alias(c) for c in group_cols], F.col(out_col)
+    )
+    return per_group.unionByName(total)
