@@ -306,6 +306,17 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT '__all__', COUNT(DISTINCT user_id), TRUE FROM events
         """,
+        "approx_quantile_check": """
+            -- the percentile_approx estimate is Spark-side (GK-style
+            -- mergeable summary); the oracle replays the exact count
+            -- per (group, probability) and the literal TRUE the query
+            -- computes as the rank-window contract check
+            SELECT event_type, p.prob, COUNT(*) AS n, TRUE AS rank_ok
+            FROM events,
+                 (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE,
+                                 0.75::DOUBLE]) AS prob) p
+            GROUP BY 1, 2
+        """,
         "fused_moments": """
             WITH keys(l_returnflag) AS (VALUES ('A'),('N'),('R'),('X')),
             b AS (SELECT l_returnflag,

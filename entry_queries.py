@@ -657,6 +657,46 @@ def q_hll_distinct(spark, sf_dir):
     )
 
 
+def q_approx_quantile_check(spark, sf_dir):
+    """Sketch quantiles with their contract checked in-query: Spark's
+    percentile_approx guarantees the returned element's exact rank is
+    within 1/accuracy of the target (sketches.py::approx_quantiles).
+    The estimate itself isn't DuckDB-replayable, so — like
+    hll_distinct — the query emits the exact value count plus a
+    boolean asserting the rank window [rank<(est), rank<=(est)]
+    intersects [p - eps - 1/n, p + eps + 1/n]; the oracle replays the
+    count and the literal TRUE, and a drifting sketch flips the hash."""
+    from tumult_core_spark.extensions.sketches import approx_quantiles
+
+    acc = 1000
+    probs = [0.25, 0.5, 0.75]
+    ev = _load(spark, sf_dir, "events").select("event_type", "value")
+    est = approx_quantiles(
+        ev, "value", probs, accuracy=acc, group_cols=["event_type"]
+    )
+    checked = (
+        ev.join(est, "event_type")
+        .groupBy("event_type", "prob")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum((F.col("value") < F.col("approx_quantile")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("rank_lt"),
+            (
+                F.sum((F.col("value") <= F.col("approx_quantile")).cast("long"))
+                / F.count(F.lit(1))
+            ).alias("rank_le"),
+        )
+    )
+    eps = 1.0 / acc
+    slack = eps + 1.0 / F.col("n")
+    ok = (F.col("rank_lt") <= F.col("prob") + slack) & (
+        F.col("rank_le") >= F.col("prob") - slack
+    )
+    return checked.select("event_type", "prob", "n", ok.alias("rank_ok"))
+
+
 def q_ann_topk(spark, sf_dir):
     from tumult_core_spark.extensions.similarity import brute_force_knn
 
@@ -1674,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "pagerank": q_pagerank,
         "hll_distinct": q_hll_distinct,
+        "approx_quantile_check": q_approx_quantile_check,
         # --- then the 32 entries the r9 batch (50 rows) did not
         # --- reach — all r8-driver-green; code unchanged since r8 ---
         "connected_components": q_connected_components,

@@ -2630,3 +2630,58 @@ class TestHllSketches:
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         with pytest.raises(ValueError, match="group_cols"):
             hll_rollup(ev, "user_id", [])
+
+
+class TestApproxQuantiles:
+    def test_rank_error_bound_vs_exact(self, spark, sf_dir):
+        from tumult_core_spark.extensions.sketches import approx_quantiles
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        probs = [0.1, 0.5, 0.9]
+        acc = 1000
+        out = approx_quantiles(
+            ev, "value", probs, accuracy=acc, group_cols=["event_type"]
+        ).collect()
+        assert len(out) == 3 * ev.select("event_type").distinct().count()
+        vals = {}
+        for r in ev.select("event_type", "value").collect():
+            vals.setdefault(r["event_type"], []).append(r["value"])
+        for r in out:
+            v = sorted(vals[r["event_type"]])
+            n = len(v)
+            est = r["approx_quantile"]
+            rank_lt = sum(1 for x in v if x < est) / n
+            rank_le = sum(1 for x in v if x <= est) / n
+            eps = 1.0 / acc + 1.0 / n
+            assert rank_lt <= r["prob"] + eps and rank_le >= r["prob"] - eps, r
+
+    def test_rank_contract_holds_under_repartitioning(self, spark, sf_dir):
+        # the merged GK summary is partitioning-DEPENDENT (estimates
+        # can move within the rank window when partition boundaries
+        # change), so the invariant pinned here is the CONTRACT, not
+        # bit-stability: any partitioning's estimate satisfies the
+        # rank bound; the same plan rerun is stable
+        from tumult_core_spark.extensions.sketches import approx_quantiles
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        v = sorted(r["value"] for r in ev.select("value").collect())
+        n = len(v)
+        eps = 1.0 / 500 + 1.0 / n
+        for frame in (ev, ev.repartition(16)):
+            est = approx_quantiles(frame, "value", [0.5], 500).first()[
+                "approx_quantile"
+            ]
+            rank_lt = sum(1 for x in v if x < est) / n
+            rank_le = sum(1 for x in v if x <= est) / n
+            assert rank_lt <= 0.5 + eps and rank_le >= 0.5 - eps
+        a = approx_quantiles(ev, "value", [0.5], 500).first()
+        b = approx_quantiles(ev, "value", [0.5], 500).first()
+        assert a == b
+
+    def test_ungrouped_long_form(self, spark, sf_dir):
+        from tumult_core_spark.extensions.sketches import approx_quantiles
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        out = approx_quantiles(ev, "value", [0.25, 0.75]).collect()
+        assert [r["prob"] for r in out] == [0.25, 0.75]
+        assert out[0]["approx_quantile"] <= out[1]["approx_quantile"]

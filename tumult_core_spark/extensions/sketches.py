@@ -40,6 +40,49 @@ def hll_distinct(
     return df.agg(est)
 
 
+def approx_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probabilities: List[float],
+    accuracy: int = 10000,
+    group_cols: Optional[List[str]] = None,
+    prob_col: str = "prob",
+    out_col: str = "approx_quantile",
+) -> DataFrame:
+    """Approximate quantiles via Spark's ``percentile_approx``
+    (Greenwald-Khanna style mergeable summary): one scan, summary-sized
+    shuffle, guaranteed rank error <= 1/accuracy — the 100 TB
+    replacement for an exact sort-based percentile.
+
+    Output is long-form: one row per (group x probability) with the
+    probability in ``prob_col`` — joinable back against the data for
+    rank-error validation (see ``q_approx_quantile_check``).
+
+    Unlike the HLL sketches, the merged GK summary DEPENDS on
+    partition boundaries: repartitioning the input can move the
+    estimate within the rank-error window (the contract the tests and
+    the registry entry pin), so don't expect bit-stable values across
+    different partitionings — only across reruns of the same plan.
+    """
+    probs = [float(p) for p in probabilities]
+    agg = F.percentile_approx(
+        value_col,
+        F.array(*[F.lit(p) for p in probs]),
+        F.lit(int(accuracy)),
+    ).alias("__qs")
+    base = df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
+    prob_arr = F.array(*[F.lit(p) for p in probs])
+    out = base.select(
+        *(group_cols or []),
+        F.posexplode("__qs").alias("__i", out_col),
+    ).select(
+        *(group_cols or []),
+        F.element_at(prob_arr, F.col("__i") + 1).alias(prob_col),
+        out_col,
+    )
+    return out
+
+
 def hll_rollup(
     df: DataFrame,
     value_col: str,
