@@ -115,13 +115,32 @@ def free_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+#: Releases at or below this many rows freeze via a driver collect +
+#: local relation instead of a parquet round-trip.  Typical DP releases
+#: are group-keys-sized (dozens to thousands of rows) and the parquet
+#: write/commit/re-read dominated their wall-clock (~0.7 s per release
+#: measured at 6 rows); 50k rows keeps the driver transfer bounded
+#: (~tens of MB worst case) while covering every grouped release the
+#: factories produce short of full histograms.
+SMALL_RELEASE_ROWS = 50_000
+
+
 def sanitize_df(df: DataFrame, materialize_output: bool = True) -> DataFrame:
     """Randomize partitioning and row order, then freeze the result.
 
     Steps: add a ``rand()`` column, repartition on it (destroys any
     data-dependent partitioning), sort within partitions by all output
     columns (destroys residual input order), drop the helper column,
-    then materialize so nondeterministic noise is sampled exactly once.
+    then freeze so nondeterministic noise is sampled exactly once.
+
+    Freezing is sized to the release: the shuffled plan is persisted
+    and counted (the ONE forced evaluation — noise is sampled here and
+    every later read sees the same values), then a small release
+    (<= :data:`SMALL_RELEASE_ROWS`) comes back as an immutable local
+    relation from that cache, while a large one goes through the
+    parquet round-trip in :func:`materialize` (reading the cache, not
+    re-evaluating).  Both forms are immutable; the local form skips
+    the file write/commit/re-read that dominated small-release cost.
     """
     cols = df.columns
     shuffled = (
@@ -138,7 +157,24 @@ def sanitize_df(df: DataFrame, materialize_output: bool = True) -> DataFrame:
         .sortWithinPartitions(*[F.col(f"`{c}`") for c in cols])
         .drop("__shuffle_key")
     )
-    return materialize(shuffled) if materialize_output else shuffled
+    if not materialize_output:
+        return shuffled
+    from pyspark.storagelevel import StorageLevel
+
+    cached = shuffled.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n = cached.count()
+        if n <= SMALL_RELEASE_ROWS:
+            rows = cached.collect()
+            return (
+                df.sparkSession.createDataFrame(rows, schema=cached.schema)
+                # match the parquet path's layout for tiny releases:
+                # one partition, not defaultParallelism slivers
+                .coalesce(1)
+            )
+        return materialize(cached)
+    finally:
+        cached.unpersist()
 
 
 def coerce_lit(value, data_type):
