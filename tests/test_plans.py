@@ -147,10 +147,49 @@ def test_sanitize_rebalances_to_data_size(spark):
     plan = plan_of(pre)
     assert "REBALANCE_PARTITIONS_BY_COL" in plan
     out = sanitize_df(df)
-    # multiset preserved, tiny release coalesced to a single partition
+    # multiset preserved, tiny release frozen as a JVM local relation
     assert out.count() == 3000
     assert out.agg(F.sum("v")).collect()[0][0] == sum(range(3000))
-    assert out.rdd.getNumPartitions() == 1
+    assert "LocalTableScan" in plan_of(out)
+
+
+def test_release_freeze_is_local_relation_not_python_rdd(spark):
+    """Regression gate for the r10 defect: a frozen small release must
+    be an immutable JVM ``LocalTableScan`` — never a Python-RDD-backed
+    relation (``Scan ExistingRDD`` / ``BatchEvalPython``) whose every
+    downstream action re-runs a Python-worker scan (measured 5-12 s per
+    read at the r10 HEAD), and never the unfrozen nondeterministic
+    plan.  Gates both the plan shape and the re-read latency."""
+    import time
+
+    from tumult_core_spark.utils.misc import sanitize_df
+
+    noisy = spark.range(6).select(
+        F.col("id").alias("k"),
+        (F.col("id") + F.randn()).alias("v"),
+        # exercise the Arrow round-trip hazards: nullable ints + NaN
+        F.when(F.col("id") % 2 == 0, F.col("id")).alias("n"),
+        F.when(F.col("id") % 3 == 0, F.lit(float("nan"))).alias("x"),
+    )
+    rel = sanitize_df(noisy)
+    plan = plan_of(rel)
+    assert "LocalTableScan" in plan, plan
+    assert "Scan ExistingRDD" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    # noise frozen: repeated reads see identical values
+    first = sorted(rel.collect(), key=lambda r: r.k)
+    second = sorted(rel.collect(), key=lambda r: r.k)
+    assert [r.v for r in first] == [r.v for r in second]
+    # Arrow round-trip fidelity: schema intact, null-vs-NaN preserved
+    assert rel.schema == noisy.schema
+    assert [r.n for r in first] == [0, None, 2, None, 4, None]
+    assert [x != x for x in (r.x for r in first)] == [
+        True, False, False, True, False, False,
+    ]
+    # latency gate: a re-read of a 6-row release is effectively free
+    start = time.time()
+    rel.collect()
+    assert time.time() - start < 1.0
 
 
 def test_new_text_ops_stay_jvm_side(spark, sf_dir):

@@ -87,10 +87,33 @@ def cut_lineage(df: DataFrame, checkpoint_dir: Optional[str] = None) -> DataFram
     cur_val = current.get() if current.isDefined() else None
     # setCheckpointDir appends a fresh UUID subdir each call — only
     # (re)set when unset or pointed elsewhere, so every round of the
-    # loop shares one directory
-    if cur_val is None or checkpoint_dir not in cur_val:
+    # loop shares one directory.  The comparison is the path-normalized
+    # PARENT of the stored UUID subdir (a substring test would treat
+    # /a/ckpt2 as already-set when /a/ckpt is stored, and vice versa).
+    # NOTE: the checkpoint directory is SparkContext-global — two
+    # concurrent iterative jobs on one session that pass different
+    # ``checkpoint_dir``s will ping-pong the setting; give them the
+    # same directory (the UUID subdirs keep their files apart).
+    if cur_val is None or _checkpoint_parent(cur_val) != _strip_file_scheme(
+        checkpoint_dir
+    ):
         sc.setCheckpointDir(checkpoint_dir)
     return df.checkpoint(eager=True)
+
+
+def _strip_file_scheme(path: str) -> str:
+    """Normalize a local path or file: URI for equality comparison."""
+    for prefix in ("file://", "file:"):
+        if path.startswith(prefix):
+            path = path[len(prefix):]
+            break
+    return os.path.normpath(path)
+
+
+def _checkpoint_parent(stored: str) -> str:
+    """Parent of the UUID subdir SparkContext stores as its checkpoint
+    dir, normalized like :func:`_strip_file_scheme`'s output."""
+    return os.path.dirname(_strip_file_scheme(stored))
 
 
 def free_local_checkpoint(df: DataFrame) -> None:
@@ -115,13 +138,14 @@ def free_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
-#: Releases at or below this many rows freeze via a driver collect +
-#: local relation instead of a parquet round-trip.  Typical DP releases
-#: are group-keys-sized (dozens to thousands of rows) and the parquet
-#: write/commit/re-read dominated their wall-clock (~0.7 s per release
-#: measured at 6 rows); 50k rows keeps the driver transfer bounded
-#: (~tens of MB worst case) while covering every grouped release the
-#: factories produce short of full histograms.
+#: Releases at or below this many rows freeze as a driver-built Arrow
+#: local relation (``LocalTableScan``) instead of a parquet round-trip.
+#: Typical DP releases are group-keys-sized (dozens to thousands of
+#: rows) and the parquet write/commit/re-read dominated their
+#: wall-clock (~0.7 s per release measured at 6 rows); 50k rows keeps
+#: the driver transfer bounded (~tens of MB worst case) while covering
+#: every grouped release the factories produce short of full
+#: histograms.
 SMALL_RELEASE_ROWS = 50_000
 
 
@@ -133,14 +157,21 @@ def sanitize_df(df: DataFrame, materialize_output: bool = True) -> DataFrame:
     columns (destroys residual input order), drop the helper column,
     then freeze so nondeterministic noise is sampled exactly once.
 
-    Freezing is sized to the release: the shuffled plan is persisted
-    and counted (the ONE forced evaluation — noise is sampled here and
-    every later read sees the same values), then a small release
-    (<= :data:`SMALL_RELEASE_ROWS`) comes back as an immutable local
-    relation from that cache, while a large one goes through the
-    parquet round-trip in :func:`materialize` (reading the cache, not
-    re-evaluating).  Both forms are immutable; the local form skips
-    the file write/commit/re-read that dominated small-release cost.
+    Freezing is sized to the release with ONE forced evaluation either
+    way.  ``limit(SMALL_RELEASE_ROWS + 1).toArrow()`` is the single
+    action that samples the noise: when the release fits (the common
+    group-keys-sized case) the collected Arrow table IS the frozen
+    result — ``createDataFrame(pa.Table)`` embeds it in the plan as an
+    immutable JVM ``LocalTableScan`` (NOT a Python-RDD scan: re-reads
+    cost ~10 ms, the relation broadcasts for free in downstream joins,
+    and the Arrow path round-trips nulls/NaN/date/decimal/nested types
+    exactly — all pinned by tests).  A larger release falls through to
+    the parquet round-trip in :func:`materialize`, reading the
+    persisted cache: partitions the probe action already computed are
+    cached whole (Spark block-store caching is all-or-nothing per
+    partition), so each partition's noise is still sampled exactly
+    once.  50k rows of a grouped release is far below driver memory;
+    anything bigger belongs in parquet on shared storage anyway.
     """
     cols = df.columns
     shuffled = (
@@ -163,15 +194,9 @@ def sanitize_df(df: DataFrame, materialize_output: bool = True) -> DataFrame:
 
     cached = shuffled.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        n = cached.count()
-        if n <= SMALL_RELEASE_ROWS:
-            rows = cached.collect()
-            return (
-                df.sparkSession.createDataFrame(rows, schema=cached.schema)
-                # match the parquet path's layout for tiny releases:
-                # one partition, not defaultParallelism slivers
-                .coalesce(1)
-            )
+        head = cached.limit(SMALL_RELEASE_ROWS + 1).toArrow()
+        if head.num_rows <= SMALL_RELEASE_ROWS:
+            return df.sparkSession.createDataFrame(head, schema=cached.schema)
         return materialize(cached)
     finally:
         cached.unpersist()
