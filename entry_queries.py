@@ -632,12 +632,15 @@ def q_hll_distinct(spark, sf_dir):
     is the lossless union of the per-group sketches —
     sketches.py::hll_rollup).  Self-validating oracle form: the exact
     distinct count is emitted alongside a boolean pinning the sketch
-    estimate within 2% of it, so the oracle replays the exact count
-    and the literal TRUE — a broken sketch flips the hash."""
+    estimate within 2.5% of it, so the oracle replays the exact count
+    and the literal TRUE — a broken sketch flips the hash.  The bound
+    is a real guarantee, not a lucky draw: at lg_k=14 HLL's relative
+    standard error is ~1.04/sqrt(2^14) ~= 0.81%, so 2.5% is ~3 sigma
+    — a healthy sketch passes on any corpus/SF."""
     from tumult_core_spark.extensions.sketches import hll_rollup
 
     ev = _load(spark, sf_dir, "events")
-    approx = hll_rollup(ev, "user_id", ["event_type"])
+    approx = hll_rollup(ev, "user_id", ["event_type"], lg_k=14)
     exact = (
         ev.groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("n_users"))
@@ -652,7 +655,7 @@ def q_hll_distinct(spark, sf_dir):
         "n_users",
         (
             F.abs(F.col("approx_distinct") - F.col("n_users"))
-            <= 0.02 * F.col("n_users")
+            <= 0.025 * F.col("n_users")
         ).alias("hll_ok"),
     )
 

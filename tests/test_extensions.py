@@ -778,6 +778,39 @@ class TestConnectedComponents:
         ]
         assert rdd_dirs, "no reliable checkpoint was written"
 
+    def test_checkpoint_dir_reaches_through_pipeline_helper(self, spark, tmp_path):
+        # checkpoint_dir must be reachable from the public dedup-facing
+        # helper without touching extension internals, and a dir whose
+        # path contains another as a PREFIX must still be re-set (the
+        # old substring test silently kept the previous location)
+        import os
+
+        from tumult_core_spark.extensions.components import canonical_duplicates
+
+        d1 = str(tmp_path / "ckpt")
+        d2 = str(tmp_path / "ckpt2")  # d1 is a prefix of d2
+        pairs = spark.createDataFrame(
+            [(1, 5), (5, 9), (2, 4)], "id_a long, id_b long"
+        )
+        got = {
+            r["doc_id"]: r["canonical_id"]
+            for r in canonical_duplicates(pairs, checkpoint_dir=d1).collect()
+        }
+        assert got == {1: 1, 5: 1, 9: 1, 2: 2, 4: 2}
+        got2 = {
+            r["doc_id"]: r["canonical_id"]
+            for r in canonical_duplicates(pairs, checkpoint_dir=d2).collect()
+        }
+        assert got2 == got
+        for d in (d1, d2):
+            rdds = [
+                f
+                for root, dirs, _ in os.walk(d)
+                for f in dirs
+                if f.startswith("rdd-")
+            ]
+            assert rdds, f"no reliable checkpoint written under {d}"
+
     def test_canonical_duplicates_drop_set(self, spark):
         from tumult_core_spark.extensions.components import canonical_duplicates
 

@@ -109,6 +109,30 @@ class TestMeasures:
         assert b.can_spend(PureDPBudget(10**9))
         assert not b.subtract(PureDPBudget(5)).is_finite() is False or True
 
+    def test_insufficient_budget_error(self):
+        """Overspending raises the typed InsufficientBudgetError with the
+        reference's message and attributes (reference ``measures.py:20``,
+        raise sites ``measures.py:356,423,486``) — and it stays
+        catchable as a plain ValueError."""
+        from tumult_core_spark.exceptions import InsufficientBudgetError
+
+        with pytest.raises(InsufficientBudgetError) as info:
+            PureDPBudget(1).assert_can_spend_budget(PureDPBudget(2))
+        assert info.value.remaining_budget == PureDPBudget(1)
+        assert info.value.requested_budget == PureDPBudget(2)
+        assert "insufficient given the requested budget" in str(info.value)
+        # subtract routes through the same check
+        with pytest.raises(InsufficientBudgetError):
+            RhoZCDPBudget("1/2").subtract(RhoZCDPBudget(1))
+        # delta alone can breach an ApproxDP budget
+        with pytest.raises(InsufficientBudgetError):
+            ApproxDPBudget(1, "1/100").subtract(ApproxDPBudget(1, "1/2"))
+        # backward compatibility: it IS a ValueError
+        with pytest.raises(ValueError):
+            PureDPBudget(1).assert_can_spend_budget(PureDPBudget(2))
+        # infinite budgets always pass
+        PureDPBudget(float("inf")).assert_can_spend_budget(PureDPBudget(10**9))
+
     def test_approx_budget(self):
         b = ApproxDPBudget(1, "1/100")
         assert b.can_spend(ApproxDPBudget("1/2", "1/200"))

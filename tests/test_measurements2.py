@@ -12,7 +12,7 @@ from tumult_core_spark.domains import (
     SparkStringColumnDescriptor,
 )
 from tumult_core_spark.exact_number import ExactNumber
-from tumult_core_spark.measures import PureDP, PureDPBudget
+from tumult_core_spark.measures import InsufficientBudgetError, PureDP, PureDPBudget
 from tumult_core_spark.metrics import (
     DictMetric,
     SumOf,
@@ -346,7 +346,7 @@ class TestInteractive:
         assert acct.privacy_budget.value == 0
 
         # budget exhausted
-        with pytest.raises(ValueError, match="Insufficient budget"):
+        with pytest.raises(InsufficientBudgetError, match="insufficient given the requested"):
             acct.measure(
                 create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 1)
             )
@@ -715,7 +715,7 @@ class TestDictionary:
         )  # spend 2 -> 3
         c0.transform_in_place(Filter(dom, SymmetricDifference(), "x < 50"))
         c0.measure(count)  # child budget 2 -> 1
-        with pytest.raises(ValueError, match="Insufficient budget"):
+        with pytest.raises(InsufficientBudgetError, match="insufficient given the requested"):
             c0.measure(
                 create_count_measurement(
                     dom, SymmetricDifference(), PureDP(), 1, 2

@@ -7,8 +7,9 @@ the corresponding site (``ValueError`` / ``TypeError``), so existing
 ``except ValueError`` handlers keep catching them too.
 ``OutOfDomainError`` lives in :mod:`tumult_core_spark.domains` and
 ``UnsupportedSympyExprError`` in :mod:`tumult_core_spark.exact_number`
-(they predate this module / avoid an import cycle) and are re-exported
-here for parity.  The base classes deliberately differ from the
+(they predate this module / avoid an import cycle), as does
+``InsufficientBudgetError`` in :mod:`tumult_core_spark.measures`
+(reference ``measures.py:20``); all are re-exported here for parity.  The base classes deliberately differ from the
 reference where the reference subclasses ``Exception`` directly — see
 LIMITATIONS.md "Exception base classes".
 """
@@ -17,10 +18,12 @@ from __future__ import annotations
 
 from .domains import OutOfDomainError
 from .exact_number import UnsupportedSympyExprError
+from .measures import InsufficientBudgetError
 
 __all__ = [
     "OutOfDomainError",
     "UnsupportedSympyExprError",
+    "InsufficientBudgetError",
     "DomainMismatchError",
     "UnsupportedDomainError",
     "DomainKeyError",

@@ -232,14 +232,23 @@ def canonical_duplicates(
     pairs: DataFrame,
     id_col: str = "id_a",
     id_col_b: str = "id_b",
+    checkpoint_dir: str = None,
 ) -> DataFrame:
     """(doc_id, canonical_id) for every document that appears in the
     near-duplicate pair relation: the canonical is the smallest id of
     its duplicate cluster.  Rows with doc_id != canonical_id are the
     ones a dedup pipeline drops; an anti-join of the corpus against
     that set implements "keep one per cluster" without ever
-    materializing clusters driver-side."""
-    comp = connected_components(pairs, src=id_col, dst=id_col_b)
+    materializing clusters driver-side.
+
+    ``checkpoint_dir`` is forwarded to the underlying
+    :func:`connected_components` loop: set it to a shared path
+    (HDFS/S3) for RELIABLE per-round checkpoints that survive executor
+    loss on a cluster; the default local checkpoint is fastest but not
+    fault-tolerant at scale."""
+    comp = connected_components(
+        pairs, src=id_col, dst=id_col_b, checkpoint_dir=checkpoint_dir
+    )
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
     )

@@ -99,12 +99,19 @@ def hll_rollup(
     """
     if not group_cols:
         raise ValueError("hll_rollup needs group_cols; use hll_distinct")
+    from ..utils.misc import materialize
+
     sketches = df.groupBy(*group_cols).agg(
         F.hll_sketch_agg(value_col, F.lit(int(lg_k))).alias("__sk")
     )
-    # the per-group sketch relation is groups-sized; cache so the
-    # per-group estimates and the union read one materialization
-    sketches = sketches.persist()
+    # The per-group sketch relation is groups-sized (KBs per group).
+    # Materialize it eagerly via a parquet round-trip so the per-group
+    # estimates and the union both read ONE corpus scan's output.  A
+    # persist() here would leak a cached relation per call (nothing
+    # downstream can know when to unpersist it); the parquet form costs
+    # one small write, is shared-storage-correct on a cluster, and is
+    # reclaimed with the session temp dir.
+    sketches = materialize(sketches)
     per_group = sketches.select(
         *group_cols, F.hll_sketch_estimate("__sk").alias(out_col)
     )

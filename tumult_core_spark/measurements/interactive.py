@@ -25,7 +25,7 @@ from typing import Any, List, Optional, Sequence
 from ..base import Measurement, Transformation
 from ..domains import Domain, ListDomain
 from ..exact_number import ExactNumber
-from ..measures import ApproxDP, Measure, PrivacyBudget
+from ..measures import ApproxDP, InsufficientBudgetError, Measure, PrivacyBudget
 from ..metrics import Metric, RootSumOfSquared, SumOf
 
 
@@ -224,9 +224,7 @@ class SequentialQueryable(Queryable):
             loss = measurement.privacy_function(self._d_in)
         cost = _loss_to_budget(self._output_measure, loss)
         if not self._remaining.can_spend(cost):
-            raise ValueError(
-                f"Insufficient budget: need {cost}, have {self._remaining}"
-            )
+            raise InsufficientBudgetError(self._remaining, cost)
         if self._remaining.is_finite():
             self._remaining = self._remaining.subtract(cost)
         if isinstance(query, MeasurementQuery):
@@ -564,7 +562,7 @@ class PrivacyAccountant:
             raise ValueError(f"Measurement loss {loss} exceeds claimed {d_out}")
         cost = _loss_to_budget(self.output_measure, loss)
         if not self._budget.can_spend(cost):
-            raise ValueError(f"Insufficient budget: need {cost}, have {self._budget}")
+            raise InsufficientBudgetError(self._budget, cost)
         self._budget = self._budget.subtract(cost)
         return measurement(self._data)
 
@@ -579,9 +577,7 @@ class PrivacyAccountant:
         if not isinstance(out_domain, ListDomain):
             raise ValueError("Partition transformation must output a ListDomain")
         if not self._budget.can_spend(privacy_budget):
-            raise ValueError(
-                f"Insufficient budget: need {privacy_budget}, have {self._budget}"
-            )
+            raise InsufficientBudgetError(self._budget, privacy_budget)
         self._budget = self._budget.subtract(privacy_budget)
         parts = partition_transformation(self._data)
         child_d_in = partition_transformation.stability_function(self.d_in)

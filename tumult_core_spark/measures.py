@@ -86,6 +86,37 @@ def _as_pair(value: Any) -> Tuple[ExactNumber, ExactNumber]:
 # ---------------------------------------------------------------------------
 
 
+class InsufficientBudgetError(ValueError):
+    """An operation requested more privacy budget than remains.
+
+    Raised by budget subtraction and by the interactive accountant /
+    queryables when a query's cost exceeds the remaining budget
+    (reference ``measures.py:20-52``, raised at
+    ``measures.py:356,423,486``).  Subclasses ``ValueError`` so
+    pre-existing ``except ValueError`` handlers keep catching it.
+    """
+
+    def __init__(
+        self, remaining_budget: "PrivacyBudget", requested_budget: "PrivacyBudget"
+    ):
+        self._remaining_budget = remaining_budget
+        self._requested_budget = requested_budget
+        super().__init__(
+            f"The remaining privacy budget is {remaining_budget}, which "
+            f"is insufficient given the requested budget {requested_budget}."
+        )
+
+    @property
+    def remaining_budget(self) -> "PrivacyBudget":
+        """The budget that was available."""
+        return self._remaining_budget
+
+    @property
+    def requested_budget(self) -> "PrivacyBudget":
+        """The budget the operation asked for."""
+        return self._requested_budget
+
+
 class PrivacyBudget(ABC):
     """An amount of privacy loss in a particular measure."""
 
@@ -105,6 +136,12 @@ class PrivacyBudget(ABC):
 
     @abstractmethod
     def can_spend(self, other: "PrivacyBudget") -> bool: ...
+
+    def assert_can_spend_budget(self, other: "PrivacyBudget") -> None:
+        """Raise :class:`InsufficientBudgetError` unless ``other`` fits
+        within this budget (reference ``measures.py:289,348,413,478``)."""
+        if not self.can_spend(other):
+            raise InsufficientBudgetError(self, other)
 
     @staticmethod
     def cast(measure: Measure, value: Any) -> "PrivacyBudget":
@@ -151,8 +188,7 @@ class PureDPBudget(PrivacyBudget):
         return self._epsilon.is_finite
 
     def subtract(self, other: "PrivacyBudget") -> "PureDPBudget":
-        if not self.can_spend(other):
-            raise ValueError(f"Cannot subtract {other} from {self}")
+        self.assert_can_spend_budget(other)
         if not self.is_finite():
             return PureDPBudget(self._epsilon)
         return PureDPBudget(self._epsilon - other.value)
@@ -195,8 +231,7 @@ class ApproxDPBudget(PrivacyBudget):
         return self._epsilon.is_finite and self._delta < 1
 
     def subtract(self, other: "PrivacyBudget") -> "ApproxDPBudget":
-        if not self.can_spend(other):
-            raise ValueError(f"Cannot subtract {other} from {self}")
+        self.assert_can_spend_budget(other)
         if not self.is_finite():
             return ApproxDPBudget(self._epsilon, self._delta)
         oe, od = other.value
@@ -237,8 +272,7 @@ class RhoZCDPBudget(PrivacyBudget):
         return self._rho.is_finite
 
     def subtract(self, other: "PrivacyBudget") -> "RhoZCDPBudget":
-        if not self.can_spend(other):
-            raise ValueError(f"Cannot subtract {other} from {self}")
+        self.assert_can_spend_budget(other)
         if not self.is_finite():
             return RhoZCDPBudget(self._rho)
         return RhoZCDPBudget(self._rho - other.value)
