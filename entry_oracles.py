@@ -43,6 +43,15 @@ def oracle_sql() -> dict[str, str]:
         os.path.dirname(os.path.abspath(__file__)),
         "tests", "fixtures", "bpe_expected.parquet",
     )
+    # multimodal_decode: expected image stats computed DIRECTLY from
+    # the deterministic pixel arrays with numpy — PNG never touched on
+    # the oracle side, so the Spark query's real PNG encode->decode
+    # round-trip is what the hash verifies
+    # (tests/fixtures/make_png_fixture.py)
+    png_fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "png_expected.parquet",
+    )
     # SF-keyed pinned constants (temperature_mix thresholds and the
     # dedup candidate-set cardinality regression pins) — deterministic
     # functions of the documents corpus, one block per shipped SF,
@@ -72,6 +81,18 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT),
                    NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::INTEGER
             FROM k WHERE NOT EXISTS (SELECT 1 FROM '{mm_fixture}' WHERE sf_key = k.key)
+        """,
+        "multimodal_decode": f"""
+            WITH k AS (SELECT bit_xor(hash(doc_id, text)) AS key FROM documents)
+            SELECT f.doc_id, f.width, f.height, f.channels, f.mean_value
+            FROM '{png_fixture}' f, k WHERE f.sf_key = k.key
+            UNION ALL
+            SELECT CAST(error('png fixture has no block for this documents '
+                              'table — regenerate with '
+                              'tests/fixtures/make_png_fixture.py')
+                        AS BIGINT),
+                   NULL::INTEGER, NULL::INTEGER, NULL::INTEGER, NULL::DOUBLE
+            FROM k WHERE NOT EXISTS (SELECT 1 FROM '{png_fixture}' WHERE sf_key = k.key)
         """,
         "pca_project": f"""
             WITH k AS (SELECT bit_xor(hash(vec_id, embedding)) AS key

@@ -1186,6 +1186,31 @@ def q_multimodal_features(spark, sf_dir):
 
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """REAL compressed-codec round-trip through the full Spark
+    plumbing: per document, a deterministic test image is synthesized
+    from the text bytes, encoded as a genuine baseline PNG (stdlib
+    zlib DEFLATE + forward scanline filtering, cycling all five filter
+    types by doc_id), then decoded back by the real stdlib PNG decoder
+    and profiled (multimodal.py::synthesize_png_images + image_stats).
+    The oracle replays the expected stats from the pixel arrays alone
+    (fixture computed with numpy, no PNG anywhere —
+    tests/fixtures/make_png_fixture.py), so any defect in the
+    encode/filter/inflate/unfilter path flips the value hash."""
+    from tumult_core_spark.extensions.multimodal import (
+        image_stats,
+        synthesize_png_images,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = synthesize_png_images(docs, "text", "doc_id")
+    stats = image_stats(payloads, "payload", "doc_id", decoder="real")
+    return stats.select(
+        "doc_id", "width", "height", "channels",
+        F.round("mean_value", 5).alias("mean_value"),
+    )
+
+
 def q_zcdp_groupby_count(spark, sf_dir):
     """Grouped count under zCDP (discrete Gaussian path, noise off)."""
     from tumult_core_spark.measures import RhoZCDP
@@ -1703,69 +1728,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order.  The per-round driver checks roughly the first 50 registry
     # entries against the DuckDB oracle, so each round the entries with
     # the least-fresh driver evidence go FIRST:
-    #   r10 front block = the 32 entries the r9 batch (50 rows, all
-    #   green) did not reach — every one r8-driver-green with code
-    #   unchanged since — plus any entries NEW in r10 (fused_moments),
-    #   which need a first driver row.  The tail = the 50 r9-green
-    #   entries in their r9 order.  After r10, every entry again has a
+    #   r11 front block = the 37 entries whose latest driver-green row
+    #   is r9 (the r10 batch of 50 did not reach them; code unchanged
+    #   since r9 except the hll/sketch touch-ups, which sit in the r10
+    #   tail and re-verify locally).  The tail = the 50 r10-green
+    #   entries in their r10 order.  After r11, every entry again has a
     #   driver-green row within the last two rounds.
-    #   r11: rotate again — move whatever the r10 batch does not reach
+    #   r12: rotate again — move whatever the r11 batch does not reach
     #   back to the front.
     return {
-        # --- r10 front: new-in-r10 entries first ---
-        "fused_moments": q_fused_moments,
-        "embedding_outliers": q_embedding_outliers,
-        "pagerank": q_pagerank,
-        "hll_distinct": q_hll_distinct,
-        "approx_quantile_check": q_approx_quantile_check,
-        # --- then the 32 entries the r9 batch (50 rows) did not
-        # --- reach — all r8-driver-green; code unchanged since r8 ---
-        "connected_components": q_connected_components,
-        "dedup_connected": q_dedup_connected,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        "training_mix": q_training_mix,
-        "decontaminate": q_decontaminate,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "bigram_logprob": q_bigram_logprob,
-        "stream_interval_join": q_stream_interval_join,
-        "profile_quantiles": q_profile_quantiles,
-        "preprocess_pipeline": q_preprocess_pipeline,
-        "rolling_aggregate": q_rolling_aggregate,
-        "sessionize_batch": q_sessionize_batch,
-        "redact_pii": q_redact_pii,
-        "variance_intermediates": q_variance_intermediates,
-        "streaming_dedup": q_streaming_dedup,
-        "sq_knn": q_sq_knn,
-        "normalize_text": q_normalize_text,
-        "add_unique_column": q_add_unique_column,
-        "join_on_nulls": q_join_on_nulls,
-        "ann_ivf": q_ann_ivf,
-        "sessionize": q_sessionize,
-        "embedding_near_dups": q_embedding_near_dups,
-        "private_join_on_key": q_private_join_on_key,
-        "limit_rows_per_key_per_group": q_limit_rows_per_key_per_group,
-        "groupby_stddev": q_groupby_stddev,
-        "filter_select": q_filter_select,
-        "rename": q_rename,
-        "groupby_count": q_groupby_count,
-        "groupby_count_distinct": q_groupby_count_distinct,
-        "groupby_sum": q_groupby_sum,
-        # --- tail: the 50 r9-green entries in their r9 order ---
-        "total_counts": q_total_counts,
-        "average": q_average,
-        "variance": q_variance,
-        "public_join": q_public_join,
-        "private_join_drop": q_private_join_drop,
-        "limit_rows_per_group": q_limit_rows_per_group,
-        "limit_keys_per_group": q_limit_keys_per_group,
-        "partition_selection": q_partition_selection,
-        "bounds": q_bounds,
-        "quantile_median": q_quantile_median,
-        "partition_by_keys": q_partition_by_keys,
-        "map_revenue": q_map_derive,
-        "flatmap_by_key": q_flatmap_by_key,
+        # --- r11 front: new-in-r11 entries first (need a first driver row) ---
+        "multimodal_decode": q_multimodal_decode,
+        # --- then the 37 entries last driver-checked in r9 ---
         "profile_table": q_profile_table,
         "profile_numeric": q_profile_numeric,
         "json_extract": q_json_extract,
@@ -1803,6 +1777,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replace_nans_infs": q_replace_nans_infs,
         "flatmap_explode": q_flatmap_explode,
         "grouping_flatmap": q_grouping_flatmap,
+        # --- tail: the 50 r10-green entries in their r10 order ---
+        "fused_moments": q_fused_moments,
+        "embedding_outliers": q_embedding_outliers,
+        "pagerank": q_pagerank,
+        "hll_distinct": q_hll_distinct,
+        "approx_quantile_check": q_approx_quantile_check,
+        "connected_components": q_connected_components,
+        "dedup_connected": q_dedup_connected,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "training_mix": q_training_mix,
+        "decontaminate": q_decontaminate,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "bigram_logprob": q_bigram_logprob,
+        "stream_interval_join": q_stream_interval_join,
+        "profile_quantiles": q_profile_quantiles,
+        "preprocess_pipeline": q_preprocess_pipeline,
+        "rolling_aggregate": q_rolling_aggregate,
+        "sessionize_batch": q_sessionize_batch,
+        "redact_pii": q_redact_pii,
+        "variance_intermediates": q_variance_intermediates,
+        "streaming_dedup": q_streaming_dedup,
+        "sq_knn": q_sq_knn,
+        "normalize_text": q_normalize_text,
+        "add_unique_column": q_add_unique_column,
+        "join_on_nulls": q_join_on_nulls,
+        "ann_ivf": q_ann_ivf,
+        "sessionize": q_sessionize,
+        "embedding_near_dups": q_embedding_near_dups,
+        "private_join_on_key": q_private_join_on_key,
+        "limit_rows_per_key_per_group": q_limit_rows_per_key_per_group,
+        "groupby_stddev": q_groupby_stddev,
+        "filter_select": q_filter_select,
+        "rename": q_rename,
+        "groupby_count": q_groupby_count,
+        "groupby_count_distinct": q_groupby_count_distinct,
+        "groupby_sum": q_groupby_sum,
+        "total_counts": q_total_counts,
+        "average": q_average,
+        "variance": q_variance,
+        "public_join": q_public_join,
+        "private_join_drop": q_private_join_drop,
+        "limit_rows_per_group": q_limit_rows_per_group,
+        "limit_keys_per_group": q_limit_keys_per_group,
+        "partition_selection": q_partition_selection,
+        "bounds": q_bounds,
+        "quantile_median": q_quantile_median,
+        "partition_by_keys": q_partition_by_keys,
+        "map_revenue": q_map_derive,
+        "flatmap_by_key": q_flatmap_by_key,
     }
 
 
