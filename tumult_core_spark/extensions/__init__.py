@@ -5,7 +5,7 @@ most commonly composed entry points; the submodules remain the
 canonical import path.
 """
 
-from .components import canonical_duplicates, connected_components
+from .components import canonical_duplicates, connected_components, pagerank
 from .dedup import (
     decontaminate,
     exact_dedup,
@@ -13,6 +13,15 @@ from .dedup import (
     minhash_lsh_candidate_pairs,
     ngram_jaccard_pairs,
     simhash_near_duplicates,
+)
+from .multimodal import (
+    attach_media_metadata,
+    audio_features,
+    extract_image_features,
+    image_stats,
+    resize_images,
+    sample_video_frames,
+    synthesize_png_images,
 )
 from .packing import pack_sequences
 from .sampling import (
@@ -50,4 +59,5 @@ from .text import (
     token_count,
     unigram_logprob,
 )
+from .sketches import approx_quantiles, hll_distinct, hll_rollup
 from .timeseries import asof_join, time_rollup
