@@ -14,6 +14,39 @@ _FR = "['le','la','les','et','des','est','une','dans','que','pour']"
 _ES = "['el','la','los','que','de','en','una','es','por','con']"
 
 
+def _zorder_sql(bits: int = 16) -> str:
+    """Exact SQL replay of ``sources/io.py::zorder_key`` over
+    events(value, user_id): identical rank-scale arithmetic (double
+    subtraction/division/multiply in the same association order, FLOOR,
+    clamp) and the same bit interleave — min/max are exact comparisons
+    so both engines see identical doubles, making the 64-bit keys
+    reproduce bit-for-bit."""
+    m = (1 << bits) - 1
+
+    def rank(col: str, j: int) -> str:
+        span = f"(CASE WHEN s.mx{j} = s.mn{j} THEN 1.0 ELSE s.mx{j} - s.mn{j} END)"
+        return (
+            f"COALESCE(LEAST({m}, GREATEST(0, CAST(FLOOR("
+            f"(CAST({col} AS DOUBLE) - s.mn{j}) / {span} * {m}"
+            f") AS BIGINT))), 0)"
+        )
+
+    terms = " | ".join(
+        f"(((r{j} >> {i}) & 1) << {2 * i + j})" for i in range(bits) for j in (0, 1)
+    )
+    return f"""
+        WITH s AS (
+          SELECT min(CAST(value AS DOUBLE)) AS mn0, max(CAST(value AS DOUBLE)) AS mx0,
+                 min(CAST(user_id AS DOUBLE)) AS mn1, max(CAST(user_id AS DOUBLE)) AS mx1
+          FROM events
+        ), r AS (
+          SELECT event_id, {rank('value', 0)} AS r0, {rank('user_id', 1)} AS r1
+          FROM events, s
+        )
+        SELECT event_id, CAST({terms} AS BIGINT) AS zkey FROM r
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     flags_cte = "keys(l_returnflag) AS (VALUES ('A'),('N'),('R'),('X'))"
     # absolute path: the multimodal oracle reads a precomputed fixture
@@ -214,6 +247,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity < 25"
         ),
         "rename": "SELECT l_orderkey, l_returnflag AS flag FROM lineitem",
+        "zorder_key": _zorder_sql(),
+        "dict_pipeline": """
+            SELECT l_orderkey, l_quantity, l_extendedprice AS price
+            FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+        """,
         "groupby_count": f"""
             WITH {flags_cte},
             c AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1)

@@ -1186,6 +1186,68 @@ def q_multimodal_features(spark, sf_dir):
 
 
 
+def q_zorder_key(spark, sf_dir):
+    """Morton (Z-order) clustering key over two dimensions as pure
+    Catalyst bit arithmetic (sources/io.py::zorder_key) — the layout
+    primitive behind multi-dimensional file/row-group skipping
+    (layout_for_scan(zorder_by=...)).  The oracle replays the exact
+    rank-scale + bit-interleave arithmetic in SQL, so the key values
+    (not just their ordering) must agree bit-for-bit."""
+    from tumult_core_spark.sources.io import zorder_key
+
+    ev = _load(spark, sf_dir, "events").select("event_id", "value", "user_id")
+    return zorder_key(ev, ["value", "user_id"], bits=16).select("event_id", "zkey")
+
+
+def q_dict_pipeline(spark, sf_dir):
+    """The dictionary/lift machinery exercised end-to-end through the
+    driver gate (reference ``transformations/dictionary.py``): wrap
+    lineitem into a one-entry dict, AUGMENT it with a filtered copy
+    under a new key (create_copy_and_transform_value), transform that
+    value in place (Select then Rename through create_transform_value),
+    project the dict down (Subset) and extract the result (GetValue).
+    Every step goes through the typed dict domains/metrics with
+    stability tracking; the oracle replays the equivalent flat SQL."""
+    from tumult_core_spark.domains import DictDomain
+    from tumult_core_spark.metrics import DictMetric, SymmetricDifference
+    from tumult_core_spark.transformations.dictionary import (
+        GetValue,
+        Subset,
+        create_copy_and_transform_value,
+        create_transform_value,
+    )
+    from tumult_core_spark.transformations.rows import Filter, Rename, Select
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    sym = SymmetricDifference()
+
+    from tumult_core_spark.transformations.dictionary import CreateDictFromValue
+
+    wrap = CreateDictFromValue(dom, sym, "li")
+    d_dom = DictDomain({"li": dom})
+    d_met = DictMetric({"li": sym})
+    augment = create_copy_and_transform_value(
+        d_dom, d_met,
+        Filter(dom, sym, "l_quantity > 45 AND l_returnflag = 'R'"),
+        "li", "big",
+    )
+    filt_dom = augment.output_domain["big"]
+    sel = Select(filt_dom, sym, ["l_orderkey", "l_quantity", "l_extendedprice"])
+    ren = Rename(sel.output_domain, sym, {"l_extendedprice": "price"})
+    reshape = create_transform_value(
+        augment.output_domain, augment.output_metric, sel | ren, "big"
+    )
+    narrowed = Subset(
+        reshape.output_domain, reshape.output_metric, ["big"]
+    )
+    extract = GetValue(narrowed.output_domain, narrowed.output_metric, "big")
+    pipeline = wrap | augment | reshape | narrowed | extract
+    # the dict calculus must also report the right stability end-to-end
+    assert pipeline.stability_function(1) == 1
+    return pipeline(li)
+
+
 def q_multimodal_decode(spark, sf_dir):
     """REAL compressed-codec round-trip through the full Spark
     plumbing: per document, a deterministic test image is synthesized
@@ -1739,6 +1801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- r11 front: new-in-r11 entries first (need a first driver row) ---
         "multimodal_decode": q_multimodal_decode,
+        "dict_pipeline": q_dict_pipeline,
+        "zorder_key": q_zorder_key,
         # --- then the 37 entries last driver-checked in r9 ---
         "profile_table": q_profile_table,
         "profile_numeric": q_profile_numeric,

@@ -325,6 +325,63 @@ def test_layout_for_scan_prunes_partitions_and_rowgroups(spark, tmp_path):
     assert back.count() == df.filter("shard = 2 AND score < 50").count()
 
 
+def test_zorder_key_matches_reference_interleave(spark):
+    """The Catalyst bit-arithmetic Morton key must equal a plain-Python
+    rank-scale + interleave reference, bit for bit, and stay entirely
+    JVM-side (no Python evaluation in the plan)."""
+    import math
+
+    from tumult_core_spark.sources.io import zorder_key
+
+    df = spark.range(500).select(
+        (F.col("id") % 50).cast("double").alias("x"),
+        (F.col("id") / 3).cast("double").alias("y"),
+        F.col("id"),
+    )
+    keyed = zorder_key(df, ["x", "y"], bits=8)
+    assert "BatchEvalPython" not in plan_of(keyed)
+    m = 255
+    mnx, mxx, mny, mxy = 0.0, 49.0, 0.0, 499 / 3
+
+    def rank(v, mn, mx):
+        return min(m, max(0, math.floor((v - mn) / (mx - mn) * m)))
+
+    for r in keyed.collect():
+        exp = 0
+        rx, ry = rank(r.x, mnx, mxx), rank(r.y, mny, mxy)
+        for i in range(8):
+            exp |= ((rx >> i) & 1) << (2 * i) | ((ry >> i) & 1) << (2 * i + 1)
+        assert exp == r.zkey
+
+
+def test_zorder_layout_skips_files_on_every_dimension(spark, tmp_path):
+    """The point of Z-ordering: after layout_for_scan(zorder_by=[x, y]),
+    a selective range filter on EITHER column touches a small fraction
+    of the files, where a single-column sort skips only on its own
+    column and reads every file for the other."""
+    from tumult_core_spark.sources.io import layout_for_scan
+
+    grid = spark.range(60_000).select(
+        (F.rand(1) * 1024).alias("x"), (F.rand(2) * 1024).alias("y"), F.col("id")
+    )
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    layout_for_scan(grid, zdir, zorder_by=["x", "y"], target_partitions=32,
+                    zorder_bits=10)
+    layout_for_scan(grid, sdir, sort_by=["x"], target_partitions=32)
+
+    def files_touched(path, cond):
+        return (
+            spark.read.parquet(path).filter(cond)
+            .select(F.input_file_name()).distinct().count()
+        )
+
+    # 1/16 slab in each dimension: z-order skips on BOTH
+    assert files_touched(zdir, "x < 64") <= 16
+    assert files_touched(zdir, "y < 64") <= 16
+    # the single-sort layout cannot skip on the non-sorted dimension
+    assert files_touched(sdir, "y < 64") >= 28
+
+
 def test_decontaminate_broadcast_is_size_gated(spark, sf_dir):
     """The holdout postings index must broadcast only below the size
     gate: above it (forced here with a zero threshold) the gram join

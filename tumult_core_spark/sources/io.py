@@ -174,20 +174,79 @@ def read_binary_files(
     return reader.load(path)
 
 
+def zorder_key(
+    df: DataFrame,
+    columns: list,
+    bits: int = 16,
+    out_col: str = "zkey",
+) -> DataFrame:
+    """Add a Morton (Z-order) key column interleaving up to 4 numeric
+    columns, entirely as Catalyst bit arithmetic (no Python).
+
+    Each column is linearly rank-scaled to ``bits`` bits against its
+    own min/max (one tiny aggregate, a 2xN-scalar driver collect), then
+    the ranks' bits interleave: bit ``i`` of column ``j`` lands at
+    position ``len(columns)*i + j``.  Rows close in EVERY dimension get
+    close keys, so range-partitioning + sorting by the key clusters the
+    table for row-group/file skipping on ANY of the dimensions — the
+    multi-dimensional generalization of a single sort column, same
+    construction as Delta/Iceberg OSS Z-ordering.  Nulls rank 0.
+
+    ``len(columns) * bits`` must fit a signed 64-bit key (<= 62).
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    k = len(columns)
+    if not 1 <= k <= 4:
+        raise ValueError(f"zorder_key interleaves 1-4 columns, got {k}")
+    if k * bits > 62:
+        raise ValueError(f"{k} columns x {bits} bits exceeds a 63-bit key")
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn{j}") for j, c in enumerate(columns)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx{j}") for j, c in enumerate(columns)],
+    ).first()
+    m = (1 << bits) - 1
+    terms = []
+    for j, c in enumerate(columns):
+        mn = stats[f"mn{j}"]
+        mx = stats[f"mx{j}"]
+        mn = 0.0 if mn is None else float(mn)
+        span = 1.0 if mx is None or float(mx) == mn else float(mx) - mn
+        rank = F.least(
+            F.lit(m).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit(m)),
+            ),
+        )
+        rank = F.coalesce(rank, F.lit(0).cast("long"))
+        terms.extend(
+            F.shiftleft(F.shiftright(rank, i).bitwiseAND(F.lit(1)), k * i + j)
+            for i in range(bits)
+        )
+    return df.withColumn(out_col, reduce(lambda a, b: a.bitwiseOR(b), terms))
+
+
 def layout_for_scan(
     df: DataFrame,
     path: str,
     partition_by: Optional[list] = None,
     sort_by: Optional[list] = None,
+    zorder_by: Optional[list] = None,
     target_partitions: Optional[int] = None,
     mode: str = "error",
+    zorder_bits: int = 16,
 ) -> None:
     """Write with a scan-optimized layout: hive directory partitioning
     on ``partition_by`` (directory pruning for equality/range filters
     on those columns) plus ``repartitionByRange`` + in-file sorting on
-    ``sort_by`` so parquet row-group min/max statistics become
-    selective (the poor man's Z-order for one sort dimension) and
-    same-key rows cluster into few files.
+    ``sort_by`` — or, for range filters over SEVERAL dimensions at
+    once, ``zorder_by``: rows cluster along a Morton curve over those
+    columns (:func:`zorder_key`) so parquet row-group/file min-max
+    statistics stay selective on each of them, where a single sort
+    column would only skip on itself.
 
     A filtered read back shows ``PartitionFilters`` (directories never
     listed) and tight ``PushedFilters`` row-group skipping — the two
@@ -196,15 +255,23 @@ def layout_for_scan(
     """
     from pyspark.sql import functions as F
 
+    if sort_by and zorder_by:
+        raise ValueError("pass sort_by or zorder_by, not both")
     out = df
-    if sort_by:
-        cols = [F.col(c) for c in sort_by]
+    if zorder_by:
+        out = zorder_key(out, zorder_by, bits=zorder_bits, out_col="__zkey")
+        cols = [F.col("__zkey")]
+    else:
+        cols = [F.col(c) for c in sort_by] if sort_by else []
+    if cols:
         out = (
             out.repartitionByRange(target_partitions, *cols)
             if target_partitions
             else out.repartitionByRange(*cols)
         )
         out = out.sortWithinPartitions(*cols)
+    if zorder_by:
+        out = out.drop("__zkey")
     writer = out.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
