@@ -273,6 +273,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT k.l_returnflag, CAST(COALESCE(c.s, 0) AS BIGINT) AS sum_qty
             FROM keys k LEFT JOIN c USING (l_returnflag)
         """,
+        "composition_count_sum": f"""
+            WITH {flags_cte},
+            c AS (SELECT l_returnflag, COUNT(*) AS n,
+                         SUM(LEAST(GREATEST(CAST(FLOOR(l_quantity) AS BIGINT), 0), 50)) AS s
+                  FROM lineitem GROUP BY 1)
+            SELECT k.l_returnflag,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS count,
+                   CAST(COALESCE(c.s, 0) AS BIGINT) AS sum_qty
+            FROM keys k LEFT JOIN c USING (l_returnflag)
+        """,
         "total_counts": """
             SELECT (SELECT COUNT(*) FROM lineitem) AS n_rows,
                    (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM lineitem)) AS n_distinct

@@ -1186,6 +1186,48 @@ def q_multimodal_features(spark, sf_dir):
 
 
 
+def q_composition_count_sum(spark, sf_dir):
+    """Composition + PostProcess through the driver gate (reference
+    ``measurements/composition.py``, ``postprocess.py``): one
+    Composition releases a grouped count AND a grouped clipped sum from
+    the same input (budgets ADD — asserted in-query via
+    privacy_function), and a PostProcess joins the two frozen releases
+    into a single DataFrame.  Noise-off, so the oracle replays both
+    aggregates in one SQL statement."""
+    from tumult_core_spark.base import ChainTM
+    from tumult_core_spark.exact_number import ExactNumber
+    from tumult_core_spark.measures import PureDP
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.measurements.aggregations import (
+        create_count_measurement,
+        create_sum_measurement,
+    )
+    from tumult_core_spark.measurements.composition import Composition, PostProcess
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    derive, dom2 = _with_qty_long(li, dom)
+    count_m = create_count_measurement(
+        dom2, SymmetricDifference(), PureDP(), 1, INF,
+        groupby_transformation=_flag_keys_groupby(dom2),
+        count_column="count",
+    )
+    sum_m = create_sum_measurement(
+        dom2, SymmetricDifference(), PureDP(), 1, INF,
+        measure_column="qty", lower=0, upper=50,
+        groupby_transformation=_flag_keys_groupby(dom2),
+        sum_column="sum_qty",
+    )
+    comp = Composition([count_m, sum_m])
+    # composition adds the components' losses (inf + inf here; the
+    # additivity itself is pinned by finite-budget tests)
+    assert comp.privacy_function(1) == ExactNumber(float("inf"))
+    joined = PostProcess(
+        comp, lambda outs: outs[0].join(outs[1], "l_returnflag")
+    )
+    return ChainTM(derive, joined)(li)
+
+
 def q_zorder_key(spark, sf_dir):
     """Morton (Z-order) clustering key over two dimensions as pure
     Catalyst bit arithmetic (sources/io.py::zorder_key) — the layout
@@ -1803,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "dict_pipeline": q_dict_pipeline,
         "zorder_key": q_zorder_key,
+        "composition_count_sum": q_composition_count_sum,
         # --- then the 37 entries last driver-checked in r9 ---
         "profile_table": q_profile_table,
         "profile_numeric": q_profile_numeric,

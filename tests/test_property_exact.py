@@ -975,3 +975,30 @@ class TestAddRemoveKeysLiftStabilityFuzz:
             f"lift={lift} rows={rows} nbr={nbr_rows} uid={pick_uid}: "
             f"out_d={out_d} > bound={bound}"
         )
+
+
+# ---------------------------------------------------------------------------
+# PNG codec: encode(decode) must be the identity for every image shape,
+# channel count, and scanline filter type (pure driver-side property —
+# no Spark session needed).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),   # height
+    st.integers(min_value=1, max_value=24),   # width
+    st.sampled_from([1, 2, 3, 4]),            # channels
+    st.sampled_from([0, 1, 2, 3, 4]),         # filter type
+    st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
+)
+def test_png_roundtrip_is_identity(h, w, ch, ftype, seed):
+    import numpy as np
+
+    from tumult_core_spark.extensions.multimodal import _decode_png, _encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    back = _decode_png(_encode_png(img, filter_type=ftype))
+    assert back.shape == img.shape
+    assert (back == img).all()
