@@ -273,6 +273,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT k.l_returnflag, CAST(COALESCE(c.s, 0) AS BIGINT) AS sum_qty
             FROM keys k LEFT JOIN c USING (l_returnflag)
         """,
+        "adaptive_queries": f"""
+            WITH {flags_cte},
+            c AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1),
+            s AS (SELECT l_returnflag,
+                         SUM(LEAST(GREATEST(CAST(FLOOR(l_quantity) AS BIGINT), 0), 50)) AS s
+                  FROM lineitem
+                  WHERE CAST(FLOOR(l_quantity) AS BIGINT) > 25 GROUP BY 1)
+            SELECT k.l_returnflag,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS count,
+                   CAST(COALESCE(s.s, 0) AS BIGINT) AS sum_hi
+            FROM keys k LEFT JOIN c USING (l_returnflag)
+                        LEFT JOIN s USING (l_returnflag)
+        """,
         "composition_count_sum": f"""
             WITH {flags_cte},
             c AS (SELECT l_returnflag, COUNT(*) AS n,

@@ -1186,6 +1186,59 @@ def q_multimodal_features(spark, sf_dir):
 
 
 
+def q_adaptive_queries(spark, sf_dir):
+    """The interactive surface through the driver gate (reference
+    ``interactive_measurements.py:1856``): create_adaptive_composition
+    holds the data behind a queryable that answers NON-interactive
+    queries against one shared budget — here a grouped count, then a
+    TransformationQuery that filters the HELD data in place, then a
+    grouped sum over the filtered state.  Noise-off, so both released
+    DataFrames replay as plain SQL; the in-place transformation is
+    what the oracle's differing WHERE clauses verify."""
+    from tumult_core_spark.measures import PureDP, PureDPBudget
+    from tumult_core_spark.metrics import SymmetricDifference
+    from tumult_core_spark.measurements.aggregations import (
+        create_count_measurement,
+        create_sum_measurement,
+    )
+    from tumult_core_spark.measurements.interactive import (
+        MeasurementQuery,
+        TransformationQuery,
+        create_adaptive_composition,
+    )
+    from tumult_core_spark.transformations.rows import Filter
+
+    li = _load(spark, sf_dir, "lineitem")
+    dom = _dom(li)
+    sym = SymmetricDifference()
+    derive, dom2 = _with_qty_long(li, dom)
+    adaptive = create_adaptive_composition(
+        dom2, sym, 1, PureDPBudget(float("inf")), PureDP()
+    )
+    q = adaptive(derive(li))
+    count_rel = q(
+        MeasurementQuery(
+            create_count_measurement(
+                dom2, sym, PureDP(), 1, INF,
+                groupby_transformation=_flag_keys_groupby(dom2),
+                count_column="count",
+            )
+        )
+    )
+    q(TransformationQuery(Filter(dom2, sym, "qty > 25")))
+    sum_rel = q(
+        MeasurementQuery(
+            create_sum_measurement(
+                dom2, sym, PureDP(), 1, INF,
+                measure_column="qty", lower=0, upper=50,
+                groupby_transformation=_flag_keys_groupby(dom2),
+                sum_column="sum_hi",
+            )
+        )
+    )
+    return count_rel.join(sum_rel, "l_returnflag")
+
+
 def q_composition_count_sum(spark, sf_dir):
     """Composition + PostProcess through the driver gate (reference
     ``measurements/composition.py``, ``postprocess.py``): one
@@ -1846,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_pipeline": q_dict_pipeline,
         "zorder_key": q_zorder_key,
         "composition_count_sum": q_composition_count_sum,
+        "adaptive_queries": q_adaptive_queries,
         # --- then the 37 entries last driver-checked in r9 ---
         "profile_table": q_profile_table,
         "profile_numeric": q_profile_numeric,
