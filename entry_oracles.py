@@ -273,6 +273,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT k.l_returnflag, CAST(COALESCE(c.s, 0) AS BIGINT) AS sum_qty
             FROM keys k LEFT JOIN c USING (l_returnflag)
         """,
+        "substring_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, g.i - 1 AS i,
+                     array_to_string(t[g.i : g.i + 11], ' ') AS w
+              FROM toks, UNNEST(generate_series(1, len(t) - 11)) AS g(i)
+              WHERE len(t) >= 12
+            ),
+            dup AS (SELECT w FROM wins GROUP BY w HAVING min(doc_id) <> max(doc_id)),
+            spans AS (SELECT doc_id, i AS s, i + 11 AS e FROM wins JOIN dup USING (w)),
+            marked AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN s > COALESCE(MAX(e) OVER (
+                                    PARTITION BY doc_id ORDER BY s
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                                  ) + 1, -1)
+                          THEN 1 ELSE 0 END AS ni
+              FROM spans
+            ),
+            isl AS (
+              SELECT doc_id, s, e,
+                     SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+              FROM marked
+            )
+            SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+                   CAST(MAX(e) AS BIGINT) AS span_end
+            FROM isl GROUP BY doc_id, island
+        """,
         "adaptive_queries": f"""
             WITH {flags_cte},
             c AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1),

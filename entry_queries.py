@@ -1186,6 +1186,26 @@ def q_multimodal_features(spark, sf_dir):
 
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2022-style span
+    dedup, dedup.py::duplicate_substring_spans): maximal token spans
+    covered by a 12-token window appearing verbatim in >= 2 documents.
+    The duplicate test is min(doc) != max(doc) per window — map-side
+    combinable, skew-proof for corpus-wide boilerplate.  The oracle
+    replays tokenization, window decomposition, the min!=max test, and
+    the island merge in pure SQL."""
+    from tumult_core_spark.extensions.dedup import duplicate_substring_spans
+
+    docs = _load(spark, sf_dir, "documents")
+    return duplicate_substring_spans(
+        docs, "doc_id", "text", window_tokens=12
+    ).select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+    )
+
+
 def q_adaptive_queries(spark, sf_dir):
     """The interactive surface through the driver gate (reference
     ``interactive_measurements.py:1856``): create_adaptive_composition
@@ -1900,6 +1920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": q_zorder_key,
         "composition_count_sum": q_composition_count_sum,
         "adaptive_queries": q_adaptive_queries,
+        "substring_dedup": q_substring_dedup,
         # --- then the 37 entries last driver-checked in r9 ---
         "profile_table": q_profile_table,
         "profile_numeric": q_profile_numeric,

@@ -217,6 +217,73 @@ class TestDedup:
         assert (cross[0]["id_a"], cross[0]["id_b"]) == (0, 20)
 
 
+class TestSubstringDedup:
+    """duplicate_substring_spans / remove_duplicate_substrings — exact
+    cross-document duplicated-span detection via stride-1 token windows
+    (Lee et al. 2022-style), pure Catalyst."""
+
+    ROWS = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta unique one tail"),
+        (2, "prefix two alpha beta gamma delta epsilon zeta eta theta suffix"),
+        (3, "totally different text with no overlap at all whatsoever here"),
+        # the shared passage appears TWICE, separated by y: two islands
+        (4, "x alpha beta gamma delta epsilon zeta eta theta y "
+            "alpha beta gamma delta epsilon zeta eta theta z"),
+    ]
+
+    def test_planted_passage_spans(self, spark):
+        from tumult_core_spark.extensions.dedup import duplicate_substring_spans
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in duplicate_substring_spans(df, "doc_id", "text", 8).collect()
+        }
+        # overlapping stride-1 windows merge into ONE maximal span per
+        # occurrence; doc 3 is untouched; doc 4 keeps two islands
+        assert got == {(1, 0, 7), (2, 2, 9), (4, 1, 8), (4, 10, 17)}
+
+    def test_removal_rebuilds_survivors(self, spark):
+        from tumult_core_spark.extensions.dedup import remove_duplicate_substrings
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = {
+            r.doc_id: r.cleaned
+            for r in remove_duplicate_substrings(df, "doc_id", "text", 8).collect()
+        }
+        assert got[1] == "unique one tail"
+        assert got[2] == "prefix two suffix"
+        assert got[3] == self.ROWS[2][1]  # untouched
+        assert got[4] == "x y z"
+
+    def test_within_doc_repeat_alone_is_not_flagged(self, spark):
+        from tumult_core_spark.extensions.dedup import duplicate_substring_spans
+
+        # the same window twice in ONE doc only: min(doc)==max(doc),
+        # so nothing is flagged (within-doc repetition belongs to
+        # repetition_stats, not cross-doc dedup)
+        rows = [(1, "a b c d e f a b c d e f"), (2, "totally different words here")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        assert duplicate_substring_spans(df, "doc_id", "text", 6).count() == 0
+
+    def test_stays_jvm_side(self, spark):
+        from tumult_core_spark.extensions.dedup import (
+            duplicate_substring_spans,
+            remove_duplicate_substrings,
+        )
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        for out in (
+            duplicate_substring_spans(df, "doc_id", "text", 8),
+            remove_duplicate_substrings(df, "doc_id", "text", 8),
+        ):
+            plan = out._sc._jvm.PythonSQLUtils.explainString(
+                out._jdf.queryExecution(), "formatted"
+            )
+            assert "BatchEvalPython" not in plan
+            assert "ArrowEvalPython" not in plan
+
+
 class TestParagraphDedup:
     def test_first_occurrence_wins_and_reassembly(self, spark):
         from tumult_core_spark.extensions.dedup import dedup_paragraphs

@@ -8,10 +8,12 @@ canonical import path.
 from .components import canonical_duplicates, connected_components, pagerank
 from .dedup import (
     decontaminate,
+    duplicate_substring_spans,
     exact_dedup,
     fuzzy_join_edit1,
     minhash_lsh_candidate_pairs,
     ngram_jaccard_pairs,
+    remove_duplicate_substrings,
     simhash_near_duplicates,
 )
 from .multimodal import (

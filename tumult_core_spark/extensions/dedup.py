@@ -773,3 +773,136 @@ def fuzzy_join_edit1(
             "distance",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring spans (Lee et al. 2022-style span dedup)
+# ---------------------------------------------------------------------------
+
+
+def _ws_tokens(text_col: str):
+    """Whitespace tokenization shared by the substring-dedup ops (and
+    replicated verbatim by the DuckDB oracle): collapse runs of
+    whitespace, trim, split on single spaces."""
+    return F.split(
+        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+    )
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = 20,
+) -> DataFrame:
+    """(id, span_start, span_end): maximal token spans (0-based,
+    inclusive) covered by some ``window_tokens``-token window that also
+    appears VERBATIM in at least one other document.
+
+    The distributed form of exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — there
+    via suffix arrays; here via the window decomposition that Spark
+    can shuffle): any cross-document duplicated substring of >=
+    ``window_tokens`` tokens is exactly the union of its duplicated
+    windows, so emitting merged window spans finds the same spans a
+    suffix array would, discretized to token windows.
+
+    Scale design: one posexplode produces ~one row per corpus token
+    (the same order of magnitude the tokenizing ops already stream);
+    the duplicate test groups windows by their md5 and needs only
+    ``min(doc) != max(doc)`` — a map-side-combinable pair of scalars,
+    never a count-distinct or a collected posting list, so a
+    boilerplate window shared by millions of documents costs two longs
+    per partition, not a hot-key blowup.  Span merging is one
+    window-function pass per document (islands).
+    """
+    toks = df.select(
+        F.col(id_col), _ws_tokens(text_col).alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    wins = toks.filter(F.col("__n") >= window_tokens).select(
+        id_col,
+        F.posexplode(F.sequence(F.lit(0), F.col("__n") - window_tokens)).alias(
+            "__ord", "__i"
+        ),
+        F.col("__toks"),
+    ).select(
+        id_col,
+        "__i",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("__i") + 1, window_tokens), " "
+            )
+        ).alias("__h"),
+    )
+    # a window is duplicated iff it occurs in >= 2 distinct documents:
+    # min(doc) != max(doc) — skew-proof, no distinct aggregation
+    dup_hashes = (
+        wins.groupBy("__h")
+        .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))
+        .filter(F.col("__mn") != F.col("__mx"))
+        .select("__h")
+    )
+    spans = wins.join(dup_hashes, "__h").select(
+        id_col,
+        F.col("__i").alias("span_start"),
+        (F.col("__i") + window_tokens - 1).alias("span_end"),
+    )
+    # merge overlapping/adjacent windows into maximal spans (islands)
+    w = Window.partitionBy(id_col).orderBy("span_start")
+    prev_max_end = F.max("span_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = spans.withColumn(
+        "__new_island",
+        (F.col("span_start") > F.coalesce(prev_max_end + 1, F.lit(-1))).cast("int"),
+    ).withColumn(
+        "__island",
+        F.sum("__new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        marked.groupBy(id_col, "__island")
+        .agg(
+            F.min("span_start").alias("span_start"),
+            F.max("span_end").alias("span_end"),
+        )
+        .drop("__island")
+    )
+
+
+def remove_duplicate_substrings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = 20,
+    out_col: str = "cleaned",
+) -> DataFrame:
+    """(id, cleaned): every document with its cross-document duplicated
+    spans (:func:`duplicate_substring_spans`) removed, rebuilt from the
+    surviving tokens.  Pure Catalyst: span lists join back per document
+    and higher-order array functions drop covered tokens — no Python.
+    Documents shorter than ``window_tokens`` tokens pass through with
+    only whitespace normalization (the tokenizer's collapse/trim)."""
+    spans = duplicate_substring_spans(df, id_col, text_col, window_tokens)
+    span_lists = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = df.select(F.col(id_col), _ws_tokens(text_col).alias("__toks"))
+    joined = toks.join(span_lists, id_col, "left").withColumn(
+        "__spans", F.coalesce(F.col("__spans"), F.array())
+    )
+    indexed = F.zip_with(
+        F.col("__toks"),
+        F.sequence(F.lit(0), F.size("__toks") - 1),
+        lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] <= sp["span_end"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(out_col),
+    )
