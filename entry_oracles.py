@@ -273,6 +273,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT k.l_returnflag, CAST(COALESCE(c.s, 0) AS BIGINT) AS sum_qty
             FROM keys k LEFT JOIN c USING (l_returnflag)
         """,
+        "token_budget_mix": """
+            -- verbatim replay of token_budget_thresholds + the Knuth
+            -- mix (seed 7): target = budget * (1/k); frac = target /
+            -- total; threshold = trunc(frac * 2^32) — same double-op
+            -- order as the Python, so values match bit-for-bit
+            WITH tot AS (
+              SELECT source, CAST(SUM(n_chars) AS BIGINT) AS t
+              FROM documents WHERE source IS NOT NULL GROUP BY 1
+            ),
+            thr AS (
+              SELECT source,
+                     CAST(FLOOR(LEAST(1.0,
+                          (100000.0 * (1.0 / (SELECT COUNT(*) FROM tot)))
+                          / CAST(t AS DOUBLE)) * 4294967296) AS BIGINT)
+                       AS threshold
+              FROM tot
+            )
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN thr USING (source)
+            WHERE (((2654435761 * CAST((((d.doc_id + 7) % 4294967296)
+                     - ((d.doc_id + 7) % 4294967296) % 65536) / 65536 AS BIGINT))
+                    % 65536) * 65536
+                   + 2654435761 * (((d.doc_id + 7) % 4294967296) % 65536))
+                  % 4294967296 < thr.threshold
+        """,
         "substring_dedup": """
             WITH toks AS (
               SELECT doc_id,

@@ -1186,6 +1186,21 @@ def q_multimodal_features(spark, sf_dir):
 
 
 
+def q_token_budget_mix(spark, sf_dir):
+    """Cost-budget mixture sampling (sampling.py::token_budget_mix):
+    keep documents so each source contributes ~ budget/n_sources of
+    n_chars, by per-source hash thresholds min(1, target/total).
+    Everything is plain integer/double arithmetic in a pinned operation
+    order, so the oracle recomputes totals, thresholds, AND the Knuth
+    mix verbatim in SQL — no fixture needed."""
+    from tumult_core_spark.extensions.sampling import token_budget_mix
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return token_budget_mix(
+        docs, "source", "doc_id", "n_chars", budget=100_000.0, seed=7
+    )
+
+
 def q_substring_dedup(spark, sf_dir):
     """Exact duplicated-substring spans (Lee et al. 2022-style span
     dedup, dedup.py::duplicate_substring_spans): maximal token spans
@@ -1921,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composition_count_sum": q_composition_count_sum,
         "adaptive_queries": q_adaptive_queries,
         "substring_dedup": q_substring_dedup,
+        "token_budget_mix": q_token_budget_mix,
         # --- then the 37 entries last driver-checked in r9 ---
         "profile_table": q_profile_table,
         "profile_numeric": q_profile_numeric,

@@ -555,6 +555,37 @@ class TestSampling:
         assert after[rare] == before[rare]
         assert after[dom] < before[dom]
 
+    def test_token_budget_mix_hits_targets(self, spark):
+        from tumult_core_spark.extensions.sampling import (
+            token_budget_mix,
+            token_budget_thresholds,
+        )
+
+        # source a: 10k docs x 100 chars = 1M; source b: 400 x 100 = 40k
+        rows = [(i, "a" if i < 10_000 else "b", 100) for i in range(10_400)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, cost long")
+        out = token_budget_mix(df, "source", "doc_id", "cost", budget=240_000.0)
+        got = {
+            r["source"]: r["c"]
+            for r in out.groupBy("source").agg(F.sum("cost").alias("c")).collect()
+        }
+        # target per source = 120k: a downsamples to ~120k (hash
+        # sampling concentration), b (inventory 40k < target) kept WHOLE
+        assert got["b"] == 40_000
+        assert abs(got["a"] - 120_000) < 18_000
+        # determinism + thresholds are a pure function
+        again = token_budget_mix(df, "source", "doc_id", "cost", budget=240_000.0)
+        assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+            r["doc_id"] for r in again.collect()
+        )
+        t = token_budget_thresholds({"a": 1_000_000, "b": 40_000}, 240_000.0)
+        assert t["b"] == 1 << 32 and 0 < t["a"] < 1 << 32
+        # scan-side filter: no shuffle on the data path
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan
+
     def test_temperature_mix_null_sources_dropped(self, spark):
         from tumult_core_spark.extensions.sampling import temperature_mix
 

@@ -32,6 +32,7 @@ from .sampling import (
     hash_split,
     stratified_sample,
     temperature_mix,
+    token_budget_mix,
     weighted_sample,
 )
 from .similarity import (

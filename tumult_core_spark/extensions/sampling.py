@@ -287,3 +287,90 @@ def global_shuffle(
         )
         .drop("__mix", "__b", "___b", "__offset")
     )
+
+
+def token_budget_thresholds(
+    totals: Dict, budget: float, weights: Dict = None
+) -> Dict:
+    """Integer hash-space thresholds realizing a TOKEN-budget mix:
+    source ``s`` should contribute ``weights[s]/sum(weights) * budget``
+    cost units (tokens, chars, bytes — whatever ``totals`` measures),
+    achieved by the per-row keep fraction ``min(1, target_s /
+    totals[s])``.  Downsampling only: a source whose target exceeds its
+    inventory is kept in full, never upsampled (repeat-epoch policy
+    belongs to the training loop, not the corpus filter).
+
+    Pure function of (totals, budget, weights) in plain double/int
+    arithmetic — the DuckDB oracle recomputes it verbatim, so keep the
+    operation order stable: ``target = budget * (w / wsum)``, ``frac =
+    target / total``, ``threshold = int(frac * 2^32)``.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    srcs = sorted(totals)
+    if weights is None:
+        weights = {s: 1.0 for s in srcs}
+    wsum = float(sum(float(weights.get(s, 0.0)) for s in srcs))
+    if wsum <= 0:
+        raise ValueError("weights must sum to > 0 over observed sources")
+    out = {}
+    for s in srcs:
+        total = float(totals[s])
+        if total <= 0:
+            out[s] = 0
+            continue
+        target = float(budget) * (float(weights.get(s, 0.0)) / wsum)
+        frac = target / total
+        if frac > 1.0:
+            frac = 1.0
+        out[s] = int(frac * _MOD)
+    return out
+
+
+def token_budget_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    cost_col: str,
+    budget: float,
+    weights: Dict = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic mixture sampling against a TOTAL cost budget:
+    keep documents so each source contributes approximately
+    ``weights[s]/sum(weights) * budget`` of ``cost_col`` (token
+    counts, chars, bytes), the way a training-data mix targets token
+    contributions rather than document counts.
+
+    Two passes, same shape as :func:`temperature_mix`: one
+    map-side-combined per-source cost total (sources are a small
+    vocabulary — the collected histogram is tiny), then a scan-side
+    hash filter with per-source thresholds from
+    :func:`token_budget_thresholds` — no shuffle on the data path,
+    identical survivors on every run, partitioning, and cluster size.
+    Because sampling is per document, each source's achieved cost
+    concentrates around its target (a cost-exact selection would need
+    a global sort); sources with less inventory than target are kept
+    whole, never upsampled.  NULL sources are dropped.
+    """
+    totals = {
+        r[0]: r[1]
+        for r in df.groupBy(source_col)
+        .agg(F.sum(F.col(cost_col).cast("long")).alias("t"))
+        .collect()
+        if r[0] is not None
+    }
+    if len(totals) > 10_000:
+        raise ValueError(
+            f"{len(totals)} distinct sources; token_budget_mix expects a "
+            "small source vocabulary (languages/domains), not a key column"
+        )
+    thresholds = token_budget_thresholds(totals, budget, weights)
+    if not thresholds:
+        return df
+    pos = _mix(F.col(id_col).cast("long"), seed)
+    thr = None
+    for s, t in sorted(thresholds.items()):
+        cond = F.col(source_col) == F.lit(s)
+        thr = F.when(cond, F.lit(t)) if thr is None else thr.when(cond, F.lit(t))
+    return df.filter(pos < thr)
