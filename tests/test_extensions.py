@@ -266,6 +266,55 @@ class TestSubstringDedup:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         assert duplicate_substring_spans(df, "doc_id", "text", 6).count() == 0
 
+    def test_fuzz_matches_bruteforce_reference(self, spark):
+        """Random small corpora vs an O(docs^2 * len^2) brute-force:
+        every window occurring in >=2 docs, merged greedily — the
+        independent restatement of the operator's contract."""
+        import random
+
+        from tumult_core_spark.extensions.dedup import duplicate_substring_spans
+
+        k = 4
+        for seed in range(6):
+            rnd = random.Random(seed)
+            vocab = [f"w{j}" for j in range(8)]  # tiny vocab -> collisions
+            docs = {
+                d: [rnd.choice(vocab) for _ in range(rnd.randint(2, 30))]
+                for d in range(6)
+            }
+            # brute force
+            from collections import defaultdict
+
+            owners = defaultdict(set)
+            for d, toks in docs.items():
+                for i in range(len(toks) - k + 1):
+                    owners[tuple(toks[i:i + k])].add(d)
+            expected = set()
+            for d, toks in docs.items():
+                starts = sorted(
+                    i for i in range(len(toks) - k + 1)
+                    if len(owners[tuple(toks[i:i + k])]) >= 2
+                )
+                cur = None
+                for i in starts:
+                    if cur and i <= cur[1] + 1:
+                        cur = (cur[0], max(cur[1], i + k - 1))
+                    else:
+                        if cur:
+                            expected.add((d, cur[0], cur[1]))
+                        cur = (i, i + k - 1)
+                if cur:
+                    expected.add((d, cur[0], cur[1]))
+            df = spark.createDataFrame(
+                [(d, " ".join(t)) for d, t in docs.items()],
+                "doc_id long, text string",
+            )
+            got = {
+                (r.doc_id, r.span_start, r.span_end)
+                for r in duplicate_substring_spans(df, "doc_id", "text", k).collect()
+            }
+            assert got == expected, f"seed {seed}: {got ^ expected}"
+
     def test_stays_jvm_side(self, spark):
         from tumult_core_spark.extensions.dedup import (
             duplicate_substring_spans,
