@@ -463,6 +463,14 @@ def sf_sweep(spark, k: int = 10, reps: int = None):
         )
         decontaminate(d, holdout, "doc_id", "text", threshold=0.99).count()
 
+    def op_substring_dedup(scale):
+        # id-shifted copies make EVERY window cross-doc duplicated at
+        # kx — the worst case for the dup-hash join-back (all windows
+        # survive) and for span merging (spans cover whole documents)
+        from tumult_core_spark.extensions.dedup import duplicate_substring_spans
+
+        duplicate_substring_spans(docs(scale), "doc_id", "text", 12).count()
+
     def op_dedup_minhash(scale):
         # banded LSH: the op where a super-linear pair explosion would
         # surface (docs() copies are id-shifted so signatures repeat
@@ -477,6 +485,7 @@ def sf_sweep(spark, k: int = 10, reps: int = None):
         "bpe": op_bpe,
         "decontaminate": op_decontaminate,
         "dedup_minhash": op_dedup_minhash,
+        "substring_dedup": op_substring_dedup,
     }
     if reps is None:
         reps = int(os.environ.get("SPARK_GRAFT_SWEEP_REPS", "2"))
