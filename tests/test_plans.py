@@ -353,6 +353,21 @@ def test_zorder_key_matches_reference_interleave(spark):
             exp |= ((rx >> i) & 1) << (2 * i) | ((ry >> i) & 1) << (2 * i + 1)
         assert exp == r.zkey
 
+    # three columns: bit j of column c lands at 3*j + c
+    df3 = df.withColumn("z", (F.col("id") % 7).cast("double"))
+    keyed3 = zorder_key(df3, ["x", "y", "z"], bits=6)
+    mnz, mxz = 0.0, 6.0
+    for r in keyed3.collect():
+        ranks = [
+            min(63, max(0, math.floor((v - mn) / (mx - mn) * 63)))
+            for v, mn, mx in ((r.x, mnx, mxx), (r.y, mny, mxy), (r.z, mnz, mxz))
+        ]
+        exp = 0
+        for i in range(6):
+            for j, rk in enumerate(ranks):
+                exp |= ((rk >> i) & 1) << (3 * i + j)
+        assert exp == r.zkey
+
 
 def test_zorder_layout_skips_files_on_every_dimension(spark, tmp_path):
     """The point of Z-ordering: after layout_for_scan(zorder_by=[x, y]),
