@@ -331,6 +331,16 @@ class TestSubstringDedup:
             )
             assert "BatchEvalPython" not in plan
             assert "ArrowEvalPython" not in plan
+        # exchange budget of the spans path: the duplicate test must be
+        # map-side combined before its ONE hash exchange, the island
+        # pass adds one exchange by doc — a plan that shuffles raw
+        # windows more than that regressed the design
+        spans_plan = (
+            duplicate_substring_spans(df, "doc_id", "text", 8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "partial_min" in spans_plan  # map-side combine
+        assert spans_plan.count("Exchange hashpartitioning") <= 3, spans_plan
 
 
 class TestParagraphDedup:
