@@ -639,6 +639,9 @@ class TestSampling:
         )
         t = token_budget_thresholds({"a": 1_000_000, "b": 40_000}, 240_000.0)
         assert t["b"] == 1 << 32 and 0 < t["a"] < 1 << 32
+        # empty input passes through (like temperature_mix), no error
+        empty = spark.createDataFrame([], "doc_id long, source string, cost long")
+        assert token_budget_mix(empty, "source", "doc_id", "cost", 100.0).count() == 0
         # scan-side filter: no shuffle on the data path
         plan = out._sc._jvm.PythonSQLUtils.explainString(
             out._jdf.queryExecution(), "formatted"

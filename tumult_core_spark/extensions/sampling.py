@@ -307,6 +307,8 @@ def token_budget_thresholds(
     """
     if budget < 0:
         raise ValueError("budget must be >= 0")
+    if not totals:  # empty input: nothing to mix
+        return {}
     srcs = sorted(totals)
     if weights is None:
         weights = {s: 1.0 for s in srcs}
