@@ -571,6 +571,59 @@ class TestMiscValidationParity:
             validate_exact_number(2, maximum=1)
 
 
+class TestIncrementalFiles:
+    def test_incremental_batches_and_overwrite_detection(self, spark, tmp_path):
+        """read_incremental_parquet processes each file exactly once
+        across runs; an overwritten file (same path, new content
+        fingerprint) is re-processed; an empty batch yields a
+        schema-correct empty frame."""
+        from tumult_core_spark.sources.io import (
+            commit_manifest,
+            new_files_since,
+            read_incremental_parquet,
+        )
+
+        data = str(tmp_path / "data")
+        man = str(tmp_path / "manifest")
+        spark.range(5).write.parquet(f"{data}/f1")
+        spark.range(5, 8).write.parquet(f"{data}/f2")
+        d1, m1 = read_incremental_parquet(spark, f"{data}/*/", man)
+        assert sorted(r.id for r in d1.collect()) == list(range(8))
+        commit_manifest(m1, man)
+
+        # second run: only the new file's rows
+        spark.range(100, 104).write.parquet(f"{data}/f3")
+        d2, m2 = read_incremental_parquet(spark, f"{data}/*/", man)
+        assert sorted(r.id for r in d2.collect()) == [100, 101, 102, 103]
+        commit_manifest(m2, man)
+
+        # third run: nothing new — empty but schema-correct
+        d3, m3 = read_incremental_parquet(spark, f"{data}/*/", man)
+        assert d3.count() == 0 and m3.count() == 0
+        assert d3.schema == d2.schema
+
+        # overwrite f3 in place: its files become new again
+        spark.range(200, 202).coalesce(1).write.mode("overwrite").parquet(
+            f"{data}/f3"
+        )
+        assert new_files_since(spark, f"{data}/*/", man).count() >= 1
+        d4, m4 = read_incremental_parquet(spark, f"{data}/*/", man)
+        assert sorted(r.id for r in d4.collect()) == [200, 201]
+
+    def test_listing_prunes_binary_content(self, spark, tmp_path):
+        # the metadata listing must not read file bodies: the scan's
+        # ReadSchema carries only the projected metadata columns
+        from tumult_core_spark.sources.io import list_data_files
+
+        spark.range(3).write.parquet(str(tmp_path / "p"))
+        df = list_data_files(spark, str(tmp_path / "p") + "/*")
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "content" not in plan.split("ReadSchema:")[-1]
+        assert df.count() >= 1
+
+
 class TestTextAndBinarySources:
     def test_read_text_line_and_whole_file(self, spark, tmp_path):
         from tumult_core_spark.sources.io import read_text

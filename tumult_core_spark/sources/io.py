@@ -276,3 +276,84 @@ def layout_for_scan(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Incremental file-batch processing
+# ---------------------------------------------------------------------------
+
+
+def list_data_files(spark: SparkSession, path_glob: str) -> DataFrame:
+    """(path, length, modification_time) for every file matching
+    ``path_glob`` — a pure-metadata listing via the ``binaryFile``
+    source with the content column pruned, so no file bodies are read
+    (the source skips content IO for unprojected columns).  Works on
+    any Hadoop-compatible filesystem the session can reach."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path_glob)
+        .select(
+            F.col("path"),
+            F.col("length"),
+            F.col("modificationTime").alias("modification_time"),
+        )
+    )
+
+
+def new_files_since(
+    spark: SparkSession, path_glob: str, manifest_path: str
+) -> DataFrame:
+    """Files matching ``path_glob`` not yet recorded in the manifest
+    parquet at ``manifest_path`` — the discovery half of incremental
+    batch processing ("process only what arrived since the last run").
+
+    A file counts as NEW when its (path, length, modification_time)
+    triple is absent: an overwritten file (same path, new size/mtime)
+    is re-processed, an untouched one is skipped.  A missing manifest
+    means everything is new (first run).  The diff is one left-anti
+    join on a manifest that is file-count-sized — tiny next to the
+    data, and broadcast by AQE."""
+    current = list_data_files(spark, path_glob)
+    try:
+        manifest = spark.read.parquet(manifest_path)
+    except Exception:  # first run: no manifest yet
+        return current
+    return current.join(
+        manifest.select("path", "length", "modification_time"),
+        ["path", "length", "modification_time"],
+        "left_anti",
+    )
+
+
+def read_incremental_parquet(
+    spark: SparkSession, path_glob: str, manifest_path: str
+):
+    """(data, batch_manifest) for one incremental run over a growing
+    parquet directory: ``data`` contains ONLY the rows of files not in
+    the manifest (empty schema-correct frame when nothing is new), and
+    ``batch_manifest`` lists those files.  After the batch's outputs
+    are durably written, call :func:`commit_manifest` with
+    ``batch_manifest`` — committing only after the work succeeds gives
+    at-least-once processing (a crashed run re-processes its batch;
+    pair with idempotent/overwrite-by-batch sinks for exactly-once).
+
+    The new-file paths are collected to the driver to drive the scan —
+    a manifest-sized (file-count) collect, the same order of driver
+    state every incremental system keeps.
+    """
+    batch = new_files_since(spark, path_glob, manifest_path)
+    paths = [r["path"] for r in batch.collect()]
+    if not paths:
+        schema = spark.read.parquet(path_glob).schema
+        data = spark.createDataFrame([], schema)
+    else:
+        data = spark.read.parquet(*paths)
+    return data, batch
+
+
+def commit_manifest(batch_manifest: DataFrame, manifest_path: str) -> None:
+    """Append a processed batch's file records to the manifest parquet.
+    Call once per successful batch, after its outputs are durable."""
+    batch_manifest.write.mode("append").parquet(manifest_path)
