@@ -273,6 +273,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT k.l_returnflag, CAST(COALESCE(c.s, 0) AS BIGINT) AS sum_qty
             FROM keys k LEFT JOIN c USING (l_returnflag)
         """,
+        "substring_removal": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, g.i - 1 AS i,
+                     array_to_string(t[g.i : g.i + 11], ' ') AS w
+              FROM toks, UNNEST(generate_series(1, len(t) - 11)) AS g(i)
+              WHERE len(t) >= 12
+            ),
+            dup AS (SELECT w FROM wins GROUP BY w HAVING min(doc_id) <> max(doc_id)),
+            spans AS (SELECT doc_id, i AS s, i + 11 AS e FROM wins JOIN dup USING (w)),
+            marked AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN s > COALESCE(MAX(e) OVER (
+                                    PARTITION BY doc_id ORDER BY s
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                                  ) + 1, -1)
+                          THEN 1 ELSE 0 END AS ni
+              FROM spans
+            ),
+            isl AS (
+              SELECT doc_id, s, e,
+                     SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+              FROM marked
+            ),
+            merged AS (
+              SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM isl GROUP BY doc_id, island
+            ),
+            tok_rows AS (
+              SELECT doc_id, g.i - 1 AS i, t[g.i] AS tok
+              FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)
+            )
+            SELECT tr.doc_id,
+                   COALESCE(string_agg(tr.tok, ' ' ORDER BY tr.i)
+                            FILTER (WHERE NOT EXISTS (
+                              SELECT 1 FROM merged m
+                              WHERE m.doc_id = tr.doc_id
+                                AND tr.i BETWEEN m.s AND m.e)), '') AS cleaned
+            FROM tok_rows tr GROUP BY tr.doc_id
+        """,
         "token_budget_mix": """
             -- verbatim replay of token_budget_thresholds + the Knuth
             -- mix (seed 7): target = budget * (1/k); frac = target /

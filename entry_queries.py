@@ -1186,6 +1186,19 @@ def q_multimodal_features(spark, sf_dir):
 
 
 
+def q_substring_removal(spark, sf_dir):
+    """The removal half of span dedup
+    (dedup.py::remove_duplicate_substrings): documents rebuilt from the
+    tokens outside any cross-document duplicated span, entirely in
+    Catalyst array functions.  The oracle rebuilds the same strings in
+    SQL (string_agg over token ordinals not covered by the replayed
+    spans), so the cleaned TEXT itself is hash-compared."""
+    from tumult_core_spark.extensions.dedup import remove_duplicate_substrings
+
+    docs = _load(spark, sf_dir, "documents")
+    return remove_duplicate_substrings(docs, "doc_id", "text", window_tokens=12)
+
+
 def q_token_budget_mix(spark, sf_dir):
     """Cost-budget mixture sampling (sampling.py::token_budget_mix):
     keep documents so each source contributes ~ budget/n_sources of
@@ -1938,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composition_count_sum": q_composition_count_sum,
         "adaptive_queries": q_adaptive_queries,
         "substring_dedup": q_substring_dedup,
+        "substring_removal": q_substring_removal,
         "token_budget_mix": q_token_budget_mix,
         # --- then the 37 entries last driver-checked in r9 ---
         "profile_table": q_profile_table,
