@@ -1933,70 +1933,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order.  The per-round driver checks roughly the first 50 registry
     # entries against the DuckDB oracle, so each round the entries with
     # the least-fresh driver evidence go FIRST:
-    #   r11 front block = the 7 entries NEW in r11 (each needs a first
-    #   driver row; every one locally oracle-green at
-    #   sf0.001/0.01/0.1), then the 37 entries whose latest
-    #   driver-green row is r9 (the r10 batch of 50 did not reach
-    #   them).  The tail = the 50 r10-green entries in their r10 order,
-    #   re-verified locally this round by a full sf0.1 registry sweep
-    #   (88/88 ok).  After r11 the driver reaches the 7+37=44 front
-    #   entries plus the first few tail entries.
-    #   r12: rotate again — move whatever the r11 batch does not reach
+    #   r12 front block = the 45 entries whose latest driver-green row
+    #   is r10 (the r11 batch of 50 did not reach them), in their prior
+    #   registry order.  The tail = the 50 r11-green entries in their
+    #   r11 order.  With a ~50-entry driver batch, r12 reaches all 45
+    #   front entries plus the first few tail entries, leaving every
+    #   registry entry at most one round stale after r12.
+    #   Any entry NEW in a round goes at the very front (needs its
+    #   first driver row).
+    #   r13: rotate again - move whatever the r12 batch does not reach
     #   back to the front.
     return {
-        # --- r11 front: new-in-r11 entries first (need a first driver row) ---
-        "multimodal_decode": q_multimodal_decode,
-        "dict_pipeline": q_dict_pipeline,
-        "zorder_key": q_zorder_key,
-        "composition_count_sum": q_composition_count_sum,
-        "adaptive_queries": q_adaptive_queries,
-        "substring_dedup": q_substring_dedup,
-        "substring_removal": q_substring_removal,
-        "token_budget_mix": q_token_budget_mix,
-        # --- then the 37 entries last driver-checked in r9 ---
-        "profile_table": q_profile_table,
-        "profile_numeric": q_profile_numeric,
-        "json_extract": q_json_extract,
-        "sq_codes": q_sq_codes,
-        "bpe_tokens": q_bpe_tokens,
-        "replace_nulls": q_replace_nulls,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ann_topk": q_ann_topk,
-        "token_counts": q_token_counts,
-        "lang_id": q_lang_id,
-        "fingerprint_distinct": q_fingerprint_distinct,
-        "quality_scores": q_quality_scores,
-        "repetition_stats": q_repetition_stats,
-        "asof_join": q_asof_join,
-        "time_rollup": q_time_rollup,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "global_shuffle": q_global_shuffle,
-        "temperature_mix": q_temperature_mix,
-        "pca_project": q_pca_project,
-        "unigram_logprob": q_unigram_logprob,
-        "weighted_sample": q_weighted_sample,
-        "fuzzy_join": q_fuzzy_join,
-        "chunk_documents": q_chunk_documents,
-        "chunk_pack": q_chunk_pack,
-        "streaming_window_counts": q_streaming_window_counts,
-        "multimodal_features": q_multimodal_features,
-        "zcdp_groupby_count": q_zcdp_groupby_count,
-        "approxdp_groupby_count": q_approxdp_groupby_count,
-        "groupby_sum_cents": q_groupby_sum_cents,
-        "groupby_column_domains": q_groupby_column_domains,
-        "drop_nulls_nans": q_drop_nulls_nans,
-        "replace_nans_infs": q_replace_nans_infs,
-        "flatmap_explode": q_flatmap_explode,
-        "grouping_flatmap": q_grouping_flatmap,
-        # --- tail: the 50 r10-green entries in their r10 order ---
-        "fused_moments": q_fused_moments,
-        "embedding_outliers": q_embedding_outliers,
-        "pagerank": q_pagerank,
-        "hll_distinct": q_hll_distinct,
-        "approx_quantile_check": q_approx_quantile_check,
+        # --- r12 front: the 45 entries last driver-checked in r10 ---
         "connected_components": q_connected_components,
         "dedup_connected": q_dedup_connected,
         "hash_split": q_hash_split,
@@ -2042,6 +1990,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_by_keys": q_partition_by_keys,
         "map_revenue": q_map_derive,
         "flatmap_by_key": q_flatmap_by_key,
+        # --- tail: the 50 r11-green entries in their r11 order ---
+        "multimodal_decode": q_multimodal_decode,
+        "dict_pipeline": q_dict_pipeline,
+        "zorder_key": q_zorder_key,
+        "composition_count_sum": q_composition_count_sum,
+        "adaptive_queries": q_adaptive_queries,
+        "substring_dedup": q_substring_dedup,
+        "substring_removal": q_substring_removal,
+        "token_budget_mix": q_token_budget_mix,
+        "profile_table": q_profile_table,
+        "profile_numeric": q_profile_numeric,
+        "json_extract": q_json_extract,
+        "sq_codes": q_sq_codes,
+        "bpe_tokens": q_bpe_tokens,
+        "replace_nulls": q_replace_nulls,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_topk": q_ann_topk,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "fingerprint_distinct": q_fingerprint_distinct,
+        "quality_scores": q_quality_scores,
+        "repetition_stats": q_repetition_stats,
+        "asof_join": q_asof_join,
+        "time_rollup": q_time_rollup,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "global_shuffle": q_global_shuffle,
+        "temperature_mix": q_temperature_mix,
+        "pca_project": q_pca_project,
+        "unigram_logprob": q_unigram_logprob,
+        "weighted_sample": q_weighted_sample,
+        "fuzzy_join": q_fuzzy_join,
+        "chunk_documents": q_chunk_documents,
+        "chunk_pack": q_chunk_pack,
+        "streaming_window_counts": q_streaming_window_counts,
+        "multimodal_features": q_multimodal_features,
+        "zcdp_groupby_count": q_zcdp_groupby_count,
+        "approxdp_groupby_count": q_approxdp_groupby_count,
+        "groupby_sum_cents": q_groupby_sum_cents,
+        "groupby_column_domains": q_groupby_column_domains,
+        "drop_nulls_nans": q_drop_nulls_nans,
+        "replace_nans_infs": q_replace_nans_infs,
+        "flatmap_explode": q_flatmap_explode,
+        "grouping_flatmap": q_grouping_flatmap,
+        "fused_moments": q_fused_moments,
+        "embedding_outliers": q_embedding_outliers,
+        "pagerank": q_pagerank,
+        "hll_distinct": q_hll_distinct,
+        "approx_quantile_check": q_approx_quantile_check,
     }
 
 
