@@ -85,6 +85,14 @@ def oracle_sql() -> dict[str, str]:
         os.path.dirname(os.path.abspath(__file__)),
         "tests", "fixtures", "png_expected.parquet",
     )
+    # multimodal_jpeg: same pattern for the from-scratch baseline-JFIF
+    # codec — expected stats computed directly from the deterministic
+    # constant-block pixel arrays, JPEG never touched on the oracle
+    # side (tests/fixtures/make_jpeg_fixture.py)
+    jpeg_fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "jpeg_expected.parquet",
+    )
     # SF-keyed pinned constants (temperature_mix thresholds and the
     # dedup candidate-set cardinality regression pins) — deterministic
     # functions of the documents corpus, one block per shipped SF,
@@ -126,6 +134,18 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT),
                    NULL::INTEGER, NULL::INTEGER, NULL::INTEGER, NULL::DOUBLE
             FROM k WHERE NOT EXISTS (SELECT 1 FROM '{png_fixture}' WHERE sf_key = k.key)
+        """,
+        "multimodal_jpeg": f"""
+            WITH k AS (SELECT bit_xor(hash(doc_id, text)) AS key FROM documents)
+            SELECT f.doc_id, f.width, f.height, f.channels, f.mean_value
+            FROM '{jpeg_fixture}' f, k WHERE f.sf_key = k.key
+            UNION ALL
+            SELECT CAST(error('jpeg fixture has no block for this documents '
+                              'table — regenerate with '
+                              'tests/fixtures/make_jpeg_fixture.py')
+                        AS BIGINT),
+                   NULL::INTEGER, NULL::INTEGER, NULL::INTEGER, NULL::DOUBLE
+            FROM k WHERE NOT EXISTS (SELECT 1 FROM '{jpeg_fixture}' WHERE sf_key = k.key)
         """,
         "pca_project": f"""
             WITH k AS (SELECT bit_xor(hash(vec_id, embedding)) AS key

@@ -1416,6 +1416,33 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_jpeg(spark, sf_dir):
+    """REAL from-scratch JPEG codec round-trip through the full Spark
+    plumbing: per document, a deterministic grayscale constant-block
+    test image is synthesized from the text bytes, encoded as genuine
+    baseline JFIF at quality 100 (all-ones quant tables — constant 8x8
+    blocks excite only DC coefficients, so the round-trip is EXACT;
+    restart intervals cycled by doc_id exercise RSTn resync), then
+    decoded back by the real T.81 Huffman+IDCT decoder and profiled
+    (multimodal.py::synthesize_jpeg_images + image_stats, jpeg.py).
+    The oracle replays the expected stats from the pixel arrays alone
+    (fixture computed with numpy, no JPEG anywhere —
+    tests/fixtures/make_jpeg_fixture.py), so any defect in the
+    DCT/quantize/Huffman/entropy path flips the value hash."""
+    from tumult_core_spark.extensions.multimodal import (
+        image_stats,
+        synthesize_jpeg_images,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = synthesize_jpeg_images(docs, "text", "doc_id")
+    stats = image_stats(payloads, "payload", "doc_id", decoder="real")
+    return stats.select(
+        "doc_id", "width", "height", "channels",
+        F.round("mean_value", 5).alias("mean_value"),
+    )
+
+
 def q_zcdp_groupby_count(spark, sf_dir):
     """Grouped count under zCDP (discrete Gaussian path, noise off)."""
     from tumult_core_spark.measures import RhoZCDP
@@ -1944,7 +1971,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   r13: rotate again - move whatever the r12 batch does not reach
     #   back to the front.
     return {
-        # --- r12 front: the 45 entries last driver-checked in r10 ---
+        # --- r12 front: new-in-r12 entry first (needs a first driver row) ---
+        "multimodal_jpeg": q_multimodal_jpeg,
+        # --- then the 45 entries last driver-checked in r10 ---
         "connected_components": q_connected_components,
         "dedup_connected": q_dedup_connected,
         "hash_split": q_hash_split,

@@ -519,6 +519,37 @@ class TestMiscValidationParity:
         assert get_fullname(ExactNumber(1)).endswith("exact_number.ExactNumber")
         assert get_fullname(str) == "str"
 
+    def test_checkpoint_dir_relative_path_normalizes(self):
+        """A relative checkpoint_dir must compare equal to the absolute
+        file:/ URI SparkContext stores, or cut_lineage re-invokes
+        setCheckpointDir every round (fresh UUID subdir per iteration)."""
+        import os
+
+        from tumult_core_spark.utils.misc import (
+            _checkpoint_parent,
+            _strip_file_scheme,
+        )
+
+        rel = "ckpt_dir"
+        absolute = os.path.abspath(rel)
+        # what SparkContext stores back: file: URI of dir + UUID subdir
+        stored = f"file:{absolute}/0a1b2c3d-uuid"
+        assert _checkpoint_parent(stored) == _strip_file_scheme(rel)
+        assert _strip_file_scheme(rel) == absolute
+        # non-file schemes pass through un-abspathed
+        assert _strip_file_scheme("hdfs://nn/ckpt") == "hdfs://nn/ckpt"
+
+    def test_privacy_accountant_state_parity_alias(self):
+        """The reference spells the enum PrivacyAccountantState
+        (interactive_measurements.py:769); ported code must import the
+        same name here."""
+        from tumult_core_spark.measurements.interactive import (
+            AccountantState,
+            PrivacyAccountantState,
+        )
+
+        assert PrivacyAccountantState is AccountantState
+
     def test_copy_if_mutable(self):
         from tumult_core_spark.utils.misc import copy_if_mutable
 
@@ -609,6 +640,32 @@ class TestIncrementalFiles:
         assert new_files_since(spark, f"{data}/*/", man).count() >= 1
         d4, m4 = read_incremental_parquet(spark, f"{data}/*/", man)
         assert sorted(r.id for r in d4.collect()) == [200, 201]
+
+    def test_corrupt_manifest_raises_instead_of_full_reprocess(
+        self, spark, tmp_path
+    ):
+        """A MISSING manifest means first run (everything new), but a
+        CORRUPT manifest must raise — silently treating it as a first
+        run would reprocess the whole corpus and then append duplicate
+        manifest rows."""
+        import pytest as _pytest
+
+        from tumult_core_spark.sources.io import new_files_since
+
+        data = str(tmp_path / "data")
+        spark.range(3).write.parquet(f"{data}/f1")
+
+        # missing manifest: first run, all files new
+        missing = str(tmp_path / "no_such_manifest")
+        assert new_files_since(spark, f"{data}/*/", missing).count() >= 1
+
+        # corrupt manifest: not silently "first run"
+        corrupt = tmp_path / "manifest"
+        corrupt.mkdir()
+        (corrupt / "part-00000.parquet").write_bytes(b"this is not parquet")
+        with _pytest.raises(Exception) as exc_info:
+            new_files_since(spark, f"{data}/*/", str(corrupt)).count()
+        assert "PATH_NOT_FOUND" not in str(exc_info.value)
 
     def test_listing_prunes_binary_content(self, spark, tmp_path):
         # the metadata listing must not read file bodies: the scan's

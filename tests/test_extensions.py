@@ -315,6 +315,52 @@ class TestSubstringDedup:
             }
             assert got == expected, f"seed {seed}: {got ^ expected}"
 
+    def test_window_sweep_coarse_spans_contained_in_fine(self, spark):
+        """Discretization guard for the docstring's window argument: a
+        duplicated W-token window's subwindows of length w < W are
+        duplicated too, so every span found at a coarser window must
+        be contained in some span found at any finer window (coverage
+        is monotone as the window shrinks).  Swept at 10/12/20 on a
+        planted corpus."""
+        import random
+
+        from tumult_core_spark.extensions.dedup import duplicate_substring_spans
+
+        rnd = random.Random(7)
+        vocab = [f"t{j}" for j in range(500)]  # big vocab: no accidental dups
+        shared_a = [rnd.choice(vocab) for _ in range(25)]
+        shared_b = [rnd.choice(vocab) for _ in range(40)]
+        docs = []
+        for d in range(6):
+            toks = [rnd.choice(vocab) for _ in range(rnd.randint(30, 60))]
+            if d % 2 == 0:
+                pos = rnd.randint(0, len(toks))
+                toks = toks[:pos] + shared_a + toks[pos:]
+            if d % 3 == 0:
+                pos = rnd.randint(0, len(toks))
+                toks = toks[:pos] + shared_b + toks[pos:]
+            docs.append((d, " ".join(toks)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+
+        by_window = {}
+        for w in (10, 12, 20):
+            per_doc = {}
+            for r in duplicate_substring_spans(df, "doc_id", "text", w).collect():
+                per_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+            by_window[w] = per_doc
+        # the planted 25/40-token inserts are found at every window
+        assert by_window[20], "planted duplicates not found at w=20"
+        for coarse, fine in ((20, 12), (20, 10), (12, 10)):
+            for doc_id, coarse_spans in by_window[coarse].items():
+                fine_spans = by_window[fine].get(doc_id, [])
+                for cs, ce in coarse_spans:
+                    assert any(
+                        fs <= cs and ce <= fe for fs, fe in fine_spans
+                    ), (
+                        f"span ({cs},{ce}) at w={coarse} for doc {doc_id} "
+                        f"not contained in any w={fine} span {fine_spans}"
+                    )
+
     def test_stays_jvm_side(self, spark):
         from tumult_core_spark.extensions.dedup import (
             duplicate_substring_spans,
@@ -647,6 +693,26 @@ class TestSampling:
             out._jdf.queryExecution(), "formatted"
         )
         assert "Exchange" not in plan
+
+    def test_token_budget_mix_all_null_sources_dropped(self, spark):
+        """The docstring contract 'NULL sources are dropped' must hold
+        even when EVERY source is NULL: the empty-thresholds early
+        return previously passed the whole frame through, NULLs
+        included."""
+        from tumult_core_spark.extensions.sampling import token_budget_mix
+
+        all_null = spark.createDataFrame(
+            [(i, None, 10) for i in range(5)],
+            "doc_id long, source string, cost long",
+        )
+        assert token_budget_mix(all_null, "source", "doc_id", "cost", 100.0).count() == 0
+        # mixed: NULL rows dropped, the real source honored
+        mixed = spark.createDataFrame(
+            [(0, None, 10), (1, "a", 10), (2, "a", 10)],
+            "doc_id long, source string, cost long",
+        )
+        out = token_budget_mix(mixed, "source", "doc_id", "cost", 1000.0)
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
 
     def test_temperature_mix_null_sources_dropped(self, spark):
         from tumult_core_spark.extensions.sampling import temperature_mix
@@ -1796,6 +1862,58 @@ class TestMultimodal:
             _decode_png(self._png(img, 2, 0, interlace=1))
         assert _decode_png(b"not a png") is None
 
+    def test_truncated_png_raises_value_error_not_struct_error(self):
+        """A chunk whose declared length overruns the payload must hit
+        the module's ValueError contract, not struct.error from a
+        short IHDR slice."""
+        import numpy as np
+        import pytest as _pytest
+
+        from tumult_core_spark.extensions.multimodal import (
+            _PNG_SIG,
+            _decode_png,
+            _encode_png,
+        )
+
+        img = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+        good = _encode_png(img, filter_type=0)
+        # cut mid-chunk: the IHDR chunk's declared length now overruns
+        truncated = good[: len(_PNG_SIG) + 10]
+        with _pytest.raises(ValueError, match="truncated PNG"):
+            _decode_png(truncated)
+        # oversized declared length on an otherwise-complete file
+        import struct as _struct
+
+        big_len = _struct.pack(">I", 1 << 24)
+        forged = good[: len(_PNG_SIG)] + big_len + good[len(_PNG_SIG) + 4 :]
+        with _pytest.raises(ValueError, match="truncated PNG"):
+            _decode_png(forged)
+
+    def test_image_stats_fake_mode_is_deterministic_stub(self, spark):
+        """fake mode yields sha-derived non-null stub stats (same
+        convention as extract_image_features), identical across runs."""
+        from tumult_core_spark.extensions.multimodal import image_stats
+
+        df = spark.createDataFrame(
+            [(0, bytearray(b"payload-a")), (1, bytearray(b"payload-b"))],
+            "doc_id long, payload binary",
+        )
+        rows1 = sorted(
+            image_stats(df, "payload", "doc_id", decoder="fake").collect(),
+            key=lambda r: r.doc_id,
+        )
+        rows2 = sorted(
+            image_stats(df, "payload", "doc_id", decoder="fake").collect(),
+            key=lambda r: r.doc_id,
+        )
+        for r1, r2 in zip(rows1, rows2):
+            assert r1 == r2
+            assert r1["width"] is not None and 1 <= r1["width"] <= 64
+            assert r1["channels"] in (1, 3, 4)
+            assert 0.0 <= r1["mean_value"] <= 256.0
+        # distinct payloads get distinct stubs (sha-derived)
+        assert rows1[0] != rows1[1]
+
     def test_real_png_through_spark_operators(self, spark):
         # PNG payloads decode FOR REAL inside the mapInPandas operators:
         # features are content-driven and resize preserves pixel values
@@ -1877,6 +1995,122 @@ class TestMultimodal:
         feats = np.array(out[0]["features"])
         # constant-amplitude sine: every RMS window carries equal energy
         assert np.allclose(feats, feats[0], atol=1e-3)
+
+
+class TestJpegCodec:
+    """From-scratch baseline JFIF codec (extensions/jpeg.py): encode
+    and decode are independent implementations of the public T.81
+    spec's two directions, so round-trip tests exercise both."""
+
+    def test_gray_constant_blocks_quality100_exact(self):
+        """All-ones quant tables + constant 8x8 blocks -> only DC
+        coefficients -> the decode must reproduce pixels EXACTLY (the
+        property the driver oracle pins)."""
+        import numpy as np
+
+        from tumult_core_spark.extensions.jpeg import _decode_jpeg, _encode_jpeg
+
+        rng = np.random.default_rng(42)
+        blocks = rng.integers(0, 256, size=(3, 5), dtype=np.uint8)
+        img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+        dec = _decode_jpeg(_encode_jpeg(img, quality=100))
+        assert dec.shape == (24, 40, 1)
+        assert np.array_equal(dec[:, :, 0], img)
+
+    def test_lossy_roundtrip_small_error(self):
+        """Smooth content at high quality decodes close to the source
+        in every mode: gray, color 4:4:4, color 4:2:0, odd (non-MCU-
+        aligned) dimensions."""
+        import numpy as np
+
+        from tumult_core_spark.extensions.jpeg import _decode_jpeg, _encode_jpeg
+
+        xx, yy = np.meshgrid(np.arange(61), np.arange(45))
+        gray = ((xx * 3 + yy * 2) % 256).astype(np.uint8)
+        d = _decode_jpeg(_encode_jpeg(gray, quality=95))
+        assert d.shape == (45, 61, 1)
+        assert np.abs(d[:, :, 0].astype(int) - gray.astype(int)).mean() < 3.0
+
+        color = np.stack(
+            [(xx * 2) % 256, (yy * 3) % 256, (xx + yy) % 256], axis=2
+        ).astype(np.uint8)
+        for sub in ("444", "420"):
+            d = _decode_jpeg(_encode_jpeg(color, quality=92, subsampling=sub))
+            assert d.shape == (45, 61, 3)
+            assert np.abs(d.astype(int) - color.astype(int)).mean() < 6.0, sub
+
+    def test_restart_intervals_resync(self):
+        """DRI/RSTn: the decoder must resynchronize at every restart
+        marker and reset DC predictors — output identical to the
+        no-restart encoding of the same source."""
+        import numpy as np
+
+        from tumult_core_spark.extensions.jpeg import _decode_jpeg, _encode_jpeg
+
+        xx, yy = np.meshgrid(np.arange(64), np.arange(48))
+        color = np.stack(
+            [(xx * 5) % 256, (yy * 7) % 256, (xx * yy) % 256], axis=2
+        ).astype(np.uint8)
+        base = _decode_jpeg(_encode_jpeg(color, quality=85))
+        for ri in (1, 2, 5):
+            with_rst = _decode_jpeg(
+                _encode_jpeg(color, quality=85, restart_interval=ri)
+            )
+            assert np.array_equal(base, with_rst), f"restart_interval={ri}"
+        sub = _decode_jpeg(_encode_jpeg(color, quality=85, subsampling="420"))
+        sub_rst = _decode_jpeg(
+            _encode_jpeg(color, quality=85, subsampling="420", restart_interval=2)
+        )
+        assert np.array_equal(sub, sub_rst)
+
+    def test_error_contract(self):
+        """None for non-JPEG; ValueError for truncation and for the
+        unsupported-by-design modes (progressive)."""
+        import numpy as np
+        import pytest as _pytest
+
+        from tumult_core_spark.extensions.jpeg import _decode_jpeg, _encode_jpeg
+
+        assert _decode_jpeg(b"not a jpeg") is None
+        img = np.zeros((8, 8), dtype=np.uint8)
+        good = _encode_jpeg(img)
+        with _pytest.raises(ValueError, match="truncated"):
+            _decode_jpeg(good[:30])
+        # forge the SOF0 marker into SOF2 (progressive)
+        progressive = bytearray(good)
+        idx = bytes(progressive).find(b"\xff\xc0")
+        progressive[idx + 1] = 0xC2
+        with _pytest.raises(ValueError, match="progressive|unsupported"):
+            _decode_jpeg(bytes(progressive))
+
+    def test_through_spark_operators(self, spark):
+        """JPEG payloads decode FOR REAL inside image_stats: the
+        synthesized grayscale block images report exact a-priori
+        stats through the full mapInPandas path."""
+        import numpy as np
+
+        from tumult_core_spark.extensions.multimodal import (
+            _block_pixels_from_bytes,
+            image_stats,
+            synthesize_jpeg_images,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"document number {i}") for i in range(6)],
+            "doc_id long, text string",
+        )
+        payloads = synthesize_jpeg_images(docs, "text", "doc_id")
+        got = {
+            r.doc_id: r
+            for r in image_stats(
+                payloads, "payload", "doc_id", decoder="real"
+            ).collect()
+        }
+        for i in range(6):
+            px = _block_pixels_from_bytes(f"document number {i}".encode(), 2, 3)
+            r = got[i]
+            assert (r["width"], r["height"], r["channels"]) == (24, 16, 1)
+            assert abs(r["mean_value"] - float(px.mean())) < 1e-9
 
 
 class TestRollingAndSessions:

@@ -192,6 +192,22 @@ def test_release_freeze_is_local_relation_not_python_rdd(spark):
     assert time.time() - start < 1.0
 
 
+def test_sanitize_survives_reserved_column_name(spark):
+    """A release whose schema contains a column literally named
+    ``__shuffle_key`` must pass through sanitize_df intact — the
+    helper column is derived via get_nonconflicting_string, so no
+    release column can collide with it."""
+    from tumult_core_spark.utils.misc import sanitize_df
+
+    df = spark.range(10).select(
+        F.col("id").alias("__shuffle_key"), (F.col("id") * 2).alias("v")
+    )
+    out = sanitize_df(df)
+    assert out.columns == ["__shuffle_key", "v"]
+    assert sorted(r["__shuffle_key"] for r in out.collect()) == list(range(10))
+    assert out.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(10))
+
+
 def test_new_text_ops_stay_jvm_side(spark, sf_dir):
     """tfidf / unigram-LM / chunking / repetition are pure Catalyst:
     no Python evaluation nodes anywhere in their physical plans, and

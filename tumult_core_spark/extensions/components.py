@@ -25,6 +25,8 @@ fingerprint, one tiny aggregate per round.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -87,7 +89,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 50,
-    checkpoint_dir: str = None,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """(node, component) for every node of the pair relation, where
     ``component`` is the smallest node id in its connected component.
@@ -162,7 +164,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     undirected: bool = True,
-    checkpoint_dir: str = None,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` synchronous PageRank steps
     (Page et al. 1999) over the pair relation — link-graph centrality
@@ -232,7 +234,7 @@ def canonical_duplicates(
     pairs: DataFrame,
     id_col: str = "id_a",
     id_col_b: str = "id_b",
-    checkpoint_dir: str = None,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """(doc_id, canonical_id) for every document that appears in the
     near-duplicate pair relation: the canonical is the smallest id of

@@ -1,0 +1,683 @@
+"""From-scratch baseline JFIF (JPEG) codec — stdlib + NumPy only.
+
+Closes the "real multimodal corpora carry JPEG" capability edge the
+same way the PNG codec did (``multimodal.py``): the format is a public
+spec (ITU-T T.81 / ISO 10918-1; constants below are the Annex K
+example tables), and the container has no external codec library, so
+the DCT / quantization / Huffman pipeline is implemented directly.
+
+Scope — the baseline profile that covers the overwhelming majority of
+real-world JPEGs:
+
+* decode: baseline sequential DCT (SOF0), 8-bit precision, grayscale
+  or YCbCr, any sampling factors in {1,2}x{1,2} (4:4:4, 4:2:2, 4:2:0,
+  ...), restart intervals (DRI/RSTn), multi-table DQT/DHT segments.
+  Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical
+  modes raise ``ValueError`` (callers in ``auto`` mode fall back to
+  the stub; ``real`` mode propagates — same contract as PNG).
+* encode: SOF0 grayscale or color at 4:4:4 or 4:2:0, IJG-style
+  quality scaling of the Annex K tables (``quality=100`` → all-ones
+  tables, which makes constant 8x8 blocks round-trip EXACTLY — the
+  property the independent driver oracle pins), optional restart
+  intervals.
+
+Performance honesty (the PNG-Paeth note's sibling): the per-symbol
+Huffman loop is plain Python — roughly 1-3 MB/s of entropy data per
+core — while everything after it (dequantize, IDCT via one einsum
+over all blocks, chroma upsample, colorspace) is vectorized NumPy.
+mapInPandas parallelism across 32+ cores makes that throughput usable
+for profiling/sampling workloads; for bulk decode of a 100 TB image
+corpus, swap ``_decode_jpeg`` for Pillow/libjpeg-turbo behind the
+same signature.
+
+Reference parity: the reference exposes opaque-binary decode UDFs
+(``tmlt/core`` has no image codecs either); this module exists for
+the training-data-pipeline surface, not reference parity.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Spec constants (ITU-T T.81 Annex K)
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+#: natural index -> position in zigzag stream (inverse permutation)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# (bits-per-length[1..16], symbol values) — canonical Huffman specs
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+#: orthonormal 8-point DCT-II matrix: fwd = M @ B @ M.T, inv = M.T @ F @ M
+_DCT_M = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _c = (1.0 / np.sqrt(2.0)) if _k == 0 else 1.0
+        _DCT_M[_k, _n] = 0.5 * _c * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+
+
+def scale_quant_table(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling; ``quality=100`` yields the all-ones table
+    (the lossless-for-constant-blocks configuration)."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in [1, 100]")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    t = (base * scale + 50) // 100
+    return np.clip(t, 1, 255).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self._acc = 0
+        self._nbits = 0
+        self._out = bytearray()
+
+    def write(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._nbits += length
+        while self._nbits >= 8:
+            self._nbits -= 8
+            byte = (self._acc >> self._nbits) & 0xFF
+            self._out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self._out.append(0x00)
+        self._acc &= (1 << self._nbits) - 1
+
+    def flush(self) -> bytes:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self._out)
+
+
+def _huff_encode_table(bits, vals):
+    """symbol -> (code, length) from a canonical (bits, vals) spec."""
+    table = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+_ENC_DC_LUMA = _huff_encode_table(DC_LUMA_BITS, DC_LUMA_VALS)
+_ENC_DC_CHROMA = _huff_encode_table(DC_CHROMA_BITS, DC_CHROMA_VALS)
+_ENC_AC_LUMA = _huff_encode_table(AC_LUMA_BITS, AC_LUMA_VALS)
+_ENC_AC_CHROMA = _huff_encode_table(AC_CHROMA_BITS, AC_CHROMA_VALS)
+
+
+def _magnitude(v: int):
+    """(size, bits) VLI coding of a coefficient value."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(by, bx, 64) quantized zigzagged coefficients for an 8-aligned
+    float plane (already level-shifted by -128)."""
+    h, w = plane.shape
+    blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    coeff = np.einsum("ij,byjk,lk->byil", _DCT_M, blocks, _DCT_M)
+    quant = np.round(coeff.reshape(h // 8, w // 8, 64) / q[np.newaxis, np.newaxis, :])
+    return quant.astype(np.int64)[:, :, ZIGZAG]
+
+
+def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (-h) % mult
+    pw = (-w) % mult
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def _encode_block(writer, zz, dc_pred, dc_table, ac_table) -> int:
+    """Huffman-encode one zigzagged 64-coefficient block; returns the
+    block's DC value (the caller's next predictor)."""
+    dc = int(zz[0])
+    size, bits = _magnitude(dc - dc_pred)
+    code, length = dc_table[size]
+    writer.write(code, length)
+    writer.write(bits, size)
+    run = 0
+    last_nonzero = 0
+    for k in range(63, 0, -1):
+        if zz[k] != 0:
+            last_nonzero = k
+            break
+    for k in range(1, last_nonzero + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_table[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_table[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(bits, size)
+        run = 0
+    if last_nonzero < 63:
+        code, length = ac_table[0x00]  # EOB
+        writer.write(code, length)
+    return dc
+
+
+def _rgb_to_ycbcr(img: np.ndarray):
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _encode_jpeg(
+    img: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 HxW / HxWx1 (grayscale) or HxWx3 (RGB) -> baseline JFIF
+    bytes.  ``subsampling`` is ``"444"`` or ``"420"`` (ignored for
+    grayscale); ``restart_interval`` > 0 emits DRI + RSTn markers
+    every that many MCUs (exercises the decoder's restart path)."""
+    if img.ndim == 2:
+        img = img[:, :, np.newaxis]
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] not in (1, 3):
+        raise ValueError("expected uint8 HxW[x1|x3] image")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    height, width, ncomp = img.shape
+    if height == 0 or width == 0:
+        raise ValueError("empty image")
+    gray = ncomp == 1
+    q_luma = scale_quant_table(QUANT_LUMA, quality).astype(np.float64)
+    q_chroma = scale_quant_table(QUANT_CHROMA, quality).astype(np.float64)
+
+    sub = (1, 1) if (gray or subsampling == "444") else (2, 2)
+    hmax, vmax = sub
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+
+    if gray:
+        y = img[:, :, 0].astype(np.float64)
+        planes = [(_pad_to(y, mcu_h) - 128.0, q_luma)]
+    else:
+        y, cb, cr = _rgb_to_ycbcr(img)
+        y = _pad_to(y, mcu_h)
+        if sub == (2, 2):
+            cbp = _pad_to(cb, 16)
+            crp = _pad_to(cr, 16)
+            # box-average 2x2 then the chroma grid is mcu/2-aligned
+            cb = (cbp[0::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 0::2] + cbp[1::2, 1::2]) / 4.0
+            cr = (crp[0::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 0::2] + crp[1::2, 1::2]) / 4.0
+        else:
+            cb = _pad_to(cb, 8)
+            cr = _pad_to(cr, 8)
+        planes = [
+            (y - 128.0, q_luma),
+            (_pad_to(cb, 8) - 128.0, q_chroma),
+            (_pad_to(cr, 8) - 128.0, q_chroma),
+        ]
+    comps_zz = [_fdct_quant(p, q) for p, q in planes]
+
+    # ---- headers -----------------------------------------------------
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HH", 1, 1
+    ) + b"\x00\x00"
+    for tq, table in ((0, q_luma), (1, q_chroma)) if not gray else ((0, q_luma),):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(table[z]) for z in ZIGZAG)
+    ncomps = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomps, 8, height, width, ncomps)
+    if gray:
+        out += bytes([1, 0x11, 0])
+    else:
+        out += bytes([1, (hmax << 4) | vmax, 0, 2, 0x11, 1, 3, 0x11, 1])
+    hts = [
+        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
+    ]
+    if not gray:
+        hts += [
+            (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ]
+    for tc_th, bits, vals in hts:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc_th])
+        out += bytes(bits) + bytes(vals)
+    if restart_interval > 0:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomps, ncomps)
+    if gray:
+        out += bytes([1, 0x00])
+    else:
+        out += bytes([1, 0x00, 2, 0x11, 3, 0x11])
+    out += bytes([0, 63, 0])
+
+    # ---- entropy-coded data ------------------------------------------
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+    dc_tabs = [_ENC_DC_LUMA] + [_ENC_DC_CHROMA] * 2
+    ac_tabs = [_ENC_AC_LUMA] + [_ENC_AC_CHROMA] * 2
+    comp_sub = [(hmax, vmax)] + [(1, 1)] * 2
+    writer = _BitWriter()
+    dc_pred = [0, 0, 0]
+    mcu_count = 0
+    rst_idx = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                out += writer.flush()
+                out += bytes([0xFF, 0xD0 + rst_idx])
+                rst_idx = (rst_idx + 1) % 8
+                writer = _BitWriter()
+                dc_pred = [0, 0, 0]
+            for ci, zzgrid in enumerate(comps_zz):
+                ch, cv = comp_sub[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = zzgrid[my * cv + by, mx * ch + bx]
+                        dc_pred[ci] = _encode_block(
+                            writer, zz, dc_pred[ci], dc_tabs[ci], ac_tabs[ci]
+                        )
+            mcu_count += 1
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+class _HuffTable:
+    """Canonical Huffman decode table (F.2.2.3 mincode/maxcode/valptr)."""
+
+    def __init__(self, bits, vals) -> None:
+        self.vals = vals
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            n = bits[length - 1]
+            if n:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += n
+                k += n
+                self.maxcode[length] = code - 1
+            else:
+                self.maxcode[length] = -1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first reader over one de-stuffed entropy chunk."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            if self.pos < len(self.data):
+                self.acc = (self.acc << 8) | self.data[self.pos]
+                self.pos += 1
+            else:
+                self.acc <<= 8  # spec: pad exhausted stream with 0 bits
+            self.nbits += 8
+
+    def bit(self) -> int:
+        self._fill(1)
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill(n)
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def decode_symbol(self, table: _HuffTable) -> int:
+        code = self.bit()
+        length = 1
+        while code > table.maxcode[length]:
+            length += 1
+            if length > 16:
+                raise ValueError("corrupt JPEG entropy data (bad Huffman code)")
+            code = (code << 1) | self.bit()
+        return table.vals[table.valptr[length] + code - table.mincode[length]]
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def _split_scan(payload: bytes, start: int):
+    """(chunks, end_pos): de-stuffed entropy chunks split on RSTn, and
+    the offset of the terminating marker (EOI or next segment)."""
+    chunks = []
+    cur = bytearray()
+    pos = start
+    n = len(payload)
+    while pos < n:
+        b = payload[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        if pos + 1 >= n:
+            break
+        m = payload[pos + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            chunks.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        elif m == 0xFF:  # fill byte
+            pos += 1
+        else:
+            break  # EOI or next segment
+    chunks.append(bytes(cur))
+    return chunks, pos
+
+
+def _decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
+    """Baseline JFIF -> HxWxC uint8 (C in {1, 3}), or None for a
+    non-JPEG payload.  Unsupported JPEG variants and truncation raise
+    ``ValueError`` (the module's PNG contract)."""
+    if payload[:2] != b"\xff\xd8":
+        return None
+    qt = {}
+    huff = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    n = len(payload)
+    scan = None
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG (expected marker)")
+        while pos + 1 < n and payload[pos + 1] == 0xFF:  # fill bytes
+            pos += 1
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        if pos + 2 + seglen > n:
+            raise ValueError("truncated JPEG")
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    table = np.frombuffer(body, np.uint8, 64, i).astype(np.int64)
+                    i += 64
+                elif pq == 1:
+                    table = np.frombuffer(body, ">u2", 64, i).astype(np.int64)
+                    i += 128
+                else:
+                    raise ValueError("bad DQT precision")
+                nat = np.zeros(64, np.int64)
+                nat[ZIGZAG] = table
+                qt[tq] = nat
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                count = sum(bits)
+                vals = list(body[i + 17 : i + 17 + count])
+                huff[(tc, th)] = _HuffTable(bits, vals)
+                i += 17 + count
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0 / SOF1 (both baseline-decodable)
+            prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec} (8 only)")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": height, "w": width, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "unsupported JPEG mode (progressive/arithmetic/hierarchical); "
+                "baseline sequential only"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG scan before frame header")
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tdta = body[1 + 2 * c : 3 + 2 * c]
+                scan_comps.append({"id": cs, "td": tdta >> 4, "ta": tdta & 0x0F})
+            scan = (scan_comps, pos + 2 + seglen)
+            break
+        # APPn / COM / DNL / anything else: skip
+        pos += 2 + seglen
+    if frame is None or scan is None:
+        raise ValueError("truncated JPEG (no frame/scan)")
+
+    comps = frame["comps"]
+    height, width = frame["h"], frame["w"]
+    if height == 0 or width == 0:
+        raise ValueError("bad JPEG dimensions")
+    scan_comps, data_start = scan
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for sc in scan_comps:
+        if sc["id"] not in by_id:
+            raise ValueError("JPEG scan references unknown component")
+        order.append({**by_id[sc["id"]], **sc})
+    if len(order) != len(comps):
+        raise ValueError("multi-scan JPEG unsupported (baseline interleaved only)")
+    for c in order:
+        if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
+            raise ValueError("unsupported JPEG sampling factors (1-2 only)")
+        if c["tq"] not in qt:
+            raise ValueError("JPEG component references missing DQT table")
+        if (0, c["td"]) not in huff or (1, c["ta"]) not in huff:
+            raise ValueError("JPEG component references missing DHT table")
+
+    hmax = max(c["h"] for c in order)
+    vmax = max(c["v"] for c in order)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    grids = [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+        for c in order
+    ]
+
+    chunks, _ = _split_scan(payload, data_start)
+    total_mcus = mcus_x * mcus_y
+    per_chunk = restart_interval if restart_interval else total_mcus
+    mcu = 0
+    for chunk in chunks:
+        if mcu >= total_mcus:
+            break
+        reader = _BitReader(chunk)
+        dc_pred = [0] * len(order)
+        end = min(total_mcus, mcu + per_chunk)
+        while mcu < end:
+            my, mx = divmod(mcu, mcus_x)
+            for ci, c in enumerate(order):
+                dct = huff[(0, c["td"])]
+                act = huff[(1, c["ta"])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = grids[ci][my * c["v"] + by, mx * c["h"] + bx]
+                        size = reader.decode_symbol(dct)
+                        dc_pred[ci] += _extend(reader.bits(size), size)
+                        zz[0] = dc_pred[ci]
+                        k = 1
+                        while k < 64:
+                            sym = reader.decode_symbol(act)
+                            if sym == 0x00:  # EOB
+                                break
+                            run = sym >> 4
+                            size = sym & 0x0F
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("corrupt JPEG AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            zz[k] = _extend(reader.bits(size), size)
+                            k += 1
+            mcu += 1
+    if mcu < total_mcus:
+        raise ValueError("truncated JPEG entropy data")
+
+    # dequantize + IDCT, all blocks of each component at once
+    planes = []
+    for ci, c in enumerate(order):
+        zz = grids[ci]
+        nat = np.zeros_like(zz)
+        nat[:, :, ZIGZAG] = zz
+        nat = nat * qt[c["tq"]][np.newaxis, np.newaxis, :]
+        by, bx = nat.shape[:2]
+        blocks = nat.reshape(by, bx, 8, 8).astype(np.float64)
+        pix = np.einsum("ji,byjk,kl->byil", _DCT_M, blocks, _DCT_M) + 128.0
+        plane = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        # upsample to full resolution (nearest/box, the common choice)
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], 0), hmax // c["h"], 1)
+        planes.append(plane[:height, :width])
+
+    if len(planes) == 1:
+        out = planes[0][:, :, np.newaxis]
+    elif len(planes) == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        out = np.stack([r, g, b], axis=2)
+    else:
+        raise ValueError(f"unsupported JPEG component count {len(planes)}")
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)

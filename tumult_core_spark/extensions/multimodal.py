@@ -6,13 +6,16 @@ sampling) runs as Arrow-batched ``mapInPandas`` over the binary
 column, so the Spark-side contract — schema, partitioning, UDF
 signature, batch shape — is identical whatever the decoder.
 
-Decoders are REAL for every format expressible with the stdlib —
+Decoders are REAL for every format expressible with stdlib + NumPy —
 uncompressed PPM (P6) / PGM (P5) images, uncompressed BI_RGB BMP
 (24/32-bit), baseline PNG (8-bit gray/RGB/palette/alpha, zlib inflate
 + NumPy scanline unfiltering — DEFLATE ships in the stdlib, so PNG
-needs no external codec), 8/16-bit PCM WAV audio, and uncompressed
-YUV4MPEG2 (.y4m) video.  The remaining compressed formats
-(JPEG/MP3/MP4...) need Pillow/ffmpeg,
+needs no external codec), baseline-sequential JFIF/JPEG (from-scratch
+Huffman + IDCT per the public ITU-T T.81 spec — see
+:mod:`tumult_core_spark.extensions.jpeg`; grayscale/YCbCr, 4:4:4 /
+4:2:2 / 4:2:0, restart markers; progressive raises), 8/16-bit PCM WAV
+audio, and uncompressed YUV4MPEG2 (.y4m) video.  The remaining
+compressed formats (progressive JPEG/MP3/MP4...) need Pillow/ffmpeg,
 which are NOT available in this environment; per the ``decoder``
 mode they either fall back to a deterministic sha256-seeded stub
 (``"auto"``, default — keeps pipelines runnable end-to-end) or raise
@@ -220,6 +223,13 @@ def _decode_png(payload: bytes) -> Optional[np.ndarray]:
     while pos + 8 <= n:
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
+        # validate the declared length against the payload BEFORE
+        # slicing: a truncated/corrupt file with an oversized length
+        # would otherwise yield a short body and fail IHDR parsing
+        # with struct.error instead of this module's ValueError
+        # contract.
+        if pos + 12 + length > n:
+            raise ValueError("truncated PNG")
         body = payload[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
@@ -261,6 +271,10 @@ def _decode_image_real(payload: bytes) -> Optional[np.ndarray]:
         return _decode_pnm(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import _decode_jpeg
+
+        return _decode_jpeg(payload)
     return _decode_bmp(payload)
 
 
@@ -381,6 +395,18 @@ def _unit_norm(v: np.ndarray) -> np.ndarray:
     return (v / max(float(np.linalg.norm(v)), 1e-12)).astype(np.float32)
 
 
+def _fake_stats(payload: bytes):
+    """Deterministic stub (width, height, channels, mean_value) from
+    the payload hash — :func:`image_stats`'s fake-mode counterpart of
+    :func:`_fake_features`."""
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+    width = 1 + seed % 64
+    height = 1 + (seed >> 8) % 64
+    channels = (1, 3, 4)[(seed >> 16) % 3]
+    mean_value = float((seed >> 24) % 25600) / 100.0
+    return width, height, channels, mean_value
+
+
 def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic unit-norm pseudo-embedding from the payload hash."""
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
@@ -392,8 +418,8 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
 def _codec_error(what: str) -> NotImplementedError:
     return NotImplementedError(
         f"real {what} requires codecs (Pillow/ffmpeg) not present in this "
-        "environment; PPM/PGM/BMP/baseline-PNG/PCM-WAV/Y4M decode "
-        "codec-free — use decoder='auto' to fall back to the "
+        "environment; PPM/PGM/BMP/baseline-PNG/baseline-JPEG/PCM-WAV/Y4M "
+        "decode codec-free — use decoder='auto' to fall back to the "
         "deterministic stub for other formats"
     )
 
@@ -724,6 +750,60 @@ def synthesize_png_images(
     return df.select(id_col, seed_col).mapInPandas(run, schema=out_schema)
 
 
+def _block_pixels_from_bytes(
+    seed_bytes: bytes, blocks_h: int, blocks_w: int
+) -> np.ndarray:
+    """Deterministic grayscale test image of constant 8x8 blocks, one
+    sha256-derived value per block.  Constant blocks excite only each
+    block's DC coefficient, so a quality-100 (all-ones quant tables)
+    JPEG round-trip reproduces the pixels EXACTLY — the property the
+    independent driver oracle pins (expected stats computable from the
+    block values alone, no codec involved)."""
+    seed = int.from_bytes(hashlib.sha256(seed_bytes).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 256, size=(blocks_h, blocks_w), dtype=np.uint8)
+    return np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+
+
+def synthesize_jpeg_images(
+    df: DataFrame,
+    seed_col: str,
+    id_col: str,
+    blocks_h: int = 2,
+    blocks_w: int = 3,
+    out_col: str = "payload",
+) -> DataFrame:
+    """(id, payload binary): a valid baseline-JFIF grayscale test
+    image per row — constant 8x8 blocks derived deterministically from
+    ``seed_col``'s bytes, encoded at quality 100 by the REAL
+    from-scratch encoder (:mod:`.jpeg`), cycling restart intervals by
+    ``id % 3`` (none / every MCU / every 2 MCUs) so a corpus exercises
+    the decoder's RSTn resynchronization path too.  Payloads are
+    ordinary JPEGs any external tool can open; the PNG sibling is
+    :func:`synthesize_png_images`."""
+    from .jpeg import _encode_jpeg
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField(out_col, T.BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, s in zip(pdf[id_col], pdf[seed_col]):
+                raw = s if isinstance(s, (bytes, bytearray)) else str(s or "").encode("utf-8")
+                img = _block_pixels_from_bytes(bytes(raw), blocks_h, blocks_w)
+                payloads.append(
+                    _encode_jpeg(img, quality=100, restart_interval=int(i) % 3)
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), out_col: payloads})
+
+    return df.select(id_col, seed_col).mapInPandas(run, schema=out_schema)
+
+
 def image_stats(
     df: DataFrame,
     binary_col: str,
@@ -734,7 +814,10 @@ def image_stats(
     the decode-and-profile operator: real formats (PPM/PGM/BMP/PNG)
     report true pixel statistics; in ``auto`` mode an undecodable
     payload yields null dimensions (rather than failing the pipeline),
-    and ``real`` mode raises where a missing codec would slot in."""
+    ``real`` mode raises where a missing codec would slot in, and
+    ``fake`` mode returns deterministic sha256-derived stub stats (the
+    same convention as :func:`extract_image_features`'s stub — never
+    nulls, so fake-mode pipelines exercise the non-null code path)."""
     _check_mode(decoder)
     out_schema = T.StructType(
         [
@@ -753,6 +836,8 @@ def image_stats(
             return w, h, ch, float(img.mean())
         if decoder == "real":
             raise _codec_error("image decode")
+        if decoder == "fake":
+            return _fake_stats(payload)
         return None, None, None, None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -369,7 +369,11 @@ def token_budget_mix(
         )
     thresholds = token_budget_thresholds(totals, budget, weights)
     if not thresholds:
-        return df
+        # Empty input OR every source NULL: either way no thresholds
+        # exist, but NULL-source rows are still dropped per the
+        # contract above (the when-chain below does it implicitly on
+        # the normal path).
+        return df.filter(F.col(source_col).isNotNull())
     pos = _mix(F.col(id_col).cast("long"), seed)
     thr = None
     for s, t in sorted(thresholds.items()):

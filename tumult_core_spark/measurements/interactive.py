@@ -376,6 +376,12 @@ class AccountantState(Enum):
     RETIRED = "retired"
 
 
+#: Name-level parity alias: the reference spells this enum
+#: ``PrivacyAccountantState`` (``interactive_measurements.py:769``), so
+#: code ported from it imports the same name here.
+PrivacyAccountantState = AccountantState
+
+
 class InactiveAccountantError(RuntimeError):
     """Raised by :class:`PrivacyAccountant` operations that require
     the ACTIVE state (reference ``interactive_measurements.py:852``).

@@ -312,14 +312,25 @@ def new_files_since(
     A file counts as NEW when its (path, length, modification_time)
     triple is absent: an overwritten file (same path, new size/mtime)
     is re-processed, an untouched one is skipped.  A missing manifest
-    means everything is new (first run).  The diff is one left-anti
-    join on a manifest that is file-count-sized — tiny next to the
-    data, and broadcast by AQE."""
+    means everything is new (first run).  Any OTHER manifest failure
+    (corrupt parquet, permissions, transient FS error) raises: silently
+    treating it as a first run would reprocess the entire corpus — an
+    expensive mistake at 100 TB — and ``commit_manifest`` would then
+    append duplicate rows.  The diff is one left-anti join on a
+    manifest that is file-count-sized — tiny next to the data, and
+    broadcast by AQE."""
+    from pyspark.errors import AnalysisException
+
     current = list_data_files(spark, path_glob)
     try:
         manifest = spark.read.parquet(manifest_path)
-    except Exception:  # first run: no manifest yet
-        return current
+        # force schema resolution so a missing path surfaces here, not
+        # at the join's action
+        manifest.schema
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return current  # first run: no manifest yet
+        raise
     return current.join(
         manifest.select("path", "length", "modification_time"),
         ["path", "length", "modification_time"],

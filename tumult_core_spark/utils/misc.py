@@ -102,12 +102,21 @@ def cut_lineage(df: DataFrame, checkpoint_dir: Optional[str] = None) -> DataFram
 
 
 def _strip_file_scheme(path: str) -> str:
-    """Normalize a local path or file: URI for equality comparison."""
+    """Normalize a local path or file: URI for equality comparison.
+
+    The stored checkpoint dir comes back as an absolute ``file:/`` URI,
+    so a relative caller path must be made absolute too or the equality
+    test never matches and every round re-invokes ``setCheckpointDir``
+    (a fresh UUID subdir per iteration).
+    """
     for prefix in ("file://", "file:"):
         if path.startswith(prefix):
-            path = path[len(prefix):]
-            break
-    return os.path.normpath(path)
+            return os.path.normpath(path[len(prefix):])
+    if "://" in path:
+        # non-local scheme (hdfs://, s3a://, ...): keep verbatim —
+        # normpath would collapse the scheme's double slash
+        return path
+    return os.path.normpath(os.path.abspath(path))
 
 
 def _checkpoint_parent(stored: str) -> str:
@@ -157,25 +166,33 @@ def sanitize_df(df: DataFrame, materialize_output: bool = True) -> DataFrame:
     columns (destroys residual input order), drop the helper column,
     then freeze so nondeterministic noise is sampled exactly once.
 
-    Freezing is sized to the release with ONE forced evaluation either
-    way.  ``limit(SMALL_RELEASE_ROWS + 1).toArrow()`` is the single
-    action that samples the noise: when the release fits (the common
-    group-keys-sized case) the collected Arrow table IS the frozen
-    result — ``createDataFrame(pa.Table)`` embeds it in the plan as an
-    immutable JVM ``LocalTableScan`` (NOT a Python-RDD scan: re-reads
-    cost ~10 ms, the relation broadcasts for free in downstream joins,
-    and the Arrow path round-trips nulls/NaN/date/decimal/nested types
-    exactly — all pinned by tests).  A larger release falls through to
-    the parquet round-trip in :func:`materialize`, reading the
-    persisted cache: partitions the probe action already computed are
-    cached whole (Spark block-store caching is all-or-nothing per
-    partition), so each partition's noise is still sampled exactly
-    once.  50k rows of a grouped release is far below driver memory;
-    anything bigger belongs in parquet on shared storage anyway.
+    Freezing holds on any cluster because each path has exactly ONE
+    release point.  ``limit(SMALL_RELEASE_ROWS + 1).toArrow()`` probes
+    the size: when the release fits (the common group-keys-sized case)
+    the collected Arrow table IS the frozen result —
+    ``createDataFrame(pa.Table)`` embeds it in the plan as an immutable
+    JVM ``LocalTableScan`` (NOT a Python-RDD scan: re-reads cost
+    ~10 ms, the relation broadcasts for free in downstream joins, and
+    the Arrow path round-trips nulls/NaN/date/decimal/nested types
+    exactly — all pinned by tests).  A larger release instead runs ONE
+    self-contained parquet write job (:func:`materialize`) and the
+    written files define the frozen release; the probe's sampled values
+    are discarded unobserved (running a mechanism twice and releasing
+    only one run's output is still one invocation of the mechanism), so
+    there is no cache or multi-job dependency that a lost executor
+    could invalidate — frozen-once holds on a real cluster, not just
+    local mode.  The probe re-computes ≤50k rows of upstream plan on
+    the large path; large releases are rare and aggregate-shaped, so
+    the extra partial pass is noise next to the full write.  50k rows
+    of a grouped release is far below driver memory; anything bigger
+    belongs in parquet on shared storage anyway.
     """
     cols = df.columns
+    # A release column literally named "__shuffle_key" must survive:
+    # derive a name guaranteed absent from the schema.
+    shuffle_key = get_nonconflicting_string(cols)
     shuffled = (
-        df.withColumn("__shuffle_key", F.rand())
+        df.withColumn(shuffle_key, F.rand())
         # REBALANCE (not plain repartition): same privacy effect — a full
         # shuffle keyed on rand() — but AQE right-sizes the partition
         # count to the data.  A 3k-row aggregate release collapses to one
@@ -183,23 +200,17 @@ def sanitize_df(df: DataFrame, materialize_output: bool = True) -> DataFrame:
         # (the parquet write+read in materialize() was dominated by
         # per-file commit overhead), while a 100 TB release still fans
         # out to target-sized partitions.
-        .hint("REBALANCE", "__shuffle_key")
+        .hint("REBALANCE", shuffle_key)
         # backticks: column names may contain dots/parens (e.g. "q0.9(x)")
         .sortWithinPartitions(*[F.col(f"`{c}`") for c in cols])
-        .drop("__shuffle_key")
+        .drop(shuffle_key)
     )
     if not materialize_output:
         return shuffled
-    from pyspark.storagelevel import StorageLevel
-
-    cached = shuffled.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        head = cached.limit(SMALL_RELEASE_ROWS + 1).toArrow()
-        if head.num_rows <= SMALL_RELEASE_ROWS:
-            return df.sparkSession.createDataFrame(head, schema=cached.schema)
-        return materialize(cached)
-    finally:
-        cached.unpersist()
+    head = shuffled.limit(SMALL_RELEASE_ROWS + 1).toArrow()
+    if head.num_rows <= SMALL_RELEASE_ROWS:
+        return df.sparkSession.createDataFrame(head, schema=shuffled.schema)
+    return materialize(shuffled)
 
 
 def coerce_lit(value, data_type):
