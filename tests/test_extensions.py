@@ -2065,7 +2065,7 @@ class TestJpegCodec:
 
     def test_error_contract(self):
         """None for non-JPEG; ValueError for truncation and for the
-        unsupported-by-design modes (progressive)."""
+        unsupported-by-design modes (arithmetic coding)."""
         import numpy as np
         import pytest as _pytest
 
@@ -2076,12 +2076,105 @@ class TestJpegCodec:
         good = _encode_jpeg(img)
         with _pytest.raises(ValueError, match="truncated"):
             _decode_jpeg(good[:30])
-        # forge the SOF0 marker into SOF2 (progressive)
-        progressive = bytearray(good)
-        idx = bytes(progressive).find(b"\xff\xc0")
-        progressive[idx + 1] = 0xC2
-        with _pytest.raises(ValueError, match="progressive|unsupported"):
-            _decode_jpeg(bytes(progressive))
+        # forge the SOF0 marker into SOF9 (arithmetic-coded sequential)
+        arith = bytearray(good)
+        idx = bytes(arith).find(b"\xff\xc0")
+        arith[idx + 1] = 0xC9
+        with _pytest.raises(ValueError, match="arithmetic|unsupported"):
+            _decode_jpeg(bytes(arith))
+
+    def test_progressive_decodes_identically_to_baseline(self):
+        """SOF2 support: the progressive scan script codes the same
+        quantized coefficients as sequential mode, so both encodings
+        of one source must decode bit-identically — across grayscale,
+        color, 4:4:4 / 4:2:0, restart markers, and a pure-noise image
+        (stresses ZRL / EOB / refinement correction-bit paths)."""
+        import numpy as np
+
+        from tumult_core_spark.extensions.jpeg import _decode_jpeg, _encode_jpeg
+
+        rng = np.random.default_rng(5)
+        xx, yy = np.meshgrid(np.arange(61), np.arange(45))
+        gray = ((xx * 3 + yy * 2) % 256).astype(np.uint8)
+        color = np.stack(
+            [(xx * 2) % 256, (yy * 3) % 256, (xx + yy) % 256], 2
+        ).astype(np.uint8)
+        noise = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+        cases = [(gray, "444"), (color, "444"), (color, "420"),
+                 (noise, "444"), (noise, "420")]
+        for img, sub in cases:
+            for ri in (0, 3):
+                base = _decode_jpeg(
+                    _encode_jpeg(img, 90, sub, ri, progressive=False)
+                )
+                prog = _decode_jpeg(
+                    _encode_jpeg(img, 90, sub, ri, progressive=True)
+                )
+                assert np.array_equal(base, prog), (img.shape, sub, ri)
+        # progressive files carry SOF2 and multiple SOS segments
+        payload = _encode_jpeg(color, 90, progressive=True)
+        assert b"\xff\xc2" in payload and payload.count(b"\xff\xda") == 10
+
+    def test_eob_run_longer_than_one_block(self):
+        """The decoder's EOBn>0 run path (which the encoder never
+        emits — standard tables carry no EOBn>0 symbols): hand-build
+        a custom AC table plus bitstream where one EOB symbol covers
+        several blocks, including buffered correction bits in a
+        refinement scan."""
+        import numpy as np
+
+        from tumult_core_spark.extensions.jpeg import (
+            _BitReader,
+            _BitWriter,
+            _HuffTable,
+            _decode_block_ac_first,
+            _decode_block_ac_refine,
+            _huff_encode_table,
+        )
+
+        # canonical table: symbols 0x14 (run 1/size 4) and 0x10 (EOB1)
+        bits = [0, 2] + [0] * 14
+        vals = [0x14, 0x10]
+        dec_tab = _HuffTable(bits, vals)
+        enc_tab = _huff_encode_table(bits, vals)
+
+        # --- AC first scan: block0 has coef 9 at k=2, blocks 1-3 empty
+        w = _BitWriter()
+        code, length = enc_tab[0x14]
+        w.write(code, length)      # run=1, size=4
+        w.write(9, 4)              # value 9
+        code, length = enc_tab[0x10]
+        w.write(code, length)      # EOBn n=1
+        w.write(1, 1)              # ext bit -> run = 2 + 1 = 3
+        reader = _BitReader(w.flush())
+        blocks = [np.zeros(64, np.int64) for _ in range(3)]
+        # the EOBn read inside block0 ends block0's band AND covers the
+        # next run-1 blocks: run=3 -> block0 tail + blocks 1,2
+        eobrun = 0
+        eobrun = _decode_block_ac_first(reader, blocks[0], dec_tab, 1, 63, 0, eobrun)
+        assert blocks[0][2] == 9 and eobrun == 2
+        eobrun = _decode_block_ac_first(reader, blocks[1], dec_tab, 1, 63, 0, eobrun)
+        assert eobrun == 1
+        eobrun = _decode_block_ac_first(reader, blocks[2], dec_tab, 1, 63, 0, eobrun)
+        assert eobrun == 0
+        assert all(not b[1:].any() for b in blocks[1:])
+
+        # --- AC refinement: EOB run of 2 with correction bits for the
+        # history coefficients of BOTH run blocks (positional order)
+        b0 = np.zeros(64, np.int64); b0[3] = 4   # history coef, bit 1 below
+        b1 = np.zeros(64, np.int64); b1[5] = -4  # history coef, bit 1 below
+        w = _BitWriter()
+        code, length = enc_tab[0x10]
+        w.write(code, length)      # EOBn n=1
+        w.write(0, 1)              # ext -> run = 2
+        w.write(1, 1)              # correction bit for b0[3] (+p1)
+        w.write(1, 1)              # correction bit for b1[5] (-p1)
+        reader = _BitReader(w.flush())
+        eobrun = 0
+        eobrun = _decode_block_ac_refine(reader, b0, dec_tab, 1, 63, 1, eobrun)
+        assert eobrun == 1 and b0[3] == 6   # 4 + (1<<1)
+        eobrun = _decode_block_ac_refine(reader, b1, dec_tab, 1, 63, 1, eobrun)
+        assert eobrun == 0 and b1[5] == -6  # -4 - (1<<1)
 
     def test_through_spark_operators(self, spark):
         """JPEG payloads decode FOR REAL inside image_stats: the

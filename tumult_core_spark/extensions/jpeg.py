@@ -6,20 +6,30 @@ spec (ITU-T T.81 / ISO 10918-1; constants below are the Annex K
 example tables), and the container has no external codec library, so
 the DCT / quantization / Huffman pipeline is implemented directly.
 
-Scope — the baseline profile that covers the overwhelming majority of
-real-world JPEGs:
+Scope — the profiles that cover essentially all real-world JPEGs:
 
-* decode: baseline sequential DCT (SOF0), 8-bit precision, grayscale
-  or YCbCr, any sampling factors in {1,2}x{1,2} (4:4:4, 4:2:2, 4:2:0,
-  ...), restart intervals (DRI/RSTn), multi-table DQT/DHT segments.
-  Progressive (SOF2), arithmetic coding, 12-bit, and hierarchical
-  modes raise ``ValueError`` (callers in ``auto`` mode fall back to
-  the stub; ``real`` mode propagates — same contract as PNG).
-* encode: SOF0 grayscale or color at 4:4:4 or 4:2:0, IJG-style
-  quality scaling of the Annex K tables (``quality=100`` → all-ones
-  tables, which makes constant 8x8 blocks round-trip EXACTLY — the
-  property the independent driver oracle pins), optional restart
-  intervals.
+* decode: baseline/extended sequential DCT (SOF0/SOF1, interleaved or
+  per-component scans) AND progressive DCT (SOF2: spectral selection
+  + successive approximation, DC and AC initial/refinement scans, EOB
+  run-length coding per T.81 §G.1.2), 8-bit precision, grayscale or
+  YCbCr, sampling factors 1-4 with integer ratios (4:4:4, 4:2:2,
+  4:2:0, 4:1:1, ...), restart intervals (DRI/RSTn), multi-table
+  DQT/DHT segments.  Arithmetic coding, 12-bit, lossless, and
+  hierarchical modes raise ``ValueError`` (callers in ``auto`` mode
+  fall back to the stub; ``real`` mode propagates — same contract as
+  PNG).
+* encode: SOF0 sequential or SOF2 progressive (IJG-style scan
+  script), grayscale or color at 4:4:4 or 4:2:0, IJG-style quality
+  scaling of the Annex K tables (``quality=100`` → all-ones tables,
+  which makes constant 8x8 blocks round-trip EXACTLY — the property
+  the independent driver oracle pins), optional restart intervals.
+  Progressive and sequential encodings carry the SAME quantized
+  coefficients, so the two decodes of one source are bit-identical —
+  the cross-check the tests pin (the sequential path is itself
+  validated against codec-free a-priori pixel fixtures, so the
+  progressive scan coding cannot hide a symmetric encoder/decoder
+  bug in the coefficient math; the scan-coding layer is additionally
+  exercised across noise images, subsampling, and restart markers).
 
 Performance honesty (the PNG-Paeth note's sibling): the per-symbol
 Huffman loop is plain Python — roughly 1-3 MB/s of entropy data per
@@ -266,6 +276,80 @@ def _encode_block(writer, zz, dc_pred, dc_table, ac_table) -> int:
     return dc
 
 
+def _enc_ac_first_block(writer, zz, ss, se, al, ac_table) -> None:
+    """Progressive AC initial scan for one block (G.1.2.2): band
+    Ss..Se of the point-transformed coefficients, run-length coded;
+    trailing zeros fold into a single-block EOB (run length 1 — the
+    standard Annex K tables carry no EOBn>0 symbols, so runs are never
+    accumulated across blocks; decoders accept that unconditionally)."""
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al  # point transform: magnitude shift (toward 0)
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, length = ac_table[0xF0]  # ZRL
+            writer.write(code, length)
+            r -= 16
+        if v < 0:
+            t = -t
+        size, bits = _magnitude(t)
+        code, length = ac_table[(r << 4) | size]
+        writer.write(code, length)
+        writer.write(bits, size)
+        r = 0
+    if r > 0:
+        code, length = ac_table[0x00]  # EOB, run of exactly 1
+        writer.write(code, length)
+
+
+def _enc_ac_refine_block(writer, zz, ss, se, al, ac_table) -> None:
+    """Progressive AC refinement scan for one block (G.1.2.3, the
+    figure G.7 algorithm): newly-significant coefficients (|coef|>>Al
+    == 1) are coded with runs over zero-history positions; positions
+    already nonzero in earlier scans contribute one buffered
+    correction bit each, flushed right after the next ZRL / symbol /
+    EOB so the decoder consumes them positionally."""
+    ab = [0] * 64
+    eob = ss - 1  # index of last NEWLY-significant coefficient
+    for k in range(ss, se + 1):
+        t = abs(int(zz[k])) >> al
+        ab[k] = t
+        if t == 1:
+            eob = k
+    r = 0
+    br = []  # buffered correction bits
+    for k in range(ss, se + 1):
+        t = ab[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:  # ZRLs not foldable into EOB
+            code, length = ac_table[0xF0]
+            writer.write(code, length)
+            r -= 16
+            for b in br:
+                writer.write(b, 1)
+            br = []
+        if t > 1:  # history coefficient: correction bit only
+            br.append(t & 1)
+            continue
+        code, length = ac_table[(r << 4) | 1]
+        writer.write(code, length)
+        writer.write(1 if int(zz[k]) >= 0 else 0, 1)
+        for b in br:
+            writer.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        code, length = ac_table[0x00]  # EOB (run 1)
+        writer.write(code, length)
+        for b in br:
+            writer.write(b, 1)
+
+
 def _rgb_to_ycbcr(img: np.ndarray):
     r = img[:, :, 0].astype(np.float64)
     g = img[:, :, 1].astype(np.float64)
@@ -281,11 +365,18 @@ def _encode_jpeg(
     quality: int = 75,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """uint8 HxW / HxWx1 (grayscale) or HxWx3 (RGB) -> baseline JFIF
-    bytes.  ``subsampling`` is ``"444"`` or ``"420"`` (ignored for
-    grayscale); ``restart_interval`` > 0 emits DRI + RSTn markers
-    every that many MCUs (exercises the decoder's restart path)."""
+    """uint8 HxW / HxWx1 (grayscale) or HxWx3 (RGB) -> JFIF bytes.
+    ``subsampling`` is ``"444"`` or ``"420"`` (ignored for grayscale);
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    scan units (exercises the decoder's restart path).
+    ``progressive=True`` emits SOF2 with an IJG-style scan script —
+    interleaved DC first/refine with successive approximation (Al
+    1->0) plus per-component AC spectral-selection scans with
+    successive approximation on luma (Al 2->1->0) — coding the SAME
+    quantized coefficients as the sequential mode, so both encodings
+    of one source decode identically (pinned by tests)."""
     if img.ndim == 2:
         img = img[:, :, np.newaxis]
     if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] not in (1, 3):
@@ -334,7 +425,8 @@ def _encode_jpeg(
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
         out += bytes(int(table[z]) for z in ZIGZAG)
     ncomps = 1 if gray else 3
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomps, 8, height, width, ncomps)
+    sof = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof + struct.pack(">HBHHB", 8 + 3 * ncomps, 8, height, width, ncomps)
     if gray:
         out += bytes([1, 0x11, 0])
     else:
@@ -353,12 +445,6 @@ def _encode_jpeg(
         out += bytes(bits) + bytes(vals)
     if restart_interval > 0:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomps, ncomps)
-    if gray:
-        out += bytes([1, 0x00])
-    else:
-        out += bytes([1, 0x00, 2, 0x11, 3, 0x11])
-    out += bytes([0, 63, 0])
 
     # ---- entropy-coded data ------------------------------------------
     mcus_x = (width + mcu_w - 1) // mcu_w
@@ -366,18 +452,34 @@ def _encode_jpeg(
     dc_tabs = [_ENC_DC_LUMA] + [_ENC_DC_CHROMA] * 2
     ac_tabs = [_ENC_AC_LUMA] + [_ENC_AC_CHROMA] * 2
     comp_sub = [(hmax, vmax)] + [(1, 1)] * 2
-    writer = _BitWriter()
-    dc_pred = [0, 0, 0]
-    mcu_count = 0
-    rst_idx = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+
+    def run_units(encode_unit, total_units, fresh_state):
+        """Drive one scan's entropy coding with RSTn every
+        ``restart_interval`` units (DC predictors reset per interval)."""
+        nonlocal out
+        writer = _BitWriter()
+        state = fresh_state()
+        rst_idx = 0
+        for u in range(total_units):
+            if restart_interval and u and u % restart_interval == 0:
                 out += writer.flush()
                 out += bytes([0xFF, 0xD0 + rst_idx])
                 rst_idx = (rst_idx + 1) % 8
                 writer = _BitWriter()
-                dc_pred = [0, 0, 0]
+                state = fresh_state()
+            encode_unit(writer, u, state)
+        out += writer.flush()
+
+    if not progressive:
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomps, ncomps)
+        if gray:
+            out += bytes([1, 0x00])
+        else:
+            out += bytes([1, 0x00, 2, 0x11, 3, 0x11])
+        out += bytes([0, 63, 0])
+
+        def seq_mcu(writer, u, dc_pred):
+            my, mx = divmod(u, mcus_x)
             for ci, zzgrid in enumerate(comps_zz):
                 ch, cv = comp_sub[ci]
                 for by in range(cv):
@@ -386,8 +488,88 @@ def _encode_jpeg(
                         dc_pred[ci] = _encode_block(
                             writer, zz, dc_pred[ci], dc_tabs[ci], ac_tabs[ci]
                         )
-            mcu_count += 1
-    out += writer.flush()
+
+        run_units(seq_mcu, mcus_x * mcus_y, lambda: [0, 0, 0])
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # ---- progressive scan script (IJG-style: spectral selection plus
+    # successive approximation on both DC and AC) ----------------------
+    if gray:
+        script = [
+            ("dc", None, 0, 0, 0, 1),
+            ("ac", 0, 1, 63, 0, 1),
+            ("dc", None, 0, 0, 1, 0),
+            ("ac", 0, 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ("dc", None, 0, 0, 0, 1),
+            ("ac", 0, 1, 5, 0, 2),
+            ("ac", 1, 1, 63, 0, 1),
+            ("ac", 2, 1, 63, 0, 1),
+            ("ac", 0, 6, 63, 0, 2),
+            ("ac", 0, 1, 63, 2, 1),
+            ("dc", None, 0, 0, 1, 0),
+            ("ac", 1, 1, 63, 1, 0),
+            ("ac", 2, 1, 63, 1, 0),
+            ("ac", 0, 1, 63, 1, 0),
+        ]
+    for kind, target, ss, se, ah, al in script:
+        if kind == "dc":
+            out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomps, ncomps)
+            if gray:
+                out += bytes([1, 0x00])
+            else:
+                out += bytes([1, 0x00, 2, 0x10, 3, 0x10])
+            out += bytes([ss, se, (ah << 4) | al])
+            if ah == 0:
+
+                def dc_first_mcu(writer, u, dc_pred, _al=al):
+                    my, mx = divmod(u, mcus_x)
+                    for ci, zzgrid in enumerate(comps_zz):
+                        ch, cv = comp_sub[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                v = int(zzgrid[my * cv + by, mx * ch + bx][0]) >> _al
+                                size, bits = _magnitude(v - dc_pred[ci])
+                                code, length = dc_tabs[ci][size]
+                                writer.write(code, length)
+                                writer.write(bits, size)
+                                dc_pred[ci] = v
+
+                run_units(dc_first_mcu, mcus_x * mcus_y, lambda: [0, 0, 0])
+            else:
+
+                def dc_refine_mcu(writer, u, _state, _al=al):
+                    my, mx = divmod(u, mcus_x)
+                    for ci, zzgrid in enumerate(comps_zz):
+                        ch, cv = comp_sub[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                v = int(zzgrid[my * cv + by, mx * ch + bx][0])
+                                writer.write((v >> _al) & 1, 1)
+
+                run_units(dc_refine_mcu, mcus_x * mcus_y, lambda: None)
+        else:
+            ci = target
+            out += b"\xff\xda" + struct.pack(">HB", 6 + 2, 1)
+            out += bytes([ci + 1, 0x00 if ci == 0 else 0x01])
+            out += bytes([ss, se, (ah << 4) | al])
+            ch, cv = comp_sub[ci]
+            comp_w = -(-width * ch // hmax)
+            comp_h = -(-height * cv // vmax)
+            bw = -(-comp_w // 8)
+            bh = -(-comp_h // 8)
+            grid = comps_zz[ci]
+            enc = _enc_ac_first_block if ah == 0 else _enc_ac_refine_block
+
+            def ac_unit(writer, u, _state, _grid=grid, _bw=bw, _ss=ss,
+                        _se=se, _al=al, _tab=ac_tabs[ci], _enc=enc):
+                by, bx = divmod(u, _bw)
+                _enc(writer, _grid[by, bx], _ss, _se, _al, _tab)
+
+            run_units(ac_unit, bw * bh, lambda: None)
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -502,26 +684,244 @@ def _split_scan(payload: bytes, start: int):
     return chunks, pos
 
 
+def _decode_block_seq(reader, zz, dct, act, dc_pred):
+    """Sequential-mode block: DPCM DC + full-band run-length AC
+    (F.2.2).  Returns the new DC predictor."""
+    size = reader.decode_symbol(dct)
+    dc_pred += _extend(reader.bits(size), size)
+    zz[0] = dc_pred
+    k = 1
+    while k < 64:
+        sym = reader.decode_symbol(act)
+        if sym == 0x00:  # EOB
+            break
+        run = sym >> 4
+        size = sym & 0x0F
+        if size == 0:
+            if run != 15:
+                raise ValueError("corrupt JPEG AC symbol")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("JPEG AC run past block end")
+        zz[k] = _extend(reader.bits(size), size)
+        k += 1
+    return dc_pred
+
+
+def _decode_block_ac_first(reader, zz, act, ss, se, al, eobrun):
+    """Progressive AC initial scan for one block (G.1.2.2 with EOBn
+    run-length coding).  Returns the remaining end-of-band run."""
+    if eobrun > 0:
+        return eobrun - 1  # this block's whole band is zero
+    k = ss
+    while k <= se:
+        sym = reader.decode_symbol(act)
+        r = sym >> 4
+        s = sym & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += reader.bits(r)
+            return eobrun - 1  # current block is the run's first member
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past band end")
+        zz[k] = _extend(reader.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _refine_nonzero(reader, zz, k, p1, m1):
+    """Apply one correction bit to an already-nonzero coefficient
+    (G.1.2.3): a 1-bit increases the magnitude by p1 if this scan has
+    not already contributed that bit."""
+    if reader.bit():
+        if (int(zz[k]) & p1) == 0:
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+
+def _decode_block_ac_refine(reader, zz, act, ss, se, al, eobrun):
+    """Progressive AC refinement scan for one block (G.1.2.3):
+    newly-significant coefficients arrive as ±1<<Al with runs counted
+    over zero-HISTORY positions only; already-nonzero positions each
+    consume a correction bit.  Returns the remaining end-of-band run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = reader.decode_symbol(act)
+            r = sym >> 4
+            s = sym & 0x0F
+            if s:
+                if s != 1:
+                    raise ValueError("corrupt JPEG AC refinement symbol")
+                s = p1 if reader.bit() else m1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.bits(r)
+                    break  # band tail handled by the EOB branch below
+                # s == 0, r == 15: ZRL — skip 16 zero-history positions
+            while k <= se:
+                if zz[k] != 0:
+                    _refine_nonzero(reader, zz, k, p1, m1)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if s and k <= se:
+                zz[k] = s
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                _refine_nonzero(reader, zz, k, p1, m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_one_scan(
+    payload, data_start, scan_comps, ss, se, ah, al,
+    frame, grids, huff, restart_interval, progressive,
+):
+    """Entropy-decode one scan into the coefficient ``grids``;
+    returns the payload offset of the terminating marker."""
+    height, width = frame["h"], frame["w"]
+    by_id = {c["id"]: c for c in frame["comps"]}
+    order = []
+    for sc in scan_comps:
+        if sc["id"] not in by_id:
+            raise ValueError("JPEG scan references unknown component")
+        order.append({**by_id[sc["id"]], **sc})
+    hmax = frame["hmax"]
+    vmax = frame["vmax"]
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+
+    if progressive:
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            kind = "dc_first" if ah == 0 else "dc_refine"
+        else:
+            if len(order) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            kind = "ac_first" if ah == 0 else "ac_refine"
+    else:
+        if ss != 0 or se != 63:
+            raise ValueError("sequential scan must cover the full band")
+        kind = "seq"
+    for c in order:
+        if kind in ("seq", "dc_first") and (0, c["td"]) not in huff:
+            raise ValueError("JPEG component references missing DC table")
+        if kind in ("seq", "ac_first", "ac_refine") and (1, c["ta"]) not in huff:
+            raise ValueError("JPEG component references missing AC table")
+
+    interleaved = len(order) > 1
+    if interleaved:
+        total_units = mcus_x * mcus_y
+    else:
+        c = order[0]
+        comp_w = -(-width * c["h"] // hmax)
+        comp_h = -(-height * c["v"] // vmax)
+        bw = -(-comp_w // 8)
+        bh = -(-comp_h // 8)
+        total_units = bw * bh
+
+    chunks, end_pos = _split_scan(payload, data_start)
+    per_chunk = restart_interval if restart_interval else total_units
+    unit = 0
+    for chunk in chunks:
+        if unit >= total_units:
+            break
+        reader = _BitReader(chunk)
+        dc_pred = {c["id"]: 0 for c in order}
+        eobrun = 0
+        end = min(total_units, unit + per_chunk)
+        while unit < end:
+            if interleaved:
+                my, mx = divmod(unit, mcus_x)
+                for c in order:
+                    grid = grids[c["id"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            zz = grid[my * c["v"] + by, mx * c["h"] + bx]
+                            if kind == "seq":
+                                dc_pred[c["id"]] = _decode_block_seq(
+                                    reader, zz, huff[(0, c["td"])],
+                                    huff[(1, c["ta"])], dc_pred[c["id"]],
+                                )
+                            elif kind == "dc_first":
+                                size = reader.decode_symbol(huff[(0, c["td"])])
+                                dc_pred[c["id"]] += _extend(reader.bits(size), size)
+                                zz[0] = dc_pred[c["id"]] << al
+                            else:  # dc_refine
+                                if reader.bit():
+                                    zz[0] = int(zz[0]) | (1 << al)
+            else:
+                c = order[0]
+                by, bx = divmod(unit, bw)
+                zz = grids[c["id"]][by, bx]
+                if kind == "seq":
+                    dc_pred[c["id"]] = _decode_block_seq(
+                        reader, zz, huff[(0, c["td"])],
+                        huff[(1, c["ta"])], dc_pred[c["id"]],
+                    )
+                elif kind == "dc_first":
+                    size = reader.decode_symbol(huff[(0, c["td"])])
+                    dc_pred[c["id"]] += _extend(reader.bits(size), size)
+                    zz[0] = dc_pred[c["id"]] << al
+                elif kind == "dc_refine":
+                    if reader.bit():
+                        zz[0] = int(zz[0]) | (1 << al)
+                elif kind == "ac_first":
+                    eobrun = _decode_block_ac_first(
+                        reader, zz, huff[(1, c["ta"])], ss, se, al, eobrun
+                    )
+                else:  # ac_refine
+                    eobrun = _decode_block_ac_refine(
+                        reader, zz, huff[(1, c["ta"])], ss, se, al, eobrun
+                    )
+            unit += 1
+    if unit < total_units:
+        raise ValueError("truncated JPEG entropy data")
+    return end_pos
+
+
 def _decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
-    """Baseline JFIF -> HxWxC uint8 (C in {1, 3}), or None for a
-    non-JPEG payload.  Unsupported JPEG variants and truncation raise
-    ``ValueError`` (the module's PNG contract)."""
+    """JFIF -> HxWxC uint8 (C in {1, 3}), or None for a non-JPEG
+    payload.  Decodes baseline sequential (SOF0/SOF1, interleaved or
+    per-component scans) AND progressive (SOF2: spectral selection +
+    successive approximation, DC and AC initial/refinement scans, EOB
+    runs).  Arithmetic coding, 12-bit precision, lossless, and
+    hierarchical modes raise ``ValueError`` (the module's PNG
+    contract); truncation raises too."""
     if payload[:2] != b"\xff\xd8":
         return None
     qt = {}
     huff = {}
     frame = None
+    grids = {}
     restart_interval = 0
     pos = 2
     n = len(payload)
-    scan = None
+    saw_scan = False
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG (expected marker)")
         while pos + 1 < n and payload[pos + 1] == 0xFF:  # fill bytes
             pos += 1
         marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         if pos + 2 + seglen > n:
@@ -552,19 +952,40 @@ def _decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
                 vals = list(body[i + 17 : i + 17 + count])
                 huff[(tc, th)] = _HuffTable(bits, vals)
                 i += 17 + count
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0 / SOF1 (both baseline-decodable)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            if frame is not None:
+                raise ValueError("multiple JPEG frames unsupported")
             prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec} (8 only)")
+            if height == 0 or width == 0:
+                raise ValueError("bad JPEG dimensions")
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": height, "w": width, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            for c in comps:
+                if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4) or (
+                    hmax % c["h"] or vmax % c["v"]
+                ):
+                    raise ValueError("unsupported JPEG sampling factors")
+            frame = {
+                "h": height, "w": width, "comps": comps,
+                "hmax": hmax, "vmax": vmax,
+                "progressive": marker == 0xC2,
+            }
+            mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                grids[c["id"]] = np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64
+                )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "unsupported JPEG mode (progressive/arithmetic/hierarchical); "
-                "baseline sequential only"
+                "unsupported JPEG mode (arithmetic/lossless/hierarchical); "
+                "baseline sequential and progressive only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -576,89 +997,31 @@ def _decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c : 3 + 2 * c]
                 scan_comps.append({"id": cs, "td": tdta >> 4, "ta": tdta & 0x0F})
-            scan = (scan_comps, pos + 2 + seglen)
-            break
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            pos = _decode_one_scan(
+                payload, pos + 2 + seglen, scan_comps, ss, se,
+                ahal >> 4, ahal & 0x0F, frame, grids, huff,
+                restart_interval, frame["progressive"],
+            )
+            saw_scan = True
+            continue
         # APPn / COM / DNL / anything else: skip
         pos += 2 + seglen
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("truncated JPEG (no frame/scan)")
 
     comps = frame["comps"]
     height, width = frame["h"], frame["w"]
-    if height == 0 or width == 0:
-        raise ValueError("bad JPEG dimensions")
-    scan_comps, data_start = scan
-    by_id = {c["id"]: c for c in comps}
-    order = []
-    for sc in scan_comps:
-        if sc["id"] not in by_id:
-            raise ValueError("JPEG scan references unknown component")
-        order.append({**by_id[sc["id"]], **sc})
-    if len(order) != len(comps):
-        raise ValueError("multi-scan JPEG unsupported (baseline interleaved only)")
-    for c in order:
-        if not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2):
-            raise ValueError("unsupported JPEG sampling factors (1-2 only)")
+    hmax = frame["hmax"]
+    vmax = frame["vmax"]
+    for c in comps:
         if c["tq"] not in qt:
             raise ValueError("JPEG component references missing DQT table")
-        if (0, c["td"]) not in huff or (1, c["ta"]) not in huff:
-            raise ValueError("JPEG component references missing DHT table")
-
-    hmax = max(c["h"] for c in order)
-    vmax = max(c["v"] for c in order)
-    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
-    grids = [
-        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
-        for c in order
-    ]
-
-    chunks, _ = _split_scan(payload, data_start)
-    total_mcus = mcus_x * mcus_y
-    per_chunk = restart_interval if restart_interval else total_mcus
-    mcu = 0
-    for chunk in chunks:
-        if mcu >= total_mcus:
-            break
-        reader = _BitReader(chunk)
-        dc_pred = [0] * len(order)
-        end = min(total_mcus, mcu + per_chunk)
-        while mcu < end:
-            my, mx = divmod(mcu, mcus_x)
-            for ci, c in enumerate(order):
-                dct = huff[(0, c["td"])]
-                act = huff[(1, c["ta"])]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = grids[ci][my * c["v"] + by, mx * c["h"] + bx]
-                        size = reader.decode_symbol(dct)
-                        dc_pred[ci] += _extend(reader.bits(size), size)
-                        zz[0] = dc_pred[ci]
-                        k = 1
-                        while k < 64:
-                            sym = reader.decode_symbol(act)
-                            if sym == 0x00:  # EOB
-                                break
-                            run = sym >> 4
-                            size = sym & 0x0F
-                            if size == 0:
-                                if run != 15:
-                                    raise ValueError("corrupt JPEG AC symbol")
-                                k += 16  # ZRL
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("JPEG AC run past block end")
-                            zz[k] = _extend(reader.bits(size), size)
-                            k += 1
-            mcu += 1
-    if mcu < total_mcus:
-        raise ValueError("truncated JPEG entropy data")
 
     # dequantize + IDCT, all blocks of each component at once
     planes = []
-    for ci, c in enumerate(order):
-        zz = grids[ci]
+    for c in comps:
+        zz = grids[c["id"]]
         nat = np.zeros_like(zz)
         nat[:, :, ZIGZAG] = zz
         nat = nat * qt[c["tq"]][np.newaxis, np.newaxis, :]

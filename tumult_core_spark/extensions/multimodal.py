@@ -10,12 +10,13 @@ Decoders are REAL for every format expressible with stdlib + NumPy —
 uncompressed PPM (P6) / PGM (P5) images, uncompressed BI_RGB BMP
 (24/32-bit), baseline PNG (8-bit gray/RGB/palette/alpha, zlib inflate
 + NumPy scanline unfiltering — DEFLATE ships in the stdlib, so PNG
-needs no external codec), baseline-sequential JFIF/JPEG (from-scratch
-Huffman + IDCT per the public ITU-T T.81 spec — see
+needs no external codec), sequential AND progressive JFIF/JPEG
+(from-scratch Huffman + IDCT per the public ITU-T T.81 spec — see
 :mod:`tumult_core_spark.extensions.jpeg`; grayscale/YCbCr, 4:4:4 /
-4:2:2 / 4:2:0, restart markers; progressive raises), 8/16-bit PCM WAV
-audio, and uncompressed YUV4MPEG2 (.y4m) video.  The remaining
-compressed formats (progressive JPEG/MP3/MP4...) need Pillow/ffmpeg,
+4:2:2 / 4:2:0, restart markers, SOF2 spectral selection + successive
+approximation), 8/16-bit PCM WAV audio, and uncompressed YUV4MPEG2
+(.y4m) video.  The remaining
+compressed formats (MP3/MP4/WebP...) need Pillow/ffmpeg,
 which are NOT available in this environment; per the ``decoder``
 mode they either fall back to a deterministic sha256-seeded stub
 (``"auto"``, default — keeps pipelines runnable end-to-end) or raise
@@ -154,7 +155,12 @@ def _png_unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.nda
     DECODED cur[x-bpp]) run as Python list loops — ~3-6 MB/s per core.
     Across a 32-core executor that is ~100-200 MB/s of Paeth-heavy PNG,
     adequate for feature/stats extraction; swap Pillow into
-    ``_decode_image_real`` if a deployment needs bulk re-encoding."""
+    ``_decode_image_real`` if a deployment needs bulk re-encoding.
+    (Measured alternatives, both rejected: vectorizing across the bpp
+    lanes with per-pixel numpy ops runs ~10x SLOWER — numpy dispatch
+    overhead dwarfs 3-element math — and precomputing the
+    prev-row-only Paeth terms |b-c| and b-2c vectorized buys only
+    ~13%; the a-dependency chain is inherently serial.)"""
     rows = raw.reshape(height, 1 + stride)
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
