@@ -1420,10 +1420,12 @@ def q_multimodal_jpeg(spark, sf_dir):
     """REAL from-scratch JPEG codec round-trip through the full Spark
     plumbing: per document, a deterministic grayscale constant-block
     test image is synthesized from the text bytes, encoded as genuine
-    baseline JFIF at quality 100 (all-ones quant tables — constant 8x8
-    blocks excite only DC coefficients, so the round-trip is EXACT;
-    restart intervals cycled by doc_id exercise RSTn resync), then
-    decoded back by the real T.81 Huffman+IDCT decoder and profiled
+    JFIF at quality 100 (all-ones quant tables — constant 8x8 blocks
+    excite only DC coefficients, so the round-trip is EXACT; restart
+    intervals cycled by doc_id exercise RSTn resync, and odd doc_ids
+    encode PROGRESSIVE (SOF2) so the successive-approximation scan
+    machinery is driver-verified too), then decoded back by the real
+    T.81 Huffman+IDCT decoder and profiled
     (multimodal.py::synthesize_jpeg_images + image_stats, jpeg.py).
     The oracle replays the expected stats from the pixel arrays alone
     (fixture computed with numpy, no JPEG anywhere —

@@ -779,14 +779,18 @@ def synthesize_jpeg_images(
     blocks_w: int = 3,
     out_col: str = "payload",
 ) -> DataFrame:
-    """(id, payload binary): a valid baseline-JFIF grayscale test
-    image per row — constant 8x8 blocks derived deterministically from
+    """(id, payload binary): a valid JFIF grayscale test image per
+    row — constant 8x8 blocks derived deterministically from
     ``seed_col``'s bytes, encoded at quality 100 by the REAL
     from-scratch encoder (:mod:`.jpeg`), cycling restart intervals by
-    ``id % 3`` (none / every MCU / every 2 MCUs) so a corpus exercises
-    the decoder's RSTn resynchronization path too.  Payloads are
-    ordinary JPEGs any external tool can open; the PNG sibling is
-    :func:`synthesize_png_images`."""
+    ``id % 3`` (none / every MCU / every 2 MCUs) and alternating
+    sequential/progressive (SOF0/SOF2) by ``id % 2``, so a corpus
+    exercises the decoder's RSTn resynchronization AND the progressive
+    successive-approximation scan paths.  Constant blocks excite only
+    DC coefficients, so quality-100 round-trips are exact in BOTH
+    modes (the driver oracle pins this against codec-free a-priori
+    pixel stats).  Payloads are ordinary JPEGs any external tool can
+    open; the PNG sibling is :func:`synthesize_png_images`."""
     from .jpeg import _encode_jpeg
 
     out_schema = T.StructType(
@@ -803,7 +807,12 @@ def synthesize_jpeg_images(
                 raw = s if isinstance(s, (bytes, bytearray)) else str(s or "").encode("utf-8")
                 img = _block_pixels_from_bytes(bytes(raw), blocks_h, blocks_w)
                 payloads.append(
-                    _encode_jpeg(img, quality=100, restart_interval=int(i) % 3)
+                    _encode_jpeg(
+                        img,
+                        quality=100,
+                        restart_interval=int(i) % 3,
+                        progressive=bool(int(i) % 2),
+                    )
                 )
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), out_col: payloads})
 
