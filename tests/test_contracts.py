@@ -519,6 +519,25 @@ class TestMiscValidationParity:
         assert get_fullname(ExactNumber(1)).endswith("exact_number.ExactNumber")
         assert get_fullname(str) == "str"
 
+    def test_materialize_dir_env_knob(self, spark, tmp_path, monkeypatch):
+        """SPARK_GRAFT_MATERIALIZE_DIR points the release-freeze
+        parquet root at shared storage (cluster mode); the session
+        subdir is created under it and survives (no local atexit
+        cleanup on shared storage)."""
+        import tumult_core_spark.utils.misc as misc
+
+        monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE_DIR", str(tmp_path / "shared"))
+        monkeypatch.setattr(misc, "_MATERIALIZE_ROOT", None)
+        try:
+            out = misc.materialize(spark.range(5))
+            assert sorted(r.id for r in out.collect()) == list(range(5))
+            assert misc._MATERIALIZE_ROOT.startswith(str(tmp_path / "shared"))
+            import os as _os
+
+            assert _os.path.isdir(misc._MATERIALIZE_ROOT)
+        finally:
+            monkeypatch.setattr(misc, "_MATERIALIZE_ROOT", None)
+
     def test_checkpoint_dir_relative_path_normalizes(self):
         """A relative checkpoint_dir must compare equal to the absolute
         file:/ URI SparkContext stores, or cut_lineage re-invokes

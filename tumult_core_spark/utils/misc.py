@@ -47,18 +47,31 @@ def get_spark(app_name: str = "tumult_core_spark", cpus: Optional[int] = None) -
 def _materialize_root() -> str:
     global _MATERIALIZE_ROOT
     if _MATERIALIZE_ROOT is None:
-        _MATERIALIZE_ROOT = tempfile.mkdtemp(prefix="tcs_materialize_")
-        atexit.register(shutil.rmtree, _MATERIALIZE_ROOT, ignore_errors=True)
+        configured = os.environ.get("SPARK_GRAFT_MATERIALIZE_DIR")
+        if configured:
+            # shared-storage root (hdfs://, s3a://, or a shared mount):
+            # one session-scoped subdir; cleanup belongs to the
+            # deployment's retention policy, not a local atexit hook
+            _MATERIALIZE_ROOT = (
+                configured.rstrip("/") + "/tcs_materialize_" + uuid.uuid4().hex
+            )
+        else:
+            _MATERIALIZE_ROOT = tempfile.mkdtemp(prefix="tcs_materialize_")
+            atexit.register(shutil.rmtree, _MATERIALIZE_ROOT, ignore_errors=True)
     return _MATERIALIZE_ROOT
 
 
 def materialize(df: DataFrame) -> DataFrame:
     """Write ``df`` to parquet and read it back, forcing one evaluation.
 
-    On a cluster the path should live on shared storage; locally a temp
-    dir suffices.  This is the only place measurement plans are forced.
+    The write root defaults to a driver-local temp dir (correct for
+    local mode, where driver and executors share a filesystem).  On a
+    real cluster set ``SPARK_GRAFT_MATERIALIZE_DIR`` to a
+    distributed-FS path (hdfs://, s3a://, or a shared mount) — every
+    executor must be able to write it and the driver to read it back.
+    This is the only place measurement plans are forced.
     """
-    path = os.path.join(_materialize_root(), uuid.uuid4().hex)
+    path = _materialize_root() + "/" + uuid.uuid4().hex
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
 
