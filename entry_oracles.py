@@ -93,6 +93,14 @@ def oracle_sql() -> dict[str, str]:
         os.path.dirname(os.path.abspath(__file__)),
         "tests", "fixtures", "jpeg_expected.parquet",
     )
+    # multimodal_flac: lossless audio round-trip — expected features
+    # computed directly from the deterministic sample arrays, FLAC
+    # never touched on the oracle side
+    # (tests/fixtures/make_flac_fixture.py)
+    flac_fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "flac_expected.parquet",
+    )
     # SF-keyed pinned constants (temperature_mix thresholds and the
     # dedup candidate-set cardinality regression pins) — deterministic
     # functions of the documents corpus, one block per shipped SF,
@@ -146,6 +154,18 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT),
                    NULL::INTEGER, NULL::INTEGER, NULL::INTEGER, NULL::DOUBLE
             FROM k WHERE NOT EXISTS (SELECT 1 FROM '{jpeg_fixture}' WHERE sf_key = k.key)
+        """,
+        "multimodal_flac": f"""
+            WITH k AS (SELECT bit_xor(hash(doc_id, text)) AS key FROM documents)
+            SELECT f.doc_id, f.f0, f.f1, f.f2, f.duration_ms
+            FROM '{flac_fixture}' f, k WHERE f.sf_key = k.key
+            UNION ALL
+            SELECT CAST(error('flac fixture has no block for this documents '
+                              'table — regenerate with '
+                              'tests/fixtures/make_flac_fixture.py')
+                        AS BIGINT),
+                   NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::BIGINT
+            FROM k WHERE NOT EXISTS (SELECT 1 FROM '{flac_fixture}' WHERE sf_key = k.key)
         """,
         "pca_project": f"""
             WITH k AS (SELECT bit_xor(hash(vec_id, embedding)) AS key

@@ -1445,6 +1445,37 @@ def q_multimodal_jpeg(spark, sf_dir):
     )
 
 
+def q_multimodal_flac(spark, sf_dir):
+    """REAL from-scratch FLAC codec round-trip through the full Spark
+    plumbing: per document, deterministic int16 test audio (two
+    sha-derived sine partials + noise) is synthesized from the text
+    bytes, encoded as genuine FLAC (fixed-predictor / verbatim /
+    constant subframes, Rice residuals, correct CRC-8/16 and stream
+    MD5; mono/stereo and all four decorrelation modes cycled by
+    doc_id), decoded back by the real Rice+predictor decoder (which
+    also verifies the embedded MD5), mixed to mono, and featurized
+    (multimodal.py::synthesize_flac_audio + audio_features, flac.py).
+    FLAC is lossless, so the oracle replays expected features from the
+    a-priori sample arrays alone (fixture computed with numpy, no
+    FLAC anywhere — tests/fixtures/make_flac_fixture.py): any defect
+    in the Rice/predictor/decorrelation path flips the value hash."""
+    from tumult_core_spark.extensions.multimodal import (
+        audio_features,
+        synthesize_flac_audio,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = synthesize_flac_audio(docs, "text", "doc_id")
+    out = audio_features(payloads, "payload", "doc_id", dim=8, decoder="real")
+    return out.select(
+        "doc_id",
+        F.round(F.col("features")[0].cast("double"), 5).alias("f0"),
+        F.round(F.col("features")[1].cast("double"), 5).alias("f1"),
+        F.round(F.col("features")[2].cast("double"), 5).alias("f2"),
+        "duration_ms",
+    )
+
+
 def q_zcdp_groupby_count(spark, sf_dir):
     """Grouped count under zCDP (discrete Gaussian path, noise off)."""
     from tumult_core_spark.measures import RhoZCDP
@@ -1973,8 +2004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   r13: rotate again - move whatever the r12 batch does not reach
     #   back to the front.
     return {
-        # --- r12 front: new-in-r12 entry first (needs a first driver row) ---
+        # --- r12 front: new-in-r12 entries first (need a first driver row) ---
         "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_flac": q_multimodal_flac,
         # --- then the 45 entries last driver-checked in r10 ---
         "connected_components": q_connected_components,
         "dedup_connected": q_dedup_connected,

@@ -2206,6 +2206,110 @@ class TestJpegCodec:
             assert abs(r["mean_value"] - float(px.mean())) < 1e-9
 
 
+class TestFlacCodec:
+    """From-scratch FLAC codec (extensions/flac.py): lossless, so
+    every round-trip asserts EXACT sample equality; the decoder also
+    verifies frame CRCs and the STREAMINFO MD5 the encoder computed
+    over the raw samples (an in-format decode oracle)."""
+
+    def test_exact_roundtrip_all_subframe_types(self):
+        import numpy as np
+
+        from tumult_core_spark.extensions.flac import _decode_flac, _encode_flac
+
+        rng = np.random.default_rng(0)
+        t = np.arange(10000)
+        cases = {
+            # smooth sine -> fixed predictors + rice residuals
+            "sine": (np.sin(2 * np.pi * 440 * t / 16000) * 20000).astype(np.int16),
+            # dense noise -> verbatim subframes
+            "noise": rng.integers(-32768, 32767, 5000).astype(np.int16),
+            # constant -> CONSTANT subframes
+            "const": np.full(3000, -123, np.int16),
+            # odd length -> short tail block
+            "odd": rng.integers(-1000, 1000, 4097).astype(np.int16),
+        }
+        for name, x in cases.items():
+            dec, rate, bps = _decode_flac(_encode_flac(x, 16000, block_size=1024))
+            assert rate == 16000 and bps == 16
+            assert np.array_equal(dec[:, 0], x.astype(np.int32)), name
+
+    def test_exact_roundtrip_every_stereo_mode(self):
+        import numpy as np
+
+        from tumult_core_spark.extensions.flac import _decode_flac, _encode_flac
+
+        rng = np.random.default_rng(1)
+        t = np.arange(8000)
+        st = np.stack(
+            [
+                (np.sin(2 * np.pi * 330 * t / 16000) * 15000).astype(np.int16),
+                (
+                    np.sin(2 * np.pi * 440 * t / 16000) * 12000
+                    + rng.integers(-50, 50, 8000)
+                ).astype(np.int16),
+            ],
+            axis=1,
+        )
+        for mode in ("independent", "left_side", "right_side", "mid_side"):
+            dec, _, _ = _decode_flac(_encode_flac(st, stereo_mode=mode))
+            assert np.array_equal(dec, st.astype(np.int32)), mode
+
+    def test_error_contract(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from tumult_core_spark.extensions.flac import _decode_flac, _encode_flac
+
+        assert _decode_flac(b"RIFF not flac") is None
+        x = (np.sin(np.arange(6000) * 0.1) * 10000).astype(np.int16)
+        enc = _encode_flac(x)
+        with _pytest.raises(ValueError, match="truncated"):
+            _decode_flac(enc[:100])
+        # a flipped bit in frame data trips CRC-16 (or the MD5 check)
+        bad = bytearray(enc)
+        bad[len(bad) // 2] ^= 0x40
+        with _pytest.raises(ValueError, match="CRC|MD5"):
+            _decode_flac(bytes(bad))
+
+    def test_through_spark_operators(self, spark):
+        """FLAC payloads decode FOR REAL inside audio_features: the
+        synthesized streams (mono/stereo, all decorrelation modes)
+        report features equal to the a-priori sample math."""
+        import numpy as np
+
+        from tumult_core_spark.extensions.multimodal import (
+            _audio_samples_from_bytes,
+            _segment_pool,
+            _unit_norm,
+            audio_features,
+            synthesize_flac_audio,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"clip number {i}") for i in range(9)],
+            "doc_id long, text string",
+        )
+        payloads = synthesize_flac_audio(docs, "text", "doc_id")
+        got = {
+            r.doc_id: r
+            for r in audio_features(
+                payloads, "payload", "doc_id", dim=8, decoder="real"
+            ).collect()
+        }
+        for i in range(9):
+            samples = _audio_samples_from_bytes(
+                f"clip number {i}".encode(), 4000, bool(i % 2)
+            )
+            if samples.ndim == 1:
+                samples = samples[:, np.newaxis]
+            x = samples.astype(np.float64).mean(axis=1) / 32768.0
+            expect = _unit_norm(np.sqrt(_segment_pool(x * x, 8)))
+            r = got[i]
+            assert r["duration_ms"] == 250
+            assert np.allclose(np.array(r["features"]), expect, atol=1e-6), i
+
+
 class TestRollingAndSessions:
     def test_rolling_sum_overflow_guard_per_key(self, spark):
         """The overflow guard bounds per-key SUM(|x|), so many values

@@ -14,8 +14,10 @@ needs no external codec), sequential AND progressive JFIF/JPEG
 (from-scratch Huffman + IDCT per the public ITU-T T.81 spec — see
 :mod:`tumult_core_spark.extensions.jpeg`; grayscale/YCbCr, 4:4:4 /
 4:2:2 / 4:2:0, restart markers, SOF2 spectral selection + successive
-approximation), 8/16-bit PCM WAV audio, and uncompressed YUV4MPEG2
-(.y4m) video.  The remaining
+approximation), 8/16-bit PCM WAV audio, lossless FLAC audio
+(from-scratch Rice + fixed/LPC predictor decoder with CRC and stream
+MD5 verification — see :mod:`tumult_core_spark.extensions.flac`), and
+uncompressed YUV4MPEG2 (.y4m) video.  The remaining
 compressed formats (MP3/MP4/WebP...) need Pillow/ffmpeg,
 which are NOT available in this environment; per the ``decoder``
 mode they either fall back to a deterministic sha256-seeded stub
@@ -600,6 +602,100 @@ def sample_video_frames(
     return df.select(id_col, binary_col).mapInPandas(run, schema=out_schema)
 
 
+def _decode_audio_real(payload: bytes) -> Optional[Tuple[np.ndarray, int]]:
+    """Decode codec-free audio formats to (float64 mono samples in
+    [-1, 1], rate); None means 'needs a real codec'.  PCM WAV and
+    FLAC (from-scratch lossless decoder, :mod:`.flac`) both decode
+    for real; multi-channel audio mixes down by channel mean."""
+    wav = _decode_wav(payload)
+    if wav is not None:
+        return wav
+    if payload[:4] == b"fLaC":
+        from .flac import _decode_flac
+
+        decoded = _decode_flac(payload)
+        if decoded is not None:
+            samples, rate, bps = decoded
+            scale = float(1 << (bps - 1))
+            mono = samples.astype(np.float64).mean(axis=1) / scale
+            return mono, rate
+    return None
+
+
+def _audio_samples_from_bytes(
+    seed_bytes: bytes, n_samples: int = 4000, stereo: bool = False
+) -> np.ndarray:
+    """Deterministic int16 test audio from arbitrary bytes: two
+    sha256-derived sine partials plus mild deterministic noise —
+    smooth enough that FLAC's fixed predictors engage, noisy enough
+    that Rice coding carries real residuals.  Returns [n] mono or
+    [n, 2] stereo."""
+    seed = int.from_bytes(hashlib.sha256(seed_bytes).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_samples)
+    f1 = 100.0 + seed % 800
+    f2 = 900.0 + (seed >> 16) % 2000
+    a1 = 6000.0 + (seed >> 8) % 8000
+    a2 = 1000.0 + (seed >> 24) % 4000
+    x = a1 * np.sin(2 * np.pi * f1 * t / 16000.0) + a2 * np.sin(
+        2 * np.pi * f2 * t / 16000.0
+    )
+    x = x + rng.integers(-64, 64, n_samples)
+    left = np.clip(np.round(x), -32768, 32767).astype(np.int16)
+    if not stereo:
+        return left
+    y = 0.6 * a1 * np.sin(2 * np.pi * f1 * t / 16000.0 + 0.5) + rng.integers(
+        -64, 64, n_samples
+    )
+    right = np.clip(np.round(y), -32768, 32767).astype(np.int16)
+    return np.stack([left, right], axis=1)
+
+
+def synthesize_flac_audio(
+    df: DataFrame,
+    seed_col: str,
+    id_col: str,
+    n_samples: int = 4000,
+    out_col: str = "payload",
+) -> DataFrame:
+    """(id, payload binary): a valid FLAC stream per row — int16 test
+    audio derived deterministically from ``seed_col``'s bytes, encoded
+    by the REAL from-scratch encoder (:mod:`.flac`), cycling
+    mono/stereo by ``id % 2`` and the stereo decorrelation mode by
+    ``id`` (independent / left-side / right-side / mid-side), with a
+    1024-sample block size so every stream carries multiple frames
+    plus an odd tail block.  FLAC is lossless, so decoded samples
+    equal the a-priori synthesis exactly — the driver oracle pins
+    features computed from those samples with no codec involved.  The
+    WAV/PNG/JPEG siblings follow the same pattern."""
+    from .flac import _encode_flac
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField(out_col, T.BinaryType(), False),
+        ]
+    )
+    modes = ["independent", "left_side", "right_side", "mid_side"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, s in zip(pdf[id_col], pdf[seed_col]):
+                raw = s if isinstance(s, (bytes, bytearray)) else str(s or "").encode("utf-8")
+                stereo = bool(int(i) % 2)
+                samples = _audio_samples_from_bytes(bytes(raw), n_samples, stereo)
+                # odd ids are stereo; (i // 2) % 4 walks all four
+                # decorrelation modes across the odd ids
+                mode = modes[(int(i) // 2) % 4] if stereo else "independent"
+                payloads.append(
+                    _encode_flac(samples, 16000, block_size=1024, stereo_mode=mode)
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), out_col: payloads})
+
+    return df.select(id_col, seed_col).mapInPandas(run, schema=out_schema)
+
+
 def audio_features(
     df: DataFrame,
     binary_col: str,
@@ -610,10 +706,11 @@ def audio_features(
 ) -> DataFrame:
     """(id, features array<float>, duration_ms).
 
-    PCM WAV decodes for real: features are unit-normalized per-segment
-    RMS energy over ``dim`` windows and ``duration_ms`` comes from the
-    sample count and rate.  Other formats follow ``decoder`` mode
-    (stub: hash features, payload length as duration).
+    PCM WAV and FLAC decode for real: features are unit-normalized
+    per-segment RMS energy over ``dim`` windows and ``duration_ms``
+    comes from the sample count and rate.  Other formats follow
+    ``decoder`` mode (stub: hash features, payload length as
+    duration).
     """
     decoder = _legacy_mode(decoder, fake)
     out_schema = T.StructType(
@@ -625,7 +722,7 @@ def audio_features(
     )
 
     def one(payload: bytes) -> Tuple[List[float], int]:
-        decoded = _try_decode(_decode_wav, payload, decoder)
+        decoded = _try_decode(_decode_audio_real, payload, decoder)
         if decoded is not None:
             x, rate = decoded
             rms = np.sqrt(_segment_pool(x * x, dim))
