@@ -2206,6 +2206,99 @@ class TestJpegCodec:
             assert abs(r["mean_value"] - float(px.mean())) < 1e-9
 
 
+class TestGifAndMjpeg:
+    """GIF (from-scratch LZW) and AVI/MJPEG (a JFIF per frame through
+    the jpeg module) — the web-corpus formats the image/video ops now
+    decode for real."""
+
+    def test_gif_exact_roundtrip(self):
+        import numpy as np
+
+        from tumult_core_spark.extensions.multimodal import _decode_gif, _encode_gif
+
+        rng = np.random.default_rng(0)
+        pal = rng.integers(0, 256, size=(17, 3), dtype=np.uint8)
+        idx = rng.integers(0, 17, size=(23, 31))
+        for interlaced in (False, True):
+            img = _decode_gif(_encode_gif(idx, pal, interlaced=interlaced))
+            assert np.array_equal(img, pal[idx]), interlaced
+        # boundary palettes: 2 and 256 colors
+        pal2 = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+        idx2 = np.indices((64, 80)).sum(0) % 2
+        assert np.array_equal(_decode_gif(_encode_gif(idx2, pal2)), pal2[idx2])
+        pal256 = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+        idx256 = rng.integers(0, 256, size=(40, 40))
+        assert np.array_equal(_decode_gif(_encode_gif(idx256, pal256)), pal256[idx256])
+
+    def test_gif_error_contract_and_dispatch(self, spark):
+        import numpy as np
+        import pytest as _pytest
+
+        from tumult_core_spark.extensions.multimodal import (
+            _decode_gif,
+            _encode_gif,
+            image_stats,
+        )
+
+        assert _decode_gif(b"not a gif....") is None
+        rng = np.random.default_rng(1)
+        pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+        idx = rng.integers(0, 8, size=(16, 16))
+        enc = _encode_gif(idx, pal)
+        with _pytest.raises(ValueError, match="truncated|bad GIF"):
+            _decode_gif(enc[:30])
+        # through image_stats in real mode
+        df = spark.createDataFrame(
+            [(0, bytearray(enc))], "doc_id long, payload binary"
+        )
+        r = image_stats(df, "payload", "doc_id", decoder="real").collect()[0]
+        assert (r["width"], r["height"], r["channels"]) == (16, 16, 3)
+        assert abs(r["mean_value"] - float(pal[idx].mean())) < 1e-9
+
+    def test_mjpeg_avi_frame_sampling(self, spark):
+        """AVI/MJPEG decodes for real through sample_video_frames:
+        grayscale constant-block q100 frames (sequential AND
+        progressive) come back pixel-exact as P5."""
+        import numpy as np
+
+        from tumult_core_spark.extensions.jpeg import _encode_jpeg
+        from tumult_core_spark.extensions.multimodal import (
+            _decode_avi_mjpeg,
+            _decode_pnm,
+            _encode_avi_mjpeg,
+            sample_video_frames,
+        )
+
+        rng = np.random.default_rng(2)
+        imgs = [
+            np.repeat(np.repeat(rng.integers(0, 256, (3, 4), dtype=np.uint8), 8, 0), 8, 1)
+            for _ in range(6)
+        ]
+        jpegs = [
+            _encode_jpeg(im, quality=100, progressive=bool(i % 2))
+            for i, im in enumerate(imgs)
+        ]
+        avi = _encode_avi_mjpeg(jpegs, 32, 24, fps=5)
+        frames = _decode_avi_mjpeg(avi)
+        assert len(frames) == 6
+        assert all(np.array_equal(f, im) for f, im in zip(frames, imgs))
+
+        df = spark.createDataFrame([(7, bytearray(avi))], "vid long, payload binary")
+        out = sample_video_frames(df, "payload", "vid", num_frames=3, decoder="real")
+        rows = sorted(out.collect(), key=lambda r: r.frame_index)
+        assert len(rows) == 3
+        # evenly spaced picks over 6 frames: 0, 2.5->2, 5
+        picks = [0, 2, 5]
+        for r, p in zip(rows, picks):
+            decoded = _decode_pnm(bytes(r.frame))
+            assert np.array_equal(decoded[:, :, 0], imgs[p]), p
+
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            _decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00AVI " + b"\x00" * 16)
+
+
 class TestFlacCodec:
     """From-scratch FLAC codec (extensions/flac.py): lossless, so
     every round-trip asserts EXACT sample equality; the decoder also

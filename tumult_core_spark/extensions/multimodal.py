@@ -14,11 +14,14 @@ needs no external codec), sequential AND progressive JFIF/JPEG
 (from-scratch Huffman + IDCT per the public ITU-T T.81 spec — see
 :mod:`tumult_core_spark.extensions.jpeg`; grayscale/YCbCr, 4:4:4 /
 4:2:2 / 4:2:0, restart markers, SOF2 spectral selection + successive
-approximation), 8/16-bit PCM WAV audio, lossless FLAC audio
+approximation), GIF87a/89a (from-scratch LZW with interlacing and
+local/global color tables; first frame of animations), 8/16-bit PCM
+WAV audio, lossless FLAC audio
 (from-scratch Rice + fixed/LPC predictor decoder with CRC and stream
-MD5 verification — see :mod:`tumult_core_spark.extensions.flac`), and
-uncompressed YUV4MPEG2 (.y4m) video.  The remaining
-compressed formats (MP3/MP4/WebP...) need Pillow/ffmpeg,
+MD5 verification — see :mod:`tumult_core_spark.extensions.flac`),
+uncompressed YUV4MPEG2 (.y4m) video, and AVI/MJPEG video (one JFIF
+per ``00dc`` chunk, decoded by the same JPEG machinery).  The
+remaining formats (MP3/MP4/WebP/VP9/H.264...) need Pillow/ffmpeg,
 which are NOT available in this environment; per the ``decoder``
 mode they either fall back to a deterministic sha256-seeded stub
 (``"auto"``, default — keeps pipelines runnable end-to-end) or raise
@@ -115,6 +118,202 @@ def _decode_pnm(payload: bytes) -> Optional[np.ndarray]:
     if len(data) < need:
         return None
     return np.frombuffer(data, dtype=np.uint8).reshape(height, width, channels)
+
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, expected: int) -> List[int]:
+    """GIF-variant LZW (LSB-first codes, 12-bit max, clear/end codes)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict = {i: (i,) for i in range(clear)}
+    next_code = end + 1
+    out: List[int] = []
+    prev: Optional[tuple] = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < expected:
+        v = 0
+        for i in range(code_size):
+            v |= ((data[bitpos >> 3] >> (bitpos & 7)) & 1) << i
+            bitpos += 1
+        if v == clear:
+            table = {i: (i,) for i in range(clear)}
+            code_size = min_code_size + 1
+            next_code = end + 1
+            prev = None
+            continue
+        if v == end:
+            break
+        if prev is None:
+            entry = table.get(v)
+            if entry is None:
+                raise ValueError("bad GIF LZW start code")
+        else:
+            if v in table:
+                entry = table[v]
+            elif v == next_code:
+                entry = prev + (prev[0],)
+            else:
+                raise ValueError("bad GIF LZW code")
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code >= (1 << code_size) and code_size < 12:
+                code_size += 1
+        out.extend(entry)
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("truncated GIF pixel data")
+    return out[:expected]
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(height: int) -> List[int]:
+    order = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        order.extend(range(start, height, step))
+    return order
+
+
+def _decode_gif(payload: bytes) -> Optional[np.ndarray]:
+    """GIF87a/89a -> HxWx3 uint8 (first frame), or None for non-GIF.
+
+    REAL decode via from-scratch LZW (the GIF variant: LSB-first
+    variable-width codes, 12-bit cap, clear/end codes — public spec).
+    Global and local color tables, interlacing, and extension-block
+    skipping are handled; animation renders as its first frame (the
+    standard profile-a-corpus behavior); transparency is ignored for
+    stats purposes."""
+    if payload[:6] not in _GIF_MAGICS:
+        return None
+    if len(payload) < 13:
+        raise ValueError("truncated GIF")
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        if pos + 3 * n > len(payload):
+            raise ValueError("truncated GIF color table")
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(-1, 3)
+        pos += 3 * n
+    data_len = len(payload)
+    while pos < data_len:
+        block = payload[pos]
+        if block == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < data_len and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor (first frame wins)
+            if pos + 10 > data_len:
+                raise ValueError("truncated GIF image descriptor")
+            _left, _top, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+            iflags = payload[pos + 9]
+            pos += 10
+            palette = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                if pos + 3 * n > data_len:
+                    raise ValueError("truncated GIF color table")
+                palette = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(-1, 3)
+                pos += 3 * n
+            if palette is None:
+                raise ValueError("GIF image without color table")
+            if iw == 0 or ih == 0:
+                raise ValueError("bad GIF dimensions")
+            min_code = payload[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                raise ValueError("bad GIF LZW minimum code size")
+            lzw = bytearray()
+            while pos < data_len and payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            indices = _gif_lzw_decode(bytes(lzw), min_code, iw * ih)
+            idx = np.array(indices, dtype=np.int64).reshape(ih, iw)
+            idx = np.minimum(idx, len(palette) - 1)
+            img = palette[idx]
+            if iflags & 0x40:  # interlaced: rows arrive in pass order
+                out = np.zeros_like(img)
+                out[_gif_interlace_order(ih)] = img
+                img = out
+            return img
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF with no image data")
+
+
+def _encode_gif(
+    indices: np.ndarray, palette: np.ndarray, interlaced: bool = False
+) -> bytes:
+    """Index array [h, w] + palette [n, 3] -> GIF89a bytes, for
+    fixtures/tests.  Emits a literal-only LZW stream (each pixel as
+    its own code, clear codes keeping the width fixed) — larger than a
+    real compressor's output but a perfectly valid stream every
+    decoder accepts."""
+    h, w = indices.shape
+    npal = len(palette)
+    if npal < 2 or npal > 256:
+        raise ValueError("palette must have 2-256 entries")
+    bits = max(2, (npal - 1).bit_length())
+    size_field = bits - 1
+    table_n = 1 << bits
+    pal = np.zeros((table_n, 3), dtype=np.uint8)
+    pal[:npal] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((bits - 1) << 4) | size_field, 0, 0])
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlaced else 0])
+    min_code = bits
+    clear = 1 << min_code
+    end = clear + 1
+    code_size = min_code + 1
+    out.append(min_code)
+    rows = indices[_gif_interlace_order(h)] if interlaced else indices
+    flat = rows.reshape(-1).tolist()
+    acc = 0
+    nbits = 0
+    stream = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits  # LSB-first packing
+        nbits += code_size
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    literals = 0
+    for v in flat:
+        # each literal grows the decoder's table; clear before the
+        # table would force a wider code
+        if end + 1 + literals >= (1 << code_size) - 1:
+            emit(clear)
+            literals = 0
+        emit(int(v))
+        literals += 1
+    emit(end)
+    if nbits:
+        stream.append(acc & 0xFF)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def _decode_bmp(payload: bytes) -> Optional[np.ndarray]:
@@ -283,6 +482,8 @@ def _decode_image_real(payload: bytes) -> Optional[np.ndarray]:
         from .jpeg import _decode_jpeg
 
         return _decode_jpeg(payload)
+    if payload[:6] in _GIF_MAGICS:
+        return _decode_gif(payload)
     return _decode_bmp(payload)
 
 
@@ -352,6 +553,109 @@ def _decode_y4m(payload: bytes) -> Optional[List[np.ndarray]]:
         )
         pos += ysize + chroma
     return frames or None
+
+
+def _decode_avi_mjpeg(payload: bytes) -> Optional[List[np.ndarray]]:
+    """AVI container with MJPEG frames -> list of HxW uint8 grayscale
+    frames, or None for a non-AVI payload.
+
+    MJPEG ("a JPEG per frame") is the one compressed video codec this
+    module can decode for real, because each ``00dc`` chunk is an
+    ordinary JFIF image handled by :mod:`.jpeg`.  The RIFF walk is
+    lenient: it scans for the ``movi`` LIST and decodes every
+    ``..dc``/``..db`` chunk whose body starts with the JPEG SOI
+    marker; color frames collapse to luma-mean grayscale (the frame
+    consumers here emit P5)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    from .jpeg import _decode_jpeg
+
+    n = len(payload)
+    frames: List[np.ndarray] = []
+
+    def walk(start: int, end: int) -> None:
+        pos = start
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body_start = pos + 8
+            body_end = min(body_start + size, end)
+            if cid == b"LIST":
+                ltype = payload[body_start : body_start + 4]
+                if ltype in (b"movi", b"hdrl", b"rec "):
+                    walk(body_start + 4, body_end)
+            elif cid[2:4] in (b"dc", b"db"):
+                body = payload[body_start:body_end]
+                if body[:2] == b"\xff\xd8":
+                    img = _decode_jpeg(body)
+                    if img is None:
+                        raise ValueError("bad MJPEG frame")
+                    if img.shape[2] == 1:
+                        frames.append(img[:, :, 0])
+                    else:
+                        frames.append(
+                            np.clip(
+                                np.round(img.astype(np.float64).mean(axis=2)), 0, 255
+                            ).astype(np.uint8)
+                        )
+            pos = body_start + size + (size & 1)  # chunks pad to even
+
+    walk(12, n)
+    if not frames:
+        raise ValueError("AVI without decodable MJPEG frames")
+    return frames
+
+
+def _avi_chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+
+def _encode_avi_mjpeg(
+    jpeg_frames: List[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """JPEG payloads -> a minimal valid AVI/MJPEG container (for
+    fixtures/tests; ordinary players accept it)."""
+    if not jpeg_frames:
+        raise ValueError("no frames")
+    nframes = len(jpeg_frames)
+    maxsz = max(len(f) for f in jpeg_frames)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, maxsz * fps, 0, 0x10, nframes, 0, 1, maxsz,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, nframes, maxsz, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    strl = b"strl" + _avi_chunk(b"strh", strh) + _avi_chunk(b"strf", strf)
+    hdrl = (
+        b"hdrl" + _avi_chunk(b"avih", avih)
+        + b"LIST" + struct.pack("<I", len(strl)) + strl
+    )
+    movi = b"movi" + b"".join(_avi_chunk(b"00dc", f) for f in jpeg_frames)
+    riff_body = (
+        b"AVI "
+        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + struct.pack("<I", len(movi)) + movi
+    )
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _decode_video_frames(payload: bytes) -> Optional[List[np.ndarray]]:
+    """Decode codec-free video formats to grayscale frame planes;
+    None means 'needs ffmpeg'.  Y4M (raw planar YUV) and AVI/MJPEG
+    (per-frame JFIF via the from-scratch :mod:`.jpeg` decoder) both
+    decode for real."""
+    frames = _decode_y4m(payload)
+    if frames is not None:
+        return frames
+    return _decode_avi_mjpeg(payload)
 
 
 def _decode_wav(payload: bytes) -> Optional[Tuple[np.ndarray, int]]:
@@ -551,12 +855,14 @@ def sample_video_frames(
     """Explode each video payload into ``num_frames`` frame rows:
     (id, frame_index, frame binary).
 
-    Uncompressed YUV4MPEG2 (.y4m) payloads decode FOR REAL: evenly
-    spaced frames are extracted and re-emitted as binary PGM (P5), so
-    sampled frames round-trip through this module's own image decoder
-    and feature extractor.  Compressed containers (MP4/WebM/...) need
-    ffmpeg: ``decoder="real"`` raises for them, ``"auto"``/``"fake"``
-    emit deterministic stub frames.
+    Uncompressed YUV4MPEG2 (.y4m) AND AVI/MJPEG payloads decode FOR
+    REAL (the latter one JFIF per frame through the from-scratch
+    :mod:`.jpeg` decoder): evenly spaced frames are extracted and
+    re-emitted as binary PGM (P5), so sampled frames round-trip
+    through this module's own image decoder and feature extractor.
+    Inter-frame-compressed containers (MP4/WebM/...) need ffmpeg:
+    ``decoder="real"`` raises for them, ``"auto"``/``"fake"`` emit
+    deterministic stub frames.
     """
     decoder = _legacy_mode(decoder, fake)
     out_schema = T.StructType(
@@ -568,7 +874,7 @@ def sample_video_frames(
     )
 
     def one(payload: bytes) -> List[bytes]:
-        frames = _try_decode(_decode_y4m, payload, decoder)
+        frames = _try_decode(_decode_video_frames, payload, decoder)
         if frames is not None:
             picks = np.linspace(0, len(frames) - 1, num_frames).round().astype(int)
             out = []
