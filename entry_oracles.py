@@ -101,6 +101,18 @@ def oracle_sql() -> dict[str, str]:
         os.path.dirname(os.path.abspath(__file__)),
         "tests", "fixtures", "flac_expected.parquet",
     )
+    # multimodal_gif / multimodal_video: same pattern — stats computed
+    # from the a-priori pixel arrays, GIF/LZW and AVI/JPEG untouched on
+    # the oracle side (tests/fixtures/make_gif_fixture.py,
+    # make_video_fixture.py)
+    gif_fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "gif_expected.parquet",
+    )
+    video_fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "video_expected.parquet",
+    )
     # SF-keyed pinned constants (temperature_mix thresholds and the
     # dedup candidate-set cardinality regression pins) — deterministic
     # functions of the documents corpus, one block per shipped SF,
@@ -166,6 +178,30 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT),
                    NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::BIGINT
             FROM k WHERE NOT EXISTS (SELECT 1 FROM '{flac_fixture}' WHERE sf_key = k.key)
+        """,
+        "multimodal_gif": f"""
+            WITH k AS (SELECT bit_xor(hash(doc_id, text)) AS key FROM documents)
+            SELECT f.doc_id, f.width, f.height, f.channels, f.mean_value
+            FROM '{gif_fixture}' f, k WHERE f.sf_key = k.key
+            UNION ALL
+            SELECT CAST(error('gif fixture has no block for this documents '
+                              'table — regenerate with '
+                              'tests/fixtures/make_gif_fixture.py')
+                        AS BIGINT),
+                   NULL::INTEGER, NULL::INTEGER, NULL::INTEGER, NULL::DOUBLE
+            FROM k WHERE NOT EXISTS (SELECT 1 FROM '{gif_fixture}' WHERE sf_key = k.key)
+        """,
+        "multimodal_video": f"""
+            WITH k AS (SELECT bit_xor(hash(doc_id, text)) AS key FROM documents)
+            SELECT f.doc_id, f.frame_index, f.width, f.height, f.mean_value
+            FROM '{video_fixture}' f, k WHERE f.sf_key = k.key
+            UNION ALL
+            SELECT CAST(error('video fixture has no block for this documents '
+                              'table — regenerate with '
+                              'tests/fixtures/make_video_fixture.py')
+                        AS BIGINT),
+                   NULL::INTEGER, NULL::INTEGER, NULL::INTEGER, NULL::DOUBLE
+            FROM k WHERE NOT EXISTS (SELECT 1 FROM '{video_fixture}' WHERE sf_key = k.key)
         """,
         "pca_project": f"""
             WITH k AS (SELECT bit_xor(hash(vec_id, embedding)) AS key

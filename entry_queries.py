@@ -1476,6 +1476,64 @@ def q_multimodal_flac(spark, sf_dir):
     )
 
 
+def q_multimodal_gif(spark, sf_dir):
+    """REAL from-scratch GIF (LZW) round-trip through the full Spark
+    plumbing: per document, a deterministic palette image (palette
+    sizes walk 2..256) is synthesized from the text bytes, LZW-encoded
+    as genuine GIF89a (interlacing alternated by doc_id), decoded back
+    by the real LZW decoder, and profiled
+    (multimodal.py::synthesize_gif_images + image_stats).  GIF is
+    lossless, so the oracle replays expected stats from
+    ``palette[idx]`` alone (fixture computed with numpy, no GIF
+    anywhere — tests/fixtures/make_gif_fixture.py)."""
+    from tumult_core_spark.extensions.multimodal import (
+        image_stats,
+        synthesize_gif_images,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = synthesize_gif_images(docs, "text", "doc_id")
+    stats = image_stats(payloads, "payload", "doc_id", decoder="real")
+    return stats.select(
+        "doc_id", "width", "height", "channels",
+        F.round("mean_value", 5).alias("mean_value"),
+    )
+
+
+def q_multimodal_video(spark, sf_dir):
+    """REAL AVI/MJPEG video frame sampling through the full Spark
+    plumbing: per document, a 4-frame MJPEG clip (grayscale
+    constant-block quality-100 JFIF frames, sequential/progressive
+    alternating) is synthesized from the text bytes, two evenly spaced
+    frames are sampled by the real RIFF-walk + JPEG decode path and
+    re-emitted as P5, then profiled (multimodal.py::
+    synthesize_mjpeg_videos + sample_video_frames + image_stats).
+    Constant blocks at quality 100 round-trip exactly, so the oracle
+    replays per-frame stats from the a-priori pixels (fixture computed
+    with numpy, no codec anywhere —
+    tests/fixtures/make_video_fixture.py)."""
+    from tumult_core_spark.extensions.multimodal import (
+        image_stats,
+        sample_video_frames,
+        synthesize_mjpeg_videos,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = synthesize_mjpeg_videos(docs, "text", "doc_id", num_frames=4)
+    frames = sample_video_frames(payloads, "payload", "doc_id", num_frames=2,
+                                 decoder="real")
+    keyed = frames.withColumn(
+        "rid", F.col("doc_id") * F.lit(10) + F.col("frame_index")
+    )
+    stats = image_stats(keyed, "frame", "rid", decoder="real")
+    return stats.select(
+        (F.col("rid") / 10).cast("long").alias("doc_id"),
+        (F.col("rid") % 10).cast("int").alias("frame_index"),
+        "width", "height",
+        F.round("mean_value", 5).alias("mean_value"),
+    )
+
+
 def q_zcdp_groupby_count(spark, sf_dir):
     """Grouped count under zCDP (discrete Gaussian path, noise off)."""
     from tumult_core_spark.measures import RhoZCDP
@@ -2007,6 +2065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r12 front: new-in-r12 entries first (need a first driver row) ---
         "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_flac": q_multimodal_flac,
+        "multimodal_gif": q_multimodal_gif,
+        "multimodal_video": q_multimodal_video,
         # --- then the 45 entries last driver-checked in r10 ---
         "connected_components": q_connected_components,
         "dedup_connected": q_dedup_connected,

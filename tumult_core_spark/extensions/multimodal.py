@@ -1222,6 +1222,105 @@ def synthesize_jpeg_images(
     return df.select(id_col, seed_col).mapInPandas(run, schema=out_schema)
 
 
+def _gif_test_image_from_bytes(
+    seed_bytes: bytes, height: int = 16, width: int = 21
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic (index array [h, w], palette [n, 3]) from
+    arbitrary bytes — the a-priori pixel source for GIF round-trip
+    oracles (palette size walks 2..256 across seeds)."""
+    seed = int.from_bytes(hashlib.sha256(seed_bytes).digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    npal = 2 + seed % 255
+    palette = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+    idx = rng.integers(0, npal, size=(height, width))
+    return idx, palette
+
+
+def synthesize_gif_images(
+    df: DataFrame,
+    seed_col: str,
+    id_col: str,
+    height: int = 16,
+    width: int = 21,
+    out_col: str = "payload",
+) -> DataFrame:
+    """(id, payload binary): a valid GIF89a per row — palette and
+    index pixels derived deterministically from ``seed_col``'s bytes
+    (palette sizes walk 2..256), LZW-encoded by the REAL from-scratch
+    encoder, alternating interlaced/progressive-scan row order by
+    ``id % 2``.  GIF is lossless, so decoded pixels equal
+    ``palette[idx]`` exactly — the driver oracle pins stats computed
+    from those pixels with no codec involved."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField(out_col, T.BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, s in zip(pdf[id_col], pdf[seed_col]):
+                raw = s if isinstance(s, (bytes, bytearray)) else str(s or "").encode("utf-8")
+                idx, palette = _gif_test_image_from_bytes(bytes(raw), height, width)
+                payloads.append(
+                    _encode_gif(idx, palette, interlaced=bool(int(i) % 2))
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), out_col: payloads})
+
+    return df.select(id_col, seed_col).mapInPandas(run, schema=out_schema)
+
+
+def synthesize_mjpeg_videos(
+    df: DataFrame,
+    seed_col: str,
+    id_col: str,
+    num_frames: int = 4,
+    blocks_h: int = 2,
+    blocks_w: int = 3,
+    out_col: str = "payload",
+) -> DataFrame:
+    """(id, payload binary): a valid AVI/MJPEG clip per row —
+    ``num_frames`` grayscale constant-block frames derived
+    deterministically from ``seed_col``'s bytes (frame f seeded by
+    appending f), each encoded as quality-100 JFIF (sequential or
+    progressive alternating by id+frame), wrapped in a minimal AVI.
+    Constant blocks at quality 100 round-trip exactly, so the driver
+    oracle pins per-frame stats computed from the a-priori pixels with
+    no codec involved."""
+    from .jpeg import _encode_jpeg
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField(out_col, T.BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, s in zip(pdf[id_col], pdf[seed_col]):
+                raw = s if isinstance(s, (bytes, bytearray)) else str(s or "").encode("utf-8")
+                jpegs = []
+                for f in range(num_frames):
+                    px = _block_pixels_from_bytes(
+                        bytes(raw) + bytes([f]), blocks_h, blocks_w
+                    )
+                    jpegs.append(
+                        _encode_jpeg(
+                            px, quality=100, progressive=bool((int(i) + f) % 2)
+                        )
+                    )
+                payloads.append(
+                    _encode_avi_mjpeg(jpegs, blocks_w * 8, blocks_h * 8)
+                )
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), out_col: payloads})
+
+    return df.select(id_col, seed_col).mapInPandas(run, schema=out_schema)
+
+
 def image_stats(
     df: DataFrame,
     binary_col: str,
