@@ -203,6 +203,72 @@ def oracle_sql() -> dict[str, str]:
                    NULL::INTEGER, NULL::INTEGER, NULL::INTEGER, NULL::DOUBLE
             FROM k WHERE NOT EXISTS (SELECT 1 FROM '{video_fixture}' WHERE sf_key = k.key)
         """,
+        # media_sniffing: full logic replay, no fixture — the payload
+        # construction AND the ordered magic-rule chain are re-expressed
+        # over hex(payload); rule order mirrors multimodal.MAGIC_RULES
+        # (RIFF subtypes first, then the prefix rules)
+        "media_sniffing": """
+            WITH payloads AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 8 AS INTEGER)
+                  WHEN 0 THEN '\\x89PNG\\x0D\\x0A\\x1A\\x0A'::BLOB || encode(text)
+                  WHEN 1 THEN '\\xFF\\xD8'::BLOB || encode(text)
+                  WHEN 2 THEN 'GIF89a'::BLOB || encode(text)
+                  WHEN 3 THEN 'fLaC'::BLOB || encode(text)
+                  WHEN 4 THEN 'RIFF\\x00\\x00\\x00\\x00WAVE'::BLOB || encode(text)
+                  WHEN 5 THEN 'RIFF\\x00\\x00\\x00\\x00AVI '::BLOB || encode(text)
+                  WHEN 6 THEN '\\x00\\x00\\x00\\x18ftyp'::BLOB || encode(text)
+                  ELSE encode(text)
+                END AS payload
+              FROM documents
+            ), h AS (SELECT doc_id, hex(payload) AS hx FROM payloads)
+            SELECT doc_id,
+              CASE
+                WHEN left(hx, 8) = '52494646' AND substr(hx, 17, 8) = '57415645' THEN 'wav'
+                WHEN left(hx, 8) = '52494646' AND substr(hx, 17, 8) = '41564920' THEN 'avi'
+                WHEN left(hx, 8) = '52494646' AND substr(hx, 17, 8) = '57454250' THEN 'webp'
+                WHEN left(hx, 16) = '89504E470D0A1A0A' THEN 'png'
+                WHEN left(hx, 4) = 'FFD8' THEN 'jpeg'
+                WHEN left(hx, 12) = '474946383761' THEN 'gif'
+                WHEN left(hx, 12) = '474946383961' THEN 'gif'
+                WHEN left(hx, 4) = '424D' THEN 'bmp'
+                WHEN left(hx, 4) = '5036' THEN 'ppm'
+                WHEN left(hx, 4) = '5035' THEN 'pgm'
+                WHEN left(hx, 8) = '664C6143' THEN 'flac'
+                WHEN left(hx, 18) = '595556344D50454732' THEN 'y4m'
+                WHEN left(hx, 8) = '4F676753' THEN 'ogg'
+                WHEN left(hx, 6) = '494433' THEN 'mp3'
+                WHEN left(hx, 4) IN ('FFFB', 'FFF3', 'FFF2') THEN 'mp3'
+                WHEN substr(hx, 9, 8) = '66747970' THEN 'mp4'
+                WHEN left(hx, 8) = '25504446' THEN 'pdf'
+                WHEN left(hx, 4) = '1F8B' THEN 'gzip'
+                WHEN left(hx, 8) = '504B0304' THEN 'zip'
+                ELSE 'unknown'
+              END AS media_format,
+              CASE
+                WHEN left(hx, 8) = '52494646' AND substr(hx, 17, 8) = '57415645' THEN 'audio'
+                WHEN left(hx, 8) = '52494646' AND substr(hx, 17, 8) = '41564920' THEN 'video'
+                WHEN left(hx, 8) = '52494646' AND substr(hx, 17, 8) = '57454250' THEN 'image'
+                WHEN left(hx, 16) = '89504E470D0A1A0A' THEN 'image'
+                WHEN left(hx, 4) = 'FFD8' THEN 'image'
+                WHEN left(hx, 12) = '474946383761' THEN 'image'
+                WHEN left(hx, 12) = '474946383961' THEN 'image'
+                WHEN left(hx, 4) = '424D' THEN 'image'
+                WHEN left(hx, 4) = '5036' THEN 'image'
+                WHEN left(hx, 4) = '5035' THEN 'image'
+                WHEN left(hx, 8) = '664C6143' THEN 'audio'
+                WHEN left(hx, 18) = '595556344D50454732' THEN 'video'
+                WHEN left(hx, 8) = '4F676753' THEN 'audio'
+                WHEN left(hx, 6) = '494433' THEN 'audio'
+                WHEN left(hx, 4) IN ('FFFB', 'FFF3', 'FFF2') THEN 'audio'
+                WHEN substr(hx, 9, 8) = '66747970' THEN 'video'
+                WHEN left(hx, 8) = '25504446' THEN 'document'
+                WHEN left(hx, 4) = '1F8B' THEN 'archive'
+                WHEN left(hx, 8) = '504B0304' THEN 'archive'
+                ELSE 'unknown'
+              END AS media_type
+            FROM h
+        """,
         "pca_project": f"""
             WITH k AS (SELECT bit_xor(hash(vec_id, embedding)) AS key
                        FROM embeddings)

@@ -1534,6 +1534,39 @@ def q_multimodal_video(spark, sf_dir):
     )
 
 
+def q_media_sniffing(spark, sf_dir):
+    """Magic-byte media triage as pure Catalyst (multimodal.py::
+    detect_media_format): per document a payload is built by
+    prefixing the text bytes with one of 8 format magics (PNG, JPEG,
+    GIF, FLAC, RIFF/WAVE, RIFF/AVI, ftyp-MP4, or none) selected by
+    doc_id, then classified by the hex-prefix when-chain — JVM-side,
+    zero Python, zero shuffle.  The oracle replays BOTH the payload
+    construction and the full ordered rule chain in DuckDB SQL over
+    hex(payload) — no fixture, a complete logic replay."""
+    from tumult_core_spark.extensions.multimodal import detect_media_format
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    body = F.encode(F.col("text"), "UTF-8")
+    prefixes = {
+        0: "89504E470D0A1A0A",          # PNG
+        1: "FFD8",                      # JPEG SOI
+        2: "474946383961",              # GIF89a
+        3: "664C6143",                  # fLaC
+        4: "524946460000000057415645",  # RIFF....WAVE
+        5: "524946460000000041564920",  # RIFF....AVI(space)
+        6: "0000001866747970",          # ....ftyp
+    }
+    m = F.col("doc_id") % 8
+    payload = None
+    for k, hexstr in prefixes.items():
+        cond = m == k
+        built = F.concat(F.unhex(F.lit(hexstr)), body)
+        payload = F.when(cond, built) if payload is None else payload.when(cond, built)
+    payload = payload.otherwise(body)
+    out = detect_media_format(docs.withColumn("payload", payload), "payload")
+    return out.select("doc_id", "media_format", "media_type")
+
+
 def q_zcdp_groupby_count(spark, sf_dir):
     """Grouped count under zCDP (discrete Gaussian path, noise off)."""
     from tumult_core_spark.measures import RhoZCDP
@@ -2067,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_flac": q_multimodal_flac,
         "multimodal_gif": q_multimodal_gif,
         "multimodal_video": q_multimodal_video,
+        "media_sniffing": q_media_sniffing,
         # --- then the 45 entries last driver-checked in r10 ---
         "connected_components": q_connected_components,
         "dedup_connected": q_dedup_connected,

@@ -192,6 +192,30 @@ def test_release_freeze_is_local_relation_not_python_rdd(spark):
     assert time.time() - start < 1.0
 
 
+def test_media_sniffing_is_scan_side_catalyst(spark, sf_dir):
+    """detect_media_format is a pure hex-prefix when-chain: no Python
+    evaluation and no exchange anywhere in the plan — at 100 TB the
+    triage runs at scan speed."""
+    from pyspark.sql import functions as F
+
+    from tumult_core_spark.extensions.multimodal import detect_media_format
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    out = detect_media_format(docs, "payload")
+    plan = plan_of(out)
+    assert "BatchEvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+    # sane classification on real binaries
+    from tumult_core_spark.extensions.multimodal import _encode_png, _pixels_from_bytes
+
+    png = _encode_png(_pixels_from_bytes(b"q", 12, 9))
+    one = spark.createDataFrame([(0, bytearray(png))], "id long, payload binary")
+    r = detect_media_format(one, "payload").collect()[0]
+    assert (r["media_format"], r["media_type"]) == ("png", "image")
+
+
 def test_sanitize_survives_reserved_column_name(spark):
     """A release whose schema contains a column literally named
     ``__shuffle_key`` must pass through sanitize_df intact — the
