@@ -2034,7 +2034,7 @@ class TestJpegCodec:
         color = np.stack(
             [(xx * 2) % 256, (yy * 3) % 256, (xx + yy) % 256], axis=2
         ).astype(np.uint8)
-        for sub in ("444", "420"):
+        for sub in ("444", "420", "422", "411"):
             d = _decode_jpeg(_encode_jpeg(color, quality=92, subsampling=sub))
             assert d.shape == (45, 61, 3)
             assert np.abs(d.astype(int) - color.astype(int)).mean() < 6.0, sub
@@ -2101,6 +2101,7 @@ class TestJpegCodec:
         ).astype(np.uint8)
         noise = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
         cases = [(gray, "444"), (color, "444"), (color, "420"),
+                 (color, "422"), (color, "411"),
                  (noise, "444"), (noise, "420")]
         for img, sub in cases:
             for ri in (0, 3):

@@ -233,10 +233,12 @@ def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     return quant.astype(np.int64)[:, :, ZIGZAG]
 
 
-def _pad_to(plane: np.ndarray, mult: int) -> np.ndarray:
+def _pad_to(plane: np.ndarray, mult_h: int, mult_w: Optional[int] = None) -> np.ndarray:
+    if mult_w is None:
+        mult_w = mult_h
     h, w = plane.shape
-    ph = (-h) % mult
-    pw = (-w) % mult
+    ph = (-h) % mult_h
+    pw = (-w) % mult_w
     if ph or pw:
         plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
     return plane
@@ -368,7 +370,8 @@ def _encode_jpeg(
     progressive: bool = False,
 ) -> bytes:
     """uint8 HxW / HxWx1 (grayscale) or HxWx3 (RGB) -> JFIF bytes.
-    ``subsampling`` is ``"444"`` or ``"420"`` (ignored for grayscale);
+    ``subsampling`` is ``"444"``, ``"420"``, ``"422"``, or ``"411"``
+    (ignored for grayscale);
     ``restart_interval`` > 0 emits DRI + RSTn markers every that many
     scan units (exercises the decoder's restart path).
     ``progressive=True`` emits SOF2 with an IJG-style scan script —
@@ -381,8 +384,9 @@ def _encode_jpeg(
         img = img[:, :, np.newaxis]
     if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] not in (1, 3):
         raise ValueError("expected uint8 HxW[x1|x3] image")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    _SUB_FACTORS = {"444": (1, 1), "420": (2, 2), "422": (2, 1), "411": (4, 1)}
+    if subsampling not in _SUB_FACTORS:
+        raise ValueError(f"subsampling must be one of {sorted(_SUB_FACTORS)}")
     height, width, ncomp = img.shape
     if height == 0 or width == 0:
         raise ValueError("empty image")
@@ -390,29 +394,31 @@ def _encode_jpeg(
     q_luma = scale_quant_table(QUANT_LUMA, quality).astype(np.float64)
     q_chroma = scale_quant_table(QUANT_CHROMA, quality).astype(np.float64)
 
-    sub = (1, 1) if (gray or subsampling == "444") else (2, 2)
+    sub = (1, 1) if gray else _SUB_FACTORS[subsampling]
     hmax, vmax = sub
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
 
     if gray:
         y = img[:, :, 0].astype(np.float64)
-        planes = [(_pad_to(y, mcu_h) - 128.0, q_luma)]
+        planes = [(_pad_to(y, 8) - 128.0, q_luma)]
     else:
         y, cb, cr = _rgb_to_ycbcr(img)
-        y = _pad_to(y, mcu_h)
-        if sub == (2, 2):
-            cbp = _pad_to(cb, 16)
-            crp = _pad_to(cr, 16)
-            # box-average 2x2 then the chroma grid is mcu/2-aligned
-            cb = (cbp[0::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 0::2] + cbp[1::2, 1::2]) / 4.0
-            cr = (crp[0::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 0::2] + crp[1::2, 1::2]) / 4.0
+        y = _pad_to(y, mcu_h, mcu_w)
+        if sub != (1, 1):
+            # box-average hmax x vmax; the chroma grid is then
+            # (mcu/vmax, mcu/hmax)-aligned, i.e. 8-aligned
+            cbp = _pad_to(cb, mcu_h, mcu_w)
+            crp = _pad_to(cr, mcu_h, mcu_w)
+            ch, cw = cbp.shape
+            cb = cbp.reshape(ch // vmax, vmax, cw // hmax, hmax).mean(axis=(1, 3))
+            cr = crp.reshape(ch // vmax, vmax, cw // hmax, hmax).mean(axis=(1, 3))
         else:
             cb = _pad_to(cb, 8)
             cr = _pad_to(cr, 8)
         planes = [
             (y - 128.0, q_luma),
-            (_pad_to(cb, 8) - 128.0, q_chroma),
-            (_pad_to(cr, 8) - 128.0, q_chroma),
+            (cb - 128.0, q_chroma),
+            (cr - 128.0, q_chroma),
         ]
     comps_zz = [_fdct_quant(p, q) for p, q in planes]
 
