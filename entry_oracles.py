@@ -109,6 +109,10 @@ def oracle_sql() -> dict[str, str]:
         os.path.dirname(os.path.abspath(__file__)),
         "tests", "fixtures", "gif_expected.parquet",
     )
+    tiff_fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "fixtures", "tiff_expected.parquet",
+    )
     video_fixture = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "tests", "fixtures", "video_expected.parquet",
@@ -191,6 +195,18 @@ def oracle_sql() -> dict[str, str]:
                    NULL::INTEGER, NULL::INTEGER, NULL::INTEGER, NULL::DOUBLE
             FROM k WHERE NOT EXISTS (SELECT 1 FROM '{gif_fixture}' WHERE sf_key = k.key)
         """,
+        "multimodal_tiff": f"""
+            WITH k AS (SELECT bit_xor(hash(doc_id, text)) AS key FROM documents)
+            SELECT f.doc_id, f.width, f.height, f.channels, f.mean_value
+            FROM '{tiff_fixture}' f, k WHERE f.sf_key = k.key
+            UNION ALL
+            SELECT CAST(error('tiff fixture has no block for this documents '
+                              'table — regenerate with '
+                              'tests/fixtures/make_tiff_fixture.py')
+                        AS BIGINT),
+                   NULL::INTEGER, NULL::INTEGER, NULL::INTEGER, NULL::DOUBLE
+            FROM k WHERE NOT EXISTS (SELECT 1 FROM '{tiff_fixture}' WHERE sf_key = k.key)
+        """,
         "multimodal_video": f"""
             WITH k AS (SELECT bit_xor(hash(doc_id, text)) AS key FROM documents)
             SELECT f.doc_id, f.frame_index, f.width, f.height, f.mean_value
@@ -232,6 +248,8 @@ def oracle_sql() -> dict[str, str]:
                 WHEN left(hx, 12) = '474946383761' THEN 'gif'
                 WHEN left(hx, 12) = '474946383961' THEN 'gif'
                 WHEN left(hx, 4) = '424D' THEN 'bmp'
+                WHEN left(hx, 8) = '49492A00' THEN 'tiff'
+                WHEN left(hx, 8) = '4D4D002A' THEN 'tiff'
                 WHEN left(hx, 4) = '5036' THEN 'ppm'
                 WHEN left(hx, 4) = '5035' THEN 'pgm'
                 WHEN left(hx, 8) = '664C6143' THEN 'flac'
@@ -254,6 +272,8 @@ def oracle_sql() -> dict[str, str]:
                 WHEN left(hx, 12) = '474946383761' THEN 'image'
                 WHEN left(hx, 12) = '474946383961' THEN 'image'
                 WHEN left(hx, 4) = '424D' THEN 'image'
+                WHEN left(hx, 8) = '49492A00' THEN 'image'
+                WHEN left(hx, 8) = '4D4D002A' THEN 'image'
                 WHEN left(hx, 4) = '5036' THEN 'image'
                 WHEN left(hx, 4) = '5035' THEN 'image'
                 WHEN left(hx, 8) = '664C6143' THEN 'audio'

@@ -1534,6 +1534,31 @@ def q_multimodal_video(spark, sf_dir):
     )
 
 
+def q_multimodal_tiff(spark, sf_dir):
+    """REAL from-scratch TIFF round-trip through the full Spark
+    plumbing: per document, deterministic RGB pixels are synthesized
+    from the text bytes, written as genuine TIFF cycling the
+    compression by doc_id (uncompressed / LZW with and without the
+    horizontal-differencing predictor / PackBits), decoded back by the
+    real TIFF 6.0 strip decoder, and profiled
+    (multimodal.py::synthesize_tiff_images + image_stats).  TIFF is
+    lossless, so the oracle replays expected stats from the pixel
+    arrays alone (fixture computed with numpy, no TIFF anywhere —
+    tests/fixtures/make_tiff_fixture.py)."""
+    from tumult_core_spark.extensions.multimodal import (
+        image_stats,
+        synthesize_tiff_images,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = synthesize_tiff_images(docs, "text", "doc_id")
+    stats = image_stats(payloads, "payload", "doc_id", decoder="real")
+    return stats.select(
+        "doc_id", "width", "height", "channels",
+        F.round("mean_value", 5).alias("mean_value"),
+    )
+
+
 def q_media_sniffing(spark, sf_dir):
     """Magic-byte media triage as pure Catalyst (multimodal.py::
     detect_media_format): per document a payload is built by
@@ -2101,6 +2126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif": q_multimodal_gif,
         "multimodal_video": q_multimodal_video,
         "media_sniffing": q_media_sniffing,
+        "multimodal_tiff": q_multimodal_tiff,
         # --- then the 45 entries last driver-checked in r10 ---
         "connected_components": q_connected_components,
         "dedup_connected": q_dedup_connected,

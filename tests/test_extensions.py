@@ -2300,6 +2300,71 @@ class TestGifAndMjpeg:
             _decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00AVI " + b"\x00" * 16)
 
 
+class TestTiffCodec:
+    """From-scratch TIFF 6.0 strip decoder: lossless, so round-trips
+    assert exact pixel equality across compression schemes."""
+
+    def test_exact_roundtrip_every_compression(self):
+        import numpy as np
+
+        from tumult_core_spark.extensions.multimodal import (
+            _decode_tiff,
+            _encode_tiff,
+        )
+
+        rng = np.random.default_rng(0)
+        xx, yy = np.meshgrid(np.arange(40), np.arange(30))
+        cases = {
+            "gray": rng.integers(0, 256, (23, 31), np.uint8),
+            "rgb": rng.integers(0, 256, (17, 29, 3), np.uint8),
+            "rgba": rng.integers(0, 256, (9, 13, 4), np.uint8),
+            "smooth": np.stack(
+                [(xx * 3) % 256, (yy * 5) % 256, ((xx + yy) * 2) % 256], 2
+            ).astype(np.uint8),
+        }
+        for name, img in cases.items():
+            want = img if img.ndim == 3 else img[:, :, np.newaxis]
+            for comp in (1, 5, 32773):
+                preds = (False, True) if comp == 5 else (False,)
+                for pred in preds:
+                    dec = _decode_tiff(_encode_tiff(img, comp, predictor=pred))
+                    assert np.array_equal(dec, want), (name, comp, pred)
+
+    def test_error_contract_and_spark_path(self, spark):
+        import numpy as np
+        import pytest as _pytest
+
+        from tumult_core_spark.extensions.multimodal import (
+            _decode_tiff,
+            _encode_tiff,
+            _pixels_from_bytes,
+            image_stats,
+            synthesize_tiff_images,
+        )
+
+        assert _decode_tiff(b"not tiff") is None
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 256, (8, 8, 3), np.uint8)
+        with _pytest.raises(ValueError, match="truncated"):
+            _decode_tiff(_encode_tiff(img, 5)[:40])
+        # all three compressions through the full Spark plumbing
+        docs = spark.createDataFrame(
+            [(i, f"scan {i}") for i in range(6)], "doc_id long, text string"
+        )
+        payloads = synthesize_tiff_images(docs, "text", "doc_id")
+        got = {
+            r.doc_id: r
+            for r in image_stats(
+                payloads, "payload", "doc_id", decoder="real"
+            ).collect()
+        }
+        for i in range(6):
+            px = _pixels_from_bytes(f"scan {i}".encode(), 10, 14)
+            r = got[i]
+            assert (r["width"], r["height"], r["channels"]) == (14, 10, 3)
+            assert abs(r["mean_value"] - float(px.mean())) < 1e-9
+
+
 class TestFlacCodec:
     """From-scratch FLAC codec (extensions/flac.py): lossless, so
     every round-trip asserts EXACT sample equality; the decoder also

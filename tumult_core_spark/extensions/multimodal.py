@@ -15,7 +15,9 @@ needs no external codec), sequential AND progressive JFIF/JPEG
 :mod:`tumult_core_spark.extensions.jpeg`; grayscale/YCbCr, 4:4:4 /
 4:2:2 / 4:2:0, restart markers, SOF2 spectral selection + successive
 approximation), GIF87a/89a (from-scratch LZW with interlacing and
-local/global color tables; first frame of animations), 8/16-bit PCM
+local/global color tables; first frame of animations), baseline TIFF
+(strip-organized, uncompressed / TIFF-LZW / PackBits, predictor,
+gray/RGB/RGBA/palette, both byte orders), 8/16-bit PCM
 WAV audio, lossless FLAC audio
 (from-scratch Rice + fixed/LPC predictor decoder with CRC and stream
 MD5 verification — see :mod:`tumult_core_spark.extensions.flac`),
@@ -316,6 +318,290 @@ def _encode_gif(
     return bytes(out)
 
 
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (MSB-first codes, 12-bit cap, EarlyChange=1:
+    the code width bumps one code EARLIER than GIF's variant)."""
+    clear, end = 256, 257
+    code_size = 9
+    table: dict = {}
+    next_code = 258
+    out = bytearray()
+    prev: Optional[bytes] = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < expected:
+        v = 0
+        for _ in range(code_size):
+            v = (v << 1) | ((data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)
+            bitpos += 1
+        if v == clear:
+            table = {}
+            code_size = 9
+            next_code = 258
+            prev = None
+            continue
+        if v == end:
+            break
+        if prev is None:
+            if v >= 256:
+                raise ValueError("bad TIFF LZW start code")
+            entry = bytes([v])
+        else:
+            if v < 256:
+                entry = bytes([v])
+            elif v in table:
+                entry = table[v]
+            elif v == next_code:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("bad TIFF LZW code")
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            # EarlyChange: widen when ONE code of headroom remains
+            if next_code + 1 >= (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("truncated TIFF LZW data")
+    return bytes(out[:expected])
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773)."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n and len(out) < expected:
+        h = data[pos]
+        pos += 1
+        if h < 128:  # literal run of h+1 bytes
+            out += data[pos : pos + h + 1]
+            pos += h + 1
+        elif h > 128:  # repeat next byte 257-h times
+            if pos >= n:
+                break
+            out += bytes([data[pos]]) * (257 - h)
+            pos += 1
+        # h == 128: no-op
+    if len(out) < expected:
+        raise ValueError("truncated TIFF PackBits data")
+    return bytes(out[:expected])
+
+
+def _decode_tiff(payload: bytes) -> Optional[np.ndarray]:
+    """Baseline TIFF -> HxWxC uint8 (first IFD), or None for non-TIFF.
+
+    REAL decode per the public TIFF 6.0 spec: both byte orders (II/MM),
+    strip-organized images, compression 1 (none), 5 (LZW with the
+    TIFF code variant + horizontal differencing predictor), and 32773
+    (PackBits); 8-bit grayscale, RGB, RGBA, and palette-color.  Tiled,
+    JPEG-in-TIFF, CCITT, and 16-bit variants raise ``ValueError``
+    (auto mode stubs them — same contract as PNG/JPEG)."""
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        return None
+
+    def u16(off):
+        return struct.unpack_from(bo + "H", payload, off)[0]
+
+    def u32(off):
+        return struct.unpack_from(bo + "I", payload, off)[0]
+
+    ifd = u32(4)
+    if ifd + 2 > len(payload):
+        raise ValueError("truncated TIFF")
+    count = u16(ifd)
+    tags = {}
+    type_sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    for i in range(count):
+        e = ifd + 2 + 12 * i
+        if e + 12 > len(payload):
+            raise ValueError("truncated TIFF IFD")
+        tag = u16(e)
+        ttype = u16(e + 2)
+        n = u32(e + 4)
+        size = type_sizes.get(ttype, 1) * n
+        off = e + 8 if size <= 4 else u32(e + 8)
+        vals = []
+        for k in range(n):
+            if ttype == 3:
+                vals.append(u16(off + 2 * k))
+            elif ttype == 4:
+                vals.append(u32(off + 4 * k))
+            elif ttype == 1:
+                vals.append(payload[off + k])
+            else:
+                vals.append(0)
+        tags[tag] = vals
+    width = tags.get(256, [0])[0]
+    height = tags.get(257, [0])[0]
+    bits = tags.get(258, [8])
+    compression = tags.get(259, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    strip_offsets = tags.get(273)
+    samples = tags.get(277, [len(bits)])[0]
+    rows_per_strip = tags.get(278, [height])[0]
+    strip_counts = tags.get(279)
+    predictor = tags.get(317, [1])[0]
+    palette = tags.get(320)
+    if width <= 0 or height <= 0 or not strip_offsets:
+        raise ValueError("bad TIFF geometry")
+    if any(b != 8 for b in bits):
+        raise ValueError("unsupported TIFF bit depth (8 only)")
+    if compression not in (1, 5, 32773):
+        raise ValueError(f"unsupported TIFF compression {compression}")
+    if tags.get(322):  # TileWidth
+        raise ValueError("tiled TIFF unsupported (strips only)")
+    if samples not in (1, 3, 4):
+        raise ValueError(f"unsupported TIFF sample count {samples}")
+    if strip_counts is None:
+        strip_counts = [len(payload) - o for o in strip_offsets]
+
+    row_bytes = width * samples
+    raw = bytearray()
+    row0 = 0
+    for si, (off, cnt) in enumerate(zip(strip_offsets, strip_counts)):
+        nrows = min(rows_per_strip, height - row0)
+        if nrows <= 0:
+            break
+        expected = nrows * row_bytes
+        chunk = payload[off : off + cnt]
+        if compression == 1:
+            if len(chunk) < expected:
+                raise ValueError("truncated TIFF strip")
+            raw += chunk[:expected]
+        elif compression == 5:
+            raw += _tiff_lzw_decode(chunk, expected)
+        else:
+            raw += _packbits_decode(chunk, expected)
+        row0 += nrows
+    if len(raw) < height * row_bytes:
+        raise ValueError("TIFF strips cover fewer rows than ImageLength")
+    img = np.frombuffer(bytes(raw), np.uint8, height * row_bytes).reshape(
+        height, width, samples
+    )
+    if predictor == 2:  # horizontal differencing: per-sample prefix sum
+        img = np.cumsum(img.astype(np.uint64), axis=1, dtype=np.uint64)
+        img = (img & 0xFF).astype(np.uint8)
+    if photometric == 3:  # palette-color: 16-bit TIFF colormap, R then G then B
+        if not palette or samples != 1:
+            raise ValueError("bad TIFF palette image")
+        ncol = len(palette) // 3
+        cmap = (np.array(palette, np.uint32).reshape(3, ncol).T // 257).astype(np.uint8)
+        img = cmap[np.minimum(img[:, :, 0], ncol - 1)]
+    elif photometric == 0:  # WhiteIsZero: invert to the usual polarity
+        img = 255 - img
+    return img
+
+
+def _encode_tiff(
+    img: np.ndarray, compression: int = 1, predictor: bool = False
+) -> bytes:
+    """uint8 HxW[xC] -> little-endian single-strip TIFF (compression
+    1=none, 5=LZW, 32773=PackBits), for fixtures/tests."""
+    if img.ndim == 2:
+        img = img[:, :, np.newaxis]
+    h, w, c = img.shape
+    data = img
+    if predictor:
+        first = data[:, :1, :].astype(np.int16)
+        diff = np.diff(data.astype(np.int16), axis=1)
+        data = np.concatenate([first, diff], axis=1).astype(np.uint8)
+    flat = data.tobytes()
+    if compression == 5:
+        # literal-only TIFF LZW with EarlyChange-aware clear codes
+        out_bits = bytearray()
+        acc = 0
+        nbits = 0
+        code_size = 9
+
+        def emit(code):
+            nonlocal acc, nbits
+            acc = (acc << code_size) | code
+            nbits += code_size
+            while nbits >= 8:
+                out_bits.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+                acc &= (1 << nbits) - 1
+
+        emit(256)
+        lits = 0
+        for b in flat:
+            if 258 + lits + 1 >= (1 << code_size) - 1:
+                emit(256)
+                lits = 0
+            emit(b)
+            lits += 1
+        emit(257)
+        if nbits:
+            out_bits.append((acc << (8 - nbits)) & 0xFF)
+        strip = bytes(out_bits)
+    elif compression == 32773:
+        strip = bytearray()
+        for row in data.reshape(h, w * c):
+            rb = row.tobytes()
+            i = 0
+            while i < len(rb):
+                run = 1
+                while i + run < len(rb) and run < 128 and rb[i + run] == rb[i]:
+                    run += 1
+                if run >= 2:
+                    strip += bytes([257 - run, rb[i]])
+                    i += run
+                else:
+                    j = i + 1
+                    while (
+                        j < len(rb) and j - i < 128
+                        and not (j + 1 < len(rb) and rb[j] == rb[j + 1])
+                    ):
+                        j += 1
+                    strip += bytes([j - i - 1]) + rb[i:j]
+                    i = j
+        strip = bytes(strip)
+    else:
+        strip = flat
+
+    header_size = 8
+    strip_off = header_size
+    ifd_off = strip_off + len(strip) + (len(strip) & 1)
+    photometric = 1 if c == 1 else 2
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h),
+        (259, 3, 1, compression), (262, 3, 1, photometric),
+        (273, 4, 1, strip_off), (277, 3, 1, c),
+        (278, 3, 1, h), (279, 4, 1, len(strip)),
+    ]
+    bits_extra = b""
+    if c == 1:
+        entries.insert(2, (258, 3, 1, 8))
+    else:
+        # BitsPerSample needs c shorts -> store out-of-line after the IFD
+        bits_off = ifd_off + 2 + 12 * (len(entries) + 1 + (1 if predictor else 0)) + 4
+        entries.insert(2, (258, 3, c, bits_off))
+        bits_extra = struct.pack(f"<{c}H", *([8] * c))
+    if predictor:
+        entries.append((317, 3, 1, 2))
+    entries.sort()
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += strip
+    if len(strip) & 1:
+        out += b"\x00"
+    out += struct.pack("<H", len(entries))
+    for tag, ttype, n, val in entries:
+        out += struct.pack("<HHI", tag, ttype, n)
+        if ttype == 3 and n == 1:
+            out += struct.pack("<HH", val, 0)
+        else:
+            out += struct.pack("<I", val)
+    out += struct.pack("<I", 0)  # next IFD
+    out += bits_extra
+    return bytes(out)
+
+
 def _decode_bmp(payload: bytes) -> Optional[np.ndarray]:
     """Uncompressed (BI_RGB) 24/32-bit BMP -> HxWx3 uint8, or None."""
     if payload[:2] != b"BM" or len(payload) < 54:
@@ -484,6 +770,8 @@ def _decode_image_real(payload: bytes) -> Optional[np.ndarray]:
         return _decode_jpeg(payload)
     if payload[:6] in _GIF_MAGICS:
         return _decode_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(payload)
     return _decode_bmp(payload)
 
 
@@ -1231,6 +1519,8 @@ MAGIC_RULES = [
     ("gif", "image", 0, b"GIF87a"),
     ("gif", "image", 0, b"GIF89a"),
     ("bmp", "image", 0, b"BM"),
+    ("tiff", "image", 0, b"II*\x00"),
+    ("tiff", "image", 0, b"MM\x00*"),
     ("ppm", "image", 0, b"P6"),
     ("pgm", "image", 0, b"P5"),
     ("flac", "audio", 0, b"fLaC"),
@@ -1334,6 +1624,42 @@ def synthesize_gif_images(
                 payloads.append(
                     _encode_gif(idx, palette, interlaced=bool(int(i) % 2))
                 )
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), out_col: payloads})
+
+    return df.select(id_col, seed_col).mapInPandas(run, schema=out_schema)
+
+
+def synthesize_tiff_images(
+    df: DataFrame,
+    seed_col: str,
+    id_col: str,
+    height: int = 10,
+    width: int = 14,
+    out_col: str = "payload",
+) -> DataFrame:
+    """(id, payload binary): a valid TIFF per row — RGB pixels derived
+    deterministically from ``seed_col``'s bytes, cycling the
+    compression scheme by ``id % 3`` (none / LZW / PackBits) and the
+    LZW horizontal-differencing predictor by ``id % 2``, so a corpus
+    exercises every strip-decode path.  TIFF is lossless, so decoded
+    pixels equal the a-priori synthesis exactly — the driver oracle
+    pins stats computed from those pixels with no codec involved."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField(out_col, T.BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, s in zip(pdf[id_col], pdf[seed_col]):
+                raw = s if isinstance(s, (bytes, bytearray)) else str(s or "").encode("utf-8")
+                px = _pixels_from_bytes(bytes(raw), height, width)
+                comp = (1, 5, 32773)[int(i) % 3]
+                pred = comp == 5 and bool(int(i) % 2)
+                payloads.append(_encode_tiff(px, comp, predictor=pred))
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), out_col: payloads})
 
     return df.select(id_col, seed_col).mapInPandas(run, schema=out_schema)
