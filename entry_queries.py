@@ -2109,14 +2109,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order.  The per-round driver checks roughly the first 50 registry
     # entries against the DuckDB oracle, so each round the entries with
     # the least-fresh driver evidence go FIRST:
-    #   r12 front block = the 45 entries whose latest driver-green row
-    #   is r10 (the r11 batch of 50 did not reach them), in their prior
-    #   registry order.  The tail = the 50 r11-green entries in their
-    #   r11 order.  With a ~50-entry driver batch, r12 reaches all 45
-    #   front entries plus the first few tail entries, leaving every
-    #   registry entry at most one round stale after r12.
-    #   Any entry NEW in a round goes at the very front (needs its
-    #   first driver row).
+    #   r12 front block = the 7 entries NEW in r12 (codecs/triage; each
+    #   needs a first driver row; every one locally oracle-green at
+    #   sf0.001/0.01/0.1), then the 45 entries whose latest
+    #   driver-green row is r10 (the r11 batch of 50 did not reach
+    #   them), in their prior registry order.  The tail = the 50
+    #   r11-green entries in their r11 order.  The front is 52 entries,
+    #   so with a ~50-entry driver batch the LAST ~2 front entries
+    #   (tail of the r10 block) may slip to r13 — they carry r10
+    #   driver evidence plus this round's local 100/100 sf0.01 sweep,
+    #   so the slip is the cheapest place to pay for first rows on the
+    #   new entries.
     #   r13: rotate again - move whatever the r12 batch does not reach
     #   back to the front.
     return {
