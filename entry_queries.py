@@ -2109,7 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order.  The per-round driver checks roughly the first 50 registry
     # entries against the DuckDB oracle, so each round the entries with
     # the least-fresh driver evidence go FIRST:
-    #   r12 front block = the 7 entries NEW in r12 (codecs/triage; each
+    #   r12 front block = the 6 entries NEW in r12 (codecs/triage; each
     #   needs a first driver row; every one locally oracle-green at
     #   sf0.001/0.01/0.1), then the 45 entries whose latest
     #   driver-green row is r10 (the r11 batch of 50 did not reach
