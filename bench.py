@@ -585,7 +585,16 @@ _CONTENTION_LOAD = 1.2 * CPUS
 def _time_workload(spark, fn):
     """Warmup + 3-5 timed runs (see comments in main); returns
     (runs, load_before, load_after)."""
+    import gc
+
     spark.catalog.clearCache()
+    # Python gc FIRST: localCheckpoint block references held through
+    # py4j (e.g. a previous workload's connected-components rounds)
+    # are only releasable by the JVM after the Python side drops them —
+    # System.gc() alone leaves those blocks pinned and the next
+    # workload pays the heap pressure (observed as a 3x components
+    # median in an otherwise idle window).
+    gc.collect()
     spark.sparkContext._jvm.System.gc()
     load_before = _loadavg()
     fn(spark)  # warmup
