@@ -376,6 +376,40 @@ def bench_text_quality(spark):
     tfidf_top_terms(docs, k=3).count()
 
 
+def _mixed_media_payloads(docs):
+    """(doc_id, payload) with the format chosen by doc_id % 4
+    (PNG / JPEG / GIF / TIFF) — the codec layer's representative
+    mixed-corpus shape: every payload is a genuine file the real
+    decoders must triage and decode.  One scan + one mapInPandas."""
+    from tumult_core_spark.extensions.multimodal import synthesize_media_payloads
+
+    return synthesize_media_payloads(docs, "text", "doc_id")
+
+
+def bench_multimodal(spark):
+    """Mixed-format media decode: synthesize genuine PNG/JPEG/GIF/TIFF
+    payloads (format by doc_id % 4) in one pass, then real decode +
+    profile via image_stats — the codec family's headline throughput
+    number (its entropy loops are the documented Python slow path, so
+    a regression here must be visible in BENCH).  One action, so the
+    payloads are synthesized ONCE per run; magic-byte triage is
+    deliberately NOT in the timed path — it is scan-speed Catalyst
+    with its own plan gate, and image_stats' column pruning would
+    eliminate it from this plan anyway."""
+    from pyspark.sql import functions as F
+
+    from tumult_core_spark.extensions.multimodal import image_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).repartition(CPUS)
+    payloads = _mixed_media_payloads(docs)
+    stats = image_stats(payloads, "payload", "doc_id", decoder="real")
+    stats.agg(
+        F.count("*"), F.sum("width"), F.sum("height"), F.sum("mean_value")
+    ).collect()
+
+
 def _scaled_union(df, k: int, id_cols):
     """k disjoint copies of ``df`` with each id column shifted per copy
     — the honest way to scale row count 10x without changing the data
@@ -471,6 +505,16 @@ def sf_sweep(spark, k: int = 10, reps: int = None):
 
         duplicate_substring_spans(docs(scale), "doc_id", "text", 12).count()
 
+    def op_multimodal(scale):
+        # mixed-format synthesize + triage + real decode: per-payload
+        # Python decode work, no shuffle — the expected factor is ~k
+        # (embarrassingly parallel map), and anything much above k
+        # means batch-shape or heap pathology in the mapInPandas path
+        from tumult_core_spark.extensions.multimodal import image_stats
+
+        payloads = _mixed_media_payloads(docs(scale).select("doc_id", "text"))
+        image_stats(payloads, "payload", "doc_id", decoder="real").count()
+
     def op_dedup_minhash(scale):
         # banded LSH: the op where a super-linear pair explosion would
         # surface (docs() copies are id-shifted so signatures repeat
@@ -486,6 +530,7 @@ def sf_sweep(spark, k: int = 10, reps: int = None):
         "decontaminate": op_decontaminate,
         "dedup_minhash": op_dedup_minhash,
         "substring_dedup": op_substring_dedup,
+        "multimodal": op_multimodal,
     }
     if reps is None:
         reps = int(os.environ.get("SPARK_GRAFT_SWEEP_REPS", "2"))
@@ -564,6 +609,7 @@ BENCHES = {
     "text_quality": bench_text_quality,
     "dedup_paragraphs": bench_dedup_paragraphs,
     "bpe": bench_bpe,
+    "multimodal": bench_multimodal,
 }
 
 
@@ -580,6 +626,11 @@ def _loadavg():
 # during the timed window — the artifact behind the r7/r8/r9 phantom
 # regressions (recorded medians 1.5-2.5x the idle re-run).
 _CONTENTION_LOAD = 1.2 * CPUS
+# A final median above this multiple of the workload's own min marks
+# the window as polluted regardless of load (sub-threshold background
+# load inflated three r12 medians by 1.3-1.5x while the load stayed
+# near 9, far under the 1.2x-CPUS trigger).
+_MEDIAN_INFLATION = 1.3
 
 
 def _time_workload(spark, fn):
@@ -654,16 +705,25 @@ def main():
             loads[name] = [lb, la]
             if any(v is not None and v > _CONTENTION_LOAD for v in (lb, la)):
                 suspect.append(name)
+            # The load threshold alone misses sub-threshold pollution:
+            # r12 recorded dedup_minhash at 2.343 s (idle: 1.516) under
+            # a background load of ~9, far below 1.2x CPUS.  The
+            # workload's own spread is the sharper signal — a median
+            # well above its min means some timed runs hit contention —
+            # so any final median > 1.3x its own min is re-timed too.
+            elif timings_min[name] > 0 and timings[name] > _MEDIAN_INFLATION * timings_min[name]:
+                suspect.append(name)
         except Exception as exc:  # pragma: no cover
             timings[name] = None
             timings_min[name] = None
             print(f"# bench {name} failed: {exc}", file=sys.stderr)
     contended = []
+    median_inflated = []
     retimed = {}
     for name in suspect:
         print(
-            f"# CONTENDED window for {name} (load {loads[name]} > "
-            f"{_CONTENTION_LOAD:.0f}); re-timing once",
+            f"# SUSPECT window for {name} (load {loads[name]}, median "
+            f"{timings[name]} vs min {timings_min[name]}); re-timing once",
             file=sys.stderr,
         )
         try:
@@ -680,6 +740,8 @@ def main():
         loads[name] += [lb, la]
         if any(v is not None and v > _CONTENTION_LOAD for v in (lb, la)):
             contended.append(name)  # still loaded: flag it loudly
+        if timings_min[name] > 0 and timings[name] > _MEDIAN_INFLATION * timings_min[name]:
+            median_inflated.append(name)  # spread survived the re-time
     total = round(sum(v for v in timings.values() if v is not None), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # cross-SF scale evidence (skippable for quick local iteration)
@@ -711,6 +773,11 @@ def main():
         "load_contention_threshold": round(_CONTENTION_LOAD, 1),
         "contended": bool(contended),
         "contended_queries": contended,
+        # queries whose final median still exceeds 1.3x their own min
+        # AFTER a re-time: treat their medians as contamination-suspect
+        # and prefer queries_min when diffing round-over-round
+        "median_inflation_threshold": _MEDIAN_INFLATION,
+        "median_inflated_queries": median_inflated,
     }
     if retimed:
         out["retimed_after_contention"] = retimed
@@ -786,6 +853,8 @@ def compact_line(out: dict, limit: int = 1900) -> str:
     }
     if out.get("contended"):
         compact["contended_queries"] = out.get("contended_queries")
+    if out.get("median_inflated_queries"):
+        compact["median_inflated_queries"] = out["median_inflated_queries"]
     line = json.dumps(compact)
     if len(line) > limit:  # belt and braces: drop per-query detail
         compact.pop("queries", None)

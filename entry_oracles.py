@@ -149,26 +149,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_decode": f"""
             WITH k AS (SELECT bit_xor(hash(doc_id, text)) AS key FROM documents)
-            SELECT f.doc_id, f.width, f.height, f.channels, f.mean_value
+            SELECT f.doc_id, f.width, f.height, f.channels, f.mean_value,
+                   f.pos_checksum
             FROM '{png_fixture}' f, k WHERE f.sf_key = k.key
             UNION ALL
             SELECT CAST(error('png fixture has no block for this documents '
                               'table — regenerate with '
                               'tests/fixtures/make_png_fixture.py')
                         AS BIGINT),
-                   NULL::INTEGER, NULL::INTEGER, NULL::INTEGER, NULL::DOUBLE
+                   NULL::INTEGER, NULL::INTEGER, NULL::INTEGER, NULL::DOUBLE,
+                   NULL::DOUBLE
             FROM k WHERE NOT EXISTS (SELECT 1 FROM '{png_fixture}' WHERE sf_key = k.key)
         """,
         "multimodal_jpeg": f"""
             WITH k AS (SELECT bit_xor(hash(doc_id, text)) AS key FROM documents)
-            SELECT f.doc_id, f.width, f.height, f.channels, f.mean_value
+            SELECT f.doc_id, f.width, f.height, f.channels, f.mean_value,
+                   f.pos_checksum
             FROM '{jpeg_fixture}' f, k WHERE f.sf_key = k.key
             UNION ALL
             SELECT CAST(error('jpeg fixture has no block for this documents '
                               'table — regenerate with '
                               'tests/fixtures/make_jpeg_fixture.py')
                         AS BIGINT),
-                   NULL::INTEGER, NULL::INTEGER, NULL::INTEGER, NULL::DOUBLE
+                   NULL::INTEGER, NULL::INTEGER, NULL::INTEGER, NULL::DOUBLE,
+                   NULL::DOUBLE
             FROM k WHERE NOT EXISTS (SELECT 1 FROM '{jpeg_fixture}' WHERE sf_key = k.key)
         """,
         "multimodal_flac": f"""
@@ -185,38 +189,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_gif": f"""
             WITH k AS (SELECT bit_xor(hash(doc_id, text)) AS key FROM documents)
-            SELECT f.doc_id, f.width, f.height, f.channels, f.mean_value
+            SELECT f.doc_id, f.width, f.height, f.channels, f.mean_value,
+                   f.pos_checksum
             FROM '{gif_fixture}' f, k WHERE f.sf_key = k.key
             UNION ALL
             SELECT CAST(error('gif fixture has no block for this documents '
                               'table — regenerate with '
                               'tests/fixtures/make_gif_fixture.py')
                         AS BIGINT),
-                   NULL::INTEGER, NULL::INTEGER, NULL::INTEGER, NULL::DOUBLE
+                   NULL::INTEGER, NULL::INTEGER, NULL::INTEGER, NULL::DOUBLE,
+                   NULL::DOUBLE
             FROM k WHERE NOT EXISTS (SELECT 1 FROM '{gif_fixture}' WHERE sf_key = k.key)
         """,
         "multimodal_tiff": f"""
             WITH k AS (SELECT bit_xor(hash(doc_id, text)) AS key FROM documents)
-            SELECT f.doc_id, f.width, f.height, f.channels, f.mean_value
+            SELECT f.doc_id, f.width, f.height, f.channels, f.mean_value,
+                   f.pos_checksum
             FROM '{tiff_fixture}' f, k WHERE f.sf_key = k.key
             UNION ALL
             SELECT CAST(error('tiff fixture has no block for this documents '
                               'table — regenerate with '
                               'tests/fixtures/make_tiff_fixture.py')
                         AS BIGINT),
-                   NULL::INTEGER, NULL::INTEGER, NULL::INTEGER, NULL::DOUBLE
+                   NULL::INTEGER, NULL::INTEGER, NULL::INTEGER, NULL::DOUBLE,
+                   NULL::DOUBLE
             FROM k WHERE NOT EXISTS (SELECT 1 FROM '{tiff_fixture}' WHERE sf_key = k.key)
         """,
         "multimodal_video": f"""
             WITH k AS (SELECT bit_xor(hash(doc_id, text)) AS key FROM documents)
-            SELECT f.doc_id, f.frame_index, f.width, f.height, f.mean_value
+            SELECT f.doc_id, f.frame_index, f.width, f.height, f.mean_value,
+                   f.pos_checksum
             FROM '{video_fixture}' f, k WHERE f.sf_key = k.key
             UNION ALL
             SELECT CAST(error('video fixture has no block for this documents '
                               'table — regenerate with '
                               'tests/fixtures/make_video_fixture.py')
                         AS BIGINT),
-                   NULL::INTEGER, NULL::INTEGER, NULL::INTEGER, NULL::DOUBLE
+                   NULL::INTEGER, NULL::INTEGER, NULL::INTEGER, NULL::DOUBLE,
+                   NULL::DOUBLE
             FROM k WHERE NOT EXISTS (SELECT 1 FROM '{video_fixture}' WHERE sf_key = k.key)
         """,
         # media_sniffing: full logic replay, no fixture — the payload

@@ -1409,10 +1409,13 @@ def q_multimodal_decode(spark, sf_dir):
 
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
     payloads = synthesize_png_images(docs, "text", "doc_id")
-    stats = image_stats(payloads, "payload", "doc_id", decoder="real")
+    stats = image_stats(
+        payloads, "payload", "doc_id", decoder="real", position_checksum=True
+    )
     return stats.select(
         "doc_id", "width", "height", "channels",
         F.round("mean_value", 5).alias("mean_value"),
+        F.round("pos_checksum", 5).alias("pos_checksum"),
     )
 
 
@@ -1438,10 +1441,13 @@ def q_multimodal_jpeg(spark, sf_dir):
 
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
     payloads = synthesize_jpeg_images(docs, "text", "doc_id")
-    stats = image_stats(payloads, "payload", "doc_id", decoder="real")
+    stats = image_stats(
+        payloads, "payload", "doc_id", decoder="real", position_checksum=True
+    )
     return stats.select(
         "doc_id", "width", "height", "channels",
         F.round("mean_value", 5).alias("mean_value"),
+        F.round("pos_checksum", 5).alias("pos_checksum"),
     )
 
 
@@ -1493,10 +1499,13 @@ def q_multimodal_gif(spark, sf_dir):
 
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
     payloads = synthesize_gif_images(docs, "text", "doc_id")
-    stats = image_stats(payloads, "payload", "doc_id", decoder="real")
+    stats = image_stats(
+        payloads, "payload", "doc_id", decoder="real", position_checksum=True
+    )
     return stats.select(
         "doc_id", "width", "height", "channels",
         F.round("mean_value", 5).alias("mean_value"),
+        F.round("pos_checksum", 5).alias("pos_checksum"),
     )
 
 
@@ -1525,12 +1534,15 @@ def q_multimodal_video(spark, sf_dir):
     keyed = frames.withColumn(
         "rid", F.col("doc_id") * F.lit(10) + F.col("frame_index")
     )
-    stats = image_stats(keyed, "frame", "rid", decoder="real")
+    stats = image_stats(
+        keyed, "frame", "rid", decoder="real", position_checksum=True
+    )
     return stats.select(
         (F.col("rid") / 10).cast("long").alias("doc_id"),
         (F.col("rid") % 10).cast("int").alias("frame_index"),
         "width", "height",
         F.round("mean_value", 5).alias("mean_value"),
+        F.round("pos_checksum", 5).alias("pos_checksum"),
     )
 
 
@@ -1552,10 +1564,13 @@ def q_multimodal_tiff(spark, sf_dir):
 
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
     payloads = synthesize_tiff_images(docs, "text", "doc_id")
-    stats = image_stats(payloads, "payload", "doc_id", decoder="real")
+    stats = image_stats(
+        payloads, "payload", "doc_id", decoder="real", position_checksum=True
+    )
     return stats.select(
         "doc_id", "width", "height", "channels",
         F.round("mean_value", 5).alias("mean_value"),
+        F.round("pos_checksum", 5).alias("pos_checksum"),
     )
 
 
@@ -2106,77 +2121,25 @@ def q_embedding_near_dups(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS A ROTATION SCHEDULE, not alphabetical and not build
-    # order.  The per-round driver checks roughly the first 50 registry
-    # entries against the DuckDB oracle, so each round the entries with
-    # the least-fresh driver evidence go FIRST:
-    #   r12 front block = the 6 entries NEW in r12 (codecs/triage; each
-    #   needs a first driver row; every one locally oracle-green at
-    #   sf0.001/0.01/0.1), then the 45 entries whose latest
-    #   driver-green row is r10 (the r11 batch of 50 did not reach
-    #   them), in their prior registry order.  The tail = the 50
-    #   r11-green entries in their r11 order.  The front is 52 entries,
-    #   so with a ~50-entry driver batch the LAST ~2 front entries
-    #   (tail of the r10 block) may slip to r13 — they carry r10
-    #   driver evidence plus this round's local 100/100 sf0.01 sweep,
-    #   so the slip is the cheapest place to pay for first rows on the
-    #   new entries.
-    #   r13: rotate again - move whatever the r12 batch does not reach
-    #   back to the front.
+    # order.  The per-round driver checks roughly the first 50 of the
+    # 101 registry entries against the DuckDB oracle, so each round the
+    # entries with the least-fresh driver evidence go FIRST:
+    #   r13 front block = flatmap_by_key (the sole entry whose latest
+    #   driver-green row is r10 — it was entry #51 of the 51-entry r12
+    #   front, exactly the one the 50-entry batch did not reach), then
+    #   the 50 entries whose latest driver-green row is r11, in their
+    #   r11 order.  The tail = the 50 entries CORRECTNESS_r12 checked,
+    #   in their r12 order.  The front is 51 entries, so with a
+    #   50-entry driver batch the LAST front entry
+    #   (approx_quantile_check, r11-green) may slip to r14; it carries
+    #   r11 driver evidence plus this round's local sf0.01 sweep, so
+    #   the slip is the cheapest available.
+    #   r14: rotate again — move whatever the r13 batch does not reach
+    #   back to the front, followed by the r12-green tail below.
     return {
-        # --- r12 front: new-in-r12 entries first (need a first driver row) ---
-        "multimodal_jpeg": q_multimodal_jpeg,
-        "multimodal_flac": q_multimodal_flac,
-        "multimodal_gif": q_multimodal_gif,
-        "multimodal_video": q_multimodal_video,
-        "media_sniffing": q_media_sniffing,
-        "multimodal_tiff": q_multimodal_tiff,
-        # --- then the 45 entries last driver-checked in r10 ---
-        "connected_components": q_connected_components,
-        "dedup_connected": q_dedup_connected,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        "training_mix": q_training_mix,
-        "decontaminate": q_decontaminate,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "bigram_logprob": q_bigram_logprob,
-        "stream_interval_join": q_stream_interval_join,
-        "profile_quantiles": q_profile_quantiles,
-        "preprocess_pipeline": q_preprocess_pipeline,
-        "rolling_aggregate": q_rolling_aggregate,
-        "sessionize_batch": q_sessionize_batch,
-        "redact_pii": q_redact_pii,
-        "variance_intermediates": q_variance_intermediates,
-        "streaming_dedup": q_streaming_dedup,
-        "sq_knn": q_sq_knn,
-        "normalize_text": q_normalize_text,
-        "add_unique_column": q_add_unique_column,
-        "join_on_nulls": q_join_on_nulls,
-        "ann_ivf": q_ann_ivf,
-        "sessionize": q_sessionize,
-        "embedding_near_dups": q_embedding_near_dups,
-        "private_join_on_key": q_private_join_on_key,
-        "limit_rows_per_key_per_group": q_limit_rows_per_key_per_group,
-        "groupby_stddev": q_groupby_stddev,
-        "filter_select": q_filter_select,
-        "rename": q_rename,
-        "groupby_count": q_groupby_count,
-        "groupby_count_distinct": q_groupby_count_distinct,
-        "groupby_sum": q_groupby_sum,
-        "total_counts": q_total_counts,
-        "average": q_average,
-        "variance": q_variance,
-        "public_join": q_public_join,
-        "private_join_drop": q_private_join_drop,
-        "limit_rows_per_group": q_limit_rows_per_group,
-        "limit_keys_per_group": q_limit_keys_per_group,
-        "partition_selection": q_partition_selection,
-        "bounds": q_bounds,
-        "quantile_median": q_quantile_median,
-        "partition_by_keys": q_partition_by_keys,
-        "map_revenue": q_map_derive,
+        # --- r13 front: flatmap_by_key first (only r10-stale entry) ---
         "flatmap_by_key": q_flatmap_by_key,
-        # --- tail: the 50 r11-green entries in their r11 order ---
+        # --- then the 50 entries last driver-checked in r11 ---
         "multimodal_decode": q_multimodal_decode,
         "dict_pipeline": q_dict_pipeline,
         "zorder_key": q_zorder_key,
@@ -2227,6 +2190,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "hll_distinct": q_hll_distinct,
         "approx_quantile_check": q_approx_quantile_check,
+        # --- tail: the 50 r12-green entries in their r12 order ---
+        "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_flac": q_multimodal_flac,
+        "multimodal_gif": q_multimodal_gif,
+        "multimodal_video": q_multimodal_video,
+        "media_sniffing": q_media_sniffing,
+        "multimodal_tiff": q_multimodal_tiff,
+        "connected_components": q_connected_components,
+        "dedup_connected": q_dedup_connected,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "training_mix": q_training_mix,
+        "decontaminate": q_decontaminate,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "bigram_logprob": q_bigram_logprob,
+        "stream_interval_join": q_stream_interval_join,
+        "profile_quantiles": q_profile_quantiles,
+        "preprocess_pipeline": q_preprocess_pipeline,
+        "rolling_aggregate": q_rolling_aggregate,
+        "sessionize_batch": q_sessionize_batch,
+        "redact_pii": q_redact_pii,
+        "variance_intermediates": q_variance_intermediates,
+        "streaming_dedup": q_streaming_dedup,
+        "sq_knn": q_sq_knn,
+        "normalize_text": q_normalize_text,
+        "add_unique_column": q_add_unique_column,
+        "join_on_nulls": q_join_on_nulls,
+        "ann_ivf": q_ann_ivf,
+        "sessionize": q_sessionize,
+        "embedding_near_dups": q_embedding_near_dups,
+        "private_join_on_key": q_private_join_on_key,
+        "limit_rows_per_key_per_group": q_limit_rows_per_key_per_group,
+        "groupby_stddev": q_groupby_stddev,
+        "filter_select": q_filter_select,
+        "rename": q_rename,
+        "groupby_count": q_groupby_count,
+        "groupby_count_distinct": q_groupby_count_distinct,
+        "groupby_sum": q_groupby_sum,
+        "total_counts": q_total_counts,
+        "average": q_average,
+        "variance": q_variance,
+        "public_join": q_public_join,
+        "private_join_drop": q_private_join_drop,
+        "limit_rows_per_group": q_limit_rows_per_group,
+        "limit_keys_per_group": q_limit_keys_per_group,
+        "partition_selection": q_partition_selection,
+        "bounds": q_bounds,
+        "quantile_median": q_quantile_median,
+        "partition_by_keys": q_partition_by_keys,
+        "map_revenue": q_map_derive,
     }
 
 

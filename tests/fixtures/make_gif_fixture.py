@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 from tumult_core_spark.extensions.multimodal import (  # noqa: E402
     _gif_test_image_from_bytes,
+    _position_checksum,
 )
 
 SF_DIRS = sys.argv[1:] or [
@@ -44,11 +45,13 @@ def block(sf_dir: str) -> pa.Table:
     doc_ids = docs.column("doc_id").to_pylist()
     texts = docs.column("text").to_pylist()
     means = []
+    checks = []
     for text in texts:
         idx, palette = _gif_test_image_from_bytes(
             (text or "").encode("utf-8"), HEIGHT, WIDTH
         )
         means.append(round(float(palette[idx].mean()), 5))
+        checks.append(round(_position_checksum(palette[idx]), 5))
     n = len(doc_ids)
     return pa.table(
         {
@@ -58,6 +61,7 @@ def block(sf_dir: str) -> pa.Table:
             "height": pa.array([HEIGHT] * n, pa.int32()),
             "channels": pa.array([3] * n, pa.int32()),
             "mean_value": pa.array(means, pa.float64()),
+            "pos_checksum": pa.array(checks, pa.float64()),
         }
     )
 

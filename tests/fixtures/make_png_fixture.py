@@ -28,7 +28,10 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 
-from tumult_core_spark.extensions.multimodal import _pixels_from_bytes  # noqa: E402
+from tumult_core_spark.extensions.multimodal import (  # noqa: E402
+    _pixels_from_bytes,
+    _position_checksum,
+)
 
 SF_DIRS = sys.argv[1:] or [
     "/root/testdata/sf0.001",
@@ -47,9 +50,11 @@ def block(sf_dir: str) -> pa.Table:
     doc_ids = docs.column("doc_id").to_pylist()
     texts = docs.column("text").to_pylist()
     means = []
+    checks = []
     for text in texts:
         px = _pixels_from_bytes((text or "").encode("utf-8"), HEIGHT, WIDTH)
         means.append(round(float(px.mean()), 5))
+        checks.append(round(_position_checksum(px), 5))
     n = len(doc_ids)
     return pa.table(
         {
@@ -59,6 +64,7 @@ def block(sf_dir: str) -> pa.Table:
             "height": pa.array([HEIGHT] * n, pa.int32()),
             "channels": pa.array([3] * n, pa.int32()),
             "mean_value": pa.array(means, pa.float64()),
+            "pos_checksum": pa.array(checks, pa.float64()),
         }
     )
 

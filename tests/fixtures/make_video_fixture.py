@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 from tumult_core_spark.extensions.multimodal import (  # noqa: E402
     _block_pixels_from_bytes,
+    _position_checksum,
 )
 
 SF_DIRS = sys.argv[1:] or [
@@ -45,7 +46,7 @@ def block(sf_dir: str) -> pa.Table:
         f"SELECT bit_xor(hash(doc_id, text)) FROM '{sf_dir}/documents.parquet'"
     ).fetchone()[0]
     docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    rows = {"doc_id": [], "frame_index": [], "mean_value": []}
+    rows = {"doc_id": [], "frame_index": [], "mean_value": [], "pos_checksum": []}
     for i, text in zip(
         docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
     ):
@@ -55,6 +56,7 @@ def block(sf_dir: str) -> pa.Table:
             rows["doc_id"].append(i)
             rows["frame_index"].append(out_idx)
             rows["mean_value"].append(round(float(px.mean()), 5))
+            rows["pos_checksum"].append(round(_position_checksum(px), 5))
     n = len(rows["doc_id"])
     return pa.table(
         {
@@ -64,6 +66,7 @@ def block(sf_dir: str) -> pa.Table:
             "width": pa.array([BLOCKS_W * 8] * n, pa.int32()),
             "height": pa.array([BLOCKS_H * 8] * n, pa.int32()),
             "mean_value": pa.array(rows["mean_value"], pa.float64()),
+            "pos_checksum": pa.array(rows["pos_checksum"], pa.float64()),
         }
     )
 

@@ -1975,6 +1975,80 @@ class TestMultimodal:
         r = image_stats(junk, "payload", "doc_id").collect()[0]
         assert r["width"] is None and r["mean_value"] is None
 
+    def test_position_checksum_catches_mean_preserving_defects(self, spark):
+        """The pos_checksum the codec driver oracles pin must change
+        under pixel permutations that preserve the plain mean (swapped
+        scanlines, transposed blocks, channel shuffles) — the exact
+        defect class a mean-only oracle would miss — and image_stats
+        must report it equal to the a-priori-array computation."""
+        import numpy as np
+
+        from tumult_core_spark.extensions.multimodal import (
+            _pixels_from_bytes,
+            _position_checksum,
+            image_stats,
+            synthesize_png_images,
+        )
+
+        px = _pixels_from_bytes(b"checksum probe", 12, 9)
+        base = _position_checksum(px)
+        swapped_rows = px.copy()
+        swapped_rows[[0, 1]] = swapped_rows[[1, 0]]
+        transposed = px.transpose(1, 0, 2)
+        chan_shuffled = px[:, :, [2, 0, 1]]
+        for defect in (swapped_rows, transposed, chan_shuffled):
+            assert float(defect.mean()) == float(px.mean())
+            assert _position_checksum(defect) != base
+        # Spark path reports the same value the fixture side computes
+        docs = spark.createDataFrame(
+            [(3, "checksum probe")], "doc_id long, text string"
+        )
+        payloads = synthesize_png_images(docs, "text", "doc_id")
+        r = image_stats(
+            payloads, "payload", "doc_id", decoder="real", position_checksum=True
+        ).collect()[0]
+        assert abs(r["pos_checksum"] - base) < 1e-12
+
+    def test_mixed_synthesizer_matches_per_format_ones(self, spark):
+        """synthesize_media_payloads (one scan, one mapInPandas) must
+        emit BYTE-IDENTICAL payloads to the four per-format
+        synthesizers over id % 4 partitions — the single-pass fast
+        path cannot drift from the formats the driver oracles pin —
+        and every payload must triage to the expected format."""
+        from tumult_core_spark.extensions.multimodal import (
+            detect_media_format,
+            synthesize_gif_images,
+            synthesize_jpeg_images,
+            synthesize_media_payloads,
+            synthesize_png_images,
+            synthesize_tiff_images,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"mixed corpus doc {i}") for i in range(16)],
+            "doc_id long, text string",
+        )
+        mixed_df = synthesize_media_payloads(docs, "text", "doc_id")
+        mixed = {
+            r["doc_id"]: bytes(r["payload"]) for r in mixed_df.collect()
+        }
+        synths = [
+            ("png", synthesize_png_images),
+            ("jpeg", synthesize_jpeg_images),
+            ("gif", synthesize_gif_images),
+            ("tiff", synthesize_tiff_images),
+        ]
+        for i, (_, synth) in enumerate(synths):
+            part = synth(docs.filter(f"doc_id % 4 = {i}"), "text", "doc_id")
+            for r in part.collect():
+                assert mixed[r["doc_id"]] == bytes(r["payload"]), r["doc_id"]
+        fmts = {
+            r["doc_id"]: r["media_format"]
+            for r in detect_media_format(mixed_df, "payload").collect()
+        }
+        for i in range(16):
+            assert fmts[i] == synths[i % 4][0], (i, fmts[i])
+
     def test_real_wav_decode(self, spark):
         import struct
 
@@ -2413,6 +2487,41 @@ class TestFlacCodec:
         for mode in ("independent", "left_side", "right_side", "mid_side"):
             dec, _, _ = _decode_flac(_encode_flac(st, stereo_mode=mode))
             assert np.array_equal(dec, st.astype(np.int32)), mode
+
+    def test_utf8_coded_number_boundaries(self):
+        """The frame-number varint holds 5*nbytes+1 payload bits per
+        nbytes-byte coding; values straddling every width boundary must
+        round-trip (a past off-by-one corrupted frame numbers >= 2048)."""
+        from tumult_core_spark.extensions.flac import (
+            _Bits,
+            _read_utf8_coded,
+            _write_utf8_coded,
+        )
+
+        boundaries = [0, 1, 127, 128, 2047, 2048, 16383, 16384, 65535,
+                      65536, 262143, 262144, (1 << 21) - 1, 1 << 21,
+                      (1 << 26) - 1, 1 << 26, (1 << 31) - 1, 1 << 31,
+                      (1 << 36) - 1]
+        for v in boundaries:
+            enc = _write_utf8_coded(v)
+            assert _read_utf8_coded(_Bits(enc)) == v, v
+            # lead-byte prefix must stay intact (no payload overflow)
+            if len(enc) > 1:
+                nbytes = len(enc)
+                prefix = (0xFF << (8 - nbytes)) & 0xFF
+                assert enc[0] & prefix == prefix and not enc[0] & (0x80 >> nbytes), v
+
+    def test_many_frame_roundtrip(self):
+        """>=2048 frames so frame numbers cross the 2-byte varint
+        boundary: the encoder's own decoder must accept every header."""
+        import numpy as np
+
+        from tumult_core_spark.extensions.flac import _decode_flac, _encode_flac
+
+        x = (np.sin(np.arange(2100 * 64) * 0.01) * 9000).astype(np.int16)
+        dec, rate, bps = _decode_flac(_encode_flac(x, 16000, block_size=64))
+        assert rate == 16000 and bps == 16
+        assert np.array_equal(dec[:, 0], x.astype(np.int32))
 
     def test_error_contract(self):
         import numpy as np

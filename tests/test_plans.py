@@ -616,3 +616,22 @@ def test_decontaminate_reuses_cached_holdout_postings(spark, sf_dir):
     )
     assert m is not None, plan
     assert "__gram" in m.group(1)
+
+
+def test_flatmap_by_key_runs_in_arrow_not_rdd(spark, sf_dir):
+    """FlatMapByKey's physical plan must be the Arrow-batched
+    ``FlatMapGroupsInPandas`` (applyInPandas), never an opaque
+    ``Scan ExistingRDD`` (a driver-side or rdd.map fallback would hide
+    the scan from Catalyst and kill pushdown at scale), and the scan
+    must still prune to the two consumed columns."""
+    from entry_queries import q_flatmap_by_key
+
+    out = q_flatmap_by_key(spark, sf_dir)
+    plan = plan_of(out)
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Scan ExistingRDD" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_orderkey", "l_quantity"}, plan

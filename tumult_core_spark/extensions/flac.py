@@ -148,9 +148,11 @@ def _write_utf8_coded(v: int) -> bytes:
         return bytes([v])
     out = []
     nbytes = 2
-    while v >= (1 << (5 * nbytes + 6 - nbytes)) and nbytes < 7:
-        nbytes += 1
     # payload bits: (7 - nbytes) in the lead byte + 6 per continuation
+    # byte = 5*nbytes + 1 total, so an nbytes-byte coding holds values
+    # < 1 << (5*nbytes + 1) (e.g. 2 bytes -> 11 bits -> < 2048).
+    while v >= (1 << (5 * nbytes + 1)) and nbytes < 7:
+        nbytes += 1
     body = []
     for _ in range(nbytes - 1):
         body.append(0x80 | (v & 0x3F))

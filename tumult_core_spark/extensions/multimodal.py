@@ -995,6 +995,22 @@ def _unit_norm(v: np.ndarray) -> np.ndarray:
     return (v / max(float(np.linalg.norm(v)), 1e-12)).astype(np.float32)
 
 
+def _position_checksum(arr: np.ndarray) -> float:
+    """Position-weighted pixel mean: mean(p_i * w_i) over the C-order
+    flattening, with deterministic pseudo-random weights
+    ``w_i = ((i + 1) * 2654435761 mod 1000003) / 1000003``.  Unlike a
+    plain mean it is ORDER-SENSITIVE — any pixel permutation a decode
+    defect could introduce (block transposition, swapped scanlines,
+    channel shuffling) changes the value — so driver oracles that pin
+    it catch mean-preserving defects the plain mean cannot.  Pure
+    statistic on the array: fixture generators may compute it from the
+    a-priori pixels without touching any codec."""
+    p = np.asarray(arr, dtype=np.float64).reshape(-1)
+    idx = np.arange(1, p.size + 1, dtype=np.int64)
+    w = (idx * 2654435761 % 1000003).astype(np.float64) / 1000003.0
+    return float((p * w).mean()) if p.size else 0.0
+
+
 def _fake_stats(payload: bytes):
     """Deterministic stub (width, height, channels, mean_value) from
     the payload hash — :func:`image_stats`'s fake-mode counterpart of
@@ -1510,6 +1526,61 @@ def synthesize_jpeg_images(
     return df.select(id_col, seed_col).mapInPandas(run, schema=out_schema)
 
 
+def synthesize_media_payloads(
+    df: DataFrame,
+    seed_col: str,
+    id_col: str,
+    out_col: str = "payload",
+) -> DataFrame:
+    """(id, payload binary): a MIXED-format media corpus in one pass —
+    each row becomes a genuine PNG / JPEG / GIF / TIFF (format chosen
+    by ``id % 4``), pixels derived deterministically from ``seed_col``
+    exactly as the per-format synthesizers do, with the same per-format
+    variant cycling (PNG filter types, JPEG restart/progressive, GIF
+    interlace, TIFF compression/predictor).  Prefer this over unioning
+    the four per-format synthesizers when you want every format from a
+    single relation: one scan + one Arrow-batched ``mapInPandas``
+    instead of four filtered branches, so the plan has no union fan-out
+    and the source is read once — the shape a 100 TB synthetic-corpus
+    job needs."""
+    from .jpeg import _encode_jpeg
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField(out_col, T.BinaryType(), False),
+        ]
+    )
+
+    def one(i: int, raw: bytes) -> bytes:
+        kind = i % 4
+        if kind == 0:
+            return _encode_png(_pixels_from_bytes(raw, 12, 9), filter_type=i % 5)
+        if kind == 1:
+            return _encode_jpeg(
+                _block_pixels_from_bytes(raw, 2, 3),
+                quality=100,
+                restart_interval=i % 3,
+                progressive=bool(i % 2),
+            )
+        if kind == 2:
+            idx, palette = _gif_test_image_from_bytes(raw, 16, 21)
+            return _encode_gif(idx, palette, interlaced=bool(i % 2))
+        px = _pixels_from_bytes(raw, 10, 14)
+        comp = (1, 5, 32773)[i % 3]
+        return _encode_tiff(px, comp, predictor=comp == 5 and bool(i % 2))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i, s in zip(pdf[id_col], pdf[seed_col]):
+                raw = s if isinstance(s, (bytes, bytearray)) else str(s or "").encode("utf-8")
+                payloads.append(one(int(i), bytes(raw)))
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), out_col: payloads})
+
+    return df.select(id_col, seed_col).mapInPandas(run, schema=out_schema)
+
+
 #: (format, media_type, byte offset, magic bytes) — ordered: first hit
 #: wins, so more-specific rules (RIFF subtypes, ftyp-at-4) precede
 #: catch-alls.  Pure data; the classifier compiles it to Catalyst.
@@ -1719,6 +1790,7 @@ def image_stats(
     binary_col: str,
     id_col: str,
     decoder: str = "auto",
+    position_checksum: bool = False,
 ) -> DataFrame:
     """(id, width, height, channels, mean_value) per image payload —
     the decode-and-profile operator: real formats (PPM/PGM/BMP/PNG)
@@ -1727,39 +1799,53 @@ def image_stats(
     ``real`` mode raises where a missing codec would slot in, and
     ``fake`` mode returns deterministic sha256-derived stub stats (the
     same convention as :func:`extract_image_features`'s stub — never
-    nulls, so fake-mode pipelines exercise the non-null code path)."""
+    nulls, so fake-mode pipelines exercise the non-null code path).
+
+    ``position_checksum=True`` appends a ``pos_checksum`` column
+    (:func:`_position_checksum` of the decoded pixels) — an
+    order-sensitive statistic so an oracle pinning the output catches
+    mean-preserving decode defects (swapped scanlines, transposed
+    blocks) that width/height/mean alone would miss."""
     _check_mode(decoder)
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, T.LongType(), False),
-            T.StructField("width", T.IntegerType(), True),
-            T.StructField("height", T.IntegerType(), True),
-            T.StructField("channels", T.IntegerType(), True),
-            T.StructField("mean_value", T.DoubleType(), True),
-        ]
-    )
+    fields = [
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("mean_value", T.DoubleType(), True),
+    ]
+    if position_checksum:
+        fields.append(T.StructField("pos_checksum", T.DoubleType(), True))
+    out_schema = T.StructType(fields)
 
     def one(payload: bytes):
         img = _try_decode(_decode_image_real, payload, decoder)
         if img is not None:
             h, w, ch = img.shape
-            return w, h, ch, float(img.mean())
+            return w, h, ch, float(img.mean()), _position_checksum(img)
         if decoder == "real":
             raise _codec_error("image decode")
         if decoder == "fake":
-            return _fake_stats(payload)
-        return None, None, None, None
+            w, h, ch, mv = _fake_stats(payload)
+            # stub checksum: same sha-derived convention, never null
+            seed = int.from_bytes(hashlib.sha256(payload).digest()[8:16], "big")
+            return w, h, ch, mv, float(seed % 25600) / 100.0
+        return None, None, None, None, None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             cols = {id_col: pdf[id_col].to_numpy(), "width": [], "height": [],
                     "channels": [], "mean_value": []}
+            if position_checksum:
+                cols["pos_checksum"] = []
             for b in pdf[binary_col]:
-                w, h, ch, mv = one(bytes(b) if b is not None else b"")
+                w, h, ch, mv, pc = one(bytes(b) if b is not None else b"")
                 cols["width"].append(w)
                 cols["height"].append(h)
                 cols["channels"].append(ch)
                 cols["mean_value"].append(mv)
+                if position_checksum:
+                    cols["pos_checksum"].append(pc)
             yield pd.DataFrame(cols)
 
     return df.select(id_col, binary_col).mapInPandas(run, schema=out_schema)

@@ -194,7 +194,21 @@ def sanitize_df(df: DataFrame, materialize_output: bool = True) -> DataFrame:
     only one run's output is still one invocation of the mechanism), so
     there is no cache or multi-job dependency that a lost executor
     could invalidate — frozen-once holds on a real cluster, not just
-    local mode.  The probe re-computes ≤50k rows of upstream plan on
+    local mode.
+
+    **Accepted accounting approximation (1 bit):** the small/large
+    branch is chosen on the probe's OBSERVED row count.  When the
+    release cardinality itself depends on the noise draw (thresholded
+    releases, partition selection near the threshold), that row count
+    is a function of the probe's — discarded — mechanism invocation,
+    so the branch choice leaks at most one bit about a second draw.
+    Rigorous accounting for that corner is 2-fold composition rather
+    than a single charge; in practice the branch flips only when the
+    release straddles exactly 50k rows AND noise moves groups across
+    the threshold, and the alternative (a noise-independent cardinality
+    probe on the pre-noise grouped relation) is not expressible for
+    every upstream plan.  Documented rather than hidden; revisit if a
+    caller ever releases threshold-dependent relations near 50k rows.  The probe re-computes ≤50k rows of upstream plan on
     the large path; large releases are rare and aggregate-shaped, so
     the extra partial pass is noise next to the full write.  50k rows
     of a grouped release is far below driver memory; anything bigger
