@@ -2009,6 +2009,28 @@ class TestMultimodal:
         ).collect()[0]
         assert abs(r["pos_checksum"] - base) < 1e-12
 
+    def test_pos_checksum_modes(self, spark):
+        """pos_checksum honors the decoder-mode contract: fake mode
+        yields a deterministic non-null stub (pipelines exercise the
+        non-null path), auto mode yields null on undecodable payloads."""
+        from tumult_core_spark.extensions.multimodal import image_stats
+
+        junk = spark.createDataFrame(
+            [(0, bytearray(b"not an image"))], "doc_id long, payload binary"
+        )
+        fake = image_stats(
+            junk, "payload", "doc_id", decoder="fake", position_checksum=True
+        ).collect()[0]
+        assert fake["pos_checksum"] is not None
+        fake2 = image_stats(
+            junk, "payload", "doc_id", decoder="fake", position_checksum=True
+        ).collect()[0]
+        assert fake["pos_checksum"] == fake2["pos_checksum"]
+        auto = image_stats(
+            junk, "payload", "doc_id", decoder="auto", position_checksum=True
+        ).collect()[0]
+        assert auto["pos_checksum"] is None
+
     def test_mixed_synthesizer_matches_per_format_ones(self, spark):
         """synthesize_media_payloads (one scan, one mapInPandas) must
         emit BYTE-IDENTICAL payloads to the four per-format
