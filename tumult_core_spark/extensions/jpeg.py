@@ -593,6 +593,12 @@ class _HuffTable:
     decode in the Python hot loop."""
 
     def __init__(self, bits, vals) -> None:
+        # A corrupt DHT can declare more codes than the value list
+        # carries, or more codes at a length than its code space holds
+        # (Kraft overflow) — either would surface as an IndexError
+        # deep in the hot loop instead of this module's ValueError.
+        if sum(bits) > len(vals):
+            raise ValueError("corrupt JPEG Huffman table (count exceeds values)")
         self.vals = vals
         self.mincode = [0] * 17
         self.maxcode = [-1] * 17
@@ -603,6 +609,8 @@ class _HuffTable:
         for length in range(1, 17):
             n = bits[length - 1]
             if n:
+                if code + n > (1 << length):
+                    raise ValueError("corrupt JPEG Huffman table (code overflow)")
                 self.valptr[length] = k
                 self.mincode[length] = code
                 if length <= 8:
@@ -720,6 +728,8 @@ def _decode_block_seq(reader, zz, dct, act, dc_pred):
     """Sequential-mode block: DPCM DC + full-band run-length AC
     (F.2.2).  Returns the new DC predictor."""
     size = reader.decode_symbol(dct)
+    if size > 11:  # T.81 F.1.2.1: 8-bit DC difference categories are 0-11
+        raise ValueError("corrupt JPEG DC size category")
     dc_pred += _extend(reader.bits(size), size)
     zz[0] = dc_pred
     k = 1
@@ -894,6 +904,8 @@ def _decode_one_scan(
                                 )
                             elif kind == "dc_first":
                                 size = reader.decode_symbol(huff[(0, c["td"])])
+                                if size > 11:
+                                    raise ValueError("corrupt JPEG DC size category")
                                 dc_pred[c["id"]] += _extend(reader.bits(size), size)
                                 zz[0] = dc_pred[c["id"]] << al
                             else:  # dc_refine
@@ -910,6 +922,8 @@ def _decode_one_scan(
                     )
                 elif kind == "dc_first":
                     size = reader.decode_symbol(huff[(0, c["td"])])
+                    if size > 11:
+                        raise ValueError("corrupt JPEG DC size category")
                     dc_pred[c["id"]] += _extend(reader.bits(size), size)
                     zz[0] = dc_pred[c["id"]] << al
                 elif kind == "dc_refine":
@@ -987,7 +1001,11 @@ def _decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             if frame is not None:
                 raise ValueError("multiple JPEG frames unsupported")
+            if len(body) < 6:  # struct.error is not ValueError
+                raise ValueError("corrupt JPEG frame header")
             prec, height, width, nc = struct.unpack_from(">BHHB", body, 0)
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("corrupt JPEG frame header (short components)")
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec} (8 only)")
             if height == 0 or width == 0:
@@ -1020,16 +1038,25 @@ def _decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
                 "baseline sequential and progressive only"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("corrupt JPEG DRI segment")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG scan before frame header")
+            if len(body) < 1 or len(body) < 4 + 2 * body[0]:
+                raise ValueError("corrupt JPEG scan header (short SOS)")
             ns = body[0]
             scan_comps = []
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c : 3 + 2 * c]
                 scan_comps.append({"id": cs, "td": tdta >> 4, "ta": tdta & 0x0F})
             ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            # spectral-selection / successive-approximation bounds come
+            # from the file: validate them (T.81 B.2.3) or a corrupt
+            # scan header indexes the 64-coefficient block out of range
+            if not (0 <= ss <= se <= 63) or (ahal >> 4) > 13 or (ahal & 0x0F) > 13:
+                raise ValueError("corrupt JPEG scan header (bad Ss/Se/Ah/Al)")
             pos = _decode_one_scan(
                 payload, pos + 2 + seglen, scan_comps, ss, se,
                 ahal >> 4, ahal & 0x0F, frame, grids, huff,
@@ -1041,6 +1068,14 @@ def _decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
         pos += 2 + seglen
     if frame is None or not saw_scan:
         raise ValueError("truncated JPEG (no frame/scan)")
+    # The entropy reader zero-pads an exhausted chunk (the spec's
+    # convention for the <=7 legal pad bits of a FINAL byte), so a
+    # stream cut mid-scan can still "complete" every MCU with garbage
+    # in the tail.  A structurally complete JPEG always terminates at
+    # an EOI marker at the position the segment/scan walk stopped —
+    # entropy chunks are de-stuffed, so FF D9 cannot occur inside one.
+    if payload[pos : pos + 2] != b"\xff\xd9":
+        raise ValueError("truncated JPEG (missing EOI)")
 
     comps = frame["comps"]
     height, width = frame["h"], frame["w"]

@@ -228,6 +228,8 @@ def _decode_gif(payload: bytes) -> Optional[np.ndarray]:
                 raise ValueError("GIF image without color table")
             if iw == 0 or ih == 0:
                 raise ValueError("bad GIF dimensions")
+            if pos >= data_len:
+                raise ValueError("truncated GIF (no LZW code size)")
             min_code = payload[pos]
             pos += 1
             if not 2 <= min_code <= 11:
@@ -237,7 +239,16 @@ def _decode_gif(payload: bytes) -> Optional[np.ndarray]:
                 ln = payload[pos]
                 lzw += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
+            # structural completeness, as PNG requires IEND and JPEG
+            # EOI: the sub-block chain must end at an explicit 0
+            # terminator and at least the 0x3B trailer must follow —
+            # a file cut inside or right after the image data is
+            # truncated even when every pixel happened to survive
+            if pos >= data_len:
+                raise ValueError("truncated GIF (unterminated image data)")
             pos += 1
+            if pos >= data_len:
+                raise ValueError("truncated GIF (missing trailer)")
             indices = _gif_lzw_decode(bytes(lzw), min_code, iw * ih)
             idx = np.array(indices, dtype=np.int64).reshape(ih, iw)
             idx = np.minimum(idx, len(palette) - 1)
@@ -406,9 +417,13 @@ def _decode_tiff(payload: bytes) -> Optional[np.ndarray]:
         return None
 
     def u16(off):
+        if off + 2 > len(payload):  # struct.error is not ValueError:
+            raise ValueError("truncated TIFF")  # keep the decode contract
         return struct.unpack_from(bo + "H", payload, off)[0]
 
     def u32(off):
+        if off + 4 > len(payload):
+            raise ValueError("truncated TIFF")
         return struct.unpack_from(bo + "I", payload, off)[0]
 
     ifd = u32(4)
@@ -424,18 +439,24 @@ def _decode_tiff(payload: bytes) -> Optional[np.ndarray]:
         tag = u16(e)
         ttype = u16(e + 2)
         n = u32(e + 4)
-        size = type_sizes.get(ttype, 1) * n
+        # Skip value types the consumed tags never use (ASCII,
+        # RATIONAL, unknown) and empty tags: materializing a
+        # placeholder list of a corrupt 32-bit count would allocate
+        # gigabytes, and an empty list would crash the `[0]` defaults.
+        if ttype not in (1, 3, 4) or n == 0:
+            continue
+        size = type_sizes[ttype] * n
         off = e + 8 if size <= 4 else u32(e + 8)
+        if off + size > len(payload):
+            raise ValueError("truncated TIFF value data")
         vals = []
         for k in range(n):
             if ttype == 3:
                 vals.append(u16(off + 2 * k))
             elif ttype == 4:
                 vals.append(u32(off + 4 * k))
-            elif ttype == 1:
+            else:  # ttype == 1
                 vals.append(payload[off + k])
-            else:
-                vals.append(0)
         tags[tag] = vals
     width = tags.get(256, [0])[0]
     height = tags.get(257, [0])[0]
@@ -712,6 +733,7 @@ def _decode_png(payload: bytes) -> Optional[np.ndarray]:
     bit_depth = color_type = interlace = None
     palette = None
     idat = bytearray()
+    saw_iend = False
     n = len(payload)
     while pos + 8 <= n:
         (length,) = struct.unpack_from(">I", payload, pos)
@@ -725,6 +747,8 @@ def _decode_png(payload: bytes) -> Optional[np.ndarray]:
             raise ValueError("truncated PNG")
         body = payload[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
+            if len(body) != 13:  # struct.error is not ValueError
+                raise ValueError("corrupt PNG IHDR length")
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
@@ -733,10 +757,17 @@ def _decode_png(payload: bytes) -> Optional[np.ndarray]:
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
+            saw_iend = True
             break
         pos += 12 + length  # length + type + body + crc
     if width is None or not idat:
         raise ValueError("truncated PNG")
+    # A file cut between the last IDAT and IEND still carries complete
+    # pixel data, but it IS truncated: require the spec-mandated IEND
+    # terminator so the truncation contract is uniform across codecs
+    # (JPEG requires its EOI the same way).
+    if not saw_iend:
+        raise ValueError("truncated PNG (missing IEND)")
     if bit_depth != 8:
         raise ValueError(f"unsupported PNG bit depth {bit_depth} (8 only)")
     if interlace != 0:
@@ -744,7 +775,11 @@ def _decode_png(payload: bytes) -> Optional[np.ndarray]:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"bad PNG color type {color_type}")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # zlib.error is not a ValueError
+        raise ValueError(f"corrupt PNG deflate stream: {exc}") from exc
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     stride = width * channels
     if raw.size != height * (1 + stride):
         raise ValueError("PNG pixel data size mismatch")
