@@ -230,3 +230,90 @@ class TestTruncationErrorContract:
         # a tiny prefix may no longer carry the magic -> None is fine;
         # tolerate only that, never a "successful" decode of a stump
         assert out is None
+
+
+class TestAuxDecoderRobustness:
+    """The same flip/truncation contract for the remaining decoders
+    (WAV / PNM / BMP / Y4M / AVI-MJPEG): ValueError or None, never an
+    internal exception type, a stall, or a silent stump decode."""
+
+    @staticmethod
+    def _make(codec, r):
+        import struct
+
+        from tumult_core_spark.extensions.jpeg import _encode_jpeg
+        from tumult_core_spark.extensions.multimodal import (
+            _decode_avi_mjpeg,
+            _decode_bmp,
+            _decode_pnm,
+            _decode_wav,
+            _decode_y4m,
+            _encode_avi_mjpeg,
+        )
+
+        if codec == "wav":
+            x = r.integers(-32768, 32768, size=int(r.integers(1, 4000))).astype("<i2")
+            data = x.tobytes()
+            payload = (
+                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+            return payload, _decode_wav
+        if codec == "ppm":
+            h, w = int(r.integers(1, 16)), int(r.integers(1, 16))
+            body = r.integers(0, 256, size=h * w * 3).astype(np.uint8).tobytes()
+            return b"P6\n%d %d\n255\n" % (w, h) + body, _decode_pnm
+        if codec == "bmp":
+            h, w = int(r.integers(1, 12)), int(r.integers(1, 12))
+            row = (w * 3 + 3) & ~3
+            px = r.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+            data = bytearray()
+            for y in range(h - 1, -1, -1):
+                data += px[y].tobytes() + b"\x00" * (row - w * 3)
+            hdr = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+            )
+            return bytes(hdr + info + data), _decode_bmp
+        if codec == "y4m":
+            h, w = int(r.integers(2, 12)) * 2, int(r.integers(2, 12)) * 2
+            out = b"YUV4MPEG2 W%d H%d F25:1 C420\n" % (w, h)
+            for _ in range(int(r.integers(1, 4))):
+                out += b"FRAME\n" + r.integers(
+                    0, 256, size=w * h * 3 // 2
+                ).astype(np.uint8).tobytes()
+            return out, _decode_y4m
+        h, w = int(r.integers(1, 3)) * 8, int(r.integers(1, 3)) * 8
+        jf = [
+            _encode_jpeg(
+                r.integers(0, 256, size=(h // 8, w // 8))
+                .astype(np.uint8).repeat(8, 0).repeat(8, 1),
+                quality=100,
+            )
+            for _ in range(int(r.integers(1, 4)))
+        ]
+        from tumult_core_spark.extensions.multimodal import _encode_avi_mjpeg
+
+        return _encode_avi_mjpeg(jf, w, h), _decode_avi_mjpeg
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        codec=st.sampled_from(["wav", "ppm", "bmp", "y4m", "avi"]),
+        frac=st.floats(0.05, 0.95),
+        nflips=st.integers(1, 3),
+        seed=st.integers(0, 2**32 - 1),
+    )
+    def test_flip_and_truncation_contract(self, codec, frac, nflips, seed):
+        r = np.random.default_rng(seed)
+        payload, dec = self._make(codec, r)
+        bad = bytearray(payload)
+        for _ in range(nflips):
+            i = int(r.integers(0, len(bad)))
+            bad[i] ^= int(r.integers(1, 256))
+        cut = max(1, int(len(payload) * frac))
+        for probe in (bytes(bad), bytes(payload[:cut])):
+            try:
+                dec(probe)  # flips may decode (formats lack checksums)
+            except ValueError:
+                pass
