@@ -192,6 +192,85 @@ def test_release_freeze_is_local_relation_not_python_rdd(spark):
     assert time.time() - start < 1.0
 
 
+def test_sanitize_known_rows_branch_is_noise_independent(spark):
+    """When the caller declares an a-priori row bound (grouped
+    releases: the public-key count), sanitize_df must choose the
+    small/large freeze branch from that CONSTANT — no observed probe —
+    while keeping every frozen-release property: LocalTableScan below
+    the threshold, frozen noise, and a loud error if the bound is
+    violated (a caller bug, never a data-dependent event)."""
+    import pytest as _pytest
+
+    from tumult_core_spark.utils.misc import sanitize_df
+
+    noisy = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") + F.randn()).alias("v")
+    )
+    rel = sanitize_df(noisy, known_rows=5)
+    plan = plan_of(rel)
+    assert "LocalTableScan" in plan, plan
+    first = sorted(rel.collect(), key=lambda r: r.k)
+    second = sorted(rel.collect(), key=lambda r: r.k)
+    assert [r.v for r in first] == [r.v for r in second]  # frozen
+    # the bound is an UPPER bound: fewer actual rows are fine
+    # (GroupBy dedups caller-supplied keys, so n_keys may overcount)
+    assert sanitize_df(noisy, known_rows=7).count() == 5
+    # a release EXCEEDING the declared bound is a caller bug
+    with _pytest.raises(AssertionError, match="known_rows"):
+        sanitize_df(spark.range(9).select("id"), known_rows=3)
+    # above the threshold the bound routes to the parquet write path
+    import tumult_core_spark.utils.misc as misc_mod
+
+    big = sanitize_df(noisy, known_rows=misc_mod.SMALL_RELEASE_ROWS + 1)
+    bplan = plan_of(big)
+    assert "LocalTableScan" not in bplan, bplan
+    assert big.count() == 5
+
+
+def test_grouped_factories_declare_release_rows(spark, lineitem):
+    """The count/sum factories must thread the public-key count into
+    the sanitize freeze (known_release_rows == GroupBy.n_keys), and a
+    grouped release end-to-end must still freeze as a LocalTableScan
+    with one row per declared key."""
+    from tumult_core_spark.measurements.aggregations import (
+        create_count_measurement,
+    )
+    from tumult_core_spark.measurements.spark import AddNoiseToColumn
+    from tumult_core_spark.measures import PureDP
+    from tumult_core_spark.transformations.groupby import (
+        create_groupby_from_list_of_keys,
+    )
+
+    dom = SparkDataFrameDomain.from_spark_schema(lineitem.schema)
+    keys = [("A",), ("N",), ("R",), ("ZZ",)]
+    gb = create_groupby_from_list_of_keys(
+        dom, SymmetricDifference(), False, ["l_returnflag"], keys
+    )
+    m = create_count_measurement(
+        dom, SymmetricDifference(), PureDP(), 1, 1,
+        groupby_transformation=gb, count_column="cnt",
+    )
+
+    def find_noise(obj, depth=0):
+        if isinstance(obj, AddNoiseToColumn):
+            return obj
+        if depth > 6:
+            return None
+        for attr in ("measurement", "transformation", "inner", "m2", "m1"):
+            child = getattr(obj, attr, None)
+            if child is not None:
+                hit = find_noise(child, depth + 1)
+                if hit is not None:
+                    return hit
+        return None
+
+    noise = find_noise(m)
+    assert noise is not None and noise.known_release_rows == 4
+    out = m(lineitem)
+    assert "LocalTableScan" in plan_of(out)
+    assert out.count() == 4
+
+
 def test_media_sniffing_is_scan_side_catalyst(spark, sf_dir):
     """detect_media_format is a pure hex-prefix when-chain: no Python
     evaluation and no exchange anywhere in the plan — at 100 TB the
@@ -309,7 +388,8 @@ def test_fused_moments_single_scan_single_exchange(spark, sf_dir, monkeypatch):
     import tumult_core_spark.utils.misc as misc
 
     monkeypatch.setattr(
-        misc, "sanitize_df", lambda df, materialize_output=True: df
+        misc, "sanitize_df",
+        lambda df, materialize_output=True, known_rows=None: df,
     )
     import __spark_entry__ as E
 

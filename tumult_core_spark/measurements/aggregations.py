@@ -176,6 +176,9 @@ def _create_count_like(
         )
         mech = AddNoiseToSeries(_make_mechanism(mechanism, scale, NumpyIntegerDomain()))
         noise = AddNoiseToColumn(count_t.output_domain, mech, count_column)
+        # grouped release: at most one row per public key, so the
+        # sanitize freeze branch needs no observed probe
+        noise.known_release_rows = gb.n_keys
         m = ChainTM(chained, noise)
     return _assert_privacy(wrap(m), d_in_e, d_out)
 
@@ -279,6 +282,7 @@ def create_sum_measurement(
         )
         mech = AddNoiseToSeries(_make_mechanism(mechanism, scale, scalar_domain))
         noise = AddNoiseToColumn(sum_t.output_domain, mech, sum_t.sum_column)
+        noise.known_release_rows = gb.n_keys
         m = ChainTM(chained, noise)
     return _assert_privacy(wrap(m), d_in_e, d_out)
 
@@ -883,7 +887,9 @@ class FusedMomentsMeasurement(Measurement):
                     lambda col, m=series_mech: m(col), returnType=out_type
                 ).asNondeterministic()
                 noisy = noisy.withColumn(s, udf(F.col(s)))
-            return self.postprocess(sanitize_df(noisy))
+            return self.postprocess(
+                sanitize_df(noisy, known_rows=getattr(gdf, "n_keys", None))
+            )
         row = data.agg(*exprs).first()
         stats = {}
         for s in ("sod", "sos", "count"):

@@ -325,7 +325,7 @@ class _PreAggregatedQuantile(Measurement):
         )
         regrouped = GroupedDataFrame(counts, gdf.group_keys, n_keys=gdf.n_keys)
         out = regrouped.apply_in_pandas(self.agg, self.agg.output_spark_schema)
-        return sanitize_df(out)
+        return sanitize_df(out, known_rows=getattr(gdf, "n_keys", None))
 
 
 def create_quantile_measurement(

@@ -44,13 +44,26 @@ class SparkMeasurement(Measurement):
     """Base for DataFrame-emitting measurements; handles sanitization."""
 
     sanitize_output: bool = True
+    #: a-priori upper bound on the release's row count, when the caller
+    #: knows one (grouped releases: the public-key count).  Passed to
+    #: ``sanitize_df`` so the small/large freeze branch is chosen from
+    #: a constant instead of an observed probe — see sanitize_df's
+    #: accounting notes.  None = probe path.
+    known_release_rows = None
 
     def call_unsanitized(self, data: Any) -> DataFrame:
         raise NotImplementedError
 
+    def release_rows(self, data: Any):
+        """A-priori row bound for this release, or None.  Overridden
+        where the bound lives on the input (GroupedDataFrame.n_keys)."""
+        return self.known_release_rows
+
     def __call__(self, data: Any) -> DataFrame:
         out = self.call_unsanitized(data)
-        return sanitize_df(out) if self.sanitize_output else out
+        if not self.sanitize_output:
+            return out
+        return sanitize_df(out, known_rows=self.release_rows(data))
 
 
 class AddNoiseToColumn(SparkMeasurement):
@@ -130,6 +143,11 @@ class ApplyInPandas(SparkMeasurement):
 
     def privacy_function(self, d_in: Any) -> Any:
         return self.aggregation_function.privacy_function(d_in)
+
+    def release_rows(self, data: GroupedDataFrame):
+        # one output row per public group key: the key-count bound is
+        # a property of the keys, so the freeze branch needs no probe
+        return getattr(data, "n_keys", None)
 
     def call_unsanitized(self, data: GroupedDataFrame) -> DataFrame:
         agg = self.aggregation_function

@@ -171,7 +171,11 @@ def free_local_checkpoint(df: DataFrame) -> None:
 SMALL_RELEASE_ROWS = 50_000
 
 
-def sanitize_df(df: DataFrame, materialize_output: bool = True) -> DataFrame:
+def sanitize_df(
+    df: DataFrame,
+    materialize_output: bool = True,
+    known_rows: Optional[int] = None,
+) -> DataFrame:
     """Randomize partitioning and row order, then freeze the result.
 
     Steps: add a ``rand()`` column, repartition on it (destroys any
@@ -196,19 +200,31 @@ def sanitize_df(df: DataFrame, materialize_output: bool = True) -> DataFrame:
     could invalidate — frozen-once holds on a real cluster, not just
     local mode.
 
-    **Accepted accounting approximation (1 bit):** the small/large
-    branch is chosen on the probe's OBSERVED row count.  When the
-    release cardinality itself depends on the noise draw (thresholded
-    releases, partition selection near the threshold), that row count
-    is a function of the probe's — discarded — mechanism invocation,
-    so the branch choice leaks at most one bit about a second draw.
-    Rigorous accounting for that corner is 2-fold composition rather
-    than a single charge; in practice the branch flips only when the
-    release straddles exactly 50k rows AND noise moves groups across
-    the threshold, and the alternative (a noise-independent cardinality
-    probe on the pre-noise grouped relation) is not expressible for
-    every upstream plan.  Documented rather than hidden; revisit if a
-    caller ever releases threshold-dependent relations near 50k rows.  The probe re-computes ≤50k rows of upstream plan on
+    **Noise-independent branching (``known_rows``):** when the caller
+    knows an a-priori upper bound on the release cardinality — every
+    grouped release with PUBLIC group keys has at most one row per
+    declared key, so the bound is a property of the public keys, not
+    of the data or the noise — pass it as ``known_rows`` and the
+    small/large branch is chosen from that constant.  No observed
+    quantity influences the branch, so the single-invocation
+    accounting is exact.  A collected count EXCEEDING ``known_rows``
+    raises (a caller bug, never a data-dependent event, since both
+    sides are functions of the public keys).
+
+    **Accepted accounting approximation (1 bit, probe path only):**
+    without ``known_rows`` the small/large branch is chosen on the
+    probe's OBSERVED row count.  When the release cardinality itself
+    depends on the noise draw (thresholded releases, partition
+    selection near the threshold), that row count is a function of the
+    probe's — discarded — mechanism invocation, so the branch choice
+    leaks at most one bit about a second draw.  Rigorous accounting
+    for that corner is 2-fold composition rather than a single charge;
+    in practice the branch flips only when the release straddles
+    exactly 50k rows AND noise moves groups across the threshold.
+    Grouped releases no longer take this path (their factories pass
+    ``known_rows``); it remains for cardinality-noise-dependent
+    releases (partition selection), where a noise-independent
+    cardinality is not expressible.  Documented rather than hidden.  The probe re-computes ≤50k rows of upstream plan on
     the large path; large releases are rare and aggregate-shaped, so
     the extra partial pass is noise next to the full write.  50k rows
     of a grouped release is far below driver memory; anything bigger
@@ -234,6 +250,20 @@ def sanitize_df(df: DataFrame, materialize_output: bool = True) -> DataFrame:
     )
     if not materialize_output:
         return shuffled
+    if known_rows is not None:
+        # branch chosen from the a-priori cardinality bound: nothing
+        # observed (known_rows is an UPPER bound — GroupBy dedups the
+        # public keys, so a caller-supplied key list may overcount)
+        if known_rows <= SMALL_RELEASE_ROWS:
+            head = shuffled.toArrow()
+            if head.num_rows > known_rows:
+                raise AssertionError(
+                    f"release produced {head.num_rows} rows but the caller "
+                    f"declared known_rows={known_rows}; grouped releases "
+                    "must have at most one row per public group key"
+                )
+            return df.sparkSession.createDataFrame(head, schema=shuffled.schema)
+        return materialize(shuffled)
     head = shuffled.limit(SMALL_RELEASE_ROWS + 1).toArrow()
     if head.num_rows <= SMALL_RELEASE_ROWS:
         return df.sparkSession.createDataFrame(head, schema=shuffled.schema)
