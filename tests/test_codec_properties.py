@@ -293,8 +293,6 @@ class TestAuxDecoderRobustness:
             )
             for _ in range(int(r.integers(1, 4)))
         ]
-        from tumult_core_spark.extensions.multimodal import _encode_avi_mjpeg
-
         return _encode_avi_mjpeg(jf, w, h), _decode_avi_mjpeg
 
     @settings(max_examples=50, deadline=None)

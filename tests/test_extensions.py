@@ -2031,45 +2031,82 @@ class TestMultimodal:
         ).collect()[0]
         assert auto["pos_checksum"] is None
 
-    def test_mixed_synthesizer_matches_per_format_ones(self, spark):
-        """synthesize_media_payloads (one scan, one mapInPandas) must
-        emit BYTE-IDENTICAL payloads to the four per-format
-        synthesizers over id % 4 partitions — the single-pass fast
-        path cannot drift from the formats the driver oracles pin —
-        and every payload must triage to the expected format."""
-        from tumult_core_spark.extensions.multimodal import (
-            detect_media_format,
-            synthesize_gif_images,
-            synthesize_jpeg_images,
-            synthesize_media_payloads,
-            synthesize_png_images,
-            synthesize_tiff_images,
-        )
+    def test_mixed_synthesizer_payloads_decode_exactly_and_cover_variants(
+        self, spark
+    ):
+        """Every synthesize_media_payloads payload must triage to its
+        id%4 format and decode back EXACTLY to the a-priori pixels
+        (the same independence the driver oracles use) — and the
+        variant cycling must run on id//4, so each format's corpus
+        slice covers BOTH entropy modes: sequential AND progressive
+        JPEG, interlaced AND non-interlaced GIF, all three TIFF
+        compressions.  (Cycling on the raw id would fix the parity per
+        format and silently drop whole decoder paths from any corpus —
+        and any benchmark — built here.)"""
+        import numpy as np
 
+        from tumult_core_spark.extensions.multimodal import (
+            _block_pixels_from_bytes,
+            _decode_gif,
+            _decode_png,
+            _decode_tiff,
+            _gif_test_image_from_bytes,
+            _pixels_from_bytes,
+            detect_media_format,
+            synthesize_media_payloads,
+        )
+        from tumult_core_spark.extensions.jpeg import _decode_jpeg
+
+        n = 32
         docs = spark.createDataFrame(
-            [(i, f"mixed corpus doc {i}") for i in range(16)],
+            [(i, f"mixed corpus doc {i}") for i in range(n)],
             "doc_id long, text string",
         )
         mixed_df = synthesize_media_payloads(docs, "text", "doc_id")
-        mixed = {
-            r["doc_id"]: bytes(r["payload"]) for r in mixed_df.collect()
-        }
-        synths = [
-            ("png", synthesize_png_images),
-            ("jpeg", synthesize_jpeg_images),
-            ("gif", synthesize_gif_images),
-            ("tiff", synthesize_tiff_images),
-        ]
-        for i, (_, synth) in enumerate(synths):
-            part = synth(docs.filter(f"doc_id % 4 = {i}"), "text", "doc_id")
-            for r in part.collect():
-                assert mixed[r["doc_id"]] == bytes(r["payload"]), r["doc_id"]
+        mixed = {r["doc_id"]: bytes(r["payload"]) for r in mixed_df.collect()}
         fmts = {
             r["doc_id"]: r["media_format"]
             for r in detect_media_format(mixed_df, "payload").collect()
         }
-        for i in range(16):
-            assert fmts[i] == synths[i % 4][0], (i, fmts[i])
+        expected_fmt = ["png", "jpeg", "gif", "tiff"]
+        jpeg_modes, tiff_payload_sizes = set(), set()
+        for i in range(n):
+            raw = f"mixed corpus doc {i}".encode()
+            payload = mixed[i]
+            assert fmts[i] == expected_fmt[i % 4], (i, fmts[i])
+            if i % 4 == 0:
+                dec = _decode_png(payload)
+                assert np.array_equal(dec, _pixels_from_bytes(raw, 12, 9)), i
+            elif i % 4 == 1:
+                dec = _decode_jpeg(payload)
+                px = _block_pixels_from_bytes(raw, 2, 3)
+                assert np.array_equal(dec.reshape(px.shape), px), i
+                jpeg_modes.add(
+                    "prog" if b"\xff\xc2" in payload else "seq"
+                )
+            elif i % 4 == 2:
+                dec = _decode_gif(payload)
+                idx, pal = _gif_test_image_from_bytes(raw, 16, 21)
+                assert np.array_equal(dec, pal[idx]), i
+            else:
+                dec = _decode_tiff(payload)
+                px = _pixels_from_bytes(raw, 10, 14)
+                assert np.array_equal(dec.reshape(px.shape), px), i
+                tiff_payload_sizes.add(len(payload))
+        # variant coverage: both JPEG entropy modes present, and the
+        # TIFF slice produced >1 payload size (compression variation)
+        assert jpeg_modes == {"seq", "prog"}, jpeg_modes
+        assert len(tiff_payload_sizes) > 1, tiff_payload_sizes
+        # GIF interlace: decode equality above already exercises the
+        # reorder path whenever interlaced rows exist; pin it directly
+        from tumult_core_spark.extensions.multimodal import _encode_gif
+
+        raw2 = "mixed corpus doc 2".encode()
+        idx2, pal2 = _gif_test_image_from_bytes(raw2, 16, 21)
+        assert mixed[2] == _encode_gif(idx2, pal2, interlaced=False)  # j=0
+        raw6 = "mixed corpus doc 6".encode()
+        idx6, pal6 = _gif_test_image_from_bytes(raw6, 16, 21)
+        assert mixed[6] == _encode_gif(idx6, pal6, interlaced=True)  # j=1
 
     def test_real_wav_decode(self, spark):
         import struct

@@ -1074,7 +1074,12 @@ def _decode_jpeg(payload: bytes) -> Optional[np.ndarray]:
     # in the tail.  A structurally complete JPEG always terminates at
     # an EOI marker at the position the segment/scan walk stopped —
     # entropy chunks are de-stuffed, so FF D9 cannot occur inside one.
-    if payload[pos : pos + 2] != b"\xff\xd9":
+    # T.81 permits any number of 0xFF fill bytes before a marker, so
+    # ... FF FF D9 at EOF is a complete file: skip fills first.
+    end = pos
+    while end + 2 < n and payload[end] == 0xFF and payload[end + 1] == 0xFF:
+        end += 1
+    if payload[end : end + 2] != b"\xff\xd9":
         raise ValueError("truncated JPEG (missing EOI)")
 
     comps = frame["comps"]

@@ -241,13 +241,15 @@ def _decode_gif(payload: bytes) -> Optional[np.ndarray]:
                 pos += 1 + ln
             # structural completeness, as PNG requires IEND and JPEG
             # EOI: the sub-block chain must end at an explicit 0
-            # terminator and at least the 0x3B trailer must follow —
-            # a file cut inside or right after the image data is
-            # truncated even when every pixel happened to survive
+            # terminator, and the byte after it must open a VALID next
+            # block — the 0x3B trailer, another image (animation), or
+            # an extension — so a file cut inside or right after the
+            # image data is truncated even when every pixel happened to
+            # survive, while animated GIFs (first frame returned) pass
             if pos >= data_len:
                 raise ValueError("truncated GIF (unterminated image data)")
             pos += 1
-            if pos >= data_len:
+            if pos >= data_len or payload[pos] not in (0x21, 0x2C, 0x3B):
                 raise ValueError("truncated GIF (missing trailer)")
             indices = _gif_lzw_decode(bytes(lzw), min_code, iw * ih)
             idx = np.array(indices, dtype=np.int64).reshape(ih, iw)
@@ -1570,14 +1572,18 @@ def synthesize_media_payloads(
     """(id, payload binary): a MIXED-format media corpus in one pass —
     each row becomes a genuine PNG / JPEG / GIF / TIFF (format chosen
     by ``id % 4``), pixels derived deterministically from ``seed_col``
-    exactly as the per-format synthesizers do, with the same per-format
-    variant cycling (PNG filter types, JPEG restart/progressive, GIF
-    interlace, TIFF compression/predictor).  Prefer this over unioning
-    the four per-format synthesizers when you want every format from a
-    single relation: one scan + one Arrow-batched ``mapInPandas``
-    instead of four filtered branches, so the plan has no union fan-out
-    and the source is read once — the shape a 100 TB synthetic-corpus
-    job needs."""
+    exactly as the per-format synthesizers do.  Per-format variants
+    (PNG filter types, JPEG restart/progressive, GIF interlace, TIFF
+    compression/predictor) cycle on ``id // 4`` — NOT on ``id``
+    directly, because ``id % 4`` fixes the parity of the ids each
+    format sees (JPEG ids would all be odd → always progressive, GIF
+    ids all even → never interlaced), which would silently drop whole
+    decoder paths from any corpus built here.  Prefer this over
+    unioning the four per-format synthesizers when you want every
+    format from a single relation: one scan + one Arrow-batched
+    ``mapInPandas`` instead of four filtered branches, so the plan has
+    no union fan-out and the source is read once — the shape a 100 TB
+    synthetic-corpus job needs."""
     from .jpeg import _encode_jpeg
 
     out_schema = T.StructType(
@@ -1589,21 +1595,22 @@ def synthesize_media_payloads(
 
     def one(i: int, raw: bytes) -> bytes:
         kind = i % 4
+        j = i >> 2  # variant selector: full parity/residue range per format
         if kind == 0:
-            return _encode_png(_pixels_from_bytes(raw, 12, 9), filter_type=i % 5)
+            return _encode_png(_pixels_from_bytes(raw, 12, 9), filter_type=j % 5)
         if kind == 1:
             return _encode_jpeg(
                 _block_pixels_from_bytes(raw, 2, 3),
                 quality=100,
-                restart_interval=i % 3,
-                progressive=bool(i % 2),
+                restart_interval=j % 3,
+                progressive=bool(j % 2),
             )
         if kind == 2:
             idx, palette = _gif_test_image_from_bytes(raw, 16, 21)
-            return _encode_gif(idx, palette, interlaced=bool(i % 2))
+            return _encode_gif(idx, palette, interlaced=bool(j % 2))
         px = _pixels_from_bytes(raw, 10, 14)
-        comp = (1, 5, 32773)[i % 3]
-        return _encode_tiff(px, comp, predictor=comp == 5 and bool(i % 2))
+        comp = (1, 5, 32773)[j % 3]
+        return _encode_tiff(px, comp, predictor=comp == 5 and bool(j % 2))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1857,14 +1864,20 @@ def image_stats(
         img = _try_decode(_decode_image_real, payload, decoder)
         if img is not None:
             h, w, ch = img.shape
-            return w, h, ch, float(img.mean()), _position_checksum(img)
+            # the O(pixels) checksum only when requested — the default
+            # profiling path must not pay for a column it drops
+            pc = _position_checksum(img) if position_checksum else None
+            return w, h, ch, float(img.mean()), pc
         if decoder == "real":
             raise _codec_error("image decode")
         if decoder == "fake":
             w, h, ch, mv = _fake_stats(payload)
-            # stub checksum: same sha-derived convention, never null
-            seed = int.from_bytes(hashlib.sha256(payload).digest()[8:16], "big")
-            return w, h, ch, mv, float(seed % 25600) / 100.0
+            pc = None
+            if position_checksum:
+                # stub checksum: same sha-derived convention, never null
+                seed = int.from_bytes(hashlib.sha256(payload).digest()[8:16], "big")
+                pc = float(seed % 25600) / 100.0
+            return w, h, ch, mv, pc
         return None, None, None, None, None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

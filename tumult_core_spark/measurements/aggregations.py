@@ -175,10 +175,12 @@ def _create_count_like(
             chained.stability_function(d_in_e), eps_like, core
         )
         mech = AddNoiseToSeries(_make_mechanism(mechanism, scale, NumpyIntegerDomain()))
-        noise = AddNoiseToColumn(count_t.output_domain, mech, count_column)
         # grouped release: at most one row per public key, so the
         # sanitize freeze branch needs no observed probe
-        noise.known_release_rows = gb.n_keys
+        noise = AddNoiseToColumn(
+            count_t.output_domain, mech, count_column,
+            known_release_rows=gb.n_keys,
+        )
         m = ChainTM(chained, noise)
     return _assert_privacy(wrap(m), d_in_e, d_out)
 
@@ -281,8 +283,10 @@ def create_sum_measurement(
             chained.stability_function(d_in_e), eps_like, core
         )
         mech = AddNoiseToSeries(_make_mechanism(mechanism, scale, scalar_domain))
-        noise = AddNoiseToColumn(sum_t.output_domain, mech, sum_t.sum_column)
-        noise.known_release_rows = gb.n_keys
+        noise = AddNoiseToColumn(
+            sum_t.output_domain, mech, sum_t.sum_column,
+            known_release_rows=gb.n_keys,
+        )
         m = ChainTM(chained, noise)
     return _assert_privacy(wrap(m), d_in_e, d_out)
 

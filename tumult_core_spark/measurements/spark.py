@@ -80,7 +80,12 @@ class AddNoiseToColumn(SparkMeasurement):
         input_domain: SparkDataFrameDomain,
         measurement: AddNoiseToSeries,
         measure_column: str,
+        known_release_rows=None,
     ):
+        """``known_release_rows``: a-priori upper bound on the release
+        row count (grouped releases: the public-key count), part of the
+        measurement's declared construction so callers cannot forget it
+        and silently fall back to the observed-probe freeze path."""
         if measure_column not in input_domain.schema:
             raise ValueError(f"Column {measure_column!r} not in domain")
         l2 = isinstance(measurement.output_measure, RhoZCDP)
@@ -95,6 +100,7 @@ class AddNoiseToColumn(SparkMeasurement):
         super().__init__(input_domain, metric, measurement.output_measure)
         self.measurement = measurement
         self.measure_column = measure_column
+        self.known_release_rows = known_release_rows
 
     def privacy_function(self, d_in: Any) -> Any:
         return self.measurement.privacy_function(d_in)

@@ -255,7 +255,12 @@ def sanitize_df(
         # observed (known_rows is an UPPER bound — GroupBy dedups the
         # public keys, so a caller-supplied key list may overcount)
         if known_rows <= SMALL_RELEASE_ROWS:
-            head = shuffled.toArrow()
+            # limit() bounds the driver collect even when the caller's
+            # bound is wrong (a buggy aggregation emitting millions of
+            # rows must raise below, not OOM the driver first); in the
+            # correct case the relation has <= known_rows rows and the
+            # limit is a no-op
+            head = shuffled.limit(known_rows + 1).toArrow()
             if head.num_rows > known_rows:
                 raise AssertionError(
                     f"release produced {head.num_rows} rows but the caller "
