@@ -630,6 +630,17 @@ _CONTENTION_LOAD = 1.2 * CPUS
 # the window as polluted regardless of load (sub-threshold background
 # load inflated three r12 medians by 1.3-1.5x while the load stayed
 # near 9, far under the 1.2x-CPUS trigger).
+#
+# KNOWN BLIND SPOT: SUSTAINED uniform contention defeats both guards —
+# if external load inflates every run of a workload equally, the
+# median/min ratio stays small, and the load threshold cannot be
+# lowered much because the bench's own heavy ops legitimately push the
+# 1-minute load into the 10-15 range on 32 cores (an r13 polluted run
+# recorded 42.5 s total with per-window loads of 10-20 and neither
+# guard firing; an idle rerun gave 25.1 s).  The honest mitigation is
+# procedural: rerun on an idle machine and keep the lower total — the
+# per-query load stamps in BENCH_DETAILS make a polluted run
+# diagnosable after the fact.
 _MEDIAN_INFLATION = 1.3
 
 
