@@ -2009,6 +2009,49 @@ class TestMultimodal:
         ).collect()[0]
         assert abs(r["pos_checksum"] - base) < 1e-12
 
+    def test_corrupt_corpus_survives_auto_mode(self, spark):
+        """The 100 TB contract: a crawl corpus where half the payloads
+        are truncated or bit-flipped must flow through image_stats in
+        auto mode with ZERO task failures — corrupt rows yield null
+        stats, intact rows real stats, and no row is dropped.  (The
+        decoders' ValueError-only error contract is what makes this
+        hold; an internal IndexError/struct.error would kill the whole
+        task set.)"""
+        import numpy as np
+
+        from tumult_core_spark.extensions.multimodal import (
+            image_stats,
+            synthesize_media_payloads,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"crawl doc {i}") for i in range(24)],
+            "doc_id long, text string",
+        )
+        rows = synthesize_media_payloads(docs, "text", "doc_id").collect()
+        rng = np.random.default_rng(5)
+        corrupted = []
+        for r in rows:
+            p = bytearray(bytes(r["payload"]))
+            if r["doc_id"] % 2 == 0:  # corrupt the even half
+                if r["doc_id"] % 4 == 0:
+                    p = p[: max(1, int(len(p) * 0.6))]  # truncate
+                else:
+                    for _ in range(3):
+                        p[int(rng.integers(0, len(p)))] ^= 0xFF  # flip
+            corrupted.append((r["doc_id"], p))
+        df = spark.createDataFrame(corrupted, "doc_id long, payload binary")
+        got = {
+            x["doc_id"]: x
+            for x in image_stats(df, "payload", "doc_id", decoder="auto").collect()
+        }
+        assert len(got) == 24  # no dropped rows, no task failure
+        intact = [i for i in range(24) if i % 2 == 1]
+        assert all(got[i]["mean_value"] is not None for i in intact)
+        # truncated payloads are never salvaged (structural strictness)
+        truncated = [i for i in range(24) if i % 4 == 0]
+        assert all(got[i]["mean_value"] is None for i in truncated)
+
     def test_pos_checksum_modes(self, spark):
         """pos_checksum honors the decoder-mode contract: fake mode
         yields a deterministic non-null stub (pipelines exercise the
