@@ -631,17 +631,91 @@ _CONTENTION_LOAD = 1.2 * CPUS
 # load inflated three r12 medians by 1.3-1.5x while the load stayed
 # near 9, far under the 1.2x-CPUS trigger).
 #
-# KNOWN BLIND SPOT: SUSTAINED uniform contention defeats both guards —
-# if external load inflates every run of a workload equally, the
-# median/min ratio stays small, and the load threshold cannot be
-# lowered much because the bench's own heavy ops legitimately push the
-# 1-minute load into the 10-15 range on 32 cores (an r13 polluted run
-# recorded 42.5 s total with per-window loads of 10-20 and neither
-# guard firing; an idle rerun gave 25.1 s).  The honest mitigation is
-# procedural: rerun on an idle machine and keep the lower total — the
-# per-query load stamps in BENCH_DETAILS make a polluted run
-# diagnosable after the fact.
+# SUSTAINED uniform contention defeats both guards — if external load
+# inflates every run of a workload equally, the median/min ratio stays
+# small, and the load threshold cannot be lowered much because the
+# bench's own heavy ops legitimately push the 1-minute load into the
+# 10-15 range on 32 cores (an r13 polluted run recorded 42.5 s total
+# with per-window loads of 10-20 and neither guard firing; an idle
+# rerun gave 25.1 s).  That blind spot is closed by the CANARY below:
+# a fixed synthetic kernel timed at the start, middle, and end of the
+# bench window whose slowdown vs a pinned idle baseline measures the
+# window's ambient load directly, giving a load-normalized total that
+# is comparable round-over-round even when the whole window ran on a
+# busy box.
 _MEDIAN_INFLATION = 1.3
+
+# --- Load canary -----------------------------------------------------
+# A fixed, data-free, pure-JVM groupBy-sum kernel (150M rows -> 100k
+# keys -> scalar checksum): one shuffle + whole-stage-codegen aggs, the
+# same shape as the groupby workloads whose r12/r13 medians swung with
+# ambient load.  spark.range input means zero I/O variance and an
+# identical kernel on every machine and every round.  Its runtime under
+# zero external load is pinned below; the ratio of the observed probe
+# medians to that baseline is the window's load factor, and
+# total / factor is the load-normalized headline.  The raw probe runs
+# are recorded so the normalization is recomputable.
+_CANARY_ROWS = 150_000_000
+# Idle floor (MIN of 4 runs in a fresh quiescent JVM) measured in r14
+# on the 32-core reference box: fresh probes gave mins 1.18/1.22 over
+# two sessions.  Pinned (NOT re-measured per round) so normalized
+# totals from different rounds share one basis; see SCALE.md
+# "Load-normalized benchmarking".  The min basis matters: transient
+# self-state (the JVM digesting the previous workload) inflates a
+# probe's FIRST runs but decays within the probe window, while real
+# sustained external load inflates every run including the min — so
+# min-per-probe filters the former and detects the latter.  A small
+# residual self-state floor remains (a heap that has digested the full
+# bench probes ~1.23-1.25 even settled and idle), so an idle window's
+# factor reads 1.00-1.05, not exactly 1.00.
+_CANARY_BASELINE_SEC = 1.20
+
+
+def _canary_kernel(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(_CANARY_ROWS, numPartitions=CPUS).select(
+        F.pmod(F.xxhash64("id"), F.lit(100000)).alias("k"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(997)).alias("v"),
+    )
+    chk = (
+        df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("s") * F.col("c")).alias("chk"))
+        .collect()
+    )[0][0]
+    # Deterministic kernel => deterministic checksum; a mismatch means
+    # the probe is not timing what the baseline timed.
+    assert chk == 112120889350444, chk
+    return chk
+
+
+def _probe_canary(spark, warm: bool) -> list:
+    """4 timed canary runs (plus one warmup on the first probe).
+
+    Levels the field first (same cache-drop + double GC as
+    _time_workload, plus a 2 s settle for the concurrent GC cycle the
+    explicit System.gc() kicks off): the middle/end probes run right
+    after heavy workloads, and without leveling they time the bench's
+    own residual heap activity instead of the AMBIENT load the canary
+    exists to measure (observed: an end probe of 5.2 s decaying to
+    1.5 s within the same probe window).  The normalization downstream
+    uses each probe's MIN, which filters what the settle cannot.
+    """
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2)
+    if warm:
+        _canary_kernel(spark)
+    runs = []
+    for _ in range(4):
+        start = time.perf_counter()
+        _canary_kernel(spark)
+        runs.append(round(time.perf_counter() - start, 3))
+    return runs
 
 
 def _time_workload(spark, fn):
@@ -708,7 +782,15 @@ def main():
     timings_min = {}
     loads = {}
     suspect = []
-    for name, fn in BENCHES.items():
+    # Canary probe 1/3: before any workload window opens.
+    canary_probes = {"start": _probe_canary(spark, warm=True)}
+    canary_loads = {"start": _loadavg()}
+    middle_at = len(BENCHES) // 2
+    for i, (name, fn) in enumerate(BENCHES.items()):
+        if i == middle_at:
+            # Canary probe 2/3: mid-window, between workloads.
+            canary_probes["middle"] = _probe_canary(spark, warm=False)
+            canary_loads["middle"] = _loadavg()
         try:
             runs, lb, la = _time_workload(spark, fn)
             timings[name] = round(sorted(runs)[len(runs) // 2], 3)
@@ -753,7 +835,22 @@ def main():
             contended.append(name)  # still loaded: flag it loudly
         if timings_min[name] > 0 and timings[name] > _MEDIAN_INFLATION * timings_min[name]:
             median_inflated.append(name)  # spread survived the re-time
+    # Canary probe 3/3: after the last workload (and re-time) window.
+    canary_probes["end"] = _probe_canary(spark, warm=False)
+    canary_loads["end"] = _loadavg()
     total = round(sum(v for v in timings.values() if v is not None), 3)
+    # Load factor: median of the three per-probe MINS vs the pinned
+    # idle baseline (min filters the bench's own transient heap
+    # activity; sustained external load inflates even the min — see
+    # _probe_canary).  >1 means the window ran on a loaded box and the
+    # normalized total discounts that ambient slowdown; the factor is
+    # floored at 1.0 so a machine faster than the baseline box can
+    # never inflate the normalized number (normalization only ever
+    # forgives contention, never manufactures speed).
+    probe_mins = sorted(min(runs) for runs in canary_probes.values())
+    canary_median = probe_mins[len(probe_mins) // 2]
+    canary_factor = max(1.0, canary_median / _CANARY_BASELINE_SEC)
+    total_normalized = round(total / canary_factor, 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # cross-SF scale evidence (skippable for quick local iteration)
     sweep = None
@@ -789,6 +886,22 @@ def main():
         # and prefer queries_min when diffing round-over-round
         "median_inflation_threshold": _MEDIAN_INFLATION,
         "median_inflated_queries": median_inflated,
+        # Load canary (see the _canary_kernel comment + SCALE.md
+        # "Load-normalized benchmarking"): a fixed synthetic kernel
+        # probed at the start/middle/end of the window; its median over
+        # the pinned idle baseline is the window's ambient load factor,
+        # and value_canary_normalized = value / factor is the
+        # round-over-round comparable headline.
+        "canary": {
+            "kernel": "range(150M) groupBy(100k keys) sum -> checksum",
+            "probes_sec": canary_probes,
+            "probe_loads_1min": canary_loads,
+            "baseline_sec": _CANARY_BASELINE_SEC,
+            "basis": "median of per-probe mins vs pinned idle-min baseline",
+            "median_of_probe_mins_sec": canary_median,
+            "load_factor": round(canary_factor, 3),
+        },
+        "value_canary_normalized": total_normalized,
     }
     if retimed:
         out["retimed_after_contention"] = retimed
@@ -860,6 +973,8 @@ def compact_line(out: dict, limit: int = 1900) -> str:
         "max_ratio_vs_reference": out.get("vs_reference", {}).get("max_ratio"),
         "max_ratio_min_basis": out.get("vs_reference", {}).get("max_ratio_min"),
         "contended": out.get("contended", False),
+        "value_canary_normalized": out.get("value_canary_normalized"),
+        "canary_load_factor": out.get("canary", {}).get("load_factor"),
         "details": "BENCH_DETAILS.json",
     }
     if out.get("contended"):

@@ -2124,73 +2124,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order.  The per-round driver checks roughly the first 50 of the
     # 101 registry entries against the DuckDB oracle, so each round the
     # entries with the least-fresh driver evidence go FIRST:
-    #   r13 front block = flatmap_by_key (the sole entry whose latest
-    #   driver-green row is r10 — it was entry #51 of the 51-entry r12
-    #   front, exactly the one the 50-entry batch did not reach), then
-    #   the 50 entries whose latest driver-green row is r11, in their
-    #   r11 order.  The tail = the 50 entries CORRECTNESS_r12 checked,
-    #   in their r12 order.  The front is 51 entries, so with a
-    #   50-entry driver batch the LAST front entry
-    #   (approx_quantile_check, r11-green) may slip to r14; it carries
-    #   r11 driver evidence plus this round's local sf0.01 sweep, so
-    #   the slip is the cheapest available.
-    #   r14: rotate again — move whatever the r13 batch does not reach
-    #   back to the front, followed by the r12-green tail below.
+    #   r14 front block = approx_quantile_check (the sole entry whose
+    #   latest driver-green row is r11 — it was entry #51 of the
+    #   51-entry r13 front, exactly the one the 50-entry batch did not
+    #   reach), then the 50 entries whose latest driver-green row is
+    #   r12, in their r12 order.  The tail = the 50 entries
+    #   CORRECTNESS_r13 checked, in their r13 order.  The front is 51
+    #   entries, so with a 50-entry driver batch the LAST front entry
+    #   (map_revenue, r12-green) may slip to r15; it carries r12 driver
+    #   evidence plus this round's local sf0.01 sweep, so the slip is
+    #   the cheapest available.
+    #   r15: rotate again — move whatever the r14 batch does not reach
+    #   back to the front, followed by the r13-green tail below.
     return {
-        # --- r13 front: flatmap_by_key first (only r10-stale entry) ---
-        "flatmap_by_key": q_flatmap_by_key,
-        # --- then the 50 entries last driver-checked in r11 ---
-        "multimodal_decode": q_multimodal_decode,
-        "dict_pipeline": q_dict_pipeline,
-        "zorder_key": q_zorder_key,
-        "composition_count_sum": q_composition_count_sum,
-        "adaptive_queries": q_adaptive_queries,
-        "substring_dedup": q_substring_dedup,
-        "substring_removal": q_substring_removal,
-        "token_budget_mix": q_token_budget_mix,
-        "profile_table": q_profile_table,
-        "profile_numeric": q_profile_numeric,
-        "json_extract": q_json_extract,
-        "sq_codes": q_sq_codes,
-        "bpe_tokens": q_bpe_tokens,
-        "replace_nulls": q_replace_nulls,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ann_topk": q_ann_topk,
-        "token_counts": q_token_counts,
-        "lang_id": q_lang_id,
-        "fingerprint_distinct": q_fingerprint_distinct,
-        "quality_scores": q_quality_scores,
-        "repetition_stats": q_repetition_stats,
-        "asof_join": q_asof_join,
-        "time_rollup": q_time_rollup,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "global_shuffle": q_global_shuffle,
-        "temperature_mix": q_temperature_mix,
-        "pca_project": q_pca_project,
-        "unigram_logprob": q_unigram_logprob,
-        "weighted_sample": q_weighted_sample,
-        "fuzzy_join": q_fuzzy_join,
-        "chunk_documents": q_chunk_documents,
-        "chunk_pack": q_chunk_pack,
-        "streaming_window_counts": q_streaming_window_counts,
-        "multimodal_features": q_multimodal_features,
-        "zcdp_groupby_count": q_zcdp_groupby_count,
-        "approxdp_groupby_count": q_approxdp_groupby_count,
-        "groupby_sum_cents": q_groupby_sum_cents,
-        "groupby_column_domains": q_groupby_column_domains,
-        "drop_nulls_nans": q_drop_nulls_nans,
-        "replace_nans_infs": q_replace_nans_infs,
-        "flatmap_explode": q_flatmap_explode,
-        "grouping_flatmap": q_grouping_flatmap,
-        "fused_moments": q_fused_moments,
-        "embedding_outliers": q_embedding_outliers,
-        "pagerank": q_pagerank,
-        "hll_distinct": q_hll_distinct,
+        # --- r14 front: approx_quantile_check first (only r11-stale entry) ---
         "approx_quantile_check": q_approx_quantile_check,
-        # --- tail: the 50 r12-green entries in their r12 order ---
+        # --- then the 50 entries last driver-checked in r12 ---
         "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_flac": q_multimodal_flac,
         "multimodal_gif": q_multimodal_gif,
@@ -2241,6 +2190,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_median": q_quantile_median,
         "partition_by_keys": q_partition_by_keys,
         "map_revenue": q_map_derive,
+        # --- tail: the 50 r13-green entries in their r13 order ---
+        "flatmap_by_key": q_flatmap_by_key,
+        "multimodal_decode": q_multimodal_decode,
+        "dict_pipeline": q_dict_pipeline,
+        "zorder_key": q_zorder_key,
+        "composition_count_sum": q_composition_count_sum,
+        "adaptive_queries": q_adaptive_queries,
+        "substring_dedup": q_substring_dedup,
+        "substring_removal": q_substring_removal,
+        "token_budget_mix": q_token_budget_mix,
+        "profile_table": q_profile_table,
+        "profile_numeric": q_profile_numeric,
+        "json_extract": q_json_extract,
+        "sq_codes": q_sq_codes,
+        "bpe_tokens": q_bpe_tokens,
+        "replace_nulls": q_replace_nulls,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_topk": q_ann_topk,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "fingerprint_distinct": q_fingerprint_distinct,
+        "quality_scores": q_quality_scores,
+        "repetition_stats": q_repetition_stats,
+        "asof_join": q_asof_join,
+        "time_rollup": q_time_rollup,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "global_shuffle": q_global_shuffle,
+        "temperature_mix": q_temperature_mix,
+        "pca_project": q_pca_project,
+        "unigram_logprob": q_unigram_logprob,
+        "weighted_sample": q_weighted_sample,
+        "fuzzy_join": q_fuzzy_join,
+        "chunk_documents": q_chunk_documents,
+        "chunk_pack": q_chunk_pack,
+        "streaming_window_counts": q_streaming_window_counts,
+        "multimodal_features": q_multimodal_features,
+        "zcdp_groupby_count": q_zcdp_groupby_count,
+        "approxdp_groupby_count": q_approxdp_groupby_count,
+        "groupby_sum_cents": q_groupby_sum_cents,
+        "groupby_column_domains": q_groupby_column_domains,
+        "drop_nulls_nans": q_drop_nulls_nans,
+        "replace_nans_infs": q_replace_nans_infs,
+        "flatmap_explode": q_flatmap_explode,
+        "grouping_flatmap": q_grouping_flatmap,
+        "fused_moments": q_fused_moments,
+        "embedding_outliers": q_embedding_outliers,
+        "pagerank": q_pagerank,
+        "hll_distinct": q_hll_distinct,
     }
 
 
