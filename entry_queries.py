@@ -1168,14 +1168,17 @@ def q_multimodal_features(spark, sf_dir):
     through the full Arrow/mapInPandas plumbing; the oracle compares
     leading feature components against a fixture produced by an
     independent pyarrow+numpy path
-    (tests/fixtures/make_multimodal_fixture.py)."""
+    (tests/fixtures/make_multimodal_fixture.py).  decoder="fake"
+    explicitly: text payloads are not images, and since r14 auto mode
+    yields NULLs for undecodable payloads (the unified media-operator
+    contract) — the stub path this entry pins lives in fake mode."""
     from tumult_core_spark.extensions.multimodal import extract_image_features
 
     docs = _load(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
     )
-    out = extract_image_features(media, "payload", "doc_id", dim=16)
+    out = extract_image_features(media, "payload", "doc_id", dim=16, decoder="fake")
     return out.select(
         "doc_id",
         F.round(F.col("features")[0].cast("double"), 5).alias("f0"),

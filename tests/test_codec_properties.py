@@ -11,8 +11,10 @@ filter / stereo decorrelation, and JPEG must be exact for the inputs
 where exactness is mathematically guaranteed (quality-100 with
 constant 8x8 blocks, where only DC coefficients are excited).
 
-No SparkSession here — these exercise the pure codec functions, so
-the suite stays fast and failures shrink to minimal reproducers.
+No SparkSession here (the suite stays fast and failures shrink to
+minimal reproducers) — except TestCorruptMediaSymmetry at the bottom,
+whose subject is the OPERATOR-level corrupt-payload contract and so
+must run through mapInPandas.
 """
 
 from __future__ import annotations
@@ -315,3 +317,81 @@ class TestAuxDecoderRobustness:
                 dec(probe)  # flips may decode (formats lack checksums)
             except ValueError:
                 pass
+
+
+class TestCorruptMediaSymmetry:
+    """The r14 unified media-operator mode contract, pinned across
+    modalities with CORRUPT KNOWN-FORMAT payloads (not just wrong
+    magic): auto -> NULL outputs, fake -> deterministic non-null stub,
+    real -> raises.  Before r14 audio_features returned its stub in
+    auto mode while image_stats returned NULLs, so a null-filtered
+    curation pipeline silently kept corrupt audio — the asymmetry this
+    class exists to keep dead.  (One Spark fixture use in this
+    otherwise pure-codec file: the contract is about the OPERATORS,
+    so it must run through mapInPandas.)"""
+
+    @staticmethod
+    def _corrupt_payloads():
+        import struct
+
+        from tumult_core_spark.extensions.flac import _encode_flac
+        from tumult_core_spark.extensions.jpeg import _encode_jpeg
+        from tumult_core_spark.extensions.multimodal import _encode_png
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+        png = _encode_png(img)
+        jpeg = _encode_jpeg(img, quality=90)
+        x = rng.integers(-32768, 32768, size=2000).astype("<i2")
+        data = x.tobytes()
+        wav = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        flac = _encode_flac(x.astype(np.int16), 16000, block_size=256)
+        # truncate to 60%: magic survives, structure does not
+        return {
+            name: p[: max(8, int(len(p) * 0.6))]
+            for name, p in
+            {"png": png, "jpeg": jpeg, "wav": wav, "flac": flac}.items()
+        }
+
+    def test_auto_nulls_fake_stubs_real_raises(self, spark):
+        from tumult_core_spark.extensions.multimodal import (
+            audio_features,
+            extract_image_features,
+            image_stats,
+        )
+
+        payloads = self._corrupt_payloads()
+        imgs = spark.createDataFrame(
+            [(0, bytearray(payloads["png"])), (1, bytearray(payloads["jpeg"]))],
+            "doc_id long, payload binary",
+        )
+        auds = spark.createDataFrame(
+            [(0, bytearray(payloads["wav"])), (1, bytearray(payloads["flac"]))],
+            "doc_id long, payload binary",
+        )
+        # auto: NULL across every modality — the one-filter curation contract
+        assert image_stats(imgs, "payload", "doc_id").filter(
+            "width is null and mean_value is null"
+        ).count() == 2
+        assert extract_image_features(imgs, "payload", "doc_id", dim=4).filter(
+            "features is null"
+        ).count() == 2
+        assert audio_features(auds, "payload", "doc_id", dim=4).filter(
+            "features is null and duration_ms is null"
+        ).count() == 2
+        # fake: deterministic stub, never null, across every modality
+        assert image_stats(imgs, "payload", "doc_id", decoder="fake").filter(
+            "width is not null and mean_value is not null"
+        ).count() == 2
+        assert audio_features(
+            auds, "payload", "doc_id", dim=4, decoder="fake"
+        ).filter("features is not null and duration_ms is not null").count() == 2
+        # real: the corrupt payload surfaces as a task error
+        with pytest.raises(Exception):
+            image_stats(imgs, "payload", "doc_id", decoder="real").collect()
+        with pytest.raises(Exception):
+            audio_features(auds, "payload", "doc_id", dim=4, decoder="real").collect()

@@ -1594,7 +1594,13 @@ class TestMultimodal:
     def test_metadata_and_features(self, spark, media):
         tagged = attach_media_metadata(media, "payload", "image", "image/png")
         assert "payload_meta" in tagged.columns
-        feats = extract_image_features(media, "payload", "media_id", dim=16)
+        # auto mode: undecodable payloads yield NULL features (unified
+        # r14 media contract); fake mode yields the deterministic stub
+        auto = extract_image_features(media, "payload", "media_id", dim=16)
+        assert auto.filter("features is null").count() == 20
+        feats = extract_image_features(
+            media, "payload", "media_id", dim=16, decoder="fake"
+        )
         rows = feats.collect()
         assert len(rows) == 20
         assert all(len(r["features"]) == 16 for r in rows)
@@ -1604,15 +1610,34 @@ class TestMultimodal:
         assert first == again
 
     def test_resize_and_frames(self, spark, media):
-        resized = resize_images(media, "payload", "media_id", 224, 224)
+        # auto: undecodable -> NULL resized payload and dimensions
+        auto = resize_images(media, "payload", "media_id", 224, 224)
+        assert auto.filter(
+            "resized is null and width is null and height is null"
+        ).count() == 20
+        resized = resize_images(media, "payload", "media_id", 224, 224,
+                                decoder="fake")
         assert resized.filter("width = 224 and height = 224").count() == 20
+        # auto keeps the per-payload row cardinality but nulls the frames
         frames = sample_video_frames(media, "payload", "media_id", num_frames=3)
         assert frames.count() == 60
+        assert frames.filter("frame is null").count() == 60
         assert frames.select("media_id").distinct().count() == 20
+        fake_frames = sample_video_frames(
+            media, "payload", "media_id", num_frames=3, decoder="fake"
+        )
+        assert fake_frames.filter("frame is not null").count() == 60
 
     def test_audio(self, spark, media):
-        out = audio_features(media, "payload", "media_id", dim=8)
+        # auto: undecodable -> NULL features AND duration (symmetric
+        # with image_stats since r14); fake: sha stub, never null
+        auto = audio_features(media, "payload", "media_id", dim=8)
+        assert auto.filter(
+            "features is null and duration_ms is null"
+        ).count() == 20
+        out = audio_features(media, "payload", "media_id", dim=8, decoder="fake")
         assert out.filter(F.size("features") == 8).count() == 20
+        assert out.filter("duration_ms = 100").count() == 20  # payload length
 
     def test_real_decode_raises(self, spark, media):
         import pytest as _pytest
@@ -1701,7 +1726,7 @@ class TestMultimodal:
         # 0xB2 is '²', a Unicode digit: chr(c).isdigit() used to admit
         # it into int() and crash the executor task; a malformed
         # P5/P6-prefixed payload must parse as None and, in auto mode,
-        # fall back to the stub features instead of raising
+        # yield NULL features (r14 unified contract) instead of raising
         from tumult_core_spark.extensions.multimodal import (
             _decode_pnm,
             _fake_features,
@@ -1716,7 +1741,11 @@ class TestMultimodal:
         out = extract_image_features(
             df, "payload", "media_id", dim=4, decoder="auto"
         ).collect()
-        assert out[0]["features"] == pytest.approx(
+        assert out[0]["features"] is None
+        fake = extract_image_features(
+            df, "payload", "media_id", dim=4, decoder="fake"
+        ).collect()
+        assert fake[0]["features"] == pytest.approx(
             _fake_features(bad, 4).tolist(), abs=1e-6
         )
         # any decoder crash (not just PNM header parsing) falls back in

@@ -984,7 +984,12 @@ def _decode_video_frames(payload: bytes) -> Optional[List[np.ndarray]]:
 
 
 def _decode_wav(payload: bytes) -> Optional[Tuple[np.ndarray, int]]:
-    """8/16-bit PCM WAV -> (float64 mono samples in [-1, 1], rate)."""
+    """8/16-bit PCM WAV -> (float64 mono samples in [-1, 1], rate).
+
+    Structural strictness (same contract as the image codecs, r14): a
+    chunk whose declared size runs past the payload is truncation and
+    raises ValueError — a cut-off crawl artifact must surface as
+    corrupt, not decode as silently-shortened audio."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE" or len(payload) < 44:
         return None
     pos, n = 12, len(payload)
@@ -993,6 +998,8 @@ def _decode_wav(payload: bytes) -> Optional[Tuple[np.ndarray, int]]:
     while pos + 8 <= n:
         chunk_id = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if pos + 8 + size > n:
+            raise ValueError("truncated WAV chunk")
         body = payload[pos + 8 : pos + 8 + size]
         if chunk_id == b"fmt ":
             if len(body) < 16:
@@ -1092,27 +1099,34 @@ def extract_image_features(
 ) -> DataFrame:
     """(id, features array<float>) per image payload.
 
-    Supported payloads (PPM/PGM/BMP) decode for real and featurize as
-    unit-normalized mean-pooled grayscale intensity over ``dim``
-    segments; other formats follow ``decoder`` mode.  ``fake=True/False``
-    is the legacy spelling of ``decoder="fake"/"real"``.
+    Supported payloads (PPM/PGM/BMP/PNG/JPEG/GIF/TIFF) decode for real
+    and featurize as unit-normalized mean-pooled grayscale intensity
+    over ``dim`` segments.  Undecodable payloads follow the unified
+    media-operator mode contract (r14, same as :func:`image_stats`):
+    ``auto`` yields NULL features (a curation pipeline filters corrupt
+    and unsupported media with one null check), ``real`` raises where a
+    missing codec would slot in, ``fake`` returns the deterministic
+    sha256-derived stub (never null).  ``fake=True/False`` is the
+    legacy spelling of ``decoder="fake"/"real"``.
     """
     decoder = _legacy_mode(decoder, fake)
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
-            T.StructField("features", T.ArrayType(T.FloatType(), False), False),
+            T.StructField("features", T.ArrayType(T.FloatType(), False), True),
         ]
     )
 
-    def one(payload: bytes) -> List[float]:
+    def one(payload: bytes) -> Optional[List[float]]:
         img = _try_decode(_decode_image_real, payload, decoder)
         if img is not None:
             gray = img.mean(axis=2).ravel() / 255.0
             return _unit_norm(_segment_pool(gray, dim)).tolist()
         if decoder == "real":
             raise _codec_error("image decode")
-        return _fake_features(payload, dim).tolist()
+        if decoder == "fake":
+            return _fake_features(payload, dim).tolist()
+        return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1142,20 +1156,23 @@ def resize_images(
 
     Supported formats resample for real (nearest-neighbor) and are
     re-emitted as binary PPM (P6), so resized outputs round-trip
-    through this module's own decoder; other formats follow
-    ``decoder`` mode (the stub emits a deterministic payload hash).
+    through this module's own decoder.  Undecodable payloads follow
+    the unified media-operator mode contract (r14): ``auto`` yields a
+    NULL resized payload (and null dimensions), ``real`` raises where
+    a missing codec would slot in, ``fake`` emits a deterministic
+    payload-hash stub (never null).
     """
     decoder = _legacy_mode(decoder, fake)
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
-            T.StructField("resized", T.BinaryType(), False),
-            T.StructField("width", T.IntegerType(), False),
-            T.StructField("height", T.IntegerType(), False),
+            T.StructField("resized", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
         ]
     )
 
-    def one(payload: bytes) -> bytes:
+    def one(payload: bytes) -> Optional[bytes]:
         img = _try_decode(_decode_image_real, payload, decoder)
         if img is not None:
             h, w = img.shape[:2]
@@ -1168,7 +1185,9 @@ def resize_images(
             return header + resized.astype(np.uint8).tobytes()
         if decoder == "real":
             raise _codec_error("image resize")
-        return hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
+        if decoder == "fake":
+            return hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
+        return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1177,8 +1196,8 @@ def resize_images(
                 {
                     id_col: pdf[id_col].to_numpy(),
                     "resized": payloads,
-                    "width": width,
-                    "height": height,
+                    "width": [None if p is None else width for p in payloads],
+                    "height": [None if p is None else height for p in payloads],
                 }
             )
 
@@ -1201,20 +1220,24 @@ def sample_video_frames(
     :mod:`.jpeg` decoder): evenly spaced frames are extracted and
     re-emitted as binary PGM (P5), so sampled frames round-trip
     through this module's own image decoder and feature extractor.
-    Inter-frame-compressed containers (MP4/WebM/...) need ffmpeg:
-    ``decoder="real"`` raises for them, ``"auto"``/``"fake"`` emit
-    deterministic stub frames.
+    Undecodable payloads (inter-frame-compressed containers like
+    MP4/WebM need ffmpeg; corrupt Y4M/AVI) follow the unified
+    media-operator mode contract (r14): ``"real"`` raises where the
+    missing codec would slot in, ``"auto"`` still emits the
+    ``num_frames`` rows (stable per-payload cardinality) but with NULL
+    frame payloads, and ``"fake"`` emits deterministic sha-stub frames
+    (never null).
     """
     decoder = _legacy_mode(decoder, fake)
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
             T.StructField("frame_index", T.IntegerType(), False),
-            T.StructField("frame", T.BinaryType(), False),
+            T.StructField("frame", T.BinaryType(), True),
         ]
     )
 
-    def one(payload: bytes) -> List[bytes]:
+    def one(payload: bytes) -> List[Optional[bytes]]:
         frames = _try_decode(_decode_video_frames, payload, decoder)
         if frames is not None:
             picks = np.linspace(0, len(frames) - 1, num_frames).round().astype(int)
@@ -1226,10 +1249,12 @@ def sample_video_frames(
             return out
         if decoder == "real":
             raise _codec_error("video frame sampling")
-        return [
-            hashlib.sha256(payload + i.to_bytes(4, "big")).digest()
-            for i in range(num_frames)
-        ]
+        if decoder == "fake":
+            return [
+                hashlib.sha256(payload + i.to_bytes(4, "big")).digest()
+                for i in range(num_frames)
+            ]
+        return [None] * num_frames
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1355,20 +1380,25 @@ def audio_features(
 
     PCM WAV and FLAC decode for real: features are unit-normalized
     per-segment RMS energy over ``dim`` windows and ``duration_ms``
-    comes from the sample count and rate.  Other formats follow
-    ``decoder`` mode (stub: hash features, payload length as
-    duration).
+    comes from the sample count and rate.  Undecodable payloads —
+    corrupt WAV/FLAC as much as formats needing a real codec
+    (mp3/ogg) — follow the unified media-operator mode contract (r14,
+    same as :func:`image_stats`): ``auto`` yields NULL features and
+    duration so a curation pipeline's null filter drops corrupt audio
+    exactly like corrupt images, ``real`` raises, ``fake`` returns the
+    deterministic sha-derived stub (hash features, payload length as
+    duration; never null).
     """
     decoder = _legacy_mode(decoder, fake)
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
-            T.StructField("features", T.ArrayType(T.FloatType(), False), False),
-            T.StructField("duration_ms", T.LongType(), False),
+            T.StructField("features", T.ArrayType(T.FloatType(), False), True),
+            T.StructField("duration_ms", T.LongType(), True),
         ]
     )
 
-    def one(payload: bytes) -> Tuple[List[float], int]:
+    def one(payload: bytes) -> Tuple[Optional[List[float]], Optional[int]]:
         decoded = _try_decode(_decode_audio_real, payload, decoder)
         if decoded is not None:
             x, rate = decoded
@@ -1376,7 +1406,9 @@ def audio_features(
             return _unit_norm(rms).tolist(), int(len(x) * 1000 // rate)
         if decoder == "real":
             raise _codec_error("audio decode")
-        return _fake_features(payload, dim).tolist(), len(payload)
+        if decoder == "fake":
+            return _fake_features(payload, dim).tolist(), len(payload)
+        return None, None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
