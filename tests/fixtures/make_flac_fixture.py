@@ -30,6 +30,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from fixture_util import round_half_up  # noqa: E402
 
 from tumult_core_spark.extensions.multimodal import (  # noqa: E402
     _audio_samples_from_bytes,
@@ -64,9 +66,9 @@ def block(sf_dir: str) -> pa.Table:
         # same mono mix + feature math as the operator, no codec
         x = samples.astype(np.float64).mean(axis=1) / 32768.0
         feats = _unit_norm(np.sqrt(_segment_pool(x * x, DIM)))
-        rows["f0"].append(round(float(feats[0]), 5))
-        rows["f1"].append(round(float(feats[1]), 5))
-        rows["f2"].append(round(float(feats[2]), 5))
+        rows["f0"].append(round_half_up(float(feats[0]), 5))
+        rows["f1"].append(round_half_up(float(feats[1]), 5))
+        rows["f2"].append(round_half_up(float(feats[2]), 5))
     n = len(doc_ids)
     return pa.table(
         {

@@ -22,6 +22,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from fixture_util import round_half_up  # noqa: E402
 
 from tumult_core_spark.extensions.multimodal import (  # noqa: E402
     _gif_test_image_from_bytes,
@@ -50,8 +52,8 @@ def block(sf_dir: str) -> pa.Table:
         idx, palette = _gif_test_image_from_bytes(
             (text or "").encode("utf-8"), HEIGHT, WIDTH
         )
-        means.append(round(float(palette[idx].mean()), 5))
-        checks.append(round(_position_checksum(palette[idx]), 5))
+        means.append(round_half_up(float(palette[idx].mean()), 5))
+        checks.append(round_half_up(_position_checksum(palette[idx]), 5))
     n = len(doc_ids)
     return pa.table(
         {

@@ -27,6 +27,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from fixture_util import round_half_up  # noqa: E402
 
 from tumult_core_spark.extensions.multimodal import _fake_features  # noqa: E402
 
@@ -50,9 +52,9 @@ def block(sf_dir: str) -> pa.Table:
     for doc_id, text in zip(doc_ids, texts):
         feats = _fake_features((text or "").encode("utf-8"), 16)
         rows["doc_id"].append(doc_id)
-        rows["f0"].append(round(float(feats[0]), 5))
-        rows["f1"].append(round(float(feats[1]), 5))
-        rows["f2"].append(round(float(feats[2]), 5))
+        rows["f0"].append(round_half_up(float(feats[0]), 5))
+        rows["f1"].append(round_half_up(float(feats[1]), 5))
+        rows["f2"].append(round_half_up(float(feats[2]), 5))
         rows["dim"].append(16)
     return pa.table(
         {

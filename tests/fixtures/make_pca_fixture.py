@@ -24,6 +24,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from fixture_util import round_half_up  # noqa: E402
+
 SF_DIRS = sys.argv[1:] or [
     "/root/testdata/sf0.001",
     "/root/testdata/sf0.01",
@@ -56,8 +59,8 @@ def block(sf_dir: str) -> pa.Table:
         {
             "sf_key": pa.array([sf_key] * n, pa.uint64()),
             "vec_id": pa.array(ids.astype("int64")),
-            "pc1": pa.array(np.round(y[:, 0], 6)),
-            "pc2": pa.array(np.round(y[:, 1], 6)),
+            "pc1": pa.array([round_half_up(v, 6) for v in y[:, 0]]),
+            "pc2": pa.array([round_half_up(v, 6) for v in y[:, 1]]),
         }
     )
 

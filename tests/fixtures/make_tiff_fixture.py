@@ -28,6 +28,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from fixture_util import round_half_up  # noqa: E402
 
 from tumult_core_spark.extensions.multimodal import (  # noqa: E402
     _pixels_from_bytes,
@@ -54,8 +56,8 @@ def block(sf_dir: str) -> pa.Table:
     checks = []
     for text in texts:
         px = _pixels_from_bytes((text or "").encode("utf-8"), HEIGHT, WIDTH)
-        means.append(round(float(px.mean()), 5))
-        checks.append(round(_position_checksum(px), 5))
+        means.append(round_half_up(float(px.mean()), 5))
+        checks.append(round_half_up(_position_checksum(px), 5))
     n = len(doc_ids)
     return pa.table(
         {

@@ -23,6 +23,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from fixture_util import round_half_up  # noqa: E402
 
 from tumult_core_spark.extensions.multimodal import (  # noqa: E402
     _block_pixels_from_bytes,
@@ -55,8 +57,8 @@ def block(sf_dir: str) -> pa.Table:
             px = _block_pixels_from_bytes(raw + bytes([f]), BLOCKS_H, BLOCKS_W)
             rows["doc_id"].append(i)
             rows["frame_index"].append(out_idx)
-            rows["mean_value"].append(round(float(px.mean()), 5))
-            rows["pos_checksum"].append(round(_position_checksum(px), 5))
+            rows["mean_value"].append(round_half_up(float(px.mean()), 5))
+            rows["pos_checksum"].append(round_half_up(_position_checksum(px), 5))
     n = len(rows["doc_id"])
     return pa.table(
         {

@@ -318,6 +318,48 @@ class TestMaps:
         assert got == {1: "abc", 2: "de", 3: "f"}
 
 
+class TestFlatMapByKeyHotKey:
+    """Pins FlatMapByKey's documented memory contract: applyInPandas
+    materializes ONE KEY GROUP per batch in the Python worker, so a
+    deliberately skewed key (~1M rows here, >99.9% of the input on one
+    key) must still process correctly — it costs worker memory
+    proportional to the hottest key, which is why the docstring
+    directs pipelines to bound rows-per-key with LimitRowsPerGroup
+    BEFORE this operator (the reference enforces the same shape by
+    construction via its truncation-first API)."""
+
+    def test_one_million_row_key(self, spark):
+        n_hot = 1_000_000
+        df = (
+            spark.range(n_hot + 5)
+            .selectExpr(
+                # ids < n_hot all land on key 0; 5 rows spread over keys 1-5
+                f"cast(if(id < {n_hot}, 0, id - {n_hot} + 1) as long) as k",
+                "cast(id % 1000 as long) as v",
+            )
+        )
+        dom = SparkDataFrameDomain({"k": INT, "v": INT})
+        rt = RowsToRowsTransformation(
+            SparkRowDomain({"v": INT}),
+            SparkRowDomain({"n": INT, "s": INT}),
+            lambda rows: [{"n": len(rows), "s": sum(r["v"] for r in rows)}],
+        )
+        t = FlatMapByKey(dom, IfGroupedBy("k", SymmetricDifference()), rt)
+        got = {r["k"]: (r["n"], r["s"]) for r in t(df).collect()}
+        # the hot group arrived as ONE batch: len(rows) saw all 1M rows
+        assert got[0] == (n_hot, sum(i % 1000 for i in range(n_hot)))
+        # tail keys k=1..5 came from id = n_hot + k - 1
+        assert all(got[k] == (1, (n_hot + k - 1) % 1000) for k in range(1, 6))
+
+    def test_docstring_directs_to_truncation(self):
+        # the memory contract and the truncate-first guidance are part
+        # of the operator's public documentation — keep them there
+        doc = " ".join(FlatMapByKey.__doc__.split())
+        assert "Memory contract" in doc
+        assert "ONE KEY GROUP" in doc
+        assert "LimitRowsPerGroup" in doc
+
+
 class TestScaleUtils:
     def test_salted_group_count(self, spark, kv):
         from tumult_core_spark.utils.scale import salted_group_count

@@ -572,6 +572,22 @@ def bpe_train(
     executor loses its blocks mid-loop).  On a real cluster pass an
     HDFS/S3 path to switch to reliable ``checkpoint()`` (see
     ``utils.misc.cut_lineage``).
+
+    **Expected job count (distributed path)**: BPE's merge loop is
+    inherently sequential — merge ``i+1``'s pair statistics depend on
+    merge ``i`` having been applied — so each merge above the
+    threshold costs one Spark job (pair-count aggregate + a ONE-ROW
+    argmax collect; the collect moves a single (a, b, c) row, never
+    data).  Training a GPT-2-class 32k-merge vocabulary this way is
+    ~32k sequential jobs: at typical scheduler overhead that is hours
+    of latency independent of data size, which is exactly why
+    ``driver_vocab_threshold`` exists — after the corpus-sized
+    reduction the word-frequency table for even multi-TB corpora is
+    millions of rows (Heaps' law), it fits on the driver, and the
+    merge loop runs there at in-memory speed like every single-node
+    tokenizer trainer.  The distributed loop is the correctness
+    escape hatch for vocabularies past driver memory, not the
+    intended 100 TB path; both paths produce identical merges.
     """
     words = (
         corpus.select(F.explode(tokens_col(text_col)).alias("w"))

@@ -133,7 +133,15 @@ class ApplyInPandas(SparkMeasurement):
     """Run a pandas aggregation measurement on every group.
 
     The per-group function sees a pandas DataFrame (empty for public
-    keys with no rows) and must return exactly one output row.
+    keys with no rows) and — **required contract, enforced at release
+    time** — must return exactly one output row per group: the freeze
+    branch declares ``n_keys`` rows a priori, and ``sanitize_df``
+    raises ``AssertionError`` for any release exceeding that bound.
+    Every factory-built aggregation (quantile, bounds, ...) is
+    one-row-per-group.  A custom multi-row-per-group aggregation must
+    construct with ``rows_per_group=None`` to opt out into the
+    observed-size freeze branch (then its release cardinality must not
+    depend on any noise draw), or pass its exact per-group row count.
     """
 
     def __init__(
@@ -141,19 +149,26 @@ class ApplyInPandas(SparkMeasurement):
         input_domain: SparkGroupedDataFrameDomain,
         input_metric,
         aggregation_function,  # an Aggregate: pd.DataFrame -> pd.DataFrame
+        rows_per_group: int = 1,
     ):
         super().__init__(
             input_domain, input_metric, aggregation_function.output_measure
         )
         self.aggregation_function = aggregation_function
+        self.rows_per_group = rows_per_group
 
     def privacy_function(self, d_in: Any) -> Any:
         return self.aggregation_function.privacy_function(d_in)
 
     def release_rows(self, data: GroupedDataFrame):
-        # one output row per public group key: the key-count bound is
-        # a property of the keys, so the freeze branch needs no probe
-        return getattr(data, "n_keys", None)
+        # rows_per_group output rows per public group key: the bound is
+        # a property of the keys, so the freeze branch needs no probe.
+        # rows_per_group=None opts a multi-row aggregation out into the
+        # observed-size branch (see class docstring).
+        if self.rows_per_group is None:
+            return None
+        n_keys = getattr(data, "n_keys", None)
+        return None if n_keys is None else n_keys * self.rows_per_group
 
     def call_unsanitized(self, data: GroupedDataFrame) -> DataFrame:
         agg = self.aggregation_function
@@ -219,11 +234,13 @@ class GeometricPartitionSelection(SparkMeasurement):
             delta = ExactNumber(1)
         return (eps, delta)
 
-    def call_unsanitized(self, data: DataFrame) -> DataFrame:
+    def _pre_noise_counts(self, data: DataFrame) -> DataFrame:
+        cols = list(self.input_domain.schema)
+        return data.groupBy(*cols).agg(F.count(F.lit(1)).alias(self.count_column))
+
+    def _noise_and_filter(self, counts: DataFrame) -> DataFrame:
         from .noise import AddGeometricNoise
 
-        cols = list(self.input_domain.schema)
-        counts = data.groupBy(*cols).agg(F.count(F.lit(1)).alias(self.count_column))
         if self.alpha == 0:
             noisy = counts
         else:
@@ -235,6 +252,35 @@ class GeometricPartitionSelection(SparkMeasurement):
                 self.count_column, udf(F.col(self.count_column))
             )
         return noisy.filter(F.col(self.count_column) >= self.threshold)
+
+    def call_unsanitized(self, data: DataFrame) -> DataFrame:
+        return self._noise_and_filter(self._pre_noise_counts(data))
+
+    def __call__(self, data: DataFrame) -> DataFrame:
+        """Release with a noise-independent freeze branch (r14).
+
+        The release cardinality here depends on the noise draws (only
+        groups whose NOISY count clears the threshold survive), so the
+        base class's observed-size freeze branch would observe a
+        discarded mechanism invocation.  Instead the small/large
+        branch is chosen from the PRE-noise candidate-group
+        cardinality — a function of the data alone, an upper bound on
+        the release (the threshold filter only removes rows), and
+        computed from the persisted pre-noise aggregate so the raw
+        input is scanned exactly once (the count job reads the
+        persisted shuffle output; recompute on partition loss is
+        deterministic because no noise has been applied yet).
+        """
+        if not self.sanitize_output:
+            return self.call_unsanitized(data)
+        counts = self._pre_noise_counts(data).persist()
+        try:
+            n_candidates = counts.count()
+            return sanitize_df(
+                self._noise_and_filter(counts), known_rows=n_candidates
+            )
+        finally:
+            counts.unpersist()
 
 
 class SparseVectorPrefixSums(SparkMeasurement):
@@ -294,6 +340,16 @@ class SparseVectorPrefixSums(SparkMeasurement):
         if self.alpha == 0:
             return ExactNumber(float("inf"))
         return ExactNumber(4) * d / self.alpha
+
+    def release_rows(self, data: DataFrame):
+        # exactly one released row per group PRESENT in the input — a
+        # function of the data alone (no noise draw moves a group in or
+        # out of the release), so the freeze branch needs no probe.
+        # The input here is a tiny bin-count relation by construction,
+        # so the extra distinct-count job is negligible.
+        if self.grouping_columns:
+            return data.select(*self.grouping_columns).distinct().count()
+        return 1
 
     def call_unsanitized(self, data: DataFrame) -> DataFrame:
         from pyspark.sql import Window

@@ -310,6 +310,19 @@ class FlatMapByKey(Transformation):
     reference instead collects ``collect_list(struct(*))`` and
     ``rdd.flatMap``s it (``map.py:1343-1458``), which caps group size
     by driver/executor memory; applyInPandas streams per-group batches.
+
+    **Memory contract (hot keys)**: ``applyInPandas`` materializes ONE
+    KEY GROUP at a time as a pandas DataFrame in the Python worker, so
+    the largest single key must fit in worker memory (roughly
+    rows-per-key x row width; the reference caps this the same way via
+    its collect_list).  The intended pipeline shape — and what the
+    reference's own API enforces by construction — is to bound
+    rows-per-key FIRST with :class:`~.truncation.LimitRowsPerGroup`
+    (or LimitRowsPerKeyPerGroup), which also bounds the stability; an
+    untruncated hot key with tens of millions of rows belongs to the
+    truncation step, not to this operator.  See
+    tests/test_relational.py::TestFlatMapByKeyHotKey for the pinned
+    behavior at a deliberately skewed 1M-row key.
     """
 
     def __init__(

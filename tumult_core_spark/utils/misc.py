@@ -211,23 +211,23 @@ def sanitize_df(
     raises (a caller bug, never a data-dependent event, since both
     sides are functions of the public keys).
 
-    **Accepted accounting approximation (1 bit, probe path only):**
-    without ``known_rows`` the small/large branch is chosen on the
-    probe's OBSERVED row count.  When the release cardinality itself
-    depends on the noise draw (thresholded releases, partition
-    selection near the threshold), that row count is a function of the
-    probe's — discarded — mechanism invocation, so the branch choice
-    leaks at most one bit about a second draw.  Rigorous accounting
-    for that corner is 2-fold composition rather than a single charge;
-    in practice the branch flips only when the release straddles
-    exactly 50k rows AND noise moves groups across the threshold.
-    Grouped releases no longer take this path (their factories pass
-    ``known_rows``); it remains for cardinality-noise-dependent
-    releases (partition selection), where a noise-independent
-    cardinality is not expressible.  Documented rather than hidden.  The probe re-computes ≤50k rows of upstream plan on
-    the large path; large releases are rare and aggregate-shaped, so
-    the extra partial pass is noise next to the full write.  50k rows
-    of a grouped release is far below driver memory; anything bigger
+    **Every shipped measurement passes a noise-independent bound**
+    (r14): grouped releases pass the public-key count, partition
+    selection passes the pre-noise candidate-group cardinality (its
+    own ``__call__`` override), and SVT passes the input's group
+    count — each a function of the public keys or of the data alone,
+    never of a noise draw, so no release path observes a discarded
+    mechanism invocation and the single-invocation accounting is
+    exact everywhere.  The observed-size probe below
+    (``known_rows=None``) remains only as a fallback for EXTERNAL
+    callers; its branch choice observes the probe's row count, so a
+    caller whose release cardinality depends on a noise draw must
+    supply a noise-independent ``known_rows`` instead (as the shipped
+    measurements do) or account for the extra observation themselves.
+    The probe re-computes ≤50k rows of upstream plan on the large
+    path; large releases are rare and aggregate-shaped, so the extra
+    partial pass is noise next to the full write.  50k rows of a
+    grouped release is far below driver memory; anything bigger
     belongs in parquet on shared storage anyway.
     """
     cols = df.columns
@@ -262,10 +262,14 @@ def sanitize_df(
             # limit is a no-op
             head = shuffled.limit(known_rows + 1).toArrow()
             if head.num_rows > known_rows:
+                # the limit() caps the collect at known_rows + 1, so the
+                # true release size is unknown — only that it exceeds
+                # the declared bound
                 raise AssertionError(
-                    f"release produced {head.num_rows} rows but the caller "
-                    f"declared known_rows={known_rows}; grouped releases "
-                    "must have at most one row per public group key"
+                    f"release produced more than the declared "
+                    f"known_rows={known_rows} rows (>= {head.num_rows}); "
+                    "grouped releases must have at most one row per "
+                    "public group key"
                 )
             return df.sparkSession.createDataFrame(head, schema=shuffled.schema)
         return materialize(shuffled)
