@@ -558,8 +558,12 @@ def sf_sweep(spark, k: int = 10, reps: int = None):
                     extra = fn(scale)
                     runs[scale].append(time.perf_counter() - start)
                     if isinstance(extra, dict):
+                        # per-rep list, NOT last-writer-wins: a sweep
+                        # factor driven by iteration-count variance
+                        # (components fixpoint rounds) is only
+                        # attributable if every rep's count is kept
                         for ek, ev in extra.items():
-                            extras[f"{ek}_{scale}x"] = ev
+                            extras.setdefault(f"{ek}_{scale}x", []).append(ev)
             t1, tk = min(runs[1]), min(runs[k])
             results[name] = {
                 "t_1x": round(t1, 3),
@@ -574,8 +578,23 @@ def sf_sweep(spark, k: int = 10, reps: int = None):
                     ),
                     2,
                 ),
+                # raw per-rep times so extras (e.g. fixpoint rounds)
+                # can be correlated with the rep that produced them
+                "runs_1x": [round(x, 3) for x in runs[1]],
+                f"runs_{k}x": [round(x, 3) for x in runs[k]],
                 **extras,
             }
+            # iterative ops: report cost per fixpoint round per rep, so
+            # a factor change decomposes into rounds_kx/rounds_1x
+            # (algorithmic, data-dependent) x per-round cost growth
+            # (the actual scaling signal)
+            for scale, label in ((1, "1x"), (k, f"{k}x")):
+                rk = f"rounds_{label}"
+                if rk in extras and all(extras[rk]):
+                    results[name][f"per_round_{label}"] = [
+                        round(t / r, 3)
+                        for t, r in zip(runs[scale], extras[rk])
+                    ]
         except Exception as exc:  # pragma: no cover
             results[name] = {"error": str(exc)[:200]}
             print(f"# sf_sweep {name} failed: {exc}", file=sys.stderr)

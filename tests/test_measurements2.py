@@ -1157,3 +1157,113 @@ class TestInactiveAccountantError:
         c0.retire()
         with pytest.raises(InactiveAccountantError):
             c0.queue_transformation(Filter(dom, SymmetricDifference(), "x > 0"))
+
+
+class TestFreezeBranchContracts:
+    """The r14 noise-independent freeze-branch contracts: every shipped
+    measurement passes sanitize_df a row bound that is a function of the
+    public keys or of the data alone, never of a noise draw; ApplyInPandas
+    enforces (and parameterizes) its rows-per-group release contract."""
+
+    def _gdf(self, spark, n_keys=2):
+        from tumult_core_spark.utils.grouped_dataframe import GroupedDataFrame
+
+        data = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 3)], "g string, x long"
+        )
+        keys = spark.createDataFrame([("a",), ("b",)], "g string")
+        return GroupedDataFrame(data, keys, n_keys=n_keys)
+
+    def _apply_in_pandas(self, rows_out, **kwargs):
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        from tumult_core_spark.domains import SparkGroupedDataFrameDomain
+        from tumult_core_spark.measurements.spark import ApplyInPandas
+
+        class _Agg:
+            output_measure = PureDP()
+            output_spark_schema = T.StructType(
+                [T.StructField("y", T.LongType())]
+            )
+
+            def privacy_function(self, d_in):
+                return ExactNumber(1)
+
+            def __call__(self, pdf):
+                return pd.DataFrame({"y": list(range(rows_out))})
+
+        dom = SparkGroupedDataFrameDomain(
+            schema={"g": STR, "x": INT}, groupby_columns=["g"]
+        )
+        return ApplyInPandas(dom, SumOf(SymmetricDifference()), _Agg(), **kwargs)
+
+    def test_one_row_per_group_release(self, spark):
+        m = self._apply_in_pandas(1)
+        assert m.release_rows(self._gdf(spark)) == 2
+        assert m(self._gdf(spark)).count() == 2
+
+    def test_multi_row_release_violates_default_contract(self, spark):
+        # two rows per group against the declared one-row bound: the
+        # freeze branch must refuse the release, not silently truncate
+        m = self._apply_in_pandas(2)
+        with pytest.raises(AssertionError, match="known_rows"):
+            m(self._gdf(spark)).count()
+
+    def test_declared_rows_per_group(self, spark):
+        m = self._apply_in_pandas(2, rows_per_group=2)
+        assert m.release_rows(self._gdf(spark)) == 4
+        assert m(self._gdf(spark)).count() == 4
+
+    def test_opt_out_takes_probe_branch(self, spark):
+        # rows_per_group=None: observed-size freeze branch, any
+        # (noise-independent) cardinality is accepted
+        m = self._apply_in_pandas(3, rows_per_group=None)
+        assert m.release_rows(self._gdf(spark)) is None
+        assert m(self._gdf(spark)).count() == 6
+
+    def test_partition_selection_pre_noise_bound(self, spark, monkeypatch):
+        """GeometricPartitionSelection's freeze branch is chosen from the
+        PRE-noise candidate-group cardinality (a function of the data
+        alone), never from the thresholded — noise-dependent — release."""
+        import tumult_core_spark.measurements.spark as spark_meas
+        from tumult_core_spark.measurements.spark import (
+            GeometricPartitionSelection,
+        )
+        from tumult_core_spark.utils import misc as misc_mod
+
+        seen = {}
+        real = misc_mod.sanitize_df
+
+        def recorder(df, known_rows=None, **kw):
+            seen["known_rows"] = known_rows
+            return real(df, known_rows=known_rows, **kw)
+
+        monkeypatch.setattr(spark_meas, "sanitize_df", recorder)
+        dom = SparkDataFrameDomain({"g": STR})
+        m = GeometricPartitionSelection(dom, threshold=2, alpha=0)
+        sdf = spark.createDataFrame([("a1",)] * 3 + [("a2",)], "g string")
+        rows = m(sdf).collect()
+        # alpha=0: exact counts, only a1 (count 3) clears threshold 2 ...
+        assert [(r.g, r["count"]) for r in rows] == [("a1", 3)]
+        # ... but the declared bound is the candidate count (2), which
+        # does not depend on any draw and upper-bounds every release
+        assert seen["known_rows"] == 2
+
+    def test_svt_release_rows_is_group_count(self, spark):
+        from tumult_core_spark.measurements.spark import SparseVectorPrefixSums
+
+        dom = SparkDataFrameDomain({"g": STR, "rank": INT, "cnt": INT})
+        m = SparseVectorPrefixSums(
+            dom, "cnt", "rank", alpha=0, grouping_columns=["g"]
+        )
+        sdf = spark.createDataFrame(
+            [("a", r, 10) for r in range(5)] + [("b", r, 10) for r in range(5)],
+            "g string, rank long, cnt long",
+        )
+        assert m.release_rows(sdf) == 2
+        assert m(sdf).count() == 2
+
+        m_flat = SparseVectorPrefixSums(dom, "cnt", "rank", alpha=0)
+        assert m_flat.release_rows(sdf) == 1
+        assert m_flat(sdf).count() == 1
