@@ -1222,10 +1222,36 @@ class TestFreezeBranchContracts:
         assert m.release_rows(self._gdf(spark)) is None
         assert m(self._gdf(spark)).count() == 6
 
-    def test_partition_selection_pre_noise_bound(self, spark, monkeypatch):
-        """GeometricPartitionSelection's freeze branch is chosen from the
-        PRE-noise candidate-group cardinality (a function of the data
-        alone), never from the thresholded — noise-dependent — release."""
+    def test_partition_selection_small_is_one_driver_release(
+        self, spark, monkeypatch
+    ):
+        """GeometricPartitionSelection freezes the PRE-noise candidate
+        relation in one job and (small case) draws noise driver-side —
+        sanitize_df is never involved, so no release path can observe a
+        discarded mechanism invocation."""
+        import tumult_core_spark.measurements.spark as spark_meas
+        from tumult_core_spark.measurements.spark import (
+            GeometricPartitionSelection,
+        )
+
+        def forbidden(*a, **kw):  # pragma: no cover - failure path
+            raise AssertionError("small path must not call sanitize_df")
+
+        monkeypatch.setattr(spark_meas, "sanitize_df", forbidden)
+        dom = SparkDataFrameDomain({"g": STR})
+        m = GeometricPartitionSelection(dom, threshold=2, alpha=0)
+        sdf = spark.createDataFrame([("a1",)] * 3 + [("a2",)], "g string")
+        rows = m(sdf).collect()
+        # alpha=0: exact counts, only a1 (count 3) clears threshold 2
+        assert [(r.g, r["count"]) for r in rows] == [("a1", 3)]
+        # frozen local relation: repeated actions return identical rows
+        assert [(r.g, r["count"]) for r in m(sdf).collect()] == [("a1", 3)]
+
+    def test_partition_selection_large_branch_pre_noise_bound(
+        self, spark, monkeypatch
+    ):
+        """Huge candidate sets force the large branch with known_rows =
+        the exact pre-noise candidate count (noise-independent)."""
         import tumult_core_spark.measurements.spark as spark_meas
         from tumult_core_spark.measurements.spark import (
             GeometricPartitionSelection,
@@ -1240,14 +1266,13 @@ class TestFreezeBranchContracts:
             return real(df, known_rows=known_rows, **kw)
 
         monkeypatch.setattr(spark_meas, "sanitize_df", recorder)
+        # shrink the small-release threshold so 2 candidates are "huge"
+        monkeypatch.setattr(misc_mod, "SMALL_RELEASE_ROWS", 1)
         dom = SparkDataFrameDomain({"g": STR})
         m = GeometricPartitionSelection(dom, threshold=2, alpha=0)
         sdf = spark.createDataFrame([("a1",)] * 3 + [("a2",)], "g string")
         rows = m(sdf).collect()
-        # alpha=0: exact counts, only a1 (count 3) clears threshold 2 ...
         assert [(r.g, r["count"]) for r in rows] == [("a1", 3)]
-        # ... but the declared bound is the candidate count (2), which
-        # does not depend on any draw and upper-bounds every release
         assert seen["known_rows"] == 2
 
     def test_svt_release_rows_is_group_count(self, spark):

@@ -262,25 +262,63 @@ class GeometricPartitionSelection(SparkMeasurement):
         The release cardinality here depends on the noise draws (only
         groups whose NOISY count clears the threshold survive), so the
         base class's observed-size freeze branch would observe a
-        discarded mechanism invocation.  Instead the small/large
-        branch is chosen from the PRE-noise candidate-group
-        cardinality — a function of the data alone, an upper bound on
-        the release (the threshold filter only removes rows), and
-        computed from the persisted pre-noise aggregate so the raw
-        input is scanned exactly once (the count job reads the
-        persisted shuffle output; recompute on partition loss is
-        deterministic because no noise has been applied yet).
+        discarded mechanism invocation.  Instead, ONE fused job
+        (scan + map-side combine + shuffle + limit collect) freezes the
+        PRE-noise candidate relation: no noise draw exists yet, so
+        nothing observed here depends on any draw, the small/large
+        branch below is a function of the data alone, and no mechanism
+        invocation is ever discarded on either path.
+
+        Small candidate sets (<= SMALL_RELEASE_ROWS, the overwhelmingly
+        common case — candidates are group-cardinality-sized) then draw
+        their noise DRIVER-side through the same
+        :class:`AddNoiseToSeries` mechanism the executor path runs
+        (one invocation, certified sampler) and release an immutable
+        local relation — the whole measurement is one Spark job.  A
+        huge candidate set forces the large parquet branch with
+        ``known_rows`` = the exact candidate count (> the small
+        threshold by construction, still noise-independent).
         """
         if not self.sanitize_output:
             return self.call_unsanitized(data)
-        counts = self._pre_noise_counts(data).persist()
+        from ..utils import misc as _misc
+
+        counts = self._pre_noise_counts(data)
+        head = counts.limit(_misc.SMALL_RELEASE_ROWS + 1).toArrow()
+        if head.num_rows <= _misc.SMALL_RELEASE_ROWS:
+            return self._release_from_candidates(
+                data.sparkSession, head, counts.schema
+            )
+        # Rare huge-candidate-set path: re-aggregate once into a
+        # persisted relation (the raw input pays one more scan total),
+        # draw noise on executors, freeze as one parquet write.
+        counts = counts.persist()
         try:
-            n_candidates = counts.count()
             return sanitize_df(
-                self._noise_and_filter(counts), known_rows=n_candidates
+                self._noise_and_filter(counts), known_rows=counts.count()
             )
         finally:
             counts.unpersist()
+
+    def _release_from_candidates(self, spark, head, schema) -> DataFrame:
+        """Driver-side noise + threshold over the frozen candidate
+        Arrow table: the same mechanism object the executor path wraps
+        in a pandas UDF, applied once to <= SMALL_RELEASE_ROWS counts.
+        Row order is the canonical all-columns sort — a function of the
+        released values only, so it cannot leak input order — and the
+        result embeds as an immutable JVM ``LocalTableScan`` exactly
+        like every other small release."""
+        from .noise import AddGeometricNoise
+
+        pdf = head.to_pandas()
+        if self.alpha != 0 and len(pdf):
+            mech = AddNoiseToSeries(AddGeometricNoise(self.alpha))
+            pdf[self.count_column] = mech(
+                pdf[self.count_column]
+            ).astype("int64")
+        out = pdf[pdf[self.count_column] >= self.threshold]
+        out = out.sort_values(list(out.columns), ignore_index=True)
+        return spark.createDataFrame(out, schema=schema)
 
 
 class SparseVectorPrefixSums(SparkMeasurement):

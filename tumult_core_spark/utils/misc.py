@@ -211,14 +211,16 @@ def sanitize_df(
     raises (a caller bug, never a data-dependent event, since both
     sides are functions of the public keys).
 
-    **Every shipped measurement passes a noise-independent bound**
-    (r14): grouped releases pass the public-key count, partition
-    selection passes the pre-noise candidate-group cardinality (its
-    own ``__call__`` override), and SVT passes the input's group
-    count — each a function of the public keys or of the data alone,
-    never of a noise draw, so no release path observes a discarded
-    mechanism invocation and the single-invocation accounting is
-    exact everywhere.  The observed-size probe below
+    **Every shipped measurement branches on a noise-independent bound**
+    (r14): grouped releases pass the public-key count, SVT passes the
+    input's group count, and partition selection never reaches the
+    probe at all — its own ``__call__`` freezes the PRE-noise
+    candidate relation in one job and draws its noise driver-side
+    (small case) or passes ``known_rows`` = the exact candidate count
+    (huge case).  Each bound is a function of the public keys or of
+    the data alone, never of a noise draw, so no release path
+    observes a discarded mechanism invocation and the
+    single-invocation accounting is exact everywhere.  The observed-size probe below
     (``known_rows=None``) remains only as a fallback for EXTERNAL
     callers; its branch choice observes the probe's row count, so a
     caller whose release cardinality depends on a noise draw must
