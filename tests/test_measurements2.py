@@ -1275,6 +1275,17 @@ class TestFreezeBranchContracts:
         assert [(r.g, r["count"]) for r in rows] == [("a1", 3)]
         assert seen["known_rows"] == 2
 
+        # noise-ON large branch: the executor pandas-UDF draw path
+        # (small releases draw driver-side since r14, so this branch is
+        # its only remaining coverage).  The release must be frozen and
+        # bounded by the candidate count.
+        m_noisy = GeometricPartitionSelection(dom, threshold=-1000, alpha=1)
+        rel = m_noisy(sdf)
+        got = sorted(map(tuple, rel.collect()))
+        assert got == sorted(map(tuple, rel.collect()))  # frozen
+        assert len(got) <= 2 and seen["known_rows"] == 2
+        assert {g for g, _ in got} <= {"a1", "a2"}
+
     def test_svt_release_rows_is_group_count(self, spark):
         from tumult_core_spark.measurements.spark import SparseVectorPrefixSums
 
