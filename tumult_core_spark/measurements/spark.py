@@ -389,6 +389,32 @@ class SparseVectorPrefixSums(SparkMeasurement):
             return data.select(*self.grouping_columns).distinct().count()
         return 1
 
+    def __call__(self, data: DataFrame) -> DataFrame:
+        """Sanitized release with the input persisted for the call.
+
+        The bin-count input plan is referenced four times per release —
+        the group-count job (``release_rows``), the totals size-gate
+        count, and twice inside the freeze job (the totals side and the
+        prefix side of the join) — and the plan BEHIND it is typically
+        a full scan+aggregate of raw data (``create_bounds_measurement``
+        bins the measure column upstream).  The input itself is tiny by
+        construction (<= 201 bins per group), so persisting it for the
+        duration of the call cuts four upstream evaluations to one at
+        no memory risk; the release is already frozen when ``sanitize_df``
+        returns, so the unpersist cannot unfreeze anything.
+        """
+        if not self.sanitize_output:
+            return self.call_unsanitized(data)
+        from pyspark.storagelevel import StorageLevel
+
+        data = data.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            return sanitize_df(
+                self.call_unsanitized(data), known_rows=self.release_rows(data)
+            )
+        finally:
+            data.unpersist()
+
     def call_unsanitized(self, data: DataFrame) -> DataFrame:
         from pyspark.sql import Window
 
