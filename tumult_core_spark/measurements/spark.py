@@ -402,6 +402,13 @@ class SparseVectorPrefixSums(SparkMeasurement):
         duration of the call cuts four upstream evaluations to one at
         no memory risk; the release is already frozen when ``sanitize_df``
         returns, so the unpersist cannot unfreeze anything.
+
+        Measured trade (sf0.1 bounds workload, idle 32-core box): the
+        persist costs ~0.15 s of constant cache/job overhead per
+        release (min 1.07 s vs 0.89 s unpersisted) while replacing
+        three additional full scans of the upstream plan with cache
+        reads — a small loss at 600k rows, the only sane plan when the
+        upstream is a 100 TB scan+aggregate.
         """
         if not self.sanitize_output:
             return self.call_unsanitized(data)
