@@ -715,3 +715,111 @@ def test_flatmap_by_key_runs_in_arrow_not_rdd(spark, sf_dir):
     assert m is not None, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"l_orderkey", "l_quantity"}, plan
+
+
+class TestBucketedLayout:
+    """write_bucketed_table / read_table: the ingest-time shuffle must
+    buy exchange-free plans downstream — the layout decision that
+    removes the dominant shuffle of a repeatedly-joined 100 TB fact
+    table.  These gates pin the planner contract, not just the API."""
+
+    @pytest.fixture()
+    def bucketed(self, spark, sf_dir, tmp_path):
+        """orders + customer co-bucketed by custkey (8 buckets)."""
+        from tumult_core_spark.utils.scale import write_bucketed_table
+
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_acctbal"
+        )
+        names = ("tcs_gate_orders_b", "tcs_gate_cust_b")
+        write_bucketed_table(
+            orders, names[0], ["o_custkey"], 8,
+            sort_cols=["o_custkey"], path=str(tmp_path / "ob"),
+        )
+        write_bucketed_table(
+            cust, names[1], ["c_custkey"], 8,
+            sort_cols=["c_custkey"], path=str(tmp_path / "cb"),
+        )
+        yield names
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+    def test_cobucketed_join_has_no_exchange(self, spark, bucketed):
+        """Same key, same bucket count: the sort-merge join must plan
+        with ZERO Exchange — neither side shuffles, ever again."""
+        from tumult_core_spark.sources.io import read_table
+
+        ob, cb = bucketed
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = read_table(spark, ob).join(
+                read_table(spark, cb),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            plan = plan_of(joined)
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in plan, plan
+            # and the scans are the bucketed ones
+            assert plan.count("SelectedBucketsCount: 8 out of 8") == 2, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_groupby_on_bucket_column_has_no_exchange(self, spark, bucketed):
+        """Aggregation keyed on the bucket columns is bucket-local:
+        partial+final HashAggregate collapse onto the scan with no
+        shuffle between them."""
+        from tumult_core_spark.sources.io import read_table
+
+        ob, _ = bucketed
+        agg = (
+            read_table(spark, ob)
+            .groupBy("o_custkey")
+            .agg(F.sum("o_totalprice").alias("s"))
+        )
+        plan = plan_of(agg)
+        assert "HashAggregate" in plan, plan
+        assert "Exchange" not in plan, plan
+
+    def test_half_bucketed_join_shuffles_probe_side_only(
+        self, spark, sf_dir, bucketed
+    ):
+        """Bucketed build side vs raw probe side: exactly ONE Exchange
+        (the probe conforming to the build's HashPartitioning) — the
+        100 TB fact table stays put while the new batch shuffles."""
+        from tumult_core_spark.sources.io import read_table
+
+        ob, _ = bucketed
+        probe = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_name"
+        )
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = read_table(spark, ob).join(
+                probe, F.col("o_custkey") == F.col("c_custkey")
+            )
+            plan = plan_of(joined)
+            assert "SortMergeJoin" in plan, plan
+            # exactly one Exchange node in the plan tree, and it hashes
+            # the probe's key to the build's 8-bucket partitioning
+            assert len(re.findall(r"\(\d+\) Exchange\n", plan)) == 1, plan
+            assert "hashpartitioning(c_custkey" in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def test_bucketed_roundtrip_values(self, spark, sf_dir, bucketed):
+        """Layout must not change content: bucketed read-back equals
+        the source relation exactly."""
+        from tumult_core_spark.sources.io import read_table
+
+        ob, _ = bucketed
+        src = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        got = sorted(map(tuple, read_table(spark, ob).collect()))
+        want = sorted(map(tuple, src.collect()))
+        assert got == want

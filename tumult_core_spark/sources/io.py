@@ -105,6 +105,20 @@ def write_partitioned_parquet(
     writer.parquet(path)
 
 
+def read_table(
+    spark: SparkSession,
+    table_name: str,
+    domain: Optional[SparkDataFrameDomain] = None,
+) -> DataFrame:
+    """Catalog-table scan (the read side of
+    :func:`~tumult_core_spark.utils.scale.write_bucketed_table`); with
+    a domain, projects/validates to it.  Bucketing metadata rides
+    along: joins and groupBys on the bucket columns plan without an
+    Exchange (tests/test_plans.py::TestBucketedLayout pins the
+    plans)."""
+    return _conform(spark.table(table_name), domain)
+
+
 def read_orc(
     spark: SparkSession, path: str, domain: Optional[SparkDataFrameDomain] = None
 ) -> DataFrame:

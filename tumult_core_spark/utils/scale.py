@@ -44,17 +44,45 @@ def write_bucketed_table(
     num_buckets: int = 64,
     sort_cols: Optional[List[str]] = None,
     mode: str = "overwrite",
+    path: Optional[str] = None,
 ) -> None:
-    """Persist as a bucketed (and optionally sorted) managed table.
+    """Persist as a hash-bucketed (optionally bucket-sorted) parquet
+    table: pay the shuffle ONCE at ingest, then every downstream
+    equi-join or groupBy on the bucket columns is exchange-free.
 
-    Joins and aggregations between tables bucketed the same way on the
-    join key skip the shuffle entirely (Catalyst recognizes the
-    co-partitioning); sorting within buckets additionally enables
-    shuffle-free sort-merge joins.
+    At 100 TB this is the layout decision that matters most for a
+    fact table joined repeatedly on the same key (events by user_id,
+    lineitem by orderkey): the bucketed scan reports
+    ``HashPartitioning(key, n)``, so the planner drops the Exchange
+    on BOTH sides of a co-bucketed sort-merge join (same key, same
+    bucket count) and under any aggregation keyed on the bucket
+    columns — the dominant shuffle of a 1000-executor join simply
+    does not happen.  Against a non-bucketed probe side only the
+    probe shuffles (the fact table stays put); with
+    ``spark.sql.bucketing.coalesceBucketsInJoin.enabled`` a 2x bucket
+    count still avoids the shuffle.
+    tests/test_plans.py::TestBucketedLayout pins all three plans.
+
+    Size ``num_buckets`` so one bucket ≈ one healthy read task
+    (128-512 MB of parquet): on bucket-local plans each bucket's
+    files form ONE read partition, so ``n`` bounds their parallelism
+    — a 100 TB fact table wants n in the tens of thousands, a
+    dimension table hundreds.  The file count is ``n x write tasks``
+    (every write task emits every bucket it sees rows for);
+    ``df.repartition(num_buckets, *bucket_cols)`` immediately before
+    the write collapses that to one file per bucket, which with
+    ``sort_cols`` also lets the merge phase skip its per-query sort.
+
+    ``path`` makes it an external table (the parquet survives DROP
+    TABLE and lives on shared storage instead of the session
+    warehouse).  Read it back with
+    :func:`~tumult_core_spark.sources.io.read_table`.
     """
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table_name)
 
 
