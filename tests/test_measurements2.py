@@ -1303,3 +1303,51 @@ class TestFreezeBranchContracts:
         m_flat = SparseVectorPrefixSums(dom, "cnt", "rank", alpha=0)
         assert m_flat.release_rows(sdf) == 1
         assert m_flat(sdf).count() == 1
+
+    def test_partition_selection_preserves_large_int64_and_null_keys(
+        self, spark
+    ):
+        """Regression: the driver-side release must not round-trip the
+        GROUP columns through pandas — a nullable int64 column coerces
+        to float64 there and corrupts keys above 2^53 (9007199254740993
+        became ...992).  Keys must come back exact, null group
+        included."""
+        from tumult_core_spark.domains import SparkIntegerColumnDescriptor
+        from tumult_core_spark.measurements.spark import (
+            GeometricPartitionSelection,
+        )
+
+        big = (1 << 53) + 1  # not representable as float64
+        dom = SparkDataFrameDomain(
+            {"k": SparkIntegerColumnDescriptor(size=64, allow_null=True)}
+        )
+        m = GeometricPartitionSelection(dom, threshold=2, alpha=0)
+        sdf = spark.createDataFrame(
+            [(big,)] * 3 + [(None,)] * 2 + [(7,)], "k long"
+        )
+        got = {(r.k, r["count"]) for r in m(sdf).collect()}
+        assert got == {(big, 3), (None, 2)}, got
+
+    def test_svt_call_preserves_caller_cache(self, spark):
+        """Regression: SVT's internal persist/unpersist must not drop a
+        cache entry the CALLER owns on the same input."""
+        from tumult_core_spark.measurements.spark import SparseVectorPrefixSums
+
+        dom = SparkDataFrameDomain({"g": STR, "rank": INT, "cnt": INT})
+        m = SparseVectorPrefixSums(
+            dom, "cnt", "rank", alpha=0, grouping_columns=["g"]
+        )
+        sdf = spark.createDataFrame(
+            [("a", r, 10) for r in range(5)], "g string, rank long, cnt long"
+        ).persist()
+        try:
+            sdf.count()
+            assert sdf.is_cached
+            assert m(sdf).count() == 1
+            assert sdf.is_cached, "measurement dropped the caller's cache"
+        finally:
+            sdf.unpersist()
+
+    def test_apply_in_pandas_rejects_nonpositive_rows_per_group(self, spark):
+        with pytest.raises(ValueError, match="rows_per_group"):
+            self._apply_in_pandas(1, rows_per_group=0)

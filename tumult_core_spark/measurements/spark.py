@@ -133,15 +133,19 @@ class ApplyInPandas(SparkMeasurement):
     """Run a pandas aggregation measurement on every group.
 
     The per-group function sees a pandas DataFrame (empty for public
-    keys with no rows) and — **required contract, enforced at release
-    time** — must return exactly one output row per group: the freeze
-    branch declares ``n_keys`` rows a priori, and ``sanitize_df``
-    raises ``AssertionError`` for any release exceeding that bound.
-    Every factory-built aggregation (quantile, bounds, ...) is
-    one-row-per-group.  A custom multi-row-per-group aggregation must
-    construct with ``rows_per_group=None`` to opt out into the
-    observed-size freeze branch (then its release cardinality must not
-    depend on any noise draw), or pass its exact per-group row count.
+    keys with no rows) and — **required contract** — must return
+    exactly ``rows_per_group`` output rows per group.  Enforcement at
+    release time is AGGREGATE-ONLY: the freeze branch declares
+    ``n_keys * rows_per_group`` rows a priori and ``sanitize_df``
+    raises ``AssertionError`` when the total exceeds that bound, so a
+    per-group violation that nets out (one group over, another under)
+    is NOT caught — honoring the per-group shape is the aggregation
+    function's responsibility.  Every factory-built aggregation
+    (quantile, bounds, ...) is one-row-per-group.  A custom
+    multi-row-per-group aggregation must construct with
+    ``rows_per_group=None`` to opt out into the observed-size freeze
+    branch (then its release cardinality must not depend on any noise
+    draw), or pass its exact per-group row count (>= 1).
     """
 
     def __init__(
@@ -149,12 +153,17 @@ class ApplyInPandas(SparkMeasurement):
         input_domain: SparkGroupedDataFrameDomain,
         input_metric,
         aggregation_function,  # an Aggregate: pd.DataFrame -> pd.DataFrame
-        rows_per_group: int = 1,
+        rows_per_group: Optional[int] = 1,
     ):
         super().__init__(
             input_domain, input_metric, aggregation_function.output_measure
         )
         self.aggregation_function = aggregation_function
+        if rows_per_group is not None and rows_per_group < 1:
+            raise ValueError(
+                f"rows_per_group must be >= 1 or None (observed-size "
+                f"opt-out), got {rows_per_group}"
+            )
         self.rows_per_group = rows_per_group
 
     def privacy_function(self, d_in: Any) -> Any:
@@ -291,14 +300,20 @@ class GeometricPartitionSelection(SparkMeasurement):
             )
         # Rare huge-candidate-set path: re-aggregate once into a
         # persisted relation (the raw input pays one more scan total),
-        # draw noise on executors, freeze as one parquet write.
-        counts = counts.persist()
+        # draw noise on executors, freeze as one parquet write.  The
+        # cache check keeps ownership with the caller: Spark's
+        # CacheManager is keyed by plan, so unpersisting here would
+        # otherwise drop a caller's cache of the identical aggregate.
+        already_cached = counts.is_cached
+        if not already_cached:
+            counts = counts.persist()
         try:
             return sanitize_df(
                 self._noise_and_filter(counts), known_rows=counts.count()
             )
         finally:
-            counts.unpersist()
+            if not already_cached:
+                counts.unpersist()
 
     def _release_from_candidates(self, spark, head, schema) -> DataFrame:
         """Driver-side noise + threshold over the frozen candidate
@@ -307,18 +322,29 @@ class GeometricPartitionSelection(SparkMeasurement):
         Row order is the canonical all-columns sort — a function of the
         released values only, so it cannot leak input order — and the
         result embeds as an immutable JVM ``LocalTableScan`` exactly
-        like every other small release."""
+        like every other small release.
+
+        The GROUP columns never round-trip through pandas: a nullable
+        int64 group column (e.g. 64-bit hash ids with a null group)
+        would coerce to float64 there and silently corrupt keys above
+        2^53.  Only the count column — int64 and non-null by
+        construction (it is ``F.count``'s output) — is handed to the
+        mechanism as a pandas Series; everything else stays Arrow."""
+        import pyarrow as pa
+
         from .noise import AddGeometricNoise
 
-        pdf = head.to_pandas()
-        if self.alpha != 0 and len(pdf):
+        counts = head.column(self.count_column).to_pandas()
+        if self.alpha != 0 and head.num_rows:
             mech = AddNoiseToSeries(AddGeometricNoise(self.alpha))
-            pdf[self.count_column] = mech(
-                pdf[self.count_column]
-            ).astype("int64")
-        out = pdf[pdf[self.count_column] >= self.threshold]
-        out = out.sort_values(list(out.columns), ignore_index=True)
-        return spark.createDataFrame(out, schema=schema)
+            counts = mech(counts).astype("int64")
+        idx = head.schema.get_field_index(self.count_column)
+        tbl = head.set_column(
+            idx, head.schema.field(idx), pa.array(counts, pa.int64())
+        )
+        tbl = tbl.filter(pa.array(counts >= self.threshold))
+        tbl = tbl.sort_by([(c, "ascending") for c in tbl.column_names])
+        return spark.createDataFrame(tbl, schema=schema)
 
 
 class SparseVectorPrefixSums(SparkMeasurement):
@@ -414,13 +440,20 @@ class SparseVectorPrefixSums(SparkMeasurement):
             return self.call_unsanitized(data)
         from pyspark.storagelevel import StorageLevel
 
-        data = data.persist(StorageLevel.MEMORY_AND_DISK)
+        # Cache ownership stays with the caller: if the input is
+        # already persisted, re-persisting would be a no-op but the
+        # finally-unpersist would DROP the caller's cache entry and
+        # force every later use to re-run the full upstream plan.
+        already_cached = data.is_cached
+        if not already_cached:
+            data = data.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             return sanitize_df(
                 self.call_unsanitized(data), known_rows=self.release_rows(data)
             )
         finally:
-            data.unpersist()
+            if not already_cached:
+                data.unpersist()
 
     def call_unsanitized(self, data: DataFrame) -> DataFrame:
         from pyspark.sql import Window
