@@ -130,14 +130,140 @@ class TestDedup:
         assert any(v != 0 for v in s1.values())
 
     def test_simhash_band_bucket_cap(self, spark, docs):
-        # A degenerate corpus (every doc identical) must not produce a
-        # quadratic pair set: with cap c the per-band pair count is
-        # bounded by bands * C(c, 2).
+        # A degenerate corpus (every doc identical) pre-groups on the
+        # signature: the banded index sees ONE representative (no
+        # quadratic bucket join), and the output is the true pair set —
+        # all C(40,2) in "all" mode, a linear 39-edge star in "star"
+        # mode.  The old membership cap silently evicted 35 of the 40
+        # docs from every band and reported them unique.
         same = docs.limit(40).withColumn("text", F.lit("same same same"))
         pairs = simhash_near_duplicates(
             same, "doc_id", "text", max_hamming=0, max_band_bucket=5
         )
-        assert pairs.count() <= 4 * 10  # 4 bands * C(5,2)
+        assert pairs.count() == 40 * 39 // 2  # the true answer
+        star = simhash_near_duplicates(
+            same, "doc_id", "text", max_hamming=0, max_band_bucket=5,
+            exact_pairs="star",
+        )
+        assert star.count() == 39
+        covered = star.select(
+            F.explode(F.array("id_a", "id_b")).alias("i")
+        ).distinct()
+        assert covered.count() == 40  # nobody silently pairless
+
+    def test_minhash_hot_group_recall_under_cap(self, spark):
+        # 200 exact text duplicates with a cap of 10: the signature
+        # pre-grouping must keep every member paired (the old
+        # membership cap evicted 190 docs from all bands identically —
+        # same hash-of-id order per band — and reported them unique).
+        same = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.lit("the very same boilerplate body in every document").alias(
+                "text"
+            ),
+        )
+        star = minhash_lsh_candidate_pairs(
+            same, "doc_id", "text", max_band_bucket=10, exact_pairs="star"
+        )
+        assert star.count() == 199
+        covered = star.select(
+            F.explode(F.array("id_a", "id_b")).alias("i")
+        ).distinct()
+        assert covered.count() == 200
+
+    def test_signatures_skip_null_text(self, spark):
+        # NULL text yields NO signature: absence is not equality.
+        # astype(str) would otherwise hash the literal "None" and pair
+        # all NULL-text docs with each other (and with a doc whose
+        # text really is "None").
+        from tumult_core_spark.extensions.dedup import (
+            minhash_signatures,
+            simhash_signatures,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, None), (3, "None"), (4, "an actual document")],
+            "doc_id long, text string",
+        )
+        assert minhash_signatures(df, "doc_id", "text").count() == 2
+        assert simhash_signatures(df, "doc_id", "text").count() == 2
+        assert simhash_near_duplicates(df, "doc_id", "text").count() == 0
+
+    def test_simhash_rejects_pigeonhole_violation(self, spark, docs):
+        # 4 bands of 16 bits guarantee recall only to Hamming 3: a
+        # larger max_hamming would silently miss pairs, so it raises.
+        with pytest.raises(ValueError, match="pigeonhole"):
+            simhash_near_duplicates(
+                docs, "doc_id", "text", max_hamming=4, band_bits=16
+            )
+
+    def test_decontaminate_stop_gram_consistent_jaccard(self, spark):
+        # When a stop set exists, the jaccard is over the SURVIVING
+        # vocabulary: an exact copy must still score 1.0 even though
+        # its boilerplate gram was dropped from the index (counting
+        # stop grams in the union but not the intersection would
+        # underestimate and silently retain contaminated docs).
+        from tumult_core_spark.extensions.dedup import decontaminate
+
+        hold = spark.createDataFrame(
+            [
+                (10, "x y z p q r"),
+                (11, "x y z s t u"),
+                (12, "x y z v w a"),
+            ],
+            "doc_id long, text string",
+        )
+        train = spark.createDataFrame(
+            [(1, "x y z p q r")], "doc_id long, text string"
+        )
+        out = decontaminate(
+            train, hold, "doc_id", "text", n=3, threshold=0.9,
+            max_gram_doc_freq=2,  # "x y z" is in all 3 holdout docs
+        ).collect()
+        hits = {(r.train_id, r.holdout_id): r.jaccard for r in out}
+        assert hits == {(1, 10): 1.0}, hits
+
+    def test_embedding_lsh_planes_are_distinct(self, spark):
+        # Regression for the PySpark HOF arity trap: binding the plane
+        # index via a lambda DEFAULT (`lambda i, p=p`) makes PySpark
+        # treat the lambda as (element, index) and every plane computes
+        # the SAME projection — one effective hyperplane, bucket
+        # collapse, near-total recall loss under the cap.  Planted
+        # (non-identical) near-dup pairs must all be found.
+        from tumult_core_spark.extensions.similarity import (
+            embedding_near_duplicates,
+        )
+
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        rows = []
+        vid = 0
+        for _ in range(20):
+            b = rng.normal(size=16)
+            b /= np.linalg.norm(b)
+            p = b + rng.normal(size=16) * 0.01
+            p /= np.linalg.norm(p)
+            rows.append((vid, [float(x) for x in b]))
+            rows.append((vid + 1, [float(x) for x in p]))
+            vid += 2
+        for _ in range(40):
+            r = rng.normal(size=16)
+            r /= np.linalg.norm(r)
+            rows.append((vid, [float(x) for x in r]))
+            vid += 1
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        out = embedding_near_duplicates(
+            df, "vec_id", "embedding", threshold=0.99, num_planes=32,
+            bands=8,
+        )
+        got = {
+            (min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in out.collect()
+        }
+        planted = {(2 * k, 2 * k + 1) for k in range(20)}
+        assert planted <= got, planted - got
 
     def test_embedding_near_dup_bucket_cap(self, spark, embs):
         from tumult_core_spark.extensions.similarity import embedding_near_duplicates

@@ -268,6 +268,12 @@ def minhash_signatures(
     vector with a single outer product + row-min.  ~3x faster than the
     equivalent Catalyst higher-order-function pipeline (interpreted
     lambdas), and deterministic across executors.
+
+    NULL text yields NO signature row (the document can never pair):
+    absence is not equality — ``astype(str)`` would otherwise turn
+    every NULL into the literal string ``"None"`` and report all
+    NULL-text documents as exact duplicates of each other (and of any
+    document whose text really is "None").
     """
     rng = np.random.default_rng(0xD1)  # fixed: signatures must be stable
     A = rng.integers(1, 2**63, size=num_hashes, dtype=np.uint64) | np.uint64(1)
@@ -286,7 +292,86 @@ def minhash_signatures(
                 {id_col: pdf[id_col].to_numpy(), "minhash": [r.tolist() for r in sigs]}
             )
 
-    return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
+    return (
+        df.select(id_col, text_col)
+        .filter(F.col(text_col).isNotNull())
+        .mapInPandas(compute, schema=out_schema)
+    )
+
+
+def _sig_groups(sigs: DataFrame, id_col: str, sig_col: str):
+    """Exact-duplicate pre-grouping on the full signature: one row per
+    distinct signature with the sorted member-id list.  Persisted —
+    the relation feeds the within-group expansion, the representative
+    index, and both sides of the member expansion."""
+    from pyspark import StorageLevel
+
+    return (
+        sigs.groupBy(sig_col)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _within_group_pairs(groups: DataFrame, exact_pairs: str) -> DataFrame:
+    """(id_a, id_b) inside identical-signature groups: ``"all"`` emits
+    every pair (Θ(g²) — the true candidate set), ``"star"`` each
+    member against the min id (Θ(g), enough for connected-component
+    dedup at corpus scale)."""
+    ids = F.col("__ids")
+    if exact_pairs == "all":
+        pair_expr = F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + F.lit(2), F.size(ids)),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+    else:  # star
+        pair_expr = F.transform(
+            F.slice(ids, 2, F.size(ids)),
+            lambda y: F.struct(ids[0].alias("a"), y.alias("b")),
+        )
+    return (
+        groups.filter(F.size(ids) > 1)
+        .select(F.explode(pair_expr).alias("__p"))
+        .select(F.col("__p.a").alias("id_a"), F.col("__p.b").alias("id_b"))
+    )
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame, groups: DataFrame, rep: F.Column
+) -> DataFrame:
+    """Expand verified representative pairs back to all member cross
+    pairs (every member of group A shares all band keys with every
+    member of group B, so the cross product IS the candidate set)."""
+    ga = groups.select(
+        rep.alias("__ra"), F.col("__ids").alias("__ids_a")
+    )
+    gb = groups.select(
+        rep.alias("__rb"), F.col("__ids").alias("__ids_b")
+    )
+    return (
+        rep_pairs.join(ga, rep_pairs["id_a"] == F.col("__ra"))
+        .join(gb, rep_pairs["id_b"] == F.col("__rb"))
+        .select(
+            F.explode("__ids_a").alias("__ma"),
+            F.col("__ids_b"),
+            *[c for c in rep_pairs.columns if c not in ("id_a", "id_b")],
+        )
+        .select(
+            F.col("__ma"),
+            F.explode("__ids_b").alias("__mb"),
+            *[c for c in rep_pairs.columns if c not in ("id_a", "id_b")],
+        )
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            *[c for c in rep_pairs.columns if c not in ("id_a", "id_b")],
+        )
+    )
 
 
 def minhash_lsh_candidate_pairs(
@@ -297,37 +382,45 @@ def minhash_lsh_candidate_pairs(
     bands: int = 16,
     shingle_size: int = 5,
     max_band_bucket: int = 50,
+    exact_pairs: str = "all",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
 
     Docs sharing any band signature become candidates.  Buckets larger
     than ``max_band_bucket`` are truncated (boilerplate guard) so the
     per-bucket self-join stays bounded.
+
+    Recall under the bucket cap: *identical-signature* documents are
+    pre-grouped exactly (one groupBy on the full signature) and pair
+    within their group without touching LSH; only one representative
+    per distinct signature enters the banded index, and representative
+    pairs expand back to member cross pairs.  The cap therefore only
+    ever truncates buckets of *distinct* signatures — a hot bucket of
+    a million boilerplate duplicates costs one group row, not a
+    million bucket rows, and loses no pairs.  (A naive membership cap
+    is catastrophic for exact duplicates: they share every band key
+    and a hash-of-id eviction order is identical across bands, so a
+    member evicted anywhere is evicted everywhere and silently gets
+    zero pairs — the same failure the embedding path documents.)
+    ``exact_pairs="all"`` emits every within-group pair (the true
+    candidate set); ``"star"`` emits Θ(g) member–representative edges,
+    enough for connected-component dedup at corpus scale.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
+    if exact_pairs not in ("all", "star"):
+        raise ValueError("exact_pairs must be 'all' or 'star'")
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[
-                            F.col("minhash")[i * rows_per_band + j]
-                            for j in range(rows_per_band)
-                        ]
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band", "band_key"),
+    groups = _sig_groups(sigs, id_col, "minhash")
+    within = _within_group_pairs(groups, exact_pairs)
+    reps = groups.select(
+        F.col("__ids")[0].alias(id_col), F.col("minhash")
     )
+    banded = _minhash_bands(reps, id_col, num_hashes, bands)
     capped = cap_hot_buckets(banded, ["band", "band_key"], id_col, max_band_bucket)
     left = capped.alias("l")
     right = capped.alias("r")
-    pairs = (
+    rep_pairs = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -339,24 +432,15 @@ def minhash_lsh_candidate_pairs(
         )
         .distinct()
     )
-    return pairs
+    expanded = _expand_rep_pairs(rep_pairs, groups, F.col("__ids")[0])
+    return expanded.union(within).distinct()
 
 
-def minhash_band_index(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_size: int = 5,
+def _minhash_bands(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """(id, band, band_key) — the persistent LSH index of a corpus
-    (write it to parquet bucketed by ``band_key`` once; an arriving
-    batch then joins against it without re-signing the corpus)."""
-    if num_hashes % bands != 0:
-        raise ValueError("num_hashes must be divisible by bands")
+    """(id, band, band_key) from a minhash-signature relation."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
     return sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -373,6 +457,26 @@ def minhash_band_index(
             )
         ).alias("band", "band_key"),
     )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """(id, band, band_key) — the persistent LSH index of a corpus
+    (write it to parquet bucketed by ``band_key`` once; an arriving
+    batch then joins against it without re-signing the corpus).
+    Every member document is indexed (no signature pre-grouping): the
+    index must answer for any member id, and the batch-vs-index join
+    is linear in postings, not quadratic in a bucket."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    return _minhash_bands(sigs, id_col, num_hashes, bands)
 
 
 def minhash_lsh_cross_pairs(
@@ -510,6 +614,9 @@ def simhash_signatures(
     use the deterministic splitmix64 polynomial hash shared with the
     minhash path, so signatures are identical across executors, runs,
     and repartitionings.
+
+    NULL text yields NO signature row, same convention (and same
+    ``astype(str)`` hazard) as :func:`minhash_signatures`.
     """
     out_schema = f"{id_col} long, simhash long"
 
@@ -533,7 +640,11 @@ def simhash_signatures(
                 sigs[i] = sig.astype(np.int64)
             yield pd.DataFrame({id_col: ids, "simhash": sigs})
 
-    return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
+    return (
+        df.select(id_col, text_col)
+        .filter(F.col(text_col).isNotNull())
+        .mapInPandas(compute, schema=out_schema)
+    )
 
 
 def simhash_near_duplicates(
@@ -543,6 +654,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     band_bits: int = 16,
     max_band_bucket: int = 200,
+    exact_pairs: str = "all",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -552,10 +664,37 @@ def simhash_near_duplicates(
     Buckets larger than ``max_band_bucket`` (e.g. a degenerate band
     of empty/boilerplate docs) are truncated with a window so the
     per-bucket self-join stays O(cap^2) instead of quadratic in the
-    hot bucket — same guard as ``minhash_lsh_candidate_pairs``.
+    hot bucket — same guard as ``minhash_lsh_candidate_pairs``, with
+    the same identical-signature pre-grouping: equal-signature docs
+    pair within their group (Hamming 0) without touching the banded
+    index, only one representative per distinct signature is banded,
+    and representative pairs expand back to member cross pairs — so
+    the cap never evicts exact boilerplate duplicates into silent
+    pairlessness.  ``exact_pairs="all"``/``"star"`` as there.
+
+    Recall is guaranteed only while ``max_hamming < 64 // band_bits``
+    (the pigeonhole bound: k bands catch up to k-1 differing bits);
+    a larger ``max_hamming`` would SILENTLY miss pairs whose
+    differences spread across every band, so it is rejected.
     """
+    if 64 % band_bits != 0:
+        raise ValueError("band_bits must divide 64")
+    if exact_pairs not in ("all", "star"):
+        raise ValueError("exact_pairs must be 'all' or 'star'")
+    n_bands = 64 // band_bits
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole recall "
+            f"guarantee of {n_bands} bands (need max_hamming <= "
+            f"{n_bands - 1}); lower band_bits to get more bands"
+        )
     sigs = simhash_signatures(df, id_col, text_col)
-    bands = sigs.select(
+    groups = _sig_groups(sigs, id_col, "simhash")
+    within = _within_group_pairs(groups, exact_pairs).withColumn(
+        "hamming", F.lit(0).cast("int")
+    )
+    reps = groups.select(F.col("__ids")[0].alias(id_col), "simhash")
+    bands = reps.select(
         id_col,
         "simhash",
         F.posexplode(
@@ -563,14 +702,14 @@ def simhash_near_duplicates(
                 *[
                     F.shiftrightunsigned(F.col("simhash"), i * band_bits)
                     .bitwiseAND(F.lit((1 << band_bits) - 1))
-                    for i in range(64 // band_bits)
+                    for i in range(n_bands)
                 ]
             )
         ).alias("band", "band_key"),
     )
     bands = cap_hot_buckets(bands, ["band", "band_key"], id_col, max_band_bucket)
     a, b = bands.alias("a"), bands.alias("b")
-    cands = (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -580,15 +719,15 @@ def simhash_near_duplicates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
         )
         .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cands.select(
-        "id_a", "id_b", hamming.alias("hamming")
-    ).filter(F.col("hamming") <= max_hamming)
+    expanded = _expand_rep_pairs(rep_pairs, groups, F.col("__ids")[0])
+    return expanded.union(within).distinct()
 
 
 #: conservative per-row estimate for a surviving holdout posting
@@ -619,11 +758,16 @@ def decontaminate(
     more than ``max_gram_doc_freq`` holdout documents are dropped from
     the index (stop-gram removal): such grams are near-universal
     boilerplate, contribute negligible Jaccard evidence each, and
-    would otherwise make one hot gram quadratic.  The exact Jaccard is
-    then computed only for candidate pairs that share at least one
-    surviving gram (intersection via the posting counts; union from
-    per-doc distinct-gram totals), so dropped stop-grams only affect
-    candidate GENERATION, never the verified jaccard value itself.
+    would otherwise make one hot gram quadratic.  The verified jaccard
+    is computed for candidate pairs that share at least one surviving
+    gram, and it is the jaccard OVER THE SURVIVING VOCABULARY: when a
+    stop set exists, dropped grams are excluded from the intersection
+    AND from both documents' totals, consistently (intersection via
+    the posting counts; totals corrected per document) — excluding
+    boilerplate from numerator but not denominator would systematically
+    underestimate similarity and silently retain contaminated docs.
+    With the default cap the stop set is empty for benchmark-sized
+    holdouts and the value is the plain exact jaccard.
 
     The index-vs-corpus join is size-gated: the surviving holdout
     postings count (a scalar aggregate over the already-built per-gram
@@ -658,25 +802,22 @@ def decontaminate(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     gram_df = h_post.groupBy("__gram").agg(F.count(F.lit(1)).alias("__df"))
     # ONE aggregation pass over the per-gram doc frequencies yields the
-    # size-gate scalar (sum of frequencies at or under the cap) — the
-    # gate costs a groupBy over the cached postings, not a second
-    # holdout scan; the train corpus is untouched
-    surviving_postings = (
-        gram_df.agg(
-            F.coalesce(
-                F.sum(
-                    F.when(F.col("__df") <= max_gram_doc_freq, F.col("__df"))
-                ),
-                F.lit(0),
-            ).alias("n")
-        )
-        .first()["n"]
-    )
-    h_post = h_post.join(
-        F.broadcast(gram_df.filter(F.col("__df") > max_gram_doc_freq)),
-        "__gram",
-        "left_anti",
-    )
+    # size-gate scalar (sum of frequencies at or under the cap) AND the
+    # stop-set cardinality — the gate costs a groupBy over the cached
+    # postings, not a second holdout scan; the train corpus is untouched
+    gate_row = gram_df.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("__df") <= max_gram_doc_freq, F.col("__df"))),
+            F.lit(0),
+        ).alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("__df") > max_gram_doc_freq, F.lit(1))),
+            F.lit(0),
+        ).alias("n_stop"),
+    ).first()
+    surviving_postings, n_stop_grams = gate_row["n"], gate_row["n_stop"]
+    stop_grams = gram_df.filter(F.col("__df") > max_gram_doc_freq)
+    h_post = h_post.join(F.broadcast(stop_grams), "__gram", "left_anti")
     t_post = tg.select("__tid", "__tn", F.explode("__g").alias("__gram"))
     # usually holdout sets are benchmark-sized, so the surviving
     # postings broadcast and the train side never shuffles — the index
@@ -697,6 +838,32 @@ def decontaminate(
             F.first("__hn").alias("__hn"),
         )
     )
+    if n_stop_grams:
+        # Rare large-holdout case: a stop set exists, so the per-doc
+        # totals must drop stopped grams too (the similarity is defined
+        # over the surviving vocabulary).  Holdout totals re-count from
+        # the surviving cached postings; train totals subtract the
+        # per-doc stopped-gram count — a broadcast join against the
+        # tiny stop set + a groupBy over ONLY the boilerplate train
+        # postings (this branch costs the train corpus a second scan;
+        # the common empty-stop-set case never reaches it).
+        hn_surv = h_post.groupBy("__hid").agg(
+            F.count(F.lit(1)).alias("__hn_s")
+        )
+        t_stop = (
+            t_post.join(F.broadcast(stop_grams.select("__gram")), "__gram")
+            .groupBy("__tid")
+            .agg(F.count(F.lit(1)).alias("__tstop"))
+        )
+        shared = (
+            shared.join(hn_surv, "__hid")
+            .join(t_stop, "__tid", "left")
+            .withColumn("__hn", F.col("__hn_s"))
+            .withColumn(
+                "__tn",
+                F.col("__tn") - F.coalesce(F.col("__tstop"), F.lit(0)),
+            )
+        )
     jac = (
         F.col("__shared")
         / F.greatest(F.col("__tn") + F.col("__hn") - F.col("__shared"), F.lit(1))

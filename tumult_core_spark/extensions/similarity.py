@@ -368,8 +368,21 @@ def embedding_near_duplicates(
     v = F.col("__vec")
     # LSH index over one representative (min id) per distinct vector
     base = groups.select(ids[0].alias("__id"), "__vec")
+
     # bit p = sign of dot(vec, h_p) where h_p[i] is a deterministic
-    # pseudo-random +-1 weight from xxhash64(i, p, seed)
+    # pseudo-random +-1 weight from xxhash64(i, p, seed).  The plane
+    # index MUST be captured by a closure factory, never a lambda
+    # default (`lambda i, p=p`): PySpark counts default-valued params
+    # toward higher-order-function arity and binds the second param to
+    # the ARRAY INDEX column, which silently made every plane compute
+    # the same projection (one effective hyperplane).  pmod, not %:
+    # Spark's % returns negative remainders for negative hashes, which
+    # turned "+-1 weights" into {-3,-1,1} with mean -1.
+    def _plane_weight(p):
+        return lambda i: (
+            F.pmod(F.xxhash64(i, F.lit(p), F.lit(seed)), F.lit(2)) * 2 - 1
+        ).cast("double")
+
     bits = [
         (
             F.aggregate(
@@ -377,9 +390,7 @@ def embedding_near_duplicates(
                     v,
                     F.transform(
                         F.sequence(F.lit(0), F.size(v) - 1),
-                        lambda i, p=p: (
-                            (F.xxhash64(i, F.lit(p), F.lit(seed)) % 2) * 2 - 1
-                        ).cast("double"),
+                        _plane_weight(p),
                     ),
                     lambda x, w: x * w,
                 ),
