@@ -130,43 +130,43 @@ class TestDedup:
         assert any(v != 0 for v in s1.values())
 
     def test_simhash_band_bucket_cap(self, spark, docs):
-        # A degenerate corpus (every doc identical) pre-groups on the
-        # signature: the banded index sees ONE representative (no
-        # quadratic bucket join), and the output is the true pair set —
-        # all C(40,2) in "all" mode, a linear 39-edge star in "star"
-        # mode.  The old membership cap silently evicted 35 of the 40
-        # docs from every band and reported them unique.
+        # A degenerate corpus (every doc identical) must stay bounded
+        # (cap keeps the bucket self-join at O(cap^2)) while the
+        # rescue edges keep every evicted member connected to the
+        # bucket anchor at Hamming 0 — the bare cap silently evicted
+        # 35 of the 40 docs from every band and reported them unique.
         same = docs.limit(40).withColumn("text", F.lit("same same same"))
         pairs = simhash_near_duplicates(
             same, "doc_id", "text", max_hamming=0, max_band_bucket=5
         )
-        assert pairs.count() == 40 * 39 // 2  # the true answer
-        star = simhash_near_duplicates(
-            same, "doc_id", "text", max_hamming=0, max_band_bucket=5,
-            exact_pairs="star",
-        )
-        assert star.count() == 39
-        covered = star.select(
+        n = pairs.count()
+        # bounded: survivors' C(5,2) + 35 linear rescue edges, never
+        # the quadratic C(40,2)
+        assert 35 < n < 40 * 39 // 2, n
+        covered = pairs.select(
             F.explode(F.array("id_a", "id_b")).alias("i")
         ).distinct()
         assert covered.count() == 40  # nobody silently pairless
+        assert pairs.filter("hamming != 0").count() == 0
 
     def test_minhash_hot_group_recall_under_cap(self, spark):
-        # 200 exact text duplicates with a cap of 10: the signature
-        # pre-grouping must keep every member paired (the old
-        # membership cap evicted 190 docs from all bands identically —
-        # same hash-of-id order per band — and reported them unique).
+        # 200 exact text duplicates with a cap of 10: rescue edges
+        # must keep every member paired (the bare membership cap
+        # evicted 190 docs from all bands identically — same
+        # hash-of-id order per band — and reported them unique), and
+        # the output stays linear in the evicted rows, never C(200,2).
         same = spark.range(200).select(
             F.col("id").alias("doc_id"),
             F.lit("the very same boilerplate body in every document").alias(
                 "text"
             ),
         )
-        star = minhash_lsh_candidate_pairs(
-            same, "doc_id", "text", max_band_bucket=10, exact_pairs="star"
+        pairs = minhash_lsh_candidate_pairs(
+            same, "doc_id", "text", max_band_bucket=10
         )
-        assert star.count() == 199
-        covered = star.select(
+        n = pairs.count()
+        assert 190 <= n < 1000, n  # C(10,2)*bands dedup + 190 rescues
+        covered = pairs.select(
             F.explode(F.array("id_a", "id_b")).alias("i")
         ).distinct()
         assert covered.count() == 200

@@ -823,3 +823,25 @@ class TestBucketedLayout:
         got = sorted(map(tuple, read_table(spark, ob).collect()))
         want = sorted(map(tuple, src.collect()))
         assert got == want
+
+
+def test_centroid_assignment_no_shuffle_no_window(spark, sf_dir):
+    """kmeans'/IVF's per-vector centroid assignment must be a pure
+    map stage (closure-captured NumPy argmax in mapInPandas): no
+    Exchange and no Window — the old row_number formulation shuffled
+    the whole corpus once per Lloyd iteration."""
+    from tumult_core_spark.extensions.similarity import (
+        _nearest_centroids,
+        sample_centroids,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("__v")
+    )
+    cents = sample_centroids(embs, "__v", 4)
+    out = _nearest_centroids(embs, "__v", cents, 1)
+    plan = plan_of(out)
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "MapInPandas" in plan, plan

@@ -148,6 +148,41 @@ def cap_hot_buckets(
     set is a scalar aggregate over the persisted input, so the extra
     action reuses the cache the function needs anyway.
     """
+    capped, _ = _cap_hot_buckets_with_rescue(
+        df, bucket_cols, id_col, cap, salt, broadcast_threshold_bytes
+    )
+    return capped
+
+
+def _cap_hot_buckets_with_rescue(
+    df: DataFrame,
+    bucket_cols: List[str],
+    id_col: str,
+    cap: int,
+    salt: int = 0x5EED,
+    broadcast_threshold_bytes: int = 100 * 1024 * 1024,
+    payload_cols: Optional[List[str]] = None,
+):
+    """(capped, rescue) — :func:`cap_hot_buckets` plus the RESCUE
+    EDGES that make the cap recall-safe for candidate-pair consumers.
+
+    The cap alone silently orphans over-cap members: the eviction
+    order is a hash of the id, identical across bands, so a document
+    evicted from one bucket of an exact-duplicate group is evicted
+    from ALL of them and emits zero candidate pairs — a corpus with a
+    million copies of one boilerplate page would keep 999k+ of them as
+    "unique".  The fix costs nothing extra: the same row_number window
+    that ranks a hot bucket also knows the bucket's rank-1 ANCHOR, so
+    every evicted row emits one (anchor, id) edge.  Anchored stars
+    keep every member of an over-cap bucket connected to its bucket's
+    survivors — connected-component dedup loses nothing — while the
+    pair count stays linear in the evicted rows, never Θ(bucket²).
+    ``rescue`` has columns (id_a, id_b) — id_a is the anchor, id_a <
+    id_b not guaranteed, callers normalize — plus, for every name in
+    ``payload_cols``, the anchor's value as ``a_<name>`` and the
+    evicted member's as ``b_<name>`` (e.g. the simhash signatures a
+    verifying consumer needs).
+    """
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -165,12 +200,25 @@ def cap_hot_buckets(
     w = Window.partitionBy(*bucket_cols).orderBy(
         F.xxhash64(F.col(id_col), F.lit(salt)), F.col(id_col)
     )
-    capped = (
-        hot_rows.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= cap)
-        .drop("__rn")
+    payload_cols = payload_cols or []
+    ranked = hot_rows.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__anchor", F.first(id_col).over(w)
     )
-    return cold.unionByName(capped)
+    for c in payload_cols:
+        ranked = ranked.withColumn(f"__a_{c}", F.first(c).over(w))
+    drop_cols = ["__rn", "__anchor"] + [f"__a_{c}" for c in payload_cols]
+    capped = ranked.filter(F.col("__rn") <= cap).drop(*drop_cols)
+    rescue = (
+        ranked.filter(F.col("__rn") > cap)
+        .select(
+            F.col("__anchor").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"__a_{c}").alias(f"a_{c}") for c in payload_cols],
+            *[F.col(c).alias(f"b_{c}") for c in payload_cols],
+        )
+        .distinct()
+    )
+    return cold.unionByName(capped), rescue
 
 
 def _shingle_expr(text_col: str, shingle_size: int) -> F.Column:
@@ -299,81 +347,6 @@ def minhash_signatures(
     )
 
 
-def _sig_groups(sigs: DataFrame, id_col: str, sig_col: str):
-    """Exact-duplicate pre-grouping on the full signature: one row per
-    distinct signature with the sorted member-id list.  Persisted —
-    the relation feeds the within-group expansion, the representative
-    index, and both sides of the member expansion."""
-    from pyspark import StorageLevel
-
-    return (
-        sigs.groupBy(sig_col)
-        .agg(F.sort_array(F.collect_list(id_col)).alias("__ids"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-
-
-def _within_group_pairs(groups: DataFrame, exact_pairs: str) -> DataFrame:
-    """(id_a, id_b) inside identical-signature groups: ``"all"`` emits
-    every pair (Θ(g²) — the true candidate set), ``"star"`` each
-    member against the min id (Θ(g), enough for connected-component
-    dedup at corpus scale)."""
-    ids = F.col("__ids")
-    if exact_pairs == "all":
-        pair_expr = F.flatten(
-            F.transform(
-                ids,
-                lambda x, i: F.transform(
-                    F.slice(ids, i + F.lit(2), F.size(ids)),
-                    lambda y: F.struct(x.alias("a"), y.alias("b")),
-                ),
-            )
-        )
-    else:  # star
-        pair_expr = F.transform(
-            F.slice(ids, 2, F.size(ids)),
-            lambda y: F.struct(ids[0].alias("a"), y.alias("b")),
-        )
-    return (
-        groups.filter(F.size(ids) > 1)
-        .select(F.explode(pair_expr).alias("__p"))
-        .select(F.col("__p.a").alias("id_a"), F.col("__p.b").alias("id_b"))
-    )
-
-
-def _expand_rep_pairs(
-    rep_pairs: DataFrame, groups: DataFrame, rep: F.Column
-) -> DataFrame:
-    """Expand verified representative pairs back to all member cross
-    pairs (every member of group A shares all band keys with every
-    member of group B, so the cross product IS the candidate set)."""
-    ga = groups.select(
-        rep.alias("__ra"), F.col("__ids").alias("__ids_a")
-    )
-    gb = groups.select(
-        rep.alias("__rb"), F.col("__ids").alias("__ids_b")
-    )
-    return (
-        rep_pairs.join(ga, rep_pairs["id_a"] == F.col("__ra"))
-        .join(gb, rep_pairs["id_b"] == F.col("__rb"))
-        .select(
-            F.explode("__ids_a").alias("__ma"),
-            F.col("__ids_b"),
-            *[c for c in rep_pairs.columns if c not in ("id_a", "id_b")],
-        )
-        .select(
-            F.col("__ma"),
-            F.explode("__ids_b").alias("__mb"),
-            *[c for c in rep_pairs.columns if c not in ("id_a", "id_b")],
-        )
-        .select(
-            F.least("__ma", "__mb").alias("id_a"),
-            F.greatest("__ma", "__mb").alias("id_b"),
-            *[c for c in rep_pairs.columns if c not in ("id_a", "id_b")],
-        )
-    )
-
-
 def minhash_lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -382,7 +355,6 @@ def minhash_lsh_candidate_pairs(
     bands: int = 16,
     shingle_size: int = 5,
     max_band_bucket: int = 50,
-    exact_pairs: str = "all",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
 
@@ -390,50 +362,44 @@ def minhash_lsh_candidate_pairs(
     than ``max_band_bucket`` are truncated (boilerplate guard) so the
     per-bucket self-join stays bounded.
 
-    Recall under the bucket cap: *identical-signature* documents are
-    pre-grouped exactly (one groupBy on the full signature) and pair
-    within their group without touching LSH; only one representative
-    per distinct signature enters the banded index, and representative
-    pairs expand back to member cross pairs.  The cap therefore only
-    ever truncates buckets of *distinct* signatures — a hot bucket of
-    a million boilerplate duplicates costs one group row, not a
-    million bucket rows, and loses no pairs.  (A naive membership cap
-    is catastrophic for exact duplicates: they share every band key
-    and a hash-of-id eviction order is identical across bands, so a
-    member evicted anywhere is evicted everywhere and silently gets
-    zero pairs — the same failure the embedding path documents.)
-    ``exact_pairs="all"`` emits every within-group pair (the true
-    candidate set); ``"star"`` emits Θ(g) member–representative edges,
-    enough for connected-component dedup at corpus scale.
+    Recall under the bucket cap: truncation alone would silently
+    ORPHAN over-cap members — the eviction order is a hash of the id,
+    identical across bands, so a document evicted from one bucket of
+    an exact-duplicate group is evicted from all of them and emits
+    zero pairs (a million boilerplate copies would dedup to keeping
+    999k+ of them).  Every evicted row therefore also emits one
+    RESCUE EDGE to its bucket's rank-1 anchor, from the same window
+    pass the cap already runs: every member of an over-cap bucket
+    stays connected to that bucket's survivors, connected-component
+    dedup loses nothing, and the output stays linear in the evicted
+    rows instead of Θ(bucket²).  The output is a CANDIDATE set with a
+    connectivity guarantee, not the exhaustive pair list of a hot
+    bucket — downstream verification (jaccard, components) is the
+    semantic consumer.
     """
-    if num_hashes % bands != 0:
-        raise ValueError("num_hashes must be divisible by bands")
-    if exact_pairs not in ("all", "star"):
-        raise ValueError("exact_pairs must be 'all' or 'star'")
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
-    groups = _sig_groups(sigs, id_col, "minhash")
-    within = _within_group_pairs(groups, exact_pairs)
-    reps = groups.select(
-        F.col("__ids")[0].alias(id_col), F.col("minhash")
+    # one banding construction for batch pairs AND the persisted index
+    # (cross-batch dedup joins the two, so they must stay bit-identical)
+    banded = minhash_band_index(
+        df, id_col, text_col, num_hashes, bands, shingle_size
     )
-    banded = _minhash_bands(reps, id_col, num_hashes, bands)
-    capped = cap_hot_buckets(banded, ["band", "band_key"], id_col, max_band_bucket)
+    capped, rescue = _cap_hot_buckets_with_rescue(
+        banded, ["band", "band_key"], id_col, max_band_bucket
+    )
     left = capped.alias("l")
     right = capped.alias("r")
-    rep_pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
-        .distinct()
+    pairs = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.band_key") == F.col("r.band_key"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
     )
-    expanded = _expand_rep_pairs(rep_pairs, groups, F.col("__ids")[0])
-    return expanded.union(within).distinct()
+    normalized_rescue = rescue.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    )
+    return pairs.union(normalized_rescue).distinct()
 
 
 def _minhash_bands(
@@ -654,7 +620,6 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     band_bits: int = 16,
     max_band_bucket: int = 200,
-    exact_pairs: str = "all",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
@@ -664,13 +629,16 @@ def simhash_near_duplicates(
     Buckets larger than ``max_band_bucket`` (e.g. a degenerate band
     of empty/boilerplate docs) are truncated with a window so the
     per-bucket self-join stays O(cap^2) instead of quadratic in the
-    hot bucket — same guard as ``minhash_lsh_candidate_pairs``, with
-    the same identical-signature pre-grouping: equal-signature docs
-    pair within their group (Hamming 0) without touching the banded
-    index, only one representative per distinct signature is banded,
-    and representative pairs expand back to member cross pairs — so
-    the cap never evicts exact boilerplate duplicates into silent
-    pairlessness.  ``exact_pairs="all"``/``"star"`` as there.
+    hot bucket — same guard as ``minhash_lsh_candidate_pairs``, and
+    with the same RESCUE EDGES: every evicted row also pairs with its
+    bucket's rank-1 anchor (signatures carried so the pair passes the
+    same Hamming verification), so an over-cap group of identical
+    signatures — which the hash-of-id eviction order would otherwise
+    orphan in every band at once — stays connected at Hamming 0.
+    A rescued member whose anchor happens to be a far signature is
+    still filtered by ``max_hamming``; the guarantee repairs the
+    identical-signature catastrophe, not the cap's general recall
+    trade.
 
     Recall is guaranteed only while ``max_hamming < 64 // band_bits``
     (the pigeonhole bound: k bands catch up to k-1 differing bits);
@@ -679,8 +647,6 @@ def simhash_near_duplicates(
     """
     if 64 % band_bits != 0:
         raise ValueError("band_bits must divide 64")
-    if exact_pairs not in ("all", "star"):
-        raise ValueError("exact_pairs must be 'all' or 'star'")
     n_bands = 64 // band_bits
     if max_hamming >= n_bands:
         raise ValueError(
@@ -689,12 +655,7 @@ def simhash_near_duplicates(
             f"{n_bands - 1}); lower band_bits to get more bands"
         )
     sigs = simhash_signatures(df, id_col, text_col)
-    groups = _sig_groups(sigs, id_col, "simhash")
-    within = _within_group_pairs(groups, exact_pairs).withColumn(
-        "hamming", F.lit(0).cast("int")
-    )
-    reps = groups.select(F.col("__ids")[0].alias(id_col), "simhash")
-    bands = reps.select(
+    bands = sigs.select(
         id_col,
         "simhash",
         F.posexplode(
@@ -707,9 +668,12 @@ def simhash_near_duplicates(
             )
         ).alias("band", "band_key"),
     )
-    bands = cap_hot_buckets(bands, ["band", "band_key"], id_col, max_band_bucket)
+    bands, rescue = _cap_hot_buckets_with_rescue(
+        bands, ["band", "band_key"], id_col, max_band_bucket,
+        payload_cols=["simhash"],
+    )
     a, b = bands.alias("a"), bands.alias("b")
-    rep_pairs = (
+    cands = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -719,15 +683,29 @@ def simhash_near_duplicates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).cast("int").alias("hamming"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
         )
+    )
+    rescue_cands = rescue.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        # payload order follows the id normalization so sig_a belongs
+        # to id_a (hamming is symmetric, but keep the columns honest)
+        F.when(F.col("id_a") <= F.col("id_b"), F.col("a_simhash"))
+        .otherwise(F.col("b_simhash"))
+        .alias("sig_a"),
+        F.when(F.col("id_a") <= F.col("id_b"), F.col("b_simhash"))
+        .otherwise(F.col("a_simhash"))
+        .alias("sig_b"),
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cands.union(rescue_cands)
         .distinct()
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
-    expanded = _expand_rep_pairs(rep_pairs, groups, F.col("__ids")[0])
-    return expanded.union(within).distinct()
 
 
 #: conservative per-row estimate for a surviving holdout posting
@@ -982,7 +960,21 @@ def duplicate_substring_spans(
     boilerplate window shared by millions of documents costs two longs
     per partition, not a hot-key blowup.  Span merging is one
     window-function pass per document (islands).
+
+    The window relation feeds TWO consumers (the dup-hash aggregate
+    and the spans join), so it is persisted for the call — uncached,
+    Catalyst re-runs the corpus tokenize + posexplode + md5 once per
+    consumer (verified: two FileScans, no ReusedExchange, since the
+    aggregate's partial-agg subtree differs from the join side's).
+    MEMORY_AND_DISK spills the token-scale relation rather than
+    OOM-ing; Spark's ContextCleaner unpersists when the plan is
+    garbage-collected (same convention as ``decontaminate``).  A
+    min!=max window function instead of groupBy+join would be
+    single-pass but loses the map-side combine, recreating the hot-key
+    blowup this design exists to avoid.
     """
+    from pyspark import StorageLevel
+
     toks = df.select(
         F.col(id_col), _ws_tokens(text_col).alias("__toks")
     ).withColumn("__n", F.size("__toks"))
@@ -1000,7 +992,7 @@ def duplicate_substring_spans(
                 F.slice(F.col("__toks"), F.col("__i") + 1, window_tokens), " "
             )
         ).alias("__h"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # a window is duplicated iff it occurs in >= 2 distinct documents:
     # min(doc) != max(doc) — skew-proof, no distinct aggregation
     dup_hashes = (

@@ -18,8 +18,10 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: F.Column, b: F.Column) -> F.Column:
@@ -151,9 +153,11 @@ def kmeans_centroids(
     """Distributed Lloyd refinement of the hash-sampled centroids.
 
     Each iteration: assign every vector to its nearest centroid
-    (broadcast argmin — no shuffle of the corpus), then recompute each
-    centroid as the element-wise mean of its cell (posexplode ->
-    per-(cell, position) partial-aggregated mean -> reassembled array).
+    (closure-captured NumPy argmax in mapInPandas — genuinely no
+    shuffle of the corpus; see :func:`_nearest_centroids`), then
+    recompute each centroid as the element-wise mean of its cell
+    (posexplode -> per-(cell, position) partial-aggregated mean ->
+    reassembled array).
     Cost per iteration is one corpus scan plus a cells x dim sized
     aggregate; centroids stay broadcast-sized throughout, so this
     scales to corpora that never fit on the driver.  Deterministic
@@ -166,13 +170,9 @@ def kmeans_centroids(
         raise ValueError("empty corpus")
     c = corpus.select(F.col(vector_col).cast("array<double>").alias("__v"))
     for _ in range(max(0, iterations)):
-        assigned = _nearest_centroids(
-            c.withColumn("__rid", F.monotonically_increasing_id()),
-            "__rid",
-            "__v",
-            cents,
-            1,
-        ).select("__centroid_id", "__v")
+        assigned = _nearest_centroids(c, "__v", cents, 1).select(
+            "__centroid_id", "__v"
+        )
         means = (
             assigned.select(
                 "__centroid_id", F.posexplode("__v").alias("__pos", "__x")
@@ -202,24 +202,57 @@ def kmeans_centroids(
 
 def _nearest_centroids(
     df: DataFrame,
-    id_alias: str,
     vector_col: str,
     centroids: DataFrame,
     n_nearest: int,
 ) -> DataFrame:
-    """Assign each vector to its n nearest centroids (broadcast join)."""
-    scored = df.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_alias),
-        F.col(vector_col),
-        F.col("__centroid_id"),
-        cosine(F.col(vector_col), F.col("__centroid")).alias("__csim"),
-    )
-    w = Window.partitionBy(id_alias).orderBy(F.desc("__csim"))
-    return (
-        scored.withColumn("__crank", F.row_number().over(w))
-        .filter(F.col("__crank") <= n_nearest)
-        .drop("__csim", "__crank")
-    )
+    """Append ``__centroid_id`` rows for each vector's n nearest
+    centroids — WITHOUT shuffling the corpus.
+
+    The centroid matrix is bounded (num_centroids x dim) by
+    construction, so it is collected once and closure-captured into an
+    Arrow-batched ``mapInPandas`` that scores a whole batch with one
+    BLAS matmul and takes a per-row argmax/top-n.  The previous
+    formulation (crossJoin(broadcast) + row_number window keyed on a
+    row id) shuffled corpus x candidates rows on EVERY call — once per
+    Lloyd iteration in :func:`kmeans_centroids`, directly contradicting
+    its no-corpus-shuffle contract.  Scores replicate :func:`cosine`
+    exactly (dot / max(|a||b|, 1e-30)); ties break toward the lower
+    centroid id (stable argsort over the id-sorted matrix), making the
+    assignment deterministic given (corpus, seed).  All input columns
+    pass through unchanged.
+    """
+    rows = sorted(centroids.collect(), key=lambda r: r["__centroid_id"])
+    cid = np.array([r["__centroid_id"] for r in rows], dtype=np.int64)
+    C = np.array([list(r["__centroid"]) for r in rows], dtype=np.float64)
+    c_norm = np.linalg.norm(C, axis=1)
+    n = min(n_nearest, len(rows))
+
+    out_fields = list(df.schema.fields) + [
+        T.StructField("__centroid_id", T.LongType(), False)
+    ]
+    out_schema = T.StructType(out_fields)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(pdf[vector_col].tolist(), dtype=np.float64)
+            denom = np.maximum(
+                np.outer(np.linalg.norm(A, axis=1), c_norm), 1e-30
+            )
+            S = (A @ C.T) / denom
+            if n == 1:
+                out = pdf.copy()
+                out["__centroid_id"] = cid[S.argmax(axis=1)]
+                yield out
+            else:
+                top = np.argsort(-S, axis=1, kind="stable")[:, :n]
+                out = pdf.iloc[np.repeat(np.arange(len(pdf)), n)].copy()
+                out["__centroid_id"] = cid[top.ravel()]
+                yield out
+
+    return df.mapInPandas(assign, schema=out_schema)
 
 
 def ivf_knn(
@@ -258,8 +291,8 @@ def ivf_knn(
         )
     else:
         centroids = sample_centroids(c, "__cvec", num_centroids)
-    c_assigned = _nearest_centroids(c, "__cid", "__cvec", centroids, 1)
-    q_assigned = _nearest_centroids(q, "__qid", "__qvec", centroids, nprobe)
+    c_assigned = _nearest_centroids(c, "__cvec", centroids, 1)
+    q_assigned = _nearest_centroids(q, "__qvec", centroids, nprobe)
 
     joined = c_assigned.join(
         F.broadcast(q_assigned.select("__qid", "__qvec", "__centroid_id")),
@@ -759,21 +792,17 @@ def pq_knn(
     )
 
 
-def _adc_scored(
-    codes: DataFrame,
+def _adc_tables(
     queries: DataFrame,
     codebooks,
-    id_col: str,
     query_id_col: str,
     query_vector_col: str,
     max_queries: int,
-    code_col: str = "pq_code",
-) -> DataFrame:
-    """(query_id, id, adc) for every (query, code) pair: broadcast
-    per-query subspace lookup tables, m table reads per candidate."""
-    import numpy as np
-    import pandas as pd
-
+):
+    """(qids, qv, tables, m): per-query PQ subspace lookup tables —
+    ``tables[q][j][c] = ||query_q subspace j - centroid c||^2`` —
+    built from ONE bounded collect of the query set (qv is the raw
+    query matrix so callers never collect a second time)."""
     books = np.asarray(codebooks, dtype=np.float64)
     m, kc, sub = books.shape
     q_rows = queries.select(query_id_col, query_vector_col).limit(
@@ -785,8 +814,9 @@ def _adc_scored(
             "raise the bound explicitly for larger sweeps"
         )
     qids = [r[query_id_col] for r in q_rows]
-    qv = np.stack([np.asarray(r[query_vector_col], dtype=np.float64) for r in q_rows])
-    # tables[q][j][c] = ||query_q subspace j - centroid c||^2
+    qv = np.stack(
+        [np.asarray(r[query_vector_col], dtype=np.float64) for r in q_rows]
+    )
     tables = np.empty((len(qids), m, kc))
     for j in range(m):
         seg = qv[:, j * sub : (j + 1) * sub]
@@ -795,6 +825,48 @@ def _adc_scored(
             - 2.0 * seg @ books[j].T
             + (books[j] ** 2).sum(axis=1)
         )
+    return qids, qv, tables, m
+
+
+def _adc_score_pairs(
+    pairs: DataFrame, tables, m: int, qi_col: str, code_col: str
+) -> F.Column:
+    """adc column for an explicit (query-index, code) PAIR relation:
+    m table lookups per pair, work proportional to the pairs that
+    exist — never queries x candidates."""
+    import pandas as pd
+
+    def _score(code_s, qi_s):
+        c = np.stack(code_s.to_numpy()).astype(np.int64)
+        qi = qi_s.to_numpy().astype(np.int64)
+        out = np.zeros(len(qi))
+        for j in range(m):
+            out += tables[qi, j, c[:, j]]
+        return pd.Series(out)
+
+    return F.pandas_udf(_score, "double")(F.col(code_col), F.col(qi_col))
+
+
+def _adc_scored(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    id_col: str,
+    query_id_col: str,
+    query_vector_col: str,
+    max_queries: int,
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """(query_id, id, adc) for EVERY (query, code) pair: broadcast
+    per-query subspace lookup tables, m table reads per candidate.
+    All-pairs by design — this is :func:`pq_knn`'s exhaustive scan;
+    the IVF-pruned path scores only its probed pairs via
+    :func:`_adc_score_pairs`."""
+    import pandas as pd
+
+    qids, _qv, tables, m = _adc_tables(
+        queries, codebooks, query_id_col, query_vector_col, max_queries
+    )
 
     def _score(col):
         c = np.stack(col.to_numpy()).astype(np.int64)  # (n, m)
@@ -844,7 +916,7 @@ def ivfpq_index(
     cents = kmeans_centroids(
         c, "__v", num_cells, iterations=train_iterations, seed=seed
     )
-    assigned = _nearest_centroids(c, id_col, "__v", cents, 1).select(
+    assigned = _nearest_centroids(c, "__v", cents, 1).select(
         id_col, F.col("__centroid_id").alias("__cell"), "__v"
     )
     codes = pq_encode(assigned, id_col, "__v", codebooks)
@@ -869,53 +941,42 @@ def ivfpq_knn(
 ) -> DataFrame:
     """IVF-PQ top-k: each query probes its ``nprobe`` nearest cells
     (cosine against the tiny centroid matrix, computed driver-side)
-    and ADC-scores ONLY the codes in those cells — the composition
-    that makes billion-vector ANN tractable: the IVF prunes the
-    corpus ~nprobe/num_cells, the PQ codes make what remains a few
-    table lookups per candidate.
+    and ADC-scores ONLY the (query, candidate) pairs those probes
+    create — the composition that makes billion-vector ANN tractable:
+    the IVF prunes the corpus ~nprobe/num_cells, the PQ codes make
+    what remains m table lookups per pair.  Every corpus code lives in
+    exactly one cell, so the probes join IS the exact pair set: no
+    all-queries scoring pass, no post-hoc filter.
     """
-    import numpy as np
-
     cent_mat, cell_ids = centroids
-    q_rows = queries.select(query_id_col, query_vector_col).limit(
-        max_queries + 1
-    ).collect()
-    if len(q_rows) > max_queries:
-        raise ValueError(f"query set exceeds max_queries={max_queries}")
+    qids, qv, tables, m = _adc_tables(
+        queries, codebooks, query_id_col, query_vector_col, max_queries
+    )
     spark = index_df.sparkSession
-    qv = np.stack([np.asarray(r[query_vector_col], dtype=np.float64) for r in q_rows])
     cn = cent_mat / np.clip(
         np.linalg.norm(cent_mat, axis=1, keepdims=True), 1e-30, None
     )
     qn = qv / np.clip(np.linalg.norm(qv, axis=1, keepdims=True), 1e-30, None)
     sims = qn @ cn.T  # (q, cells)
     probe_pairs = [
-        (r[query_id_col], int(cell_ids[c]))
-        for i, r in enumerate(q_rows)
+        (qid, i, int(cell_ids[c]))
+        for i, qid in enumerate(qids)
         for c in np.argsort(-sims[i], kind="stable")[:nprobe]
     ]
-    probes = spark.createDataFrame(probe_pairs, ["__pqid", "__cell"])
-    pruned = index_df.join(F.broadcast(probes), "__cell")
-    scored = _adc_scored(
-        pruned.select(id_col, "pq_code").dropDuplicates([id_col]),
-        queries,
-        codebooks,
-        id_col,
-        query_id_col,
-        query_vector_col,
-        max_queries,
+    probes = spark.createDataFrame(
+        probe_pairs, ["query_id", "__qi", "__cell"]
     )
-    # restrict to the pairs each query actually probed BEFORE the
-    # top-k window, so every query gets its k best probed candidates
-    probed_ids = pruned.select(
-        F.col("__pqid").alias("query_id"), F.col(id_col)
-    ).dropDuplicates()
-    allowed = scored.join(probed_ids, ["query_id", id_col])
+    pairs = index_df.join(F.broadcast(probes), "__cell")
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col),
+        _adc_score_pairs(pairs, tables, m, "__qi", "pq_code").alias("adc"),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col(id_col).asc()
     )
     return (
-        allowed.withColumn("__rk", F.row_number().over(w))
+        scored.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .select("query_id", F.col(id_col), F.round("adc", 9).alias("adc_distance"))
     )
