@@ -373,11 +373,16 @@ def oracle_sql() -> dict[str, str]:
             c AS (
                 SELECT doc_id,
                        unnest(list_transform(
-                           range(1, greatest(len(toks), 1) + 1, 30),
+                           list_filter(
+                               range(1, greatest(len(toks), 1) + 1, 30),
+                               s -> s = 1 OR s <= len(toks) - 10),
                            s -> COALESCE(array_to_string(
                                list_slice(toks, s, s + 39), ' '), ''))) AS chunk_text,
-                       generate_subscripts(range(1, greatest(len(toks), 1) + 1,
-                                                 30), 1) - 1 AS chunk_idx
+                       generate_subscripts(
+                           list_filter(
+                               range(1, greatest(len(toks), 1) + 1, 30),
+                               s -> s = 1 OR s <= len(toks) - 10),
+                           1) - 1 AS chunk_idx
                 FROM t),
             d AS (
                 SELECT doc_id * 1000 + chunk_idx AS chunk_id,
@@ -508,10 +513,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, d.source, d.n_chars
             FROM documents d JOIN thr USING (source)
-            WHERE (((2654435761 * CAST((((d.doc_id + 7) % 4294967296)
+            WHERE (((1161830751 * CAST((((d.doc_id + 7) % 4294967296)
                      - ((d.doc_id + 7) % 4294967296) % 65536) / 65536 AS BIGINT))
                     % 65536) * 65536
-                   + 2654435761 * (((d.doc_id + 7) % 4294967296) % 65536))
+                   + 1161830751 * (((d.doc_id + 7) % 4294967296) % 65536))
                   % 4294967296 < thr.threshold
         """,
         "substring_dedup": """
@@ -868,7 +873,7 @@ def oracle_sql() -> dict[str, str]:
                     WHERE p.sf_key = k.key AND p.name = 'temperature_mix')
             SELECT d.doc_id, d.lang
             FROM documents d JOIN thr t ON d.lang = t.lang
-            WHERE (((2654435761 * CAST((((d.doc_id + 11) % 4294967296) - ((d.doc_id + 11) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 2654435761 * (((d.doc_id + 11) % 4294967296) % 65536)) % 4294967296 < t.threshold
+            WHERE (((922480359 * CAST((((d.doc_id + 11) % 4294967296) - ((d.doc_id + 11) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 922480359 * (((d.doc_id + 11) % 4294967296) % 65536)) % 4294967296 < t.threshold
             UNION ALL
             SELECT CAST(error('pinned-constants fixture has no '
                               'temperature_mix block for this documents '
@@ -923,7 +928,7 @@ def oracle_sql() -> dict[str, str]:
                                1.0) * 0.3 AS quality
                 FROM m)
             SELECT doc_id, ROUND(quality, 6) AS quality FROM q
-            WHERE (((2654435761 * CAST((((doc_id + 23) % 4294967296) - ((doc_id + 23) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 2654435761 * (((doc_id + 23) % 4294967296) % 65536)) % 4294967296
+            WHERE (((204429183 * CAST((((doc_id + 23) % 4294967296) - ((doc_id + 23) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 204429183 * (((doc_id + 23) % 4294967296) % 65536)) % 4294967296
                   < CAST(FLOOR(LEAST(GREATEST(quality, 0.0), 1.0)
                                * 4294967296.0) AS BIGINT)
         """,
@@ -948,11 +953,16 @@ def oracle_sql() -> dict[str, str]:
             c AS (
                 SELECT doc_id,
                        unnest(list_transform(
-                           range(1, greatest(len(toks), 1) + 1, 30),
+                           list_filter(
+                               range(1, greatest(len(toks), 1) + 1, 30),
+                               s -> s = 1 OR s <= len(toks) - 10),
                            s -> COALESCE(array_to_string(
                                list_slice(toks, s, s + 39), ' '), ''))) AS chunk_text,
-                       generate_subscripts(range(1, greatest(len(toks), 1) + 1,
-                                                 30), 1) - 1 AS chunk_idx
+                       generate_subscripts(
+                           list_filter(
+                               range(1, greatest(len(toks), 1) + 1, 30),
+                               s -> s = 1 OR s <= len(toks) - 10),
+                           1) - 1 AS chunk_idx
                 FROM t)
             SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, chunk_text,
                    CAST(CASE WHEN chunk_text = '' THEN 0
@@ -1000,11 +1010,16 @@ def oracle_sql() -> dict[str, str]:
             c AS (
                 SELECT doc_id,
                        unnest(list_transform(
-                           range(1, greatest(len(toks), 1) + 1, 30),
+                           list_filter(
+                               range(1, greatest(len(toks), 1) + 1, 30),
+                               s -> s = 1 OR s <= len(toks) - 10),
                            s -> COALESCE(array_to_string(
                                list_slice(toks, s, s + 39), ' '), ''))) AS chunk_text,
-                       generate_subscripts(range(1, greatest(len(toks), 1) + 1,
-                                                 30), 1) - 1 AS chunk_idx
+                       generate_subscripts(
+                           list_filter(
+                               range(1, greatest(len(toks), 1) + 1, 30),
+                               s -> s = 1 OR s <= len(toks) - 10),
+                           1) - 1 AS chunk_idx
                 FROM t),
             d AS (
                 SELECT doc_id * 1000 + chunk_idx AS chunk_id,
@@ -1077,8 +1092,14 @@ def oracle_sql() -> dict[str, str]:
                        SUM(cnt * length(item)) AS total_chars,
                        SUM(CASE WHEN cnt > 1 THEN cnt * length(item)
                                 ELSE 0 END) AS dup_chars,
-                       MAX(cnt * length(item)) AS top_chars
-                FROM counted GROUP BY 1, 2),
+                       -- chars of the MOST FREQUENT item (argmax by
+                       -- count, ties to larger coverage) -- Gopher's
+                       -- rule, mirrored from text.py's max_by
+                       MAX(CASE WHEN cnt = mc THEN cnt * length(item)
+                                END) AS top_chars
+                FROM (SELECT counted.*,
+                             MAX(cnt) OVER (PARTITION BY doc_id, kind) AS mc
+                      FROM counted) GROUP BY 1, 2),
             stats AS (
                 SELECT doc_id,
                        CAST(MAX(CASE WHEN kind = 'L' THEN total END) AS BIGINT)
@@ -1553,9 +1574,9 @@ def oracle_sql() -> dict[str, str]:
         # floor(0.9*2^32))
         "hash_split": """
             SELECT doc_id,
-                   CASE WHEN (((2654435761 * CAST((((doc_id + 7) % 4294967296) - ((doc_id + 7) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 2654435761 * (((doc_id + 7) % 4294967296) % 65536)) % 4294967296
+                   CASE WHEN (((1161830751 * CAST((((doc_id + 7) % 4294967296) - ((doc_id + 7) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 1161830751 * (((doc_id + 7) % 4294967296) % 65536)) % 4294967296
                              < 3435973836 THEN 'train'
-                        WHEN (((2654435761 * CAST((((doc_id + 7) % 4294967296) - ((doc_id + 7) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 2654435761 * (((doc_id + 7) % 4294967296) % 65536)) % 4294967296
+                        WHEN (((1161830751 * CAST((((doc_id + 7) % 4294967296) - ((doc_id + 7) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 1161830751 * (((doc_id + 7) % 4294967296) % 65536)) % 4294967296
                              < 3865470566 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
@@ -1565,7 +1586,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT lang, doc_id,
                        ROW_NUMBER() OVER (
                            PARTITION BY lang
-                           ORDER BY (((2654435761 * CAST((((doc_id + 3) % 4294967296) - ((doc_id + 3) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 2654435761 * (((doc_id + 3) % 4294967296) % 65536)) % 4294967296,
+                           ORDER BY (((1401181143 * CAST((((doc_id + 3) % 4294967296) - ((doc_id + 3) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 1401181143 * (((doc_id + 3) % 4294967296) % 65536)) % 4294967296,
                                     doc_id) AS rn
                 FROM documents)
             WHERE rn <= 50
@@ -1617,12 +1638,12 @@ def oracle_sql() -> dict[str, str]:
                     SELECT doc_id, lang,
                            ROW_NUMBER() OVER (
                                PARTITION BY lang
-                               ORDER BY (((2654435761 * CAST((((doc_id + 11) % 4294967296) - ((doc_id + 11) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 2654435761 * (((doc_id + 11) % 4294967296) % 65536)) % 4294967296, doc_id) AS rn
+                               ORDER BY (((922480359 * CAST((((doc_id + 11) % 4294967296) - ((doc_id + 11) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 922480359 * (((doc_id + 11) % 4294967296) % 65536)) % 4294967296, doc_id) AS rn
                     FROM c) WHERE rn <= 100)
             SELECT doc_id, lang,
-                   CASE WHEN (((2654435761 * CAST((((doc_id + 13) % 4294967296) - ((doc_id + 13) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 2654435761 * (((doc_id + 13) % 4294967296) % 65536)) % 4294967296
+                   CASE WHEN (((2950288811 * CAST((((doc_id + 13) % 4294967296) - ((doc_id + 13) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 2950288811 * (((doc_id + 13) % 4294967296) % 65536)) % 4294967296
                              < 3865470566 THEN 'train'
-                        WHEN (((2654435761 * CAST((((doc_id + 13) % 4294967296) - ((doc_id + 13) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 2654435761 * (((doc_id + 13) % 4294967296) % 65536)) % 4294967296
+                        WHEN (((2950288811 * CAST((((doc_id + 13) % 4294967296) - ((doc_id + 13) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 2950288811 * (((doc_id + 13) % 4294967296) % 65536)) % 4294967296
                              < 4080218931 THEN 'val'
                         ELSE 'test' END AS split
             FROM q
@@ -1689,7 +1710,7 @@ def oracle_sql() -> dict[str, str]:
         "global_shuffle": """
             SELECT doc_id, lang,
                    CAST(ROW_NUMBER() OVER (
-                       ORDER BY (((2654435761 * CAST((((doc_id + 17) % 4294967296) - ((doc_id + 17) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 2654435761 * (((doc_id + 17) % 4294967296) % 65536)) % 4294967296,
+                       ORDER BY (((2710938419 * CAST((((doc_id + 17) % 4294967296) - ((doc_id + 17) % 4294967296) % 65536) / 65536 AS BIGINT)) % 65536) * 65536 + 2710938419 * (((doc_id + 17) % 4294967296) % 65536)) % 4294967296,
                                 doc_id) - 1 AS BIGINT) AS pos
             FROM documents
         """,

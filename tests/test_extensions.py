@@ -1646,10 +1646,17 @@ class TestText:
                 ) / max(total_lc, 1),
             }
             bchars = sum(len(g) * c for g, c in bc.items())
-            out["top_bigram_char_frac"] = (
-                max((len(g) * c for g, c in bc.items()), default=0)
-                / max(bchars, 1) if bc else 0.0
-            )
+            # Gopher rule: chars of the MOST FREQUENT bigram (argmax
+            # by count, ties toward larger coverage), NOT the max of
+            # count*chars over all bigrams
+            if bc:
+                top_chars = max(
+                    (c * len(g) for g, c in bc.items()
+                     if c == max(bc.values()))
+                )
+                out["top_bigram_char_frac"] = top_chars / max(bchars, 1)
+            else:
+                out["top_bigram_char_frac"] = 0.0
             tchars = sum(len(g) * c for g, c in tc.items())
             out["dup_trigram_char_frac"] = (
                 sum(len(g) * c for g, c in tc.items() if c > 1)
@@ -1686,13 +1693,24 @@ class TestText:
         by_doc = {}
         for r in out:
             by_doc.setdefault(r["doc_id"], []).append(r)
-        # stride 6: starts at tokens 0,6,12,18,24 -> 5 chunks
+        # stride 6: raw starts 0,6,12,18,24 — but the chunk at 18
+        # already reaches the 25-token document end, so start 24
+        # (whose chunk would be a strict SUBSET of it) is dropped
         c0 = sorted(by_doc[0], key=lambda r: r["chunk_idx"])
-        assert len(c0) == 5
+        assert len(c0) == 4
         assert c0[0]["chunk_text"].split() == words[0:10]
         assert c0[1]["chunk_text"].split() == words[6:16]  # 4-token overlap
-        assert c0[4]["chunk_text"].split() == words[24:]
+        assert c0[3]["chunk_text"].split() == words[18:]
         assert all(r["chunk_tokens"] == len(r["chunk_text"].split()) for r in c0)
+        # no chunk's token span is contained in another's
+        spans = []
+        start = 0
+        for r in c0:
+            spans.append((start, start + r["chunk_tokens"]))
+            start += 6
+        for i, a in enumerate(spans):
+            for j, b in enumerate(spans):
+                assert i == j or not (b[0] <= a[0] and a[1] <= b[1]), spans
         assert by_doc[1][0]["chunk_text"] == "solo"
         # empty doc still yields one (empty) chunk
         assert by_doc[2][0]["chunk_text"] == "" and by_doc[2][0]["chunk_tokens"] == 0

@@ -223,16 +223,23 @@ def test_dd_sqrt_within_budget(a):
 # ---------------------------------------------------------------------------
 
 
+def _ks(seed):
+    # per-seed odd multiplier: different seeds are different affine
+    # permutations, not translations (see sampling._mix)
+    return (2654435761 * (2 * seed + 1)) % (1 << 32)
+
+
 def _mix_py(i, seed):
-    # reference value: the mathematical K*(i+seed) mod 2^32
-    return ((i + seed) * 2654435761) % (1 << 32)
+    # reference value: the mathematical K_s*(i+seed) mod 2^32
+    return (((i % (1 << 32)) + (seed % (1 << 32))) * _ks(seed)) % (1 << 32)
 
 
 def _mix_split_py(i, seed):
     # the engine's split-multiply form: every intermediate < 2^48
-    m = (i + seed) % (1 << 32)
+    k = _ks(seed)
+    m = ((i % (1 << 32)) + (seed % (1 << 32))) % (1 << 32)
     lo, hi = m % 65536, m // 65536
-    inter = [2654435761 * hi, (2654435761 * hi % 65536) * 65536 + 2654435761 * lo]
+    inter = [k * hi, (k * hi % 65536) * 65536 + k * lo]
     assert all(v < 2**63 for v in inter)
     return inter[1] % (1 << 32)
 
@@ -1002,3 +1009,22 @@ def test_png_roundtrip_is_identity(h, w, ch, ftype, seed):
     back = _decode_png(_encode_png(img, filter_type=ftype))
     assert back.shape == img.shape
     assert (back == img).all()
+
+
+def test_distinct_seed_selections_compose_independently():
+    # Regression for the fixed-multiplier design: K*(id+s2) differs
+    # from K*(id+s1) by a CONSTANT, so two selections over the same
+    # ids were interval-correlated at any pair of seeds (a top-decile
+    # test split composed with a 0.5 sample could return ZERO rows).
+    # With the per-seed multiplier, a 0.5-sample of the test split
+    # keeps ~half of it.
+    n = 20_000
+    hi = int(0.9 * 2**32)
+    test_ids = [i for i in range(n) if _mix_split_py(i, 7) >= hi]
+    assert len(test_ids) > 1500
+    kept = [i for i in test_ids if _mix_split_py(i, 11) < int(0.5 * 2**32)]
+    rate = len(kept) / len(test_ids)
+    assert 0.42 < rate < 0.58, rate
+    # the SAME seed still nests by construction (the feature)
+    nested = [i for i in range(n) if _mix_split_py(i, 7) >= int(0.95 * 2**32)]
+    assert set(nested) <= set(test_ids)

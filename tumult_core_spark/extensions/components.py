@@ -154,7 +154,20 @@ def connected_components(
     centers = e.select(F.col("v").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
-    return nodes.unionByName(centers).dropDuplicates(["node"])
+    mapped = nodes.unionByName(centers).dropDuplicates(["node"])
+    # honor the every-node-of-edges contract for nodes whose ONLY
+    # edges were self-loops: _canonical_edges drops self-loops, so
+    # such nodes never enter the fixpoint — they are singletons of
+    # their own component, not absentees.  One node-cardinality left
+    # join at output; no effect when the input has no self-loops.
+    raw_nodes = (
+        edges.select(F.col(src).cast("long").alias("node"))
+        .unionByName(edges.select(F.col(dst).cast("long").alias("node")))
+        .distinct()
+    )
+    return raw_nodes.join(mapped, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
 
 
 def pagerank(
@@ -202,7 +215,13 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        # empty graph: release both persists before returning (the
+        # normal path unpersists at the end; leaking here would pin
+        # blocks for the session across repeated empty calls)
+        out = nodes.withColumn("rank", F.lit(0.0))
+        ed.unpersist()
+        nodes.unpersist()
+        return out
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     prev = None

@@ -7,13 +7,15 @@ never contaminate each other across reruns; (b) expressible as pure
 relational arithmetic — no RNG state, no driver coordination, fully
 pushed into the engine.
 
-Determinism comes from a FIXED public mixing function (Knuth
-multiplicative hashing, TAOCP vol. 3: ``(id * 2654435761) mod 2^32``)
-computed in plain 64-bit integer arithmetic, so the exact same
-assignment is computable in any SQL engine — which is also what lets
-the duckdb oracles verify these operators value-for-value.  For ids
-up to ~7e9 the product stays inside a signed 64-bit integer (no
-overflow under ANSI mode).
+Determinism comes from a FIXED public mixing function (seed-keyed
+Knuth multiplicative hashing, TAOCP vol. 3: ``K_s*(id+seed) mod 2^32``
+with ``K_s = 2654435761*(2*seed+1) mod 2^32``) computed in plain
+64-bit integer arithmetic, so the exact same assignment is computable
+in any SQL engine — which is also what lets the duckdb oracles verify
+these operators value-for-value.  Different seeds are DIFFERENT affine
+permutations (not translations), so selections composed at distinct
+seeds behave independently — split then sample then shuffle with
+distinct seeds, as every shipped oracle entry does.
 
 These compose with the rest of the engine: ``hash_split`` feeds
 train/val/test materialization, ``hash_sample`` thins a corpus,
@@ -35,23 +37,44 @@ _MOD = 1 << 32
 
 
 def _mix(id_col: Column, seed: int) -> Column:
-    """Deterministic position in [0, 2^32): ``K*(id+seed) mod 2^32``
-    with K the Knuth multiplier.
+    """Deterministic position in [0, 2^32): ``K_s*(id+seed) mod 2^32``
+    with ``K_s = K*(2*seed+1) mod 2^32`` and K the Knuth multiplier.
+
+    The multiplier DEPENDS on the seed MULTIPLICATIVELY (odd x odd
+    stays odd, so K_s remains a bijection mod 2^32; an additive or
+    XOR perturbation would be far too weak — multipliers differing by
+    a small delta d only decorrelate ids above ~2^32/d).  With a fixed
+    multiplier the seed would only TRANSLATE the hash stream —
+    ``K*(id+s2) = K*(id+s1) + K*(s2-s1)`` — so any two selections over
+    the same ids would be interval-correlated regardless of seed
+    (e.g. the top-decile 'test' split composed with a 0.5 hash_sample
+    could return zero rows).  A per-seed multiplier makes different
+    seeds different affine permutations; compositions at DISTINCT
+    seeds behave independently, and seed 0 reproduces the classic
+    Knuth mix unchanged.  Selections sharing the SAME seed are still
+    nested by construction (that is the feature: a 10% sample is a
+    subset of the 20% sample).
 
     Computed with a 16-bit SPLIT MULTIPLY — reduce ``m = (id+seed) mod
-    2^32`` first, then ``((K*(m div 2^16) mod 2^16) * 2^16 + K*(m mod
+    2^32`` first, then ``((Ks*(m div 2^16) mod 2^16) * 2^16 + Ks*(m mod
     2^16)) mod 2^32`` — so every intermediate stays below ~2^48 and the
     expression is overflow-free under ANSI mode for the ENTIRE
     non-negative int64 id range (a plain ``(id+seed)*K`` overflows
-    beyond id ~3.4e9, far too small for a 100 TB corpus).  Pure BIGINT
-    arithmetic, reproducible in any SQL engine — the oracles recompute
-    it verbatim in duckdb.  Ids must be NON-NEGATIVE: `%` keeps the
-    dividend's sign in both engines."""
-    m = (id_col + F.lit(seed)) % F.lit(_MOD)
+    beyond id ~3.4e9, far too small for a 100 TB corpus; the id is
+    reduced mod 2^32 BEFORE the seed add so ``id + seed`` can never
+    overflow either).  Pure BIGINT arithmetic, reproducible in any SQL
+    engine — the oracles recompute it verbatim in duckdb.  Ids must be
+    NON-NEGATIVE: `%` keeps the dividend's sign in both engines.  The
+    seed is reduced mod 2^32 in Python (non-negative even for a
+    negative seed, so a threshold filter can never see a negative
+    mix)."""
+    seed = seed % _MOD
+    k_s = (_KNUTH * (2 * seed + 1)) % _MOD
+    m = (id_col % F.lit(_MOD) + F.lit(seed)) % F.lit(_MOD)
     lo = m % F.lit(65536)
     hi = ((m - lo) / F.lit(65536)).cast("long")
     return (
-        (F.lit(_KNUTH) * hi % F.lit(65536)) * F.lit(65536) + F.lit(_KNUTH) * lo
+        (F.lit(k_s) * hi % F.lit(65536)) * F.lit(65536) + F.lit(k_s) * lo
     ) % F.lit(_MOD)
 
 
@@ -356,7 +379,10 @@ def token_budget_mix(
     whole, never upsampled.  NULL sources are dropped.
     """
     totals = {
-        r[0]: r[1]
+        # coalesce: a source whose every cost is NULL sums to NULL;
+        # treat it as zero inventory (threshold 0, dropped) instead of
+        # crashing float(None) in token_budget_thresholds
+        r[0]: r[1] if r[1] is not None else 0
         for r in df.groupBy(source_col)
         .agg(F.sum(F.col(cost_col).cast("long")).alias("t"))
         .collect()

@@ -36,11 +36,6 @@ def tokens_col(text_col: str) -> F.Column:
 def token_count(df: DataFrame, text_col: str = "text", out_col: str = "n_tokens") -> DataFrame:
     """Whitespace token count plus a BPE-ish regex token count
     (letter runs / digit runs / single punctuation)."""
-    bpe_ish = F.size(
-        F.filter(
-            F.split(F.col(text_col), rf"(?<=\s)|(?=\s)"), lambda t: t.rlike(r"\S")
-        )
-    )
     return df.withColumn(out_col, F.size(tokens_col(text_col))).withColumn(
         f"{out_col}_bpe",
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(_TOKEN_REGEX), 0)),
@@ -196,8 +191,11 @@ def repetition_stats(
       that are repeats of an earlier line: ``(n - n_distinct) / n``;
     * ``dup_line_char_frac`` — characters inside lines occurring more
       than once over total line characters;
-    * ``top_bigram_char_frac`` — characters covered by the most
-      frequent word bigram over all bigram characters;
+    * ``top_bigram_char_frac`` — characters covered by the MOST
+      FREQUENT word bigram (Gopher's rule: argmax by count, ties
+      toward larger coverage — NOT the max of count x length over all
+      bigrams, which a long rare bigram could win) over all bigram
+      characters;
     * ``dup_trigram_char_frac`` — characters inside word trigrams
       occurring more than once over all trigram characters;
     * ``symbol_word_ratio`` — '#' / ellipsis occurrences per word;
@@ -215,11 +213,18 @@ def repetition_stats(
     # lambdas reference a per-row value, not a re-evaluated expression
     # (Catalyst does not hoist subexpressions out of HOF lambdas; the
     # naive form re-splits the document per gram index)
+    # NULL text coalesces to '' so the document still yields its row
+    # (one empty line, zero grams, keep decided by the thresholds) —
+    # exploding a NULL item array would silently drop the id from the
+    # output, unlike every other quality gate in this module
+    txt = F.coalesce(F.col(text_col), F.lit(""))
     pre = df.select(
         F.col(id_col),
-        F.col(text_col),
-        tokens_col(text_col).alias("__toks"),
-        F.split(F.col(text_col), r"\n").alias("__lines"),
+        txt.alias(text_col),
+        F.filter(
+            F.split(F.lower(txt), r"\s+"), lambda t: t != F.lit("")
+        ).alias("__toks"),
+        F.split(txt, r"\n").alias("__lines"),
     )
     toks = F.col("__toks")
 
@@ -260,7 +265,10 @@ def repetition_stats(
         F.count(F.lit(1)).alias("distinct_n"),
         F.sum(chars).alias("total_chars"),
         F.sum(F.when(F.col("cnt") > 1, chars).otherwise(F.lit(0))).alias("dup_chars"),
-        F.max(chars).alias("top_chars"),
+        # chars covered by the MOST FREQUENT item (argmax by count,
+        # ties to the larger coverage) — max_by keeps the aggregation
+        # map-side combinable, unlike a rank window
+        F.max_by(chars, F.struct(F.col("cnt"), chars)).alias("top_chars"),
     )
 
     def _kind(kind, col):
@@ -478,6 +486,13 @@ def chunk_documents(
     row, chunk starts come from ``sequence`` with the stride as step,
     and ``posexplode`` fans out — no Python, no shuffle beyond the
     explode itself.
+
+    A start whose PREVIOUS chunk already reached the document end is
+    dropped (``s > 1`` is kept only while ``s <= size - overlap``):
+    when the end falls inside the overlap region, the raw stride
+    sequence would emit a final chunk that is a strict SUBSET of the
+    one before it — duplicated tail text injected into training data
+    as a degenerate (< overlap tokens) chunk.
     """
     if max_tokens < 1:
         raise ValueError("max_tokens must be >= 1")
@@ -488,8 +503,11 @@ def chunk_documents(
         F.col(id_col), tokens_col(text_col).alias("__toks")
     )
     toks = F.col("__toks")
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride)
+    starts = F.filter(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride)
+        ),
+        lambda s: (s == 1) | (s <= F.size(toks) - overlap),
     )
     chunks = F.transform(
         starts, lambda s: F.array_join(F.slice(toks, s, max_tokens), " ")
@@ -589,26 +607,37 @@ def bpe_train(
     escape hatch for vocabularies past driver memory, not the
     intended 100 TB path; both paths produce identical merges.
     """
+    from pyspark import StorageLevel
+
+    # persist: the corpus-sized explode+groupBy feeds BOTH the vocab
+    # count and the collect / lineage-cut below — uncached it would
+    # scan and aggregate the whole corpus twice
     words = (
         corpus.select(F.explode(tokens_col(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_vocab = words.count()
-    if n_vocab == 0:
-        return []
-    if n_vocab <= driver_vocab_threshold:
-        vocab = {r["w"]: r["freq"] for r in words.collect()}
-        return _bpe_train_local(vocab, num_merges, min_frequency)
+    try:
+        n_vocab = words.count()
+        if n_vocab == 0:
+            return []
+        if n_vocab <= driver_vocab_threshold:
+            vocab = {r["w"]: r["freq"] for r in words.collect()}
+            return _bpe_train_local(vocab, num_merges, min_frequency)
+
+        # cut_lineage materializes eagerly, so the cache can be
+        # released as soon as `cur` exists (the finally below)
+        cur = cut_lineage(
+            words.withColumn(
+                "syms", F.concat(F.split("w", "(?!$)"), F.array(F.lit("</w>")))
+            ).select("freq", "syms"),
+            checkpoint_dir,
+        )
+    finally:
+        words.unpersist()
 
     import pandas as pd
-
-    cur = cut_lineage(
-        words.withColumn(
-            "syms", F.concat(F.split("w", "(?!$)"), F.array(F.lit("</w>")))
-        ).select("freq", "syms"),
-        checkpoint_dir,
-    )
     merges = []
     for _ in range(num_merges):
         syms = F.col("syms")
