@@ -3428,6 +3428,101 @@ class TestStreamingDP:
             dp_windowed_counts_privacy(0.5, k, "row")
 
 
+class TestReviewRegressions:
+    """Pinned behaviors from the r14 adversarial review of
+    timeseries/sketches/semistructured/packing."""
+
+    def test_asof_match_is_atomic_and_null_correct(self, spark):
+        from tumult_core_spark.extensions.timeseries import asof_join
+
+        L = spark.createDataFrame([(1, 30.0)], "k long, ts double")
+        R = spark.createDataFrame(
+            [(1, 10.0, 5.0, 9.0), (1, 20.0, None, 7.0)],
+            "k long, ts double, a double, b double",
+        )
+        # the matched row is carried atomically: the true match's NULL
+        # field must NOT be backfilled from an older right row
+        row = asof_join(L, R, ["k"], "ts").collect()[0]
+        assert (row.r_ts, row.r_a, row.r_b) == (20.0, None, 7.0), row
+        # NULL right timestamps are never candidates
+        R2 = spark.createDataFrame([(1, None, 7.0)], "k long, ts double, v double")
+        row = asof_join(L, R2, ["k"], "ts").collect()[0]
+        assert row.r_ts is None and row.r_v is None
+        # NULL left timestamps never match (forward direction was the
+        # hazard: desc NULLS LAST had seen every right row)
+        L2 = spark.createDataFrame([(1, None)], "k long, ts double")
+        R3 = spark.createDataFrame([(1, 10.0, 3.0)], "k long, ts double, v double")
+        row = asof_join(L2, R3, ["k"], "ts", direction="forward").collect()[0]
+        assert row.r_ts is None and row.r_v is None
+
+    def test_asof_map_payload_and_ntz_tolerance(self, spark):
+        import datetime
+
+        from tumult_core_spark.extensions.timeseries import asof_join
+
+        L = spark.createDataFrame([(1, 30.0)], "k long, ts double")
+        # an unorderable (map) payload column must not break the join
+        R = spark.createDataFrame(
+            [(1, 10.0, {"x": "y"})], "k long, ts double, attrs map<string,string>"
+        )
+        row = asof_join(L, R, ["k"], "ts").collect()[0]
+        assert row.r_attrs == {"x": "y"}
+        # tolerance on TIMESTAMP_NTZ (what Spark 4 loads from parquet)
+        Lt = spark.createDataFrame(
+            [(1, datetime.datetime(2024, 1, 1, 0, 1, 0))], "k long, ts timestamp_ntz"
+        )
+        Rt = spark.createDataFrame(
+            [(1, datetime.datetime(2024, 1, 1), 5.0)],
+            "k long, ts timestamp_ntz, v double",
+        )
+        assert asof_join(Lt, Rt, ["k"], "ts", tolerance_seconds=120).collect()[0].r_v == 5.0
+        assert asof_join(Lt, Rt, ["k"], "ts", tolerance_seconds=30).collect()[0].r_v is None
+
+    def test_hll_rollup_nonstring_group_and_quantile_null_group(self, spark):
+        from tumult_core_spark.extensions.sketches import (
+            approx_quantiles,
+            hll_rollup,
+        )
+
+        df = spark.createDataFrame([(1, "u1"), (1, "u2"), (2, "u1")], "g long, u string")
+        rows = {r.g: r.approx_distinct for r in hll_rollup(df, "u", ["g"]).collect()}
+        # BIGINT group columns cast to string so the total row unions
+        # cleanly (ANSI mode threw CAST_INVALID_INPUT before)
+        assert rows == {"1": 2, "2": 1, "__all__": 2}, rows
+        df2 = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", None)], "g string, v double"
+        )
+        out = approx_quantiles(df2, "v", [0.5], group_cols=["g"]).collect()
+        assert {r.g for r in out} == {"a", "b"}  # all-NULL group kept
+        assert [r for r in out if r.g == "b"][0][2] is None
+
+    def test_json_guards(self, spark):
+        from tumult_core_spark.extensions.semistructured import (
+            extract_json_fields,
+            infer_json_schema,
+        )
+
+        df = spark.createDataFrame([(1, '{"a":2}')], "a long, j string")
+        with pytest.raises(ValueError, match="collide"):
+            extract_json_fields(df, "j", {"a": ("$.a", "long")})
+        df2 = spark.createDataFrame([('{"a": 1}',), ("not json",)], "j string")
+        assert [f.name for f in infer_json_schema(df2, "j").fields] == ["a"]
+        with pytest.raises(ValueError, match="malformed"):
+            infer_json_schema(spark.createDataFrame([("nope",)], "j string"), "j")
+
+    def test_pack_sequences_clamps_bad_sizes(self, spark):
+        from tumult_core_spark.extensions.packing import pack_sequences
+
+        df = spark.createDataFrame(
+            [(1, 4000), (2, -3000), (3, 4000), (4, None)], "doc_id long, n long"
+        )
+        out = pack_sequences(df, "doc_id", "n", window=4096, num_buckets=1)
+        bins = {r.doc_id: r.bin for r in out.collect()}
+        # a negative size must not decrement the fill: doc3 cannot
+        # share doc1's bin (4000 + 4000 > 4096)
+        assert bins[3] != bins[1], bins
+
+
 class TestSemistructured:
     def test_extract_json_fields_typed_and_missing(self, spark):
         from tumult_core_spark.extensions.semistructured import (

@@ -40,7 +40,11 @@ def pack_sequences(
     """(id, bucket, bin) — greedy sequential packing of each hash
     bucket's documents (ascending id) into bins of capacity
     ``window``.  Sizes larger than the window are clamped (such a
-    document occupies a full bin by itself)."""
+    document occupies a full bin by itself); NULL or negative sizes
+    clamp to zero (they pack for free) — a negative size would
+    otherwise DECREMENT the running fill and silently overpack bins
+    past the model context they feed, and a NULL would crash the
+    int64 conversion inside the executor."""
     if window < 1:
         raise ValueError("window must be >= 1")
     if num_buckets < 1:
@@ -55,7 +59,10 @@ def pack_sequences(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)
-        sizes = np.minimum(pdf[size_col].to_numpy(dtype=np.int64), window)
+        raw = pdf[size_col].to_numpy(dtype=np.float64)  # NULL -> NaN
+        sizes = np.clip(np.nan_to_num(raw, nan=0.0), 0, window).astype(
+            np.int64
+        )
         bins = np.empty(len(pdf), dtype=np.int64)
         b, fill = 0, 0
         for i, t in enumerate(sizes):

@@ -41,7 +41,16 @@ def extract_json_fields(
     """
     if json_col not in df.columns:
         raise ValueError(f"No such column: {json_col!r}")
-    cols = [F.col(c) for c in df.columns if keep_json or c != json_col]
+    kept = [c for c in df.columns if keep_json or c != json_col]
+    clash = set(fields) & set(kept)
+    if clash:
+        # same guard as flatten_json: a duplicate output name makes
+        # every later reference to it ambiguous
+        raise ValueError(
+            f"extracted field names collide with existing columns: "
+            f"{sorted(clash)}"
+        )
+    cols = [F.col(c) for c in kept]
     for name, spec in fields.items():
         path, cast = spec if isinstance(spec, tuple) else (spec, None)
         if not path.startswith("$"):
@@ -80,7 +89,19 @@ def infer_json_schema(
     # use here (spark.read.json has no DataFrame-column input); the
     # full column never leaves the executors
     inferred = spark.read.json(spark.sparkContext.parallelize(sample, 1))
-    return inferred.schema
+    corrupt = spark.conf.get(
+        "spark.sql.columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    # malformed sampled rows surface as a _corrupt_record string field;
+    # this module's contract is corrupt-degrades-to-NULL, so the field
+    # must not pollute the schema handed to flatten_json
+    fields = [f for f in inferred.schema.fields if f.name != corrupt]
+    if not fields:
+        raise ValueError(
+            f"every sampled value of {json_col!r} is malformed JSON; "
+            "no schema to infer"
+        )
+    return T.StructType(fields)
 
 
 def flatten_json(
@@ -133,10 +154,9 @@ def json_array_explode(
     with a NULL element, so corrupt records remain countable.
     """
     if isinstance(element_schema, str):
-        try:
-            elem_t: T.DataType = T._parse_datatype_string(element_schema)
-        except Exception:
-            elem_t = T.StructType.fromDDL(element_schema)
+        # DataType.fromDDL handles primitives ("long") and struct DDL
+        # ("a long, b string") alike
+        elem_t: T.DataType = T.DataType.fromDDL(element_schema)
     else:
         elem_t = element_schema
     arr = F.from_json(F.col(json_col), T.ArrayType(elem_t))

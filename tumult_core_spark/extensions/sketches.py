@@ -72,6 +72,13 @@ def approx_quantiles(
     ).alias("__qs")
     base = df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
     prob_arr = F.array(*[F.lit(p) for p in probs])
+    # an all-NULL group (or empty input) yields a NULL quantile array;
+    # coalesce to per-probability NULL values so the group still
+    # appears in the long-form output instead of vanishing through
+    # the explode (a caller joining estimates back to the data would
+    # silently lose those groups)
+    null_qs = F.array(*[F.lit(None).cast("double") for _ in probs])
+    base = base.withColumn("__qs", F.coalesce(F.col("__qs"), null_qs))
     out = base.select(
         *(group_cols or []),
         F.posexplode("__qs").alias("__i", out_col),
@@ -93,17 +100,20 @@ def hll_rollup(
 ) -> DataFrame:
     """Per-group approximate distinct counts PLUS the grand total, from
     ONE corpus scan: the total row is the union of the per-group
-    sketches (lossless HLL merge), never a second pass.  String group
-    columns carry ``total_label`` in the total row; the union estimate
+    sketches (lossless HLL merge), never a second pass.  Group columns
+    are CAST TO STRING in the output so the total row can carry
+    ``total_label`` in them — unioning a string label against e.g. a
+    BIGINT group column would otherwise throw a cast error under ANSI
+    mode (or silently null the column without it).  The union estimate
     is bit-identical to a direct global sketch (pinned in tests).
     """
     if not group_cols:
         raise ValueError("hll_rollup needs group_cols; use hll_distinct")
     from ..utils.misc import materialize
 
-    sketches = df.groupBy(*group_cols).agg(
-        F.hll_sketch_agg(value_col, F.lit(int(lg_k))).alias("__sk")
-    )
+    sketches = df.groupBy(
+        *[F.col(c).cast("string").alias(c) for c in group_cols]
+    ).agg(F.hll_sketch_agg(value_col, F.lit(int(lg_k))).alias("__sk"))
     # The per-group sketch relation is groups-sized (KBs per group).
     # Materialize it eagerly via a parquet round-trip so the per-group
     # estimates and the union both read ONE corpus scan's output.  A

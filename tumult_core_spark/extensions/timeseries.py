@@ -40,7 +40,21 @@ def asof_join(
     Right-side rows should be unique per ``(by, ts_col)`` — like every
     as-of engine, an ambiguous duplicate right timestamp would make
     "the" match undefined; this implementation deterministically keeps
-    the last one in ``(ts, payload)`` sort order.
+    the one whose serialized payload hashes last (a content hash, so
+    the choice never requires payload columns to be ORDERABLE — a
+    map-typed attribute column must not break the join).
+
+    NULL timestamps never match: a right row with NULL ``ts_col`` is
+    dropped from the candidate set, and a left row with NULL
+    ``ts_col`` keeps NULL right fields (pandas ``merge_asof`` rejects
+    NULL keys outright; DuckDB ASOF produces no match — without the
+    guard the 'forward' sort order would attach the SMALLEST right
+    timestamp to every NULL-ts left row).
+
+    The matched row is carried as ONE struct, so a NULL payload field
+    in the true match stays NULL instead of being torn from an older
+    right row (per-column ``last(ignorenulls)`` would mix fields of
+    different rows).
 
     Scale shape: union both sides, ONE hash shuffle on ``by``, one
     per-key sort by time, running ``last(ignorenulls)`` carry-forward,
@@ -58,30 +72,33 @@ def asof_join(
     # tag: right rows sort before left rows at an equal timestamp so
     # inclusive (<=) matches see them; 'forward' flips the time order,
     # turning smallest-ts-above into the same carry-forward problem
+    rt = right.filter(F.col(ts_col).isNotNull()).select(
+        *[F.col(c) for c in by],
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(
+            F.col(ts_col).alias("__rts"),
+            *[F.col(c) for c in payload],
+        ).alias("__rrow"),
+    )
     lt = left.select(
         *[F.col(c) for c in by],
         F.col(ts_col).alias("__ts"),
         F.lit(1).alias("__side"),
+        F.lit(None).cast(rt.schema["__rrow"].dataType).alias("__rrow"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in payload],
-        F.lit(None).cast(right.schema[ts_col].dataType).alias("__rts"),
     )
-    rt = right.select(
-        *[F.col(c) for c in by],
-        F.col(ts_col).alias("__ts"),
-        F.lit(0).alias("__side"),
-        F.lit(None).cast(lt.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in payload],
-        F.col(ts_col).alias("__rts"),
+    rt = rt.withColumn(
+        "__lrow", F.lit(None).cast(lt.schema["__lrow"].dataType)
     )
     both = lt.unionByName(rt)
     asc = direction == "backward"
     order = [
         F.col("__ts").asc() if asc else F.col("__ts").desc(),
         F.col("__side").asc(),
-        # deterministic pick among duplicate right timestamps: the last
-        # payload in sort order wins
-        *[F.col(f"__r_{c}").asc_nulls_first() for c in payload],
+        # deterministic pick among duplicate right timestamps without
+        # requiring payload orderability: hash the serialized struct
+        F.xxhash64(F.to_json(F.col("__rrow"))).asc(),
     ]
     w = (
         Window.partitionBy(*by)
@@ -91,27 +108,24 @@ def asof_join(
     carried = both.select(
         "__side",
         "__lrow",
-        F.last("__rts", ignorenulls=True).over(w).alias("__mts"),
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in payload
-        ],
+        F.last("__rrow", ignorenulls=True).over(w).alias("__mrow"),
     ).filter(F.col("__side") == 1)
+    # a left row with NULL ts has no as-of position: no match
+    valid = F.col("__lrow").getField(ts_col).isNotNull()
     if tolerance_seconds is not None:
+        # cast via TIMESTAMP so TIMESTAMP_NTZ (what Spark 4 loads from
+        # unadjusted parquet) is legal too; numeric epochs round-trip
+        # unchanged under the UTC session timezone
         gap = F.abs(
-            F.col("__lrow").getField(ts_col).cast("double")
-            - F.col("__mts").cast("double")
+            F.col("__lrow").getField(ts_col).cast("timestamp").cast("double")
+            - F.col("__mrow").getField("__rts").cast("timestamp").cast("double")
         )
-        ok = gap <= F.lit(float(tolerance_seconds))
-        carried = carried.select(
-            "__lrow",
-            F.when(ok, F.col("__mts")).alias("__mts"),
-            *[F.when(ok, F.col(f"__m_{c}")).alias(f"__m_{c}") for c in payload],
-        )
+        valid = valid & (gap <= F.lit(float(tolerance_seconds)))
+    matched = F.when(valid, F.col("__mrow"))
     return carried.select(
         *[F.col("__lrow").getField(c).alias(c) for c in left.columns],
-        F.col("__mts").alias(f"{right_prefix}{ts_col}"),
-        *[F.col(f"__m_{c}").alias(f"{right_prefix}{c}") for c in payload],
+        matched.getField("__rts").alias(f"{right_prefix}{ts_col}"),
+        *[matched.getField(c).alias(f"{right_prefix}{c}") for c in payload],
     )
 
 
