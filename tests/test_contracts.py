@@ -622,6 +622,46 @@ class TestMiscValidationParity:
 
 
 class TestIncrementalFiles:
+    def test_commit_manifest_is_frozen_at_read_time(self, spark, tmp_path):
+        """Regression: the batch manifest used to be a LAZY plan that
+        re-listed the filesystem at commit time, so a file landing
+        between read and commit was marked processed without its rows
+        ever being read — silent permanent data loss."""
+        from tumult_core_spark.sources.io import (
+            commit_manifest,
+            read_incremental_parquet,
+        )
+
+        data = str(tmp_path / "data")
+        man = str(tmp_path / "manifest")
+        spark.range(5).write.parquet(f"{data}/b1")
+        d1, batch = read_incremental_parquet(spark, f"{data}/*/", man)
+        assert d1.count() == 5
+        # a file arrives AFTER the read but BEFORE the commit
+        spark.range(7).write.parquet(f"{data}/b2")
+        commit_manifest(batch, man)
+        d2, _ = read_incremental_parquet(spark, f"{data}/*/", man)
+        assert d2.count() == 7  # the late file is still unprocessed
+
+    def test_incremental_reads_glob_metachar_filenames(self, spark, tmp_path):
+        """Listed paths are glob-escaped before being fed back to the
+        reader: a literal part[1].parquet must be read as itself, not
+        expanded as a character class."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tumult_core_spark.sources.io import read_incremental_parquet
+
+        data = tmp_path / "data" / "b1"
+        data.mkdir(parents=True)
+        pq.write_table(
+            pa.table({"id": [1, 2, 3]}), str(data / "part[1].parquet")
+        )
+        d, _ = read_incremental_parquet(
+            spark, f"{tmp_path}/data/*/", str(tmp_path / "manifest")
+        )
+        assert d.count() == 3
+
     def test_incremental_batches_and_overwrite_detection(self, spark, tmp_path):
         """read_incremental_parquet processes each file exactly once
         across runs; an overwritten file (same path, new content

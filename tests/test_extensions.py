@@ -3241,6 +3241,65 @@ class TestStatefulStreaming:
         # stays open and is correctly NOT emitted.
         assert rows == {(1, 0, 20, 3), (2, 0, 0, 1), (1, 1000, 1000, 1)}
 
+    def test_stateful_sessionize_never_closes_before_watermark(
+        self, spark, tmp_path
+    ):
+        """Regression: a gap-split used to emit the earlier interval
+        as CLOSED immediately, so an in-watermark late event that
+        bridged into it tore one true session into several irrevocable
+        append-mode rows.  A session may only close once the watermark
+        passes end+gap; a late event inside the watermark must merge
+        into the still-open interval."""
+        import datetime
+        import time as _time
+
+        from tumult_core_spark.streaming.ops import (
+            read_stream_parquet,
+            stateful_sessionize,
+            write_stream_memory,
+        )
+
+        d = str(tmp_path / "tear_in")
+        t0 = datetime.datetime(2024, 1, 1)
+
+        def ts(s):
+            return t0 + datetime.timedelta(seconds=s)
+
+        schema = "user long, ts timestamp"
+        # batch 1: two gap-separated events (0s and 1000s, gap 100s);
+        # batch 2: a LATE event at 50s (watermark after batch 1 is
+        # 1000-3600 < 0, so it is valid) that extends the first
+        # interval; batch 3: watermark pusher
+        batches = [
+            [(1, ts(0)), (1, ts(1000))],
+            [(1, ts(50))],
+            [(9, ts(20000))],
+        ]
+        for b in batches:
+            spark.createDataFrame(b, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+            _time.sleep(1.05)
+
+        stream = read_stream_parquet(spark, d, max_files_per_trigger=1)
+        sess = stateful_sessionize(
+            stream, "user", "ts", gap="100 seconds", watermark="1 hour"
+        )
+        q = write_stream_memory(sess, "tear_sessions", output_mode="append")
+        q.awaitTermination(120)
+        rows = {
+            (
+                r["user"],
+                int((r["session_start"] - t0).total_seconds()),
+                int((r["session_end"] - t0).total_seconds()),
+                r["n_events"],
+            )
+            for r in spark.table("tear_sessions").collect()
+        }
+        # ONE session [0, 50] with 2 events — never a torn [0,0,1] +
+        # [50,50,1] pair — plus the 1000s singleton
+        assert rows == {(1, 0, 50, 2), (1, 1000, 1000, 1)}, rows
+
     def test_stateful_sessionize_out_of_order_batch(self, spark, tmp_path):
         """An out-of-order event (earlier than the stored session's
         last event but inside the watermark) must MERGE into the open

@@ -49,8 +49,11 @@ def read_parquet_nanos_ts(
     df = spark.read.parquet(path)
     for c in ts_cols or []:
         if dict(df.dtypes).get(c) == "bigint":
+            # integer div: double division loses precision at
+            # epoch-nano magnitude (ULP ~256 ns at 1.7e18) and the
+            # truncating cast then yields off-by-one-us timestamps
             df = df.withColumn(
-                c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
             )
     return df
 
@@ -217,9 +220,18 @@ def zorder_key(
         raise ValueError(f"zorder_key interleaves 1-4 columns, got {k}")
     if k * bits > 62:
         raise ValueError(f"{k} columns x {bits} bits exceeds a 63-bit key")
+    # NaN-filter the min/max: Spark orders NaN greatest, so a single
+    # NaN row would make mx = NaN, span = NaN, and the rank expression
+    # NaN for EVERY row of that column — the whole dimension would
+    # silently collapse to one constant and its row-group stats stop
+    # being selective.  NaN rows themselves rank 0, like nulls.
+    def _clean(c):
+        col = F.col(c).cast("double")
+        return F.when(~F.isnan(col), col)
+
     stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"mn{j}") for j, c in enumerate(columns)],
-        *[F.max(F.col(c).cast("double")).alias(f"mx{j}") for j, c in enumerate(columns)],
+        *[F.min(_clean(c)).alias(f"mn{j}") for j, c in enumerate(columns)],
+        *[F.max(_clean(c)).alias(f"mx{j}") for j, c in enumerate(columns)],
     ).first()
     m = (1 << bits) - 1
     terms = []
@@ -232,7 +244,7 @@ def zorder_key(
             F.lit(m).cast("long"),
             F.greatest(
                 F.lit(0).cast("long"),
-                F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * F.lit(m)),
+                F.floor((_clean(c) - F.lit(mn)) / F.lit(span) * F.lit(m)),
             ),
         )
         rank = F.coalesce(rank, F.lit(0).cast("long"))
@@ -316,6 +328,15 @@ def list_data_files(spark: SparkSession, path_glob: str) -> DataFrame:
     )
 
 
+def _escape_glob(path: str) -> str:
+    """Backslash-escape Hadoop glob metacharacters in a LITERAL path
+    so ``spark.read`` cannot expand it (a listed ``part[1].parquet``
+    would otherwise be read as a character class)."""
+    return "".join(
+        ("\\" + ch) if ch in "*?[]{}\\" else ch for ch in path
+    )
+
+
 def new_files_since(
     spark: SparkSession, path_glob: str, manifest_path: str
 ) -> DataFrame:
@@ -366,15 +387,28 @@ def read_incremental_parquet(
 
     The new-file paths are collected to the driver to drive the scan —
     a manifest-sized (file-count) collect, the same order of driver
-    state every incremental system keeps.
+    state every incremental system keeps.  ``batch_manifest`` is FROZEN
+    from that same collect (a local relation), never the lazy listing
+    plan: a lazy plan re-listed the filesystem at commit time, so a
+    file landing between read and commit was appended to the manifest
+    WITHOUT its rows ever being read — silent permanent data loss.
+    Paths fed back to the reader are glob-escaped (``spark.read``
+    glob-interprets its arguments; a literal ``part[1].parquet`` would
+    otherwise read the wrong file or none).
     """
-    batch = new_files_since(spark, path_glob, manifest_path)
-    paths = [r["path"] for r in batch.collect()]
-    if not paths:
+    batch_rows = new_files_since(spark, path_glob, manifest_path).collect()
+    # freeze the batch as a local relation so commit_manifest appends
+    # EXACTLY the files this run read
+    batch = spark.createDataFrame(
+        batch_rows, schema=list_data_files(spark, path_glob).schema
+    )
+    if not batch_rows:
         schema = spark.read.parquet(path_glob).schema
         data = spark.createDataFrame([], schema)
     else:
-        data = spark.read.parquet(*paths)
+        data = spark.read.parquet(
+            *[_escape_glob(r["path"]) for r in batch_rows]
+        )
     return data, batch
 
 

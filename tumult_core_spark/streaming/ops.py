@@ -52,8 +52,10 @@ def read_stream_parquet(
     for c in nanos_ts_cols or []:
         dt = dict(stream.dtypes).get(c)
         if dt == "bigint":
+            # integer div (see io.read_parquet_nanos_ts): double
+            # division loses precision at epoch-nano magnitude
             stream = stream.withColumn(
-                c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
             )
         elif dt == "timestamp_ntz":
             # withWatermark requires TimestampType; parquet TIMESTAMP
@@ -217,16 +219,20 @@ def stateful_sessionize(
 
     Unlike :func:`sessionize` (built-in ``session_window``), this is
     the explicit-state pattern for operators Spark has no built-in
-    for: per-user state ``(session_start, last_event, n_events)`` in
-    the state store, batches merged into it vectorized, sessions
-    emitted when a later event gap-splits them, and the final open
-    session emitted through an **event-time timeout** when the
-    watermark passes ``last_event + gap``.  Emits one row per CLOSED
+    for: per-user state holds ALL open session intervals (arrays of
+    ``(start, last, n_events)``), batches merge into them vectorized,
+    and a session is emitted ONLY once the event-time watermark has
+    passed ``last + gap`` — closing any earlier would be wrong in
+    append mode: an in-watermark out-of-order event may still arrive
+    and bridge two intervals that look gap-separated today (emitting
+    a gap-split interval at split time tore one true session into
+    several irrevocable output rows).  Emits one row per CLOSED
     session: (user, session_start, session_end, n_events).
 
     State is per-key-partitioned by Spark's streaming state store, so
-    a hot user costs one state row, not a shuffle skew; each
-    micro-batch touches only keys with new data or expired timers.
+    a hot user costs one state row (with as many open intervals as
+    the watermark allows, bounded by watermark/gap); each micro-batch
+    touches only keys with new data or expired timers.
     """
     import numpy as np
     import pandas as pd
@@ -243,9 +249,10 @@ def stateful_sessionize(
     )
     state_schema = T.StructType(
         [
-            T.StructField("start", T.LongType(), False),  # epoch ns
-            T.StructField("last", T.LongType(), False),
-            T.StructField("n", T.LongType(), False),
+            # parallel arrays: one element per OPEN interval (epoch ns)
+            T.StructField("starts", T.ArrayType(T.LongType()), False),
+            T.StructField("lasts", T.ArrayType(T.LongType()), False),
+            T.StructField("ns", T.ArrayType(T.LongType()), False),
         ]
     )
 
@@ -259,12 +266,38 @@ def stateful_sessionize(
             }
         )
 
+    def _split_and_rearm(user, intervals, state):
+        """Close intervals the watermark has passed, keep the rest."""
+        wm_ns = state.getCurrentWatermarkMs() * 1_000_000
+        closed = [iv for iv in intervals if iv[1] + gap_ns <= wm_ns]
+        open_ = [iv for iv in intervals if iv[1] + gap_ns > wm_ns]
+        if open_:
+            state.update(
+                (
+                    [iv[0] for iv in open_],
+                    [iv[1] for iv in open_],
+                    [iv[2] for iv in open_],
+                )
+            )
+            # fire when the watermark passes the EARLIEST open close
+            state.setTimeoutTimestamp(
+                (min(iv[1] for iv in open_) + gap_ns) // 1_000_000
+            )
+        else:
+            state.remove()
+        if closed:
+            return emit(user, closed)
+        return None
+
     def fn(key, pdfs, state):
         (user,) = key
         if state.hasTimedOut:
-            start, last, n = state.get
-            state.remove()
-            yield emit(user, [(start, last, n)])
+            starts, lasts, ns = state.get
+            out = _split_and_rearm(
+                user, list(zip(starts, lasts, ns)), state
+            )
+            if out is not None:
+                yield out
             return
         ts = np.sort(
             np.concatenate(
@@ -274,13 +307,12 @@ def stateful_sessionize(
         if len(ts) == 0:
             return
         # Gap-split the batch alone, then merge the resulting intervals
-        # with the stored open-session interval.  Interval-merging (not
+        # with EVERY stored open interval.  Interval-merging (not
         # append-only folding) is required for out-of-order batches that
-        # are still inside the watermark: events may PREDATE the stored
-        # session's `last`, and the stored interval may bridge two batch
+        # are still inside the watermark: events may PREDATE a stored
+        # interval's `last`, and a stored interval may bridge two batch
         # segments that look gap-separated when the batch is considered
-        # alone.  A naive fold would regress `last` (and the timeout
-        # timestamp) and falsely split one session in two.
+        # alone.
         cuts = np.flatnonzero(np.diff(ts) > gap_ns)
         bounds = np.concatenate(([0], cuts + 1, [len(ts)]))
         intervals = [
@@ -288,7 +320,8 @@ def stateful_sessionize(
             for b, e in zip(bounds[:-1], bounds[1:])
         ]
         if state.exists:
-            intervals.append(tuple(state.get))
+            starts, lasts, ns = state.get
+            intervals.extend(zip(starts, lasts, ns))
             intervals.sort(key=lambda iv: (iv[0], iv[1]))
         merged = [intervals[0]]
         for s, e, k in intervals[1:]:
@@ -297,12 +330,9 @@ def stateful_sessionize(
                 merged[-1] = (ms, max(me, e), mk + k)
             else:
                 merged.append((s, e, k))
-        closed, (start, last, n) = merged[:-1], merged[-1]
-        state.update((start, last, n))
-        # fire when the event-time watermark passes last + gap
-        state.setTimeoutTimestamp((last + gap_ns) // 1_000_000)
-        if closed:
-            yield emit(user, closed)
+        out = _split_and_rearm(user, merged, state)
+        if out is not None:
+            yield out
 
     return (
         stream.withWatermark(ts_col, watermark)
@@ -392,18 +422,18 @@ def dp_windowed_counts(
     """
     from .. import samplers
 
-    group_cols = list(group_cols or [])
-    counts = (
-        stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(F.col(ts_col), window_duration), *group_cols)
-        .agg(F.count(F.lit(1)).alias("__exact"))
-        .select(
-            F.col("window.start").alias("window_start"),
-            F.col("window.end").alias("window_end"),
-            *group_cols,
-            "__exact",
+    if not (epsilon_per_window > 0):  # also rejects NaN
+        raise ValueError(
+            f"epsilon_per_window must be > 0 (or inf for no noise), "
+            f"got {epsilon_per_window}"
         )
-    )
+    group_cols = list(group_cols or [])
+    # ONE windowed-count implementation: the exact relation is
+    # windowed_counts' output, renamed (duplicating the
+    # watermark/window/agg block here is how the two copies drift)
+    counts = windowed_counts(
+        stream, ts_col, window_duration, watermark, group_cols
+    ).withColumnRenamed("count", "__exact")
     # exact Fraction scale: the certified discrete-Laplace sampler then
     # matches the batch measurement path bit-for-bit in distribution
     # (the float-parameterized sampler had a q = e^{-1/scale} rounding
@@ -430,7 +460,30 @@ def dp_windowed_counts(
             yield pdf[out_cols]
 
     def start(sink_writer, output_mode: str = "append"):
+        # The DP guarantee is noise EXACTLY ONCE per final (window,
+        # group).  append satisfies it by construction (a window is
+        # emitted once, after the watermark closes it).  complete is
+        # allowed for the one-shot availableNow pattern (append's
+        # watermark never closes the tail windows of a finite input)
+        # but is guarded below: a SECOND micro-batch would re-emit —
+        # and re-noise — every window, silently spending
+        # emissions x epsilon, so it hard-fails instead.  update is
+        # never sound (per-batch partial counts).
+        if output_mode not in ("append", "complete"):
+            raise ValueError(
+                "dp_windowed_counts releases are only sound in append "
+                "mode (or single-batch complete mode); got "
+                f"output_mode={output_mode!r}"
+            )
+
         def noised_batch(batch_df, batch_id):
+            if output_mode == "complete" and batch_id > 0:
+                raise RuntimeError(
+                    "dp_windowed_counts in complete mode re-emitted on "
+                    f"batch {batch_id}: every window would be noised "
+                    "again, multiplying the privacy spend.  Use append "
+                    "mode for multi-batch streams."
+                )
             noised = batch_df.mapInPandas(add_noise, schema=out_schema)
             # mapInPandas over a foreachBatch frame runs on executors;
             # collect only the (already noised, group-cardinality) rows

@@ -12,8 +12,16 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _ref(name: str) -> Column:
+    """Column reference for a LITERAL name: backtick-quoted with
+    internal backticks doubled (Spark's documented identifier escape),
+    so profiled names containing quotes or backticks resolve instead
+    of breaking the attribute parser."""
+    return F.col("`" + name.replace("`", "``") + "`")
 
 
 def profile_table(
@@ -37,22 +45,29 @@ def profile_table(
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"No such column(s): {missing}")
+    # aggregate aliases are INDEX-based and the profiled name appears
+    # only as a literal: splicing raw names into a stack() SQL string
+    # broke on quotes/backticks in column names
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
+    for j, c in enumerate(cols):
+        aggs.append(F.sum(_ref(c).isNull().cast("long")).alias(f"__nulls_{j}"))
         aggs.append(
-            F.approx_count_distinct(F.col(c), rsd=rsd).alias(f"__dist_{c}")
+            F.approx_count_distinct(_ref(c), rsd=rsd).alias(f"__dist_{j}")
             if approximate
-            else F.countDistinct(F.col(c)).alias(f"__dist_{c}")
+            else F.countDistinct(_ref(c)).alias(f"__dist_{j}")
         )
     row = df.agg(*aggs)
-    triples = ", ".join(
-        f"'{c}', `__nulls_{c}`, `__dist_{c}`" for c in cols
+    stacked = F.stack(
+        F.lit(len(cols)),
+        *[
+            e
+            for j, c in enumerate(cols)
+            for e in (F.lit(c), F.col(f"__nulls_{j}"), F.col(f"__dist_{j}"))
+        ],
+    ).alias("column", "n_nulls", "n_distinct")
+    return row.select(stacked, F.col("__n").alias("n_rows")).select(
+        "column", "n_rows", "n_nulls", "n_distinct"
     )
-    return row.selectExpr(
-        f"stack({len(cols)}, {triples}) AS (column, n_nulls, n_distinct)",
-        "__n AS n_rows",
-    ).select("column", "n_rows", "n_nulls", "n_distinct")
 
 
 def profile_numeric(
@@ -70,8 +85,18 @@ def profile_numeric(
     lands near a rounding boundary, the accumulation order (which
     varies with partitioning) can flip the last digit, which showed up
     as a one-in-many-runs hash flake against the DuckDB oracle.
-    Values with more than 26 integer digits would overflow
-    DECIMAL(38,12); numeric *profiling* inputs are far inside that."""
+
+    NaN/Infinity propagate to the mean like SQL ``avg`` would (a NaN
+    column mean is NaN, not a value quietly computed over the cast-
+    droppable rows): the decimal path cannot represent them, so the
+    same scan counts non-finite values and the mean falls back to NaN
+    / +-Inf when any exist.  The decimal SUM can overflow past
+    DECIMAL(38,12)'s 1e26 capacity: under ANSI mode (the default) the
+    sum itself aborts loudly with NUMERIC_VALUE_OUT_OF_RANGE, and
+    under non-ANSI — where it would silently return NULL — a bound
+    check (|sum| <= n * max|col|, from aggregates the scan already
+    computes) raises an explicit error instead.  A silent NULL mean
+    is never returned in either mode."""
     from pyspark.sql.types import NumericType
 
     numeric = [
@@ -83,26 +108,71 @@ def profile_numeric(
         raise ValueError(f"Not numeric column(s): {bad}")
     if not cols:
         raise ValueError("no numeric columns to profile")
+    from pyspark.sql.types import DoubleType, FloatType
+
+    floaty = {
+        f.name: isinstance(f.dataType, (DoubleType, FloatType))
+        for f in df.schema.fields
+    }
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
-        aggs.append(F.min(F.col(c)).cast("double").alias(f"__min_{c}"))
-        aggs.append(F.max(F.col(c)).cast("double").alias(f"__max_{c}"))
+    for j, c in enumerate(cols):
+        col = _ref(c)
+        d = col.cast("double")
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"__nulls_{j}"))
+        aggs.append(F.min(col).cast("double").alias(f"__min_{j}"))
+        aggs.append(F.max(col).cast("double").alias(f"__max_{j}"))
+        if floaty[c]:
+            bad_row = F.isnan(d) | (F.abs(d) == F.lit(float("inf")))
+            nonfinite = F.coalesce(F.sum(bad_row.cast("long")), F.lit(0))
+            dec_src = F.when(~bad_row, col)
+        else:
+            nonfinite = F.lit(0)
+            dec_src = col
+        dec_mean = (
+            F.sum(dec_src.cast("decimal(38,12)")).cast("double")
+            / F.count(col)
+        )
+        # overflow guard: |sum| <= count * max(|min|, |max|); past the
+        # DECIMAL(38,12) capacity (1e26, 1% guard band) the decimal sum
+        # would silently return NULL — fail loudly instead
+        bound = F.count(col).cast("double") * F.greatest(
+            F.abs(F.min(d)), F.abs(F.max(d))
+        )
+        guarded = F.when(
+            bound > F.lit(0.99e26),
+            F.raise_error(
+                F.lit(
+                    f"profile_numeric: column {c!r} could overflow the "
+                    "DECIMAL(38,12) sum accumulator; rescale it first"
+                )
+            ).cast("double"),
+        ).otherwise(dec_mean)
+        # NaN/Inf cannot ride the decimal path: propagate them through
+        # a float avg (SQL semantics) instead of silently averaging
+        # only the finite rows
         aggs.append(
-            (
-                F.sum(F.col(c).cast("decimal(38,12)")).cast("double")
-                / F.count(F.col(c))
-            ).alias(f"__mean_{c}")
+            F.when(nonfinite > 0, F.avg(d)).otherwise(guarded).alias(
+                f"__mean_{j}"
+            )
         )
     row = df.agg(*aggs)
-    tuples = ", ".join(
-        f"'{c}', `__nulls_{c}`, `__min_{c}`, `__max_{c}`, `__mean_{c}`"
-        for c in cols
+    stacked = F.stack(
+        F.lit(len(cols)),
+        *[
+            e
+            for j, c in enumerate(cols)
+            for e in (
+                F.lit(c),
+                F.col(f"__nulls_{j}"),
+                F.col(f"__min_{j}"),
+                F.col(f"__max_{j}"),
+                F.col(f"__mean_{j}"),
+            )
+        ],
+    ).alias("column", "n_nulls", "min", "max", "mean")
+    return row.select(stacked, F.col("__n").alias("n_rows")).select(
+        "column", "n_rows", "n_nulls", "min", "max", "mean"
     )
-    return row.selectExpr(
-        f"stack({len(cols)}, {tuples}) AS (column, n_nulls, min, max, mean)",
-        "__n AS n_rows",
-    ).select("column", "n_rows", "n_nulls", "min", "max", "mean")
 
 
 def profile_quantiles(
@@ -138,21 +208,27 @@ def profile_quantiles(
     if not probs or any(not 0.0 <= p <= 1.0 for p in probs):
         raise ValueError("probs must be in [0, 1]")
     aggs = []
-    for c in cols:
+    for j, c in enumerate(cols):
         for i, p in enumerate(probs):
-            src = F.col(c).cast("double")
+            src = _ref(c).cast("double")
             agg = (
                 F.percentile_approx(src, F.lit(p), F.lit(accuracy))
                 if approximate
                 else F.percentile(src, F.lit(p))
             )
-            aggs.append(agg.alias(f"__q_{i}_{c}"))
+            aggs.append(agg.alias(f"__q_{i}_{j}"))
     row = df.agg(*aggs)
-    tuples = ", ".join(
-        f"'{c}', CAST({p} AS DOUBLE), `__q_{i}_{c}`"
-        for c in cols
-        for i, p in enumerate(probs)
-    )
-    return row.selectExpr(
-        f"stack({len(cols) * len(probs)}, {tuples}) AS (column, p, value)"
-    )
+    stacked = F.stack(
+        F.lit(len(cols) * len(probs)),
+        *[
+            e
+            for j, c in enumerate(cols)
+            for i, p in enumerate(probs)
+            for e in (
+                F.lit(c),
+                F.lit(float(p)),
+                F.col(f"__q_{i}_{j}"),
+            )
+        ],
+    ).alias("column", "p", "value")
+    return row.select(stacked)
