@@ -1244,7 +1244,11 @@ def oracle_sql() -> dict[str, str]:
                             'UNKNOWN') AS n_name
             FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
         """,
-        "dedup_exact": "SELECT DISTINCT text FROM documents",
+        "dedup_exact": """
+            -- deterministic survivor: min doc_id per distinct text
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text
+            FROM documents GROUP BY text
+        """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qvec
                        FROM embeddings WHERE vec_id < 20),

@@ -522,10 +522,14 @@ def q_replace_nulls(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
+    # Exercises the deterministic-survivor path (r15): columns is a
+    # PROPER subset, so exact_dedup must keep the min(struct(doc_id))
+    # row per text — the oracle pins MIN(doc_id), which an arbitrary
+    # dropDuplicates survivor would fail under partition reshuffles.
     from tumult_core_spark.extensions.dedup import exact_dedup
 
     docs = _load(spark, sf_dir, "documents")
-    return exact_dedup(docs.select("text"), ["text"])
+    return exact_dedup(docs.select("doc_id", "text"), ["text"])
 
 
 def _with_total_pairs(pairs, planted_filter):
@@ -2127,73 +2131,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order.  The per-round driver checks roughly the first 50 of the
     # 101 registry entries against the DuckDB oracle, so each round the
     # entries with the least-fresh driver evidence go FIRST:
-    #   r14 front block = approx_quantile_check (the sole entry whose
-    #   latest driver-green row is r11 — it was entry #51 of the
-    #   51-entry r13 front, exactly the one the 50-entry batch did not
-    #   reach), then the 50 entries whose latest driver-green row is
-    #   r12, in their r12 order.  The tail = the 50 entries
-    #   CORRECTNESS_r13 checked, in their r13 order.  The front is 51
-    #   entries, so with a 50-entry driver batch the LAST front entry
-    #   (map_revenue, r12-green) may slip to r15; it carries r12 driver
-    #   evidence plus this round's local sf0.01 sweep, so the slip is
-    #   the cheapest available.
-    #   r15: rotate again — move whatever the r14 batch does not reach
-    #   back to the front, followed by the r13-green tail below.
+    #   r15 front block = map_revenue (the sole entry whose latest
+    #   driver-green row is r12 — it was entry #51 of the 51-entry r14
+    #   front, exactly the one the 50-entry batch did not reach), then
+    #   the 50 entries whose latest driver-green row is r13, in their
+    #   r13 order.  The tail = the 50 entries CORRECTNESS_r14 checked,
+    #   in their r14 order.  The front is 51 entries, so with a
+    #   50-entry driver batch the LAST front entry (hll_distinct,
+    #   r13-green) may slip to r16; it carries r13 driver evidence plus
+    #   this round's local sf0.01 sweep, so the slip is the cheapest
+    #   available.
+    #   r16: rotate again — move whatever the r15 batch does not reach
+    #   back to the front, followed by the r14-green tail below.
     return {
-        # --- r14 front: approx_quantile_check first (only r11-stale entry) ---
-        "approx_quantile_check": q_approx_quantile_check,
-        # --- then the 50 entries last driver-checked in r12 ---
-        "multimodal_jpeg": q_multimodal_jpeg,
-        "multimodal_flac": q_multimodal_flac,
-        "multimodal_gif": q_multimodal_gif,
-        "multimodal_video": q_multimodal_video,
-        "media_sniffing": q_media_sniffing,
-        "multimodal_tiff": q_multimodal_tiff,
-        "connected_components": q_connected_components,
-        "dedup_connected": q_dedup_connected,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        "training_mix": q_training_mix,
-        "decontaminate": q_decontaminate,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "bigram_logprob": q_bigram_logprob,
-        "stream_interval_join": q_stream_interval_join,
-        "profile_quantiles": q_profile_quantiles,
-        "preprocess_pipeline": q_preprocess_pipeline,
-        "rolling_aggregate": q_rolling_aggregate,
-        "sessionize_batch": q_sessionize_batch,
-        "redact_pii": q_redact_pii,
-        "variance_intermediates": q_variance_intermediates,
-        "streaming_dedup": q_streaming_dedup,
-        "sq_knn": q_sq_knn,
-        "normalize_text": q_normalize_text,
-        "add_unique_column": q_add_unique_column,
-        "join_on_nulls": q_join_on_nulls,
-        "ann_ivf": q_ann_ivf,
-        "sessionize": q_sessionize,
-        "embedding_near_dups": q_embedding_near_dups,
-        "private_join_on_key": q_private_join_on_key,
-        "limit_rows_per_key_per_group": q_limit_rows_per_key_per_group,
-        "groupby_stddev": q_groupby_stddev,
-        "filter_select": q_filter_select,
-        "rename": q_rename,
-        "groupby_count": q_groupby_count,
-        "groupby_count_distinct": q_groupby_count_distinct,
-        "groupby_sum": q_groupby_sum,
-        "total_counts": q_total_counts,
-        "average": q_average,
-        "variance": q_variance,
-        "public_join": q_public_join,
-        "private_join_drop": q_private_join_drop,
-        "limit_rows_per_group": q_limit_rows_per_group,
-        "limit_keys_per_group": q_limit_keys_per_group,
-        "partition_selection": q_partition_selection,
-        "bounds": q_bounds,
-        "quantile_median": q_quantile_median,
-        "partition_by_keys": q_partition_by_keys,
+        # --- r15 front: map_revenue first (only r12-stale entry) ---
         "map_revenue": q_map_derive,
-        # --- tail: the 50 r13-green entries in their r13 order ---
+        # --- then the 50 entries last driver-checked in r13 ---
         "flatmap_by_key": q_flatmap_by_key,
         "multimodal_decode": q_multimodal_decode,
         "dict_pipeline": q_dict_pipeline,
@@ -2244,6 +2197,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "pagerank": q_pagerank,
         "hll_distinct": q_hll_distinct,
+        # --- tail: the 50 r14-green entries in their r14 order ---
+        "approx_quantile_check": q_approx_quantile_check,
+        "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_flac": q_multimodal_flac,
+        "multimodal_gif": q_multimodal_gif,
+        "multimodal_video": q_multimodal_video,
+        "media_sniffing": q_media_sniffing,
+        "multimodal_tiff": q_multimodal_tiff,
+        "connected_components": q_connected_components,
+        "dedup_connected": q_dedup_connected,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "training_mix": q_training_mix,
+        "decontaminate": q_decontaminate,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "bigram_logprob": q_bigram_logprob,
+        "stream_interval_join": q_stream_interval_join,
+        "profile_quantiles": q_profile_quantiles,
+        "preprocess_pipeline": q_preprocess_pipeline,
+        "rolling_aggregate": q_rolling_aggregate,
+        "sessionize_batch": q_sessionize_batch,
+        "redact_pii": q_redact_pii,
+        "variance_intermediates": q_variance_intermediates,
+        "streaming_dedup": q_streaming_dedup,
+        "sq_knn": q_sq_knn,
+        "normalize_text": q_normalize_text,
+        "add_unique_column": q_add_unique_column,
+        "join_on_nulls": q_join_on_nulls,
+        "ann_ivf": q_ann_ivf,
+        "sessionize": q_sessionize,
+        "embedding_near_dups": q_embedding_near_dups,
+        "private_join_on_key": q_private_join_on_key,
+        "limit_rows_per_key_per_group": q_limit_rows_per_key_per_group,
+        "groupby_stddev": q_groupby_stddev,
+        "filter_select": q_filter_select,
+        "rename": q_rename,
+        "groupby_count": q_groupby_count,
+        "groupby_count_distinct": q_groupby_count_distinct,
+        "groupby_sum": q_groupby_sum,
+        "total_counts": q_total_counts,
+        "average": q_average,
+        "variance": q_variance,
+        "public_join": q_public_join,
+        "private_join_drop": q_private_join_drop,
+        "limit_rows_per_group": q_limit_rows_per_group,
+        "limit_keys_per_group": q_limit_keys_per_group,
+        "partition_selection": q_partition_selection,
+        "bounds": q_bounds,
+        "quantile_median": q_quantile_median,
+        "partition_by_keys": q_partition_by_keys,
     }
 
 

@@ -288,6 +288,34 @@ class TestProfile:
         with _pytest.raises(ValueError, match="No such column"):
             profile_table(df, ["nope"])
 
+    def test_numeric_overflow_guard_is_sum_based(self, spark):
+        """One large-magnitude outlier must NOT trip the decimal-sum
+        overflow guard when the true sum fits DECIMAL(38,12) easily
+        (the old count*max(|min|,|max|) proxy raised here); a sum that
+        genuinely exceeds capacity still fails loudly."""
+        from tumult_core_spark.utils.profile import profile_numeric
+
+        import pytest as _pytest
+
+        # 10k small rows + one 1e24 outlier: count*max proxy = 1e28
+        # (would raise), true sum(|x|) ~ 1e24 (fits)
+        df = spark.range(10_000).select(
+            F.when(F.col("id") == 0, F.lit(1e24)).otherwise(
+                F.col("id").cast("double")
+            ).alias("v")
+        )
+        row = profile_numeric(df, ["v"]).collect()[0]
+        assert abs(row["mean"] - (1e24 + (10_000 * 9_999) / 2 - 0) / 10_000) < 1e10
+        # genuine overflow (2 rows of 0.6e26: sum 1.2e26 > 1e26) still
+        # fails loudly: under ANSI the decimal sum itself throws
+        # NUMERIC_VALUE_OUT_OF_RANGE first; with ANSI off (where the
+        # sum would silently NULL) the guard's raise_error fires
+        big = spark.range(2).select(F.lit(0.6e26).alias("v"))
+        with _pytest.raises(
+            Exception, match="rescale|cannot be represented"
+        ):
+            profile_numeric(big, ["v"]).collect()
+
 
 class TestProfileApprox:
     def test_approx_mode_no_expand_and_close(self, spark, sf_dir):

@@ -47,6 +47,32 @@ class TestDedup:
         out = exact_dedup(doubled, ["text"])
         assert out.count() == docs.select("text").distinct().count()
 
+    def test_exact_dedup_deterministic_survivor(self, spark):
+        """Subset-key dedup keeps the min(struct(non-key...)) row —
+        identical output under any partitioning (r14 verdict nit #1)."""
+        rows = [(i % 7, i, f"payload-{i}") for i in range(200)]
+        df = spark.createDataFrame(rows, ["k", "id", "payload"])
+        expected = {(k, min(i for kk, i, _ in rows if kk == k)) for k in range(7)}
+        for par in (1, 5, 32):
+            out = exact_dedup(df.repartition(par), ["k"])
+            got = {(r["k"], r["id"]) for r in out.collect()}
+            assert got == expected
+            # survivor's other columns ride along from the same row
+            assert all(
+                r["payload"] == f"payload-{r['id']}" for r in out.collect()
+            )
+
+    def test_exact_dedup_keep_any_and_map_guard(self, spark):
+        df = spark.createDataFrame(
+            [(1, {"a": 1}), (1, {"b": 2})], ["k", "m"]
+        )
+        # map-typed non-key column: keep='min' refuses loudly
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="map-typed"):
+            exact_dedup(df, ["k"]).collect()
+        assert exact_dedup(df, ["k"], keep="any").count() == 1
+
     def test_minhash_signatures_deterministic(self, spark, docs):
         s1 = minhash_signatures(docs.limit(50), "doc_id", "text", num_hashes=16)
         a = {r["doc_id"]: tuple(r["minhash"]) for r in s1.collect()}
@@ -1070,6 +1096,20 @@ class TestConnectedComponents:
         df = spark.createDataFrame(edges, "id_a long, id_b long")
         got = {r["node"]: r["component"] for r in connected_components(df).collect()}
         assert got == want
+
+    def test_null_endpoints_never_surface(self, spark):
+        """A NULL endpoint (or uncastable id) must not yield a spurious
+        (NULL, NULL) output row via the self-loop-singleton join."""
+        from tumult_core_spark.extensions.components import connected_components
+
+        df = spark.createDataFrame(
+            [(1, 2), (None, 3), (4, None), (5, 5)],
+            "id_a long, id_b long",
+        )
+        got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+        # 3 and 4 appear only opposite a NULL: singletons of themselves;
+        # 5's only edge is a self-loop: singleton; no NULL node anywhere
+        assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5}
 
     def test_long_path_converges_logarithmically(self, spark):
         # a 120-node path is the adversarial case for naive label
@@ -3548,6 +3588,15 @@ class TestReviewRegressions:
         # BIGINT group columns cast to string so the total row unions
         # cleanly (ANSI mode threw CAST_INVALID_INPUT before)
         assert rows == {"1": 2, "2": 1, "__all__": 2}, rows
+        # preserve_types mode: BIGINT keys stay BIGINT (join-back-able);
+        # the total row is NULL-keyed and flagged via is_total
+        typed = hll_rollup(df, "u", ["g"], preserve_types=True)
+        assert dict(typed.dtypes)["g"] == "bigint"
+        trows = typed.collect()
+        per = {r.g: r.approx_distinct for r in trows if not r.is_total}
+        assert per == {1: 2, 2: 1}
+        tot = [r for r in trows if r.is_total]
+        assert len(tot) == 1 and tot[0].g is None and tot[0].approx_distinct == 2
         df2 = spark.createDataFrame(
             [("a", 1.0), ("a", 2.0), ("b", None)], "g string, v double"
         )

@@ -160,9 +160,14 @@ def connected_components(
     # such nodes never enter the fixpoint — they are singletons of
     # their own component, not absentees.  One node-cardinality left
     # join at output; no effect when the input has no self-loops.
+    # isNotNull guards both NULL endpoints and string ids that fail the
+    # long cast — _canonical_edges' a != b predicate silently drops
+    # NULLs, so without the filter a NULL endpoint would surface here
+    # as a spurious (NULL, NULL) output row
     raw_nodes = (
         edges.select(F.col(src).cast("long").alias("node"))
         .unionByName(edges.select(F.col(dst).cast("long").alias("node")))
+        .filter(F.col("node").isNotNull())
         .distinct()
     )
     return raw_nodes.join(mapped, "node", "left").select(

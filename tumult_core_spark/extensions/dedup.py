@@ -29,13 +29,55 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def exact_dedup(df: DataFrame, columns: Optional[List[str]] = None) -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    columns: Optional[List[str]] = None,
+    keep: str = "min",
+) -> DataFrame:
     """Keep one row per distinct value of ``columns`` (all if None).
 
-    Implemented as a hash-groupBy (``dropDuplicates``): one map-side
-    combined shuffle on the dedup key.
+    When ``columns`` is None or covers every column, survivor choice is
+    moot (all candidates are value-identical) and this is a plain
+    hash-groupBy ``dropDuplicates``.  When ``columns`` is a PROPER
+    subset, ``keep`` picks the survivor:
+
+    * ``"min"`` (default): the row whose non-key columns form the
+      lexicographically smallest struct — deterministic and independent
+      of partitioning, matching the repo's reproducibility convention
+      (same rule :func:`dedup_paragraphs` uses).  Implemented as
+      ``min(struct(rest...))`` per key: one map-side combined shuffle,
+      the exact same shape as ``dropDuplicates``.
+    * ``"any"``: Spark's native ``dropDuplicates`` — an arbitrary,
+      partitioning-dependent survivor.  Marginally cheaper (first()
+      instead of struct min) and the only option when a non-key column
+      has an unorderable type (``map<...>``).
     """
-    return df.dropDuplicates(columns) if columns else df.dropDuplicates()
+    if not columns:
+        return df.dropDuplicates()
+    rest = [c for c in df.columns if c not in columns]
+    if keep == "any" or not rest:
+        return df.dropDuplicates(columns)
+    if keep != "min":
+        raise ValueError(f"keep must be 'min' or 'any', got {keep!r}")
+    unorderable = [
+        f.name
+        for f in df.schema.fields
+        if f.name in rest and "map<" in f.dataType.simpleString()
+    ]
+    if unorderable:
+        raise ValueError(
+            f"keep='min' needs orderable non-key columns; {unorderable} are "
+            "map-typed — pass keep='any' for an arbitrary survivor"
+        )
+    won = df.groupBy(*columns).agg(
+        F.min(F.struct(*[F.col(c) for c in rest])).alias("__rest")
+    )
+    return won.select(
+        *[
+            F.col("__rest").getField(c).alias(c) if c in rest else F.col(c)
+            for c in df.columns
+        ]
+    )
 
 
 def dedup_paragraphs(
@@ -954,11 +996,15 @@ def duplicate_substring_spans(
 
     Scale design: one posexplode produces ~one row per corpus token
     (the same order of magnitude the tokenizing ops already stream);
-    the duplicate test groups windows by their md5 and needs only
-    ``min(doc) != max(doc)`` — a map-side-combinable pair of scalars,
-    never a count-distinct or a collected posting list, so a
-    boilerplate window shared by millions of documents costs two longs
-    per partition, not a hot-key blowup.  Span merging is one
+    the duplicate test groups windows by a two-seed ``xxhash64`` pair
+    (two longs = 16 bytes on the wire vs the 32-char md5-hex string an
+    earlier version shuffled — this relation is the pipeline's
+    dominant shuffle, so the key width matters; collision probability
+    for a 128-bit pair is ~n²/2¹²⁹, negligible at corpus scale) and
+    needs only ``min(doc) != max(doc)`` — a map-side-combinable pair
+    of scalars, never a count-distinct or a collected posting list, so
+    a boilerplate window shared by millions of documents costs two
+    longs per partition, not a hot-key blowup.  Span merging is one
     window-function pass per document (islands).
 
     The window relation feeds TWO consumers (the dup-hash aggregate
@@ -987,21 +1033,24 @@ def duplicate_substring_spans(
     ).select(
         id_col,
         "__i",
-        F.md5(
-            F.array_join(
-                F.slice(F.col("__toks"), F.col("__i") + 1, window_tokens), " "
-            )
-        ).alias("__h"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("__i") + 1, window_tokens), " "
+        ).alias("__w"),
+    ).select(
+        id_col,
+        "__i",
+        F.xxhash64("__w").alias("__h1"),
+        F.xxhash64("__w", F.lit(0x9E3779B9)).alias("__h2"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # a window is duplicated iff it occurs in >= 2 distinct documents:
     # min(doc) != max(doc) — skew-proof, no distinct aggregation
     dup_hashes = (
-        wins.groupBy("__h")
+        wins.groupBy("__h1", "__h2")
         .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))
         .filter(F.col("__mn") != F.col("__mx"))
-        .select("__h")
+        .select("__h1", "__h2")
     )
-    spans = wins.join(dup_hashes, "__h").select(
+    spans = wins.join(dup_hashes, ["__h1", "__h2"]).select(
         id_col,
         F.col("__i").alias("span_start"),
         (F.col("__i") + window_tokens - 1).alias("span_end"),

@@ -97,23 +97,38 @@ def hll_rollup(
     lg_k: int = 12,
     out_col: str = "approx_distinct",
     total_label: str = "__all__",
+    preserve_types: bool = False,
 ) -> DataFrame:
     """Per-group approximate distinct counts PLUS the grand total, from
     ONE corpus scan: the total row is the union of the per-group
-    sketches (lossless HLL merge), never a second pass.  Group columns
-    are CAST TO STRING in the output so the total row can carry
-    ``total_label`` in them — unioning a string label against e.g. a
-    BIGINT group column would otherwise throw a cast error under ANSI
-    mode (or silently null the column without it).  The union estimate
-    is bit-identical to a direct global sketch (pinned in tests).
+    sketches (lossless HLL merge), never a second pass.
+
+    Two output conventions (the union estimate is bit-identical to a
+    direct global sketch in both — pinned in tests):
+
+    * ``preserve_types=False`` (default, the historical schema): group
+      columns are CAST TO STRING so the total row can carry
+      ``total_label`` in them — unioning a string label against e.g. a
+      BIGINT group column would otherwise throw a cast error under ANSI
+      mode.  Callers that group by bigint/date keys and join the result
+      back should use the other mode.
+    * ``preserve_types=True``: group columns keep their input types;
+      the total row carries NULL in every group column and the output
+      gains a boolean ``is_total`` marker column (NULL keys alone would
+      be ambiguous when a real group key is NULL).
     """
     if not group_cols:
         raise ValueError("hll_rollup needs group_cols; use hll_distinct")
     from ..utils.misc import materialize
 
-    sketches = df.groupBy(
-        *[F.col(c).cast("string").alias(c) for c in group_cols]
-    ).agg(F.hll_sketch_agg(value_col, F.lit(int(lg_k))).alias("__sk"))
+    key_exprs = (
+        [F.col(c) for c in group_cols]
+        if preserve_types
+        else [F.col(c).cast("string").alias(c) for c in group_cols]
+    )
+    sketches = df.groupBy(*key_exprs).agg(
+        F.hll_sketch_agg(value_col, F.lit(int(lg_k))).alias("__sk")
+    )
     # The per-group sketch relation is groups-sized (KBs per group).
     # Materialize it eagerly via a parquet round-trip so the per-group
     # estimates and the union both read ONE corpus scan's output.  A
@@ -125,9 +140,22 @@ def hll_rollup(
     per_group = sketches.select(
         *group_cols, F.hll_sketch_estimate("__sk").alias(out_col)
     )
-    total = sketches.agg(
+    total_est = sketches.agg(
         F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias(out_col)
-    ).select(
-        *[F.lit(total_label).alias(c) for c in group_cols], F.col(out_col)
     )
+    if preserve_types:
+        typed = {f.name: f.dataType for f in sketches.schema.fields}
+        per_group = per_group.withColumn("is_total", F.lit(False))
+        total = total_est.select(
+            *[
+                F.lit(None).cast(typed[c]).alias(c) for c in group_cols
+            ],
+            F.col(out_col),
+            F.lit(True).alias("is_total"),
+        )
+    else:
+        total = total_est.select(
+            *[F.lit(total_label).alias(c) for c in group_cols],
+            F.col(out_col),
+        )
     return per_group.unionByName(total)

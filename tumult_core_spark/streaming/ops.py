@@ -233,6 +233,14 @@ def stateful_sessionize(
     a hot user costs one state row (with as many open intervals as
     the watermark allows, bounded by watermark/gap); each micro-batch
     touches only keys with new data or expired timers.
+
+    CHECKPOINT COMPATIBILITY: the state layout is versioned (leading
+    ``ver`` field, currently 2 — v1 held one scalar open interval, v2
+    holds parallel arrays of open intervals).  Restarting over a
+    checkpoint written by a different layout fails loudly — either via
+    Spark's state-schema check or via the explicit version check here —
+    rather than misreading state; migrate by draining the old query and
+    starting the new one with a fresh ``checkpointLocation``.
     """
     import numpy as np
     import pandas as pd
@@ -249,12 +257,27 @@ def stateful_sessionize(
     )
     state_schema = T.StructType(
         [
+            # layout version — bump on ANY state-shape change so a
+            # restart over an old checkpoint fails loudly, never
+            # misreads (see docstring)
+            T.StructField("ver", T.LongType(), False),
             # parallel arrays: one element per OPEN interval (epoch ns)
             T.StructField("starts", T.ArrayType(T.LongType()), False),
             T.StructField("lasts", T.ArrayType(T.LongType()), False),
             T.StructField("ns", T.ArrayType(T.LongType()), False),
         ]
     )
+    _STATE_VER = 2
+
+    def _read_state(state):
+        ver, starts, lasts, ns = state.get
+        if ver != _STATE_VER:
+            raise ValueError(
+                f"stateful_sessionize: checkpoint state layout v{ver} is "
+                f"incompatible with this version (v{_STATE_VER}); restart "
+                "with a fresh checkpointLocation"
+            )
+        return starts, lasts, ns
 
     def emit(user, sessions):
         return pd.DataFrame(
@@ -274,6 +297,7 @@ def stateful_sessionize(
         if open_:
             state.update(
                 (
+                    _STATE_VER,
                     [iv[0] for iv in open_],
                     [iv[1] for iv in open_],
                     [iv[2] for iv in open_],
@@ -292,7 +316,7 @@ def stateful_sessionize(
     def fn(key, pdfs, state):
         (user,) = key
         if state.hasTimedOut:
-            starts, lasts, ns = state.get
+            starts, lasts, ns = _read_state(state)
             out = _split_and_rearm(
                 user, list(zip(starts, lasts, ns)), state
             )
@@ -320,7 +344,7 @@ def stateful_sessionize(
             for b, e in zip(bounds[:-1], bounds[1:])
         ]
         if state.exists:
-            starts, lasts, ns = state.get
+            starts, lasts, ns = _read_state(state)
             intervals.extend(zip(starts, lasts, ns))
             intervals.sort(key=lambda iv: (iv[0], iv[1]))
         merged = [intervals[0]]

@@ -132,11 +132,15 @@ def profile_numeric(
             F.sum(dec_src.cast("decimal(38,12)")).cast("double")
             / F.count(col)
         )
-        # overflow guard: |sum| <= count * max(|min|, |max|); past the
-        # DECIMAL(38,12) capacity (1e26, 1% guard band) the decimal sum
-        # would silently return NULL — fail loudly instead
-        bound = F.count(col).cast("double") * F.greatest(
-            F.abs(F.min(d)), F.abs(F.max(d))
+        # overflow guard: |sum| <= sum(|x|), computed as a double in the
+        # SAME scan (map-side combinable; double rounding error ~1e-16
+        # relative, far inside the 1% guard band).  Past the
+        # DECIMAL(38,12) capacity (1e26) the decimal sum would silently
+        # return NULL — fail loudly instead.  A count*max(|min|,|max|)
+        # proxy was rejected: one large outlier in a big table trips it
+        # even when the true sum fits easily.
+        bound = F.coalesce(
+            F.sum(F.abs(dec_src.cast("double"))), F.lit(0.0)
         )
         guarded = F.when(
             bound > F.lit(0.99e26),
