@@ -522,6 +522,33 @@ def sf_sweep(spark, k: int = 10, reps: int = None):
         # bucket cap)
         minhash_lsh_candidate_pairs(docs(scale), "doc_id", "text", 64, 16).count()
 
+    def op_embedding_near_dups(scale):
+        # star-mode stress (r14 verdict task 7): id-shifted copies make
+        # every vector an exact duplicate k times over, so at kx the
+        # identical-vector pre-group carries k-member groups through
+        # the cap/rescue path while the banded LSH index still holds
+        # one representative per distinct vector.  Star expansion keeps
+        # the TRUE output Θ(k) per group (all-pairs would be Θ(k²) by
+        # definition and would mask a real blowup), so linear factor ~k
+        # is the pass bar like every other op
+        from tumult_core_spark.extensions.similarity import (
+            embedding_near_duplicates,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        scaled = _scaled_union(emb, scale, ["vec_id"]).repartition(CPUS)
+        embedding_near_duplicates(
+            scaled,
+            "vec_id",
+            "embedding",
+            threshold=0.99,
+            num_planes=32,
+            bands=8,
+            exact_pairs="star",
+        ).count()
+
     ops = {
         "components": op_components,
         "dedup_paragraphs": op_dedup_paragraphs,
@@ -529,6 +556,7 @@ def sf_sweep(spark, k: int = 10, reps: int = None):
         "bpe": op_bpe,
         "decontaminate": op_decontaminate,
         "dedup_minhash": op_dedup_minhash,
+        "embedding_near_dups": op_embedding_near_dups,
         "substring_dedup": op_substring_dedup,
         "multimodal": op_multimodal,
     }
@@ -886,7 +914,11 @@ def main():
         #   3 (r5+):   'ratios'/'max_ratio' are median-based again
         #              (comparable to r1-r3); the min basis lives under
         #              'ratios_min'/'max_ratio_min'
-        "bench_schema_version": 3,
+        #   4 (r15+):  adds 'max_ratio_canary_normalized' (raw
+        #              max_ratio / canary load factor — both sides of
+        #              the reference ratio on an idle-window basis);
+        #              raw keys unchanged
+        "bench_schema_version": 4,
         "queries": timings,
         "queries_min": timings_min,
         "runs_per_query": 3,
@@ -952,6 +984,13 @@ def main():
             # the reference was measured with ONE timed run on an idle
             # machine, so min-of-N is the least contention-contaminated
             # like-for-like number — but it lives under its own keys.
+            # Canary-normalized ratio (r15, schema_version 4): the raw
+            # max_ratio divides THIS window's (possibly contended)
+            # timings by an idle-window REFERENCE_BENCH — in r14 a
+            # 2.1x-loaded window read 1.203 raw on code that measured
+            # 0.61x idle.  Dividing by the canary load factor puts both
+            # sides of the ratio on an idle-window basis; raw stays
+            # alongside.
             out["vs_reference"] = {
                 "ratios": ratios,
                 "max_ratio": max(ratios.values()) if ratios else None,
@@ -965,6 +1004,16 @@ def main():
                 "up, so both ratio bases are upper bounds on the true "
                 "rebuild/reference ratio)",
             }
+            factor = out.get("canary", {}).get("load_factor") or 1.0
+            if ratios:
+                out["vs_reference"]["max_ratio_canary_normalized"] = round(
+                    max(ratios.values()) / factor, 3
+                )
+                out["vs_reference"]["ratio_canary_note"] = (
+                    "raw max_ratio divided by the canary load factor "
+                    f"({factor}): both sides on an idle-window basis "
+                    "(see SCALE.md 'Load canary')"
+                )
     # The driver captures only the LAST 2000 characters of stdout and
     # json-parses that tail; the full diagnostic dict outgrew that limit
     # in round 5 and BENCH_r05..r08 all recorded "parsed": null.  So the
@@ -990,6 +1039,9 @@ def compact_line(out: dict, limit: int = 1900) -> str:
         "queries": out["queries"],
         "sf": out["sf"],
         "max_ratio_vs_reference": out.get("vs_reference", {}).get("max_ratio"),
+        "max_ratio_canary_normalized": out.get("vs_reference", {}).get(
+            "max_ratio_canary_normalized"
+        ),
         "max_ratio_min_basis": out.get("vs_reference", {}).get("max_ratio_min"),
         "contended": out.get("contended", False),
         "value_canary_normalized": out.get("value_canary_normalized"),

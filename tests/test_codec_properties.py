@@ -24,6 +24,9 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+# heavy hypothesis sweeps: full lane only (fast lane = -m "not slow")
+pytestmark = pytest.mark.slow
+
 
 def _rng_bytes(seed: int, shape, lo=0, hi=256, dtype=np.uint8):
     return np.random.default_rng(seed).integers(lo, hi, size=shape).astype(dtype)

@@ -799,6 +799,7 @@ class TestTextAndBinarySources:
 
 
 @pytest.mark.parametrize("name", CASE_NAMES)
+@pytest.mark.slow  # empirical neighbor fuzz: full lane only
 class TestEmpiricalStability:
     """The claimed stability bound, checked empirically under the
     TRANSFORMATION'S OWN metrics: for neighboring inputs (single-row
@@ -896,6 +897,7 @@ class TestEmpiricalStability:
         self._check_neighbor(spark, t, kv, replaced)
 
 
+@pytest.mark.slow  # empirical neighbor fuzz: full lane only
 class TestEmpiricalStabilityComposite:
     """Empirical stability for operators whose inputs/outputs are not
     single DataFrames: PrivateJoin (dict input, the most intricate

@@ -2386,6 +2386,7 @@ class TestMultimodal:
         assert np.allclose(feats, feats[0], atol=1e-3)
 
 
+@pytest.mark.slow  # codec round-trip property suite: full lane only
 class TestJpegCodec:
     """From-scratch baseline JFIF codec (extensions/jpeg.py): encode
     and decode are independent implementations of the public T.81
@@ -2596,6 +2597,7 @@ class TestJpegCodec:
             assert abs(r["mean_value"] - float(px.mean())) < 1e-9
 
 
+@pytest.mark.slow  # codec round-trip property suite: full lane only
 class TestGifAndMjpeg:
     """GIF (from-scratch LZW) and AVI/MJPEG (a JFIF per frame through
     the jpeg module) — the web-corpus formats the image/video ops now
@@ -2689,6 +2691,7 @@ class TestGifAndMjpeg:
             _decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00AVI " + b"\x00" * 16)
 
 
+@pytest.mark.slow  # codec round-trip property suite: full lane only
 class TestTiffCodec:
     """From-scratch TIFF 6.0 strip decoder: lossless, so round-trips
     assert exact pixel equality across compression schemes."""
@@ -2754,6 +2757,7 @@ class TestTiffCodec:
             assert abs(r["mean_value"] - float(px.mean())) < 1e-9
 
 
+@pytest.mark.slow  # codec round-trip property suite: full lane only
 class TestFlacCodec:
     """From-scratch FLAC codec (extensions/flac.py): lossless, so
     every round-trip asserts EXACT sample equality; the decoder also

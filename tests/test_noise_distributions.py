@@ -16,6 +16,9 @@ from tumult_core_spark.utils.distributions import (
     double_sided_geometric_pmf,
 )
 
+# 200k-sample distribution sweeps: full lane only (fast lane = -m "not slow")
+pytestmark = pytest.mark.slow
+
 N = 200_000
 P_THRESHOLD = 1e-4  # reject only on overwhelming evidence
 

