@@ -2976,6 +2976,29 @@ class TestRollingAndSessions:
 
 
 class TestTimeseries:
+    def test_asof_null_pattern_tie_is_deterministic(self, spark):
+        """Duplicate right timestamps whose payloads differ only in
+        WHICH fields are NULL must tie-break identically under any
+        partitioning: Spark hash functions skip NULL inputs, so a
+        naive xxhash64 over payload columns would collide (7, NULL)
+        with (NULL, 7) and leave the pick partition-dependent — the
+        isnull-flag prefix encoding restores distinct hashes."""
+        from tumult_core_spark.extensions.timeseries import asof_join
+
+        left = spark.createDataFrame([(1, 100)], "k long, ts long")
+        right = spark.createDataFrame(
+            [(1, 50, 7, None), (1, 50, None, 7)],
+            "k long, ts long, a long, b long",
+        )
+        picks = set()
+        for par in (1, 2, 4):
+            out = asof_join(
+                left, right.repartition(par), ["k"], "ts"
+            ).collect()
+            assert len(out) == 1
+            picks.add((out[0]["r_a"], out[0]["r_b"]))
+        assert len(picks) == 1, picks
+
     @pytest.fixture(scope="class")
     def frames(self, spark):
         import numpy as np

@@ -52,13 +52,13 @@ def exact_dedup(
       instead of struct min) and the only option when a non-key column
       has an unorderable type (``map<...>``).
     """
+    if keep not in ("min", "any"):
+        raise ValueError(f"keep must be 'min' or 'any', got {keep!r}")
     if not columns:
         return df.dropDuplicates()
     rest = [c for c in df.columns if c not in columns]
     if keep == "any" or not rest:
         return df.dropDuplicates(columns)
-    if keep != "min":
-        raise ValueError(f"keep must be 'min' or 'any', got {keep!r}")
     unorderable = [
         f.name
         for f in df.schema.fields
@@ -1039,8 +1039,15 @@ def duplicate_substring_spans(
     ).select(
         id_col,
         "__i",
+        # SEED LITERAL FIRST: Spark's xxhash64 chains its arguments
+        # (each argument is folded with the running hash as the seed),
+        # so xxhash64(w, lit(c)) would be a deterministic function of
+        # xxhash64(w) — a pair carrying only 64 bits.  With the
+        # constant first, __h2 = XXH64(w, seed=XXH64(c, 42)): two
+        # fixed-but-different-seed hashes of the window, jointly
+        # ~128-bit collision resistant.
         F.xxhash64("__w").alias("__h1"),
-        F.xxhash64("__w", F.lit(0x9E3779B9)).alias("__h2"),
+        F.xxhash64(F.lit(0x9E3779B9), F.col("__w")).alias("__h2"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # a window is duplicated iff it occurs in >= 2 distinct documents:
     # min(doc) != max(doc) — skew-proof, no distinct aggregation

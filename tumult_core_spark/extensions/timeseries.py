@@ -88,17 +88,28 @@ def asof_join(
         ).alias("__rrow"),
     )
     # fast path: xxhash64 directly over the payload columns (JVM-side,
-    # no JSON string building).  xxhash64 rejects map-typed inputs
-    # (spark.sql.legacy.allowHashOnMapType is off), so only when a
-    # payload column contains a map does the tie-break fall back to
-    # hashing the serialized struct.
+    # no JSON string building).  Two caveats force care here:
+    # (a) xxhash64 rejects map-typed inputs
+    #     (spark.sql.legacy.allowHashOnMapType is off), so a map-typed
+    #     payload falls back to hashing the serialized struct;
+    # (b) Spark hash functions SKIP NULL inputs (a NULL leaves the
+    #     running hash unchanged), so rows differing only in WHICH
+    #     fields are NULL — (7, NULL) vs (NULL, 7) — would collide and
+    #     make the tie nondeterministic again.  Prefixing every field
+    #     with its isnull flag restores an injective encoding: each
+    #     field contributes [1] when NULL or [0, value] otherwise, a
+    #     prefix-free code, so distinct null-patterns hash distinctly.
     def _has_map(dt) -> bool:
         return "map<" in dt.simpleString()
 
     if any(_has_map(right.schema[c].dataType) for c in payload):
         tb = F.xxhash64(F.to_json(F.col("__rrow")))
     else:
-        tb = F.xxhash64(F.col("__ts"), *[F.col("__rrow").getField(c) for c in payload])
+        flagged = []
+        for c in payload:
+            f = F.col("__rrow").getField(c)
+            flagged.extend([F.isnull(f).cast("int"), f])
+        tb = F.xxhash64(F.col("__ts"), *flagged)
     rt = rt.withColumn("__tb", tb)
     lt = left.select(
         *[F.col(c) for c in by],

@@ -94,9 +94,11 @@ def profile_numeric(
     DECIMAL(38,12)'s 1e26 capacity: under ANSI mode (the default) the
     sum itself aborts loudly with NUMERIC_VALUE_OUT_OF_RANGE, and
     under non-ANSI — where it would silently return NULL — a bound
-    check (|sum| <= n * max|col|, from aggregates the scan already
-    computes) raises an explicit error instead.  A silent NULL mean
-    is never returned in either mode."""
+    check (|sum| <= SUM(ABS(col)) as a double, computed in the same
+    scan; deliberately NOT the looser n * max|col| proxy, which one
+    large outlier in a big table would trip even when the true sum
+    fits) raises an explicit error instead.  A silent NULL mean is
+    never returned in either mode."""
     from pyspark.sql.types import NumericType
 
     numeric = [
