@@ -1,9 +1,9 @@
 #!/usr/bin/env bash
-# Full-suite verification in ~7 min wall instead of ~16 min serial:
-# shard the test files across three pytest processes (each gets its
-# own SparkSession; the shards are balanced by measured r15 runtimes
-# A=6:49 / B=4:09 / C=5:21).  Exit code is non-zero if any shard
-# fails.  For the single-process fast lane use:
+# Full-suite verification in ~11 min wall instead of ~16 min serial
+# (measured r15: shards finish 7:12 / 8:46 / 11:00 — the three
+# local[8] sessions contend on a 32-cpu box, so the win is real but
+# not 3x).  Each shard gets its own SparkSession; exit code is
+# non-zero if any shard fails.  For the single-process fast lane use:
 #   python -m pytest tests/ -m "not slow" -x -q        (~8 min)
 set -u
 cd "$(dirname "$0")/.."
