@@ -62,6 +62,20 @@ class TestDedup:
                 r["payload"] == f"payload-{r['id']}" for r in out.collect()
             )
 
+    def test_exact_dedup_null_payload_sorts_first(self, spark):
+        """min(struct) convention: NULL field values sort FIRST, so the
+        NULL-payload candidate wins — pinned so the survivor rule never
+        silently changes with a Spark upgrade."""
+        df = spark.createDataFrame(
+            [(1, None, "x"), (1, 5, "y"), (2, None, "z")],
+            "k int, v int, s string",
+        )
+        for par in (1, 2, 4):
+            out = sorted(
+                tuple(r) for r in exact_dedup(df.repartition(par), ["k"]).collect()
+            )
+            assert out == [(1, None, "x"), (2, None, "z")]
+
     def test_exact_dedup_keep_any_and_map_guard(self, spark):
         df = spark.createDataFrame(
             [(1, {"a": 1}), (1, {"b": 2})], ["k", "m"]
@@ -3366,6 +3380,56 @@ class TestStatefulStreaming:
         # ONE session [0, 50] with 2 events — never a torn [0,0,1] +
         # [50,50,1] pair — plus the 1000s singleton
         assert rows == {(1, 0, 50, 2), (1, 1000, 1000, 1)}, rows
+
+    def test_stateful_sessionize_string_users_and_null_drop(
+        self, spark, tmp_path
+    ):
+        """The user key keeps its input type: string ids must stay
+        distinct (a long cast used to collapse them all into one null
+        group, merging every user's timeline), and NULL users are
+        dropped rather than sessionized."""
+        import datetime
+        import time as _time
+
+        from tumult_core_spark.streaming.ops import (
+            read_stream_parquet,
+            stateful_sessionize,
+            write_stream_memory,
+        )
+
+        d = str(tmp_path / "strusers_in")
+        t0 = datetime.datetime(2024, 1, 1)
+
+        def ts(s):
+            return t0 + datetime.timedelta(seconds=s)
+
+        schema = "user string, ts timestamp"
+        batches = [
+            [("alice", ts(0)), ("alice", ts(30)), ("bob", ts(10)), (None, ts(20))],
+            [("wm", ts(20000))],  # watermark pusher
+        ]
+        for b in batches:
+            spark.createDataFrame(b, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+            _time.sleep(1.05)
+
+        stream = read_stream_parquet(spark, d, max_files_per_trigger=1)
+        sess = stateful_sessionize(
+            stream, "user", "ts", gap="100 seconds", watermark="1 hour"
+        )
+        q = write_stream_memory(sess, "str_sessions", output_mode="append")
+        q.awaitTermination(120)
+        rows = {
+            (
+                r["user"],
+                int((r["session_start"] - t0).total_seconds()),
+                int((r["session_end"] - t0).total_seconds()),
+                r["n_events"],
+            )
+            for r in spark.table("str_sessions").collect()
+        }
+        assert rows == {("alice", 0, 30, 2), ("bob", 10, 10, 1)}, rows
 
     def test_stateful_sessionize_out_of_order_batch(self, spark, tmp_path):
         """An out-of-order event (earlier than the stored session's

@@ -340,6 +340,22 @@ class TestSourcesDirect:
             (1, "a"), (2, "b"),
         ]
 
+    def test_csv_header_order_mismatch_fails_loudly(self, spark, tmp_path):
+        """A CSV whose header order differs from the domain's column
+        order must FAIL, not silently bind columns positionally (both
+        string-typed columns would swap without a peep otherwise)."""
+        from tumult_core_spark.sources.io import read_csv
+
+        dom = SparkDataFrameDomain({"a": STR, "b": STR})
+        path = str(tmp_path / "swapped.csv")
+        with open(path, "w") as f:
+            f.write("b,a\nx,y\n")
+        with pytest.raises(Exception) as exc_info:
+            read_csv(spark, path, domain=dom).collect()
+        assert "CSV header does not conform" in str(
+            exc_info.value
+        ) or "header" in str(exc_info.value).lower()
+
     def test_write_parquet_and_partitioned(self, spark, tmp_path):
         import os
 

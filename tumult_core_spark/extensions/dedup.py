@@ -44,9 +44,11 @@ def exact_dedup(
     * ``"min"`` (default): the row whose non-key columns form the
       lexicographically smallest struct — deterministic and independent
       of partitioning, matching the repo's reproducibility convention
-      (same rule :func:`dedup_paragraphs` uses).  Implemented as
-      ``min(struct(rest...))`` per key: one map-side combined shuffle,
-      the exact same shape as ``dropDuplicates``.
+      (same rule :func:`dedup_paragraphs` uses).  NULL field values
+      sort FIRST (Spark struct ordering), so a NULL-payload candidate
+      beats any non-NULL one — still deterministic, pinned in tests.
+      Implemented as ``min(struct(rest...))`` per key: one map-side
+      combined shuffle, the exact same shape as ``dropDuplicates``.
     * ``"any"``: Spark's native ``dropDuplicates`` — an arbitrary,
       partitioning-dependent survivor.  Marginally cheaper (first()
       instead of struct min) and the only option when a non-key column

@@ -34,6 +34,29 @@ def read_parquet(
     return _conform(spark.read.parquet(path), domain)
 
 
+def convert_nano_ts_cols(df: DataFrame, ts_cols: Optional[list]) -> DataFrame:
+    """Shared epoch-nano / NTZ event-time normalization used by BOTH the
+    batch (:func:`read_parquet_nanos_ts`) and streaming
+    (``streaming.ops.read_stream_parquet``) readers — one copy, so a
+    precision or type fix can never drift between the two paths."""
+    from pyspark.sql import functions as F
+
+    for c in ts_cols or []:
+        dt = dict(df.dtypes).get(c)
+        if dt == "bigint":
+            # integer div: double division loses precision at
+            # epoch-nano magnitude (ULP ~256 ns at 1.7e18) and the
+            # truncating cast then yields off-by-one-us timestamps
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dt == "timestamp_ntz":
+            # event-time operators (withWatermark) require TimestampType;
+            # parquet TIMESTAMP without isAdjustedToUTC reads as NTZ under
+            # Spark 4's inferTimestampNTZ, so pin requested event-time
+            # columns to LTZ (UTC session tz preserves wall-clock)
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def read_parquet_nanos_ts(
     spark: SparkSession, path: str, ts_cols: Optional[list] = None
 ) -> DataFrame:
@@ -42,20 +65,18 @@ def read_parquet_nanos_ts(
     Spark rejects nanosecond parquet timestamps outright; with
     ``spark.sql.legacy.parquet.nanosAsLong`` they arrive as epoch-nano
     longs, which this helper converts back to (microsecond) timestamps.
-    """
-    from pyspark.sql import functions as F
 
+    NOTE: ``nanosAsLong`` is a SESSION-global flag and is deliberately
+    left set — the flag is consulted again when the scan tasks run, so
+    restoring it immediately after ``read()`` would fail the deferred
+    execution.  Side effect on the session: later plain
+    ``spark.read.parquet`` calls in the same session read
+    TIMESTAMP(NANOS) columns as bigint instead of raising; route such
+    reads through this helper (which normalizes them) rather than
+    relying on the loud failure.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    for c in ts_cols or []:
-        if dict(df.dtypes).get(c) == "bigint":
-            # integer div: double division loses precision at
-            # epoch-nano magnitude (ULP ~256 ns at 1.7e18) and the
-            # truncating cast then yields off-by-one-us timestamps
-            df = df.withColumn(
-                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
-            )
-    return df
+    return convert_nano_ts_cols(spark.read.parquet(path), ts_cols)
 
 
 def read_csv(
@@ -66,8 +87,17 @@ def read_csv(
     **options,
 ) -> DataFrame:
     """CSV scan; the domain's schema (when given) is applied at read
-    time so no inference pass runs."""
+    time so no inference pass runs.
+
+    With BOTH a header and a domain, ``enforceSchema`` is turned off so
+    Spark VALIDATES the header names against the schema and fails
+    loudly on a mismatch — the default (enforceSchema=true) binds the
+    schema positionally and silently mis-assigns columns when the
+    file's header order differs from the domain's column order.
+    """
     reader = spark.read.option("header", str(header).lower())
+    if header and domain is not None and "enforceSchema" not in options:
+        reader = reader.option("enforceSchema", "false")
     for k, v in options.items():
         reader = reader.option(k, v)
     if domain is not None:
@@ -296,6 +326,10 @@ def layout_for_scan(
             else out.repartitionByRange(*cols)
         )
         out = out.sortWithinPartitions(*cols)
+    elif target_partitions:
+        # no clustering column: still honor the caller's output-file
+        # sizing instead of silently writing df's incoming partitioning
+        out = out.repartition(target_partitions)
     if zorder_by:
         out = out.drop("__zkey")
     writer = out.write.mode(mode)
@@ -396,11 +430,24 @@ def read_incremental_parquet(
     glob-interprets its arguments; a literal ``part[1].parquet`` would
     otherwise read the wrong file or none).
     """
+    from pyspark.sql import types as T
+
     batch_rows = new_files_since(spark, path_glob, manifest_path).collect()
     # freeze the batch as a local relation so commit_manifest appends
-    # EXACTLY the files this run read
+    # EXACTLY the files this run read.  The schema is the FIXED
+    # list_data_files contract, written out literally: deriving it via
+    # list_data_files(...).schema re-listed the whole directory tree a
+    # second time (the expensive metadata op at millions-of-files
+    # scale) just to learn three field names.
     batch = spark.createDataFrame(
-        batch_rows, schema=list_data_files(spark, path_glob).schema
+        batch_rows,
+        schema=T.StructType(
+            [
+                T.StructField("path", T.StringType(), True),
+                T.StructField("length", T.LongType(), True),
+                T.StructField("modification_time", T.TimestampType(), True),
+            ]
+        ),
     )
     if not batch_rows:
         schema = spark.read.parquet(path_glob).schema

@@ -29,41 +29,43 @@ def read_stream_parquet(
     """Incremental parquet source (micro-batched by files).
 
     ``nanos_ts_cols`` converts TIMESTAMP(NANOS) columns (read as
-    epoch-nano longs under ``nanosAsLong``) back to timestamps.
+    epoch-nano longs under ``nanosAsLong``) back to timestamps; the
+    flag is set whenever the caller names such columns, so an explicit
+    ``schema`` no longer silently skips it (the stream would otherwise
+    fail at scan time with 'Illegal Parquet type').
+
+    Single-FILE paths are exposed through a driver-local temp-dir
+    symlink (the file-stream source requires a directory): a LOCAL-MODE
+    test convenience only — on a real cluster executors cannot resolve
+    the driver's temp path, so pass a directory there.  The temp dir is
+    removed at interpreter exit.
     """
+    if nanos_ts_cols:
+        # consulted at scan-task time, not just schema inference — must
+        # be set even when the caller supplies the schema
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if schema is None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = spark.read.parquet(path).schema
     import os
 
     if os.path.isfile(path):
-        # the file-stream source requires a directory; expose a single
-        # parquet file through a temp dir symlink
+        import atexit
+        import shutil
         import tempfile
 
         d = tempfile.mkdtemp(prefix="tcs_stream_")
         os.symlink(os.path.abspath(path), os.path.join(d, os.path.basename(path)))
+        atexit.register(shutil.rmtree, d, True)
         path = d
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    for c in nanos_ts_cols or []:
-        dt = dict(stream.dtypes).get(c)
-        if dt == "bigint":
-            # integer div (see io.read_parquet_nanos_ts): double
-            # division loses precision at epoch-nano magnitude
-            stream = stream.withColumn(
-                c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
-            )
-        elif dt == "timestamp_ntz":
-            # withWatermark requires TimestampType; parquet TIMESTAMP
-            # without isAdjustedToUTC reads as NTZ under Spark 4's
-            # inferTimestampNTZ, so pin event-time columns to LTZ
-            # (session tz is UTC in tests, so wall-clock is preserved)
-            stream = stream.withColumn(c, F.col(c).cast("timestamp"))
-    return stream
+    from ..sources.io import convert_nano_ts_cols
+
+    return convert_nano_ts_cols(stream, nanos_ts_cols)
 
 
 def windowed_counts(
@@ -227,7 +229,9 @@ def stateful_sessionize(
     and bridge two intervals that look gap-separated today (emitting
     a gap-split interval at split time tore one true session into
     several irrevocable output rows).  Emits one row per CLOSED
-    session: (user, session_start, session_end, n_events).
+    session: (user, session_start, session_end, n_events); ``user``
+    keeps the input column's type (string ids included), and rows with
+    a NULL user are dropped (no identity, no session).
 
     State is per-key-partitioned by Spark's streaming state store, so
     a hot user costs one state row (with as many open intervals as
@@ -247,9 +251,15 @@ def stateful_sessionize(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_ns = int(pd.Timedelta(gap).total_seconds() * 1_000_000_000)
+    # the user key keeps its INPUT type: a long cast here used to
+    # collapse every string id (and every NULL) into one null group,
+    # silently merging distinct users' sessions and then crashing
+    # emit() on the None key.  NULL users are dropped instead — a row
+    # with no identity has no session to belong to.
+    user_type = stream.schema[user_col].dataType
     out_schema = T.StructType(
         [
-            T.StructField("user", T.LongType(), False),
+            T.StructField("user", user_type, False),
             T.StructField("session_start", T.TimestampType(), False),
             T.StructField("session_end", T.TimestampType(), False),
             T.StructField("n_events", T.LongType(), False),
@@ -282,7 +292,9 @@ def stateful_sessionize(
     def emit(user, sessions):
         return pd.DataFrame(
             {
-                "user": np.full(len(sessions), user, dtype=np.int64),
+                # plain list, not np.full(dtype=int64): the key rides
+                # through in its input type (string ids included)
+                "user": [user] * len(sessions),
                 "session_start": pd.to_datetime([s[0] for s in sessions], unit="ns"),
                 "session_end": pd.to_datetime([s[1] for s in sessions], unit="ns"),
                 "n_events": np.array([s[2] for s in sessions], dtype=np.int64),
@@ -360,7 +372,8 @@ def stateful_sessionize(
 
     return (
         stream.withWatermark(ts_col, watermark)
-        .select(F.col(user_col).cast("long").alias("user"), F.col(ts_col))
+        .select(F.col(user_col).alias("user"), F.col(ts_col))
+        .filter(F.col("user").isNotNull())
         .groupBy("user")
         .applyInPandasWithState(
             fn,
@@ -483,22 +496,49 @@ def dp_windowed_counts(
             ].to_numpy() + samplers.two_sided_geometric_exact_vec(scale, len(pdf))
             yield pdf[out_cols]
 
-    def start(sink_writer, output_mode: str = "append"):
+    def start(
+        sink_writer,
+        output_mode: str = "append",
+        checkpoint_location: Optional[str] = None,
+    ):
         # The DP guarantee is noise EXACTLY ONCE per final (window,
         # group).  append satisfies it by construction (a window is
-        # emitted once, after the watermark closes it).  complete is
-        # allowed for the one-shot availableNow pattern (append's
-        # watermark never closes the tail windows of a finite input)
-        # but is guarded below: a SECOND micro-batch would re-emit —
-        # and re-noise — every window, silently spending
-        # emissions x epsilon, so it hard-fails instead.  update is
-        # never sound (per-batch partial counts).
+        # emitted once, after the watermark closes it) — PER QUERY RUN.
+        # Across runs it needs ``checkpoint_location``: without one, a
+        # second start() over the same source re-drains everything and
+        # re-noises every previously released window with batch ids
+        # reset to 0, silently multiplying the privacy spend that
+        # dp_windowed_counts_privacy reports.  With a checkpoint the
+        # rerun resumes after the last committed batch (the same
+        # exactly-once pair write_stream_parquet documents).  update
+        # mode is never sound (per-batch partial counts).
+        #
+        # complete mode is the one-shot availableNow pattern (append's
+        # watermark never closes the tail windows of a finite input).
+        # It must release NOTHING until the input is known to be a
+        # single batch: availableNow splits by maxFilesPerTrigger, and
+        # an eager per-batch release would ship batch 0's PARTIAL
+        # counts before the multi-batch guard fires.  So complete mode
+        # buffers the batch, blocks until the query terminates, and
+        # only then releases — a second batch aborts the query with
+        # nothing released.
         if output_mode not in ("append", "complete"):
             raise ValueError(
                 "dp_windowed_counts releases are only sound in append "
                 "mode (or single-batch complete mode); got "
                 f"output_mode={output_mode!r}"
             )
+        if output_mode == "append" and checkpoint_location is None:
+            import warnings
+
+            warnings.warn(
+                "dp_windowed_counts.start(append) without a "
+                "checkpoint_location: a re-run over the same source "
+                "re-noises every window (privacy spend multiplies). "
+                "Pass checkpoint_location for cross-run exactly-once.",
+                stacklevel=2,
+            )
+        buffered = []
 
         def noised_batch(batch_df, batch_id):
             if output_mode == "complete" and batch_id > 0:
@@ -506,20 +546,31 @@ def dp_windowed_counts(
                     "dp_windowed_counts in complete mode re-emitted on "
                     f"batch {batch_id}: every window would be noised "
                     "again, multiplying the privacy spend.  Use append "
-                    "mode for multi-batch streams."
+                    "mode for multi-batch streams.  (Nothing was "
+                    "released: complete mode only releases after a "
+                    "clean single-batch run.)"
                 )
             noised = batch_df.mapInPandas(add_noise, schema=out_schema)
             # mapInPandas over a foreachBatch frame runs on executors;
             # collect only the (already noised, group-cardinality) rows
             # for the user's sink callback.
-            sink_writer(noised.toPandas(), batch_id)
+            if output_mode == "complete":
+                buffered.append((noised.toPandas(), batch_id))
+            else:
+                sink_writer(noised.toPandas(), batch_id)
 
-        return (
-            counts.writeStream.outputMode(output_mode)
-            .trigger(availableNow=True)
-            .foreachBatch(noised_batch)
-            .start()
+        writer = counts.writeStream.outputMode(output_mode).trigger(
+            availableNow=True
         )
+        if checkpoint_location is not None:
+            writer = writer.option("checkpointLocation", checkpoint_location)
+        query = writer.foreachBatch(noised_batch).start()
+        if output_mode == "complete":
+            # block the one-shot run; release only on clean termination
+            query.awaitTermination()
+            for pdf, batch_id in buffered:
+                sink_writer(pdf, batch_id)
+        return query
 
     return start
 
