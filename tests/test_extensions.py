@@ -1229,6 +1229,41 @@ class TestConnectedComponents:
 
 
 class TestSimilarity:
+    def test_brute_force_string_ids(self, spark, embs):
+        """id columns keep their input types — a hardcoded long schema
+        used to crash Arrow on string doc ids (r15 review fix)."""
+        corpus = embs.limit(20).select(
+            F.concat(F.lit("doc-"), F.col("vec_id")).alias("sid"), "embedding"
+        )
+        queries = corpus.limit(3).withColumnRenamed("sid", "qid")
+        out = brute_force_knn(corpus, queries, "sid", "qid", "embedding", k=1)
+        rows = out.collect()
+        assert all(
+            isinstance(r["qid"], str) and r["qid"].startswith("doc-")
+            for r in rows
+        )
+        assert {r["qid"] for r in rows} == {r["sid"] for r in rows}
+
+    def test_kmeans_centroids_frozen_per_iteration(self, spark, embs):
+        """Each Lloyd iteration freezes its centroids as a local
+        relation: left lazy, iteration i's collect re-executed every
+        earlier iteration's corpus aggregation (O(iterations^2) corpus
+        scans — the r15 review finding)."""
+        from tumult_core_spark.extensions.similarity import kmeans_centroids
+
+        cents = kmeans_centroids(
+            embs.limit(200).select("embedding"), "embedding", 4, iterations=2
+        )
+        plan = cents._sc._jvm.PythonSQLUtils.explainString(
+            cents._jdf.queryExecution(), "simple"
+        )
+        assert (
+            "LocalTableScan" in plan
+            or "LocalRelation" in plan
+            or "ExistingRDD" in plan
+        ), plan
+        assert "parquet" not in plan.lower() and "mapinpandas" not in plan.lower(), plan
+
     def test_brute_force_self_top1(self, spark, embs):
         corpus = embs.limit(100)
         queries = corpus.limit(10).withColumnRenamed("vec_id", "qid")
@@ -1345,6 +1380,22 @@ class TestPQ:
         books = pq_fit(embs, "embedding", num_subvectors=8, num_centroids=64)
         codes = pq_encode(embs, "vec_id", "embedding", books)
         return embs, books, codes
+
+    def test_dimension_mismatch_fails_loudly(self, spark, fitted):
+        """Codebooks fit at one embedding dim must REFUSE longer
+        vectors: numpy slicing would silently encode only a prefix —
+        wrong neighbors with no crash (r15 review fix)."""
+        embs, books, _ = fitted
+        from tumult_core_spark.extensions.similarity import pq_encode
+
+        wide = embs.select(
+            "vec_id",
+            F.concat("embedding", "embedding").alias("embedding"),
+        )
+        from pyspark.errors import PythonException
+
+        with pytest.raises(PythonException, match="refit pq codebooks"):
+            pq_encode(wide, "vec_id", "embedding", books).collect()
 
     def test_codebook_shape_and_determinism(self, spark, sf_dir, fitted):
         import numpy as np
@@ -3708,6 +3759,20 @@ class TestReviewRegressions:
         assert [f.name for f in infer_json_schema(df2, "j").fields] == ["a"]
         with pytest.raises(ValueError, match="malformed"):
             infer_json_schema(spark.createDataFrame([("nope",)], "j string"), "j")
+
+    def test_pack_sequences_null_and_negative_ids(self, spark):
+        """NULL ids are dropped (an id-less row has no addressable
+        (id -> bin) assignment and used to crash the int64 conversion);
+        negative ids land in a pmod bucket within [0, num_buckets)."""
+        from tumult_core_spark.extensions.packing import pack_sequences
+
+        df = spark.createDataFrame(
+            [(-5, 100), (None, 100), (3, 100)], "doc_id long, n long"
+        )
+        out = pack_sequences(df, "doc_id", "n", window=4096, num_buckets=32)
+        rows = out.collect()
+        assert {r.doc_id for r in rows} == {-5, 3}
+        assert all(0 <= r.bucket < 32 for r in rows), rows
 
     def test_pack_sequences_clamps_bad_sizes(self, spark):
         from tumult_core_spark.extensions.packing import pack_sequences

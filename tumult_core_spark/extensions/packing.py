@@ -44,7 +44,14 @@ def pack_sequences(
     clamp to zero (they pack for free) — a negative size would
     otherwise DECREMENT the running fill and silently overpack bins
     past the model context they feed, and a NULL would crash the
-    int64 conversion inside the executor."""
+    int64 conversion inside the executor.
+
+    Rows with a NULL ``id_col`` are DROPPED: the output is an
+    (id -> bin) mapping, so an id-less row has no addressable
+    assignment (and NULL ids hash to their own bucket, so dropping
+    them never changes any other document's bin).  ``bucket`` is
+    always in ``[0, num_buckets)`` — negative ids bucket by ``pmod``,
+    not Spark's sign-keeping ``%``."""
     if window < 1:
         raise ValueError("window must be >= 1")
     if num_buckets < 1:
@@ -84,8 +91,11 @@ def pack_sequences(
         df.select(
             F.col(id_col).cast("long").alias(id_col),
             F.col(size_col).cast("long").alias(size_col),
-            (F.col(id_col).cast("long") % num_buckets).alias("__bucket"),
+            F.pmod(F.col(id_col).cast("long"), F.lit(num_buckets)).alias(
+                "__bucket"
+            ),
         )
+        .where(F.col(id_col).isNotNull())
         .groupBy("__bucket")
         .applyInPandas(pack, schema=out_schema)
     )

@@ -93,7 +93,12 @@ def brute_force_knn(
     Q = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     Qn = Q / np.clip(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30, None)
 
-    out_schema = f"{query_id} long, {corpus_id} long, score double"
+    # id columns keep their INPUT types (string doc ids included): a
+    # hardcoded `long` schema made Arrow reject any non-long id deep in
+    # the Python worker with an opaque executor error
+    q_id_t = queries.schema[query_id].dataType.simpleString()
+    c_id_t = corpus.schema[corpus_id].dataType.simpleString()
+    out_schema = f"`{query_id}` {q_id_t}, `{corpus_id}` {c_id_t}, score double"
 
     def score_batches(batches):
         for pdf in batches:
@@ -143,6 +148,31 @@ def sample_centroids(
     )
 
 
+def _groupwise_mean(
+    df: DataFrame, key_col: str, vec_col: str, out_col: str
+) -> DataFrame:
+    """(key, element-wise mean array) — the shared centroid-mean
+    construction: ``posexplode`` -> per-(key, position) avg (map-side
+    partial aggregation keeps the shuffle at groups x dim rows, never
+    the corpus) -> deterministic ``array_sort(collect_list)``
+    reassembly.  Used by :func:`kmeans_centroids` (per Lloyd cell) and
+    :func:`embedding_outliers` (per label/source group) — one copy, so
+    a NULL-handling or determinism tweak can never drift between them."""
+    return (
+        df.select(key_col, F.posexplode(vec_col).alias("__pos", "__x"))
+        .groupBy(key_col, "__pos")
+        .agg(F.avg("__x").alias("__m"))
+        .groupBy(key_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias("__pm")
+        )
+        .select(
+            key_col,
+            F.transform(F.col("__pm"), lambda s: s["__m"]).alias(out_col),
+        )
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     vector_col: str,
@@ -168,34 +198,29 @@ def kmeans_centroids(
         # consistent with pca_fit / sq_fit / pq_fit: a fit on nothing
         # is a caller error, not an empty result to propagate silently
         raise ValueError("empty corpus")
+    spark = corpus.sparkSession
     c = corpus.select(F.col(vector_col).cast("array<double>").alias("__v"))
     for _ in range(max(0, iterations)):
         assigned = _nearest_centroids(c, "__v", cents, 1).select(
             "__centroid_id", "__v"
         )
-        means = (
-            assigned.select(
-                "__centroid_id", F.posexplode("__v").alias("__pos", "__x")
-            )
-            .groupBy("__centroid_id", "__pos")
-            .agg(F.avg("__x").alias("__m"))
-            .groupBy("__centroid_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("__pos", "__m"))
-                ).alias("__pm")
-            )
-            .select(
-                "__centroid_id",
-                F.transform(F.col("__pm"), lambda s: s["__m"]).alias("__new"),
-            )
-        )
+        means = _groupwise_mean(assigned, "__centroid_id", "__v", "__new")
         cents = (
             cents.join(means, "__centroid_id", "left")
             .select(
                 "__centroid_id",
                 F.coalesce(F.col("__new"), F.col("__centroid")).alias("__centroid"),
             )
+        )
+        # FREEZE the iteration's centroids as a driver-local relation
+        # (k x dim — broadcast-sized by construction).  Left lazy, each
+        # iteration's plan chains every earlier iteration's means
+        # aggregation, and the collect() inside _nearest_centroids then
+        # re-executes them all: O(iterations^2) corpus scans instead of
+        # the documented one per iteration.
+        cents = spark.createDataFrame(
+            [(r["__centroid_id"], list(r["__centroid"])) for r in cents.collect()],
+            "__centroid_id long, __centroid array<double>",
         )
     return cents
 
@@ -294,8 +319,25 @@ def ivf_knn(
     c_assigned = _nearest_centroids(c, "__cvec", centroids, 1)
     q_assigned = _nearest_centroids(q, "__qvec", centroids, nprobe)
 
+    # SIZE-GATED broadcast of the probe-expanded query set: this is the
+    # advertised large-query path (brute_force_knn redirects oversized
+    # query sets here), so an unconditional F.broadcast would OOM the
+    # driver / trip Spark's broadcast cap exactly where callers were
+    # sent to avoid that.  One tiny agg on the query relation buys the
+    # bound; past the gate the join falls back to a shuffle on the
+    # cell id — still never a cross join.
+    from ..utils.scale import broadcast_below
+
+    q_stats = q.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("__qvec")).alias("d")
+    ).first()
+    q_sel = q_assigned.select("__qid", "__qvec", "__centroid_id")
     joined = c_assigned.join(
-        F.broadcast(q_assigned.select("__qid", "__qvec", "__centroid_id")),
+        broadcast_below(
+            q_sel,
+            int(q_stats["n"] or 0) * max(1, nprobe),
+            est_row_bytes=40 + int(q_stats["d"] or 0) * 8,
+        ),
         on="__centroid_id",
     )
     scored = joined.select(
@@ -526,19 +568,7 @@ def embedding_outliers(
     """
     v = F.col(vector_col).cast("array<double>")
     base = df.select(F.col(id_col), F.col(group_col), v.alias("__v"))
-    cents = (
-        base.select(group_col, F.posexplode("__v").alias("__pos", "__x"))
-        .groupBy(group_col, "__pos")
-        .agg(F.avg("__x").alias("__m"))
-        .groupBy(group_col)
-        .agg(
-            F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias("__pm")
-        )
-        .select(
-            group_col,
-            F.transform(F.col("__pm"), lambda s: s["__m"]).alias("__c"),
-        )
-    )
+    cents = _groupwise_mean(base, group_col, "__v", "__c")
     dist = F.sqrt(
         F.aggregate(
             F.zip_with("__v", "__c", lambda a, b: (a - b) * (a - b)),
@@ -693,6 +723,10 @@ def pq_fit(
     """
     import numpy as np
 
+    # NULL vectors: drop before sizing (size(NULL) is NULL -> an opaque
+    # TypeError on the modulo below) and before they can be sampled as
+    # centroids — the same guard the knn entry points apply
+    corpus = corpus.where(F.col(vector_col).isNotNull())
     first = corpus.select(F.size(vector_col).alias("d")).first()
     if first is None:
         raise ValueError("empty corpus")
@@ -727,11 +761,15 @@ def pq_encode(
     id_col: str,
     vector_col: str,
     codebooks,
+    keep_cols=(),
 ) -> DataFrame:
-    """(id, code array<int>) — each subvector replaced by its nearest
-    codebook centroid index.  Arrow-batched numpy argmin per subspace
-    with the (m, k, d/m) codebooks in the UDF closure; the output
-    codes are m small ints per vector (the 100 TB storage form)."""
+    """(id, *keep_cols, code array<int>) — each subvector replaced by
+    its nearest codebook centroid index.  Arrow-batched numpy argmin
+    per subspace with the (m, k, d/m) codebooks in the UDF closure; the
+    output codes are m small ints per vector (the 100 TB storage form).
+    ``keep_cols`` ride through the same projection so callers needing
+    id+metadata+code (ivfpq_index) never join the relation back to
+    itself."""
     import numpy as np
     import pandas as pd
 
@@ -740,6 +778,15 @@ def pq_encode(
 
     def _enc(col):
         x = np.stack(col.to_numpy()).astype(np.float64)
+        if x.shape[1] != m * sub:
+            # numpy slicing would silently IGNORE trailing dimensions
+            # of a longer vector (codes computed from a prefix of the
+            # embedding — wrong neighbors with no crash)
+            raise ValueError(
+                f"vector dimension {x.shape[1]} != codebooks' "
+                f"{m}x{sub}={m * sub}; refit pq codebooks for this "
+                "embedding size"
+            )
         n = x.shape[0]
         codes = np.empty((n, m), dtype=np.int32)
         for j in range(m):
@@ -754,7 +801,11 @@ def pq_encode(
         return pd.Series(list(codes))
 
     enc = F.pandas_udf(_enc, "array<int>")
-    return corpus.select(F.col(id_col), enc(F.col(vector_col)).alias("pq_code"))
+    return corpus.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        enc(F.col(vector_col)).alias("pq_code"),
+    )
 
 
 def pq_knn(
@@ -813,10 +864,17 @@ def _adc_tables(
             f"query set exceeds max_queries={max_queries}; "
             "raise the bound explicitly for larger sweeps"
         )
+    if not q_rows:
+        raise ValueError("queries DataFrame is empty")
     qids = [r[query_id_col] for r in q_rows]
     qv = np.stack(
         [np.asarray(r[query_vector_col], dtype=np.float64) for r in q_rows]
     )
+    if qv.shape[1] != m * sub:
+        raise ValueError(
+            f"query dimension {qv.shape[1]} != codebooks' "
+            f"{m}x{sub}={m * sub}; refit pq codebooks for this embedding size"
+        )
     tables = np.empty((len(qids), m, kc))
     for j in range(m):
         seg = qv[:, j * sub : (j + 1) * sub]
@@ -919,8 +977,12 @@ def ivfpq_index(
     assigned = _nearest_centroids(c, "__v", cents, 1).select(
         id_col, F.col("__centroid_id").alias("__cell"), "__v"
     )
-    codes = pq_encode(assigned, id_col, "__v", codebooks)
-    index_df = assigned.select(id_col, "__cell").join(codes, id_col)
+    # ONE projection carries (id, __cell, pq_code): the previous
+    # self-join on id re-ran the corpus-wide assignment mapInPandas for
+    # BOTH join branches and paid a full corpus shuffle for the join
+    index_df = pq_encode(
+        assigned, id_col, "__v", codebooks, keep_cols=["__cell"]
+    )
     rows = sorted(cents.collect(), key=lambda r: r["__centroid_id"])
     centroids = np.asarray([list(r["__centroid"]) for r in rows])
     cell_ids = [r["__centroid_id"] for r in rows]

@@ -499,9 +499,13 @@ def chunk_documents(
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
+    # NULL text coalesces to '' so the documented one-empty-chunk
+    # contract holds: a NULL __toks would otherwise propagate through
+    # slice/array_join and emit (chunk_idx=0, chunk_text=NULL,
+    # chunk_tokens=NULL) — NULLs leaking into downstream tokenization
     pre = df.select(
-        F.col(id_col), tokens_col(text_col).alias("__toks")
-    )
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("__t")
+    ).select(F.col(id_col), tokens_col("__t").alias("__toks"))
     toks = F.col("__toks")
     starts = F.filter(
         F.sequence(
