@@ -133,6 +133,46 @@ class TestDedup:
         # fresh docs don't match themselves (they're not in the corpus)
         assert all(n < 9_000_000 or c < 200 for n, c in found)
 
+    def test_minhash_cross_pairs_over_cap_duplicates_rescued(self, spark, docs):
+        """An arriving batch with MORE copies of a corpus page than
+        max_band_bucket: the evicted copies must still be flagged
+        (they inherit their bucket anchor's corpus matches) — the
+        plain cap silently reported them unique (r15 review fix)."""
+        from tumult_core_spark.extensions.dedup import (
+            minhash_band_index,
+            minhash_lsh_cross_pairs,
+        )
+
+        base = docs.filter("doc_id = 3").select("doc_id", "text")
+        corpus = base.union(
+            docs.filter("doc_id >= 100 and doc_id < 120").select("doc_id", "text")
+        )
+        index = minhash_band_index(corpus, "doc_id", "text", 32, 8)
+        # 12 identical copies of corpus doc 3, cap 8: 4 copies are
+        # evicted from EVERY band bucket (hash-of-id order is the same
+        # across bands)
+        batch = None
+        for i in range(12):
+            part = base.withColumn("doc_id", F.lit(7_000_000 + i))
+            batch = part if batch is None else batch.union(part)
+        pairs = minhash_lsh_cross_pairs(
+            batch, index, "doc_id", "text", 32, 8, max_band_bucket=8
+        )
+        flagged = {r["new_id"] for r in pairs.collect() if r["corpus_id"] == 3}
+        assert flagged == {7_000_000 + i for i in range(12)}, flagged
+
+    def test_cap_hot_buckets_null_keyed_bucket(self, spark):
+        """A NULL bucket key over the cap must be capped like any other
+        bucket — the null-unsafe join let it through uncapped."""
+        from tumult_core_spark.extensions.dedup import cap_hot_buckets
+
+        rows = [(i, None if i < 50 else "k") for i in range(60)]
+        df = spark.createDataFrame(rows, "id long, b string")
+        out = cap_hot_buckets(df, ["b"], "id", cap=10)
+        got = out.groupBy("b").count().collect()
+        counts = {r["b"]: r["count"] for r in got}
+        assert counts == {None: 10, "k": 10}, counts
+
     def test_ngram_jaccard(self, spark, docs):
         base = docs.limit(20)
         dup = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
@@ -961,6 +1001,41 @@ class TestSampling:
         assert out.columns == docs.columns + ["pos"]
         positions = [r["pos"] for r in out.select("pos").collect()]
         assert sorted(positions) == list(range(n))
+
+    def test_global_shuffle_string_ids_and_null_drop(self, spark):
+        """String ids mix via xxhash64 (deterministically, under any
+        partitioning); NULL ids are dropped — an earlier version lost
+        uncastable ids SILENTLY through the offsets join."""
+        from tumult_core_spark.extensions.sampling import global_shuffle
+
+        df = spark.createDataFrame(
+            [(f"doc-{i}",) for i in range(40)] + [(None,)], "sid string"
+        )
+        base = {
+            (r["sid"], r["pos"])
+            for r in global_shuffle(df, "sid", seed=3).collect()
+        }
+        assert len(base) == 40 and all(s is not None for s, _ in base)
+        assert sorted(p for _, p in base) == list(range(40))
+        again = {
+            (r["sid"], r["pos"])
+            for r in global_shuffle(df.repartition(7), "sid", seed=3).collect()
+        }
+        assert again == base
+
+    def test_token_budget_mix_fractional_costs(self, spark):
+        """A source whose per-row costs are all < 1 must NOT vanish:
+        the old per-row long cast truncated every cost to 0, summed to
+        zero inventory, and dropped the source outright."""
+        from tumult_core_spark.extensions.sampling import token_budget_mix
+
+        rows = [(i, "frac", 0.8) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, cost double")
+        out = token_budget_mix(
+            df, "source", "doc_id", "cost", budget=1_000_000.0
+        )
+        # budget >> inventory: the whole source is kept
+        assert out.count() == 100
 
     def test_global_shuffle_partitioning_independent(self, spark, docs):
         from tumult_core_spark.extensions.sampling import global_shuffle

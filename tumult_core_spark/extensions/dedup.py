@@ -231,14 +231,30 @@ def _cap_hot_buckets_with_rescue(
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = df.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bsz"))
+    # NULL-SAFE hot lookup: the key columns are renamed and matched
+    # with <=> — a plain `on=bucket_cols` left join uses null-unsafe
+    # equality, so a NULL-keyed over-cap bucket (legal for a public
+    # caller bucketing by a nullable column) could never match the hot
+    # set and would pass through uncapped, recreating the quadratic
+    # blowup the cap exists to prevent
     hot = (
         sizes.filter(F.col("__bsz") > cap)
-        .drop("__bsz")
+        .select(
+            *[
+                F.col(c).alias(f"__hk_{i}")
+                for i, c in enumerate(bucket_cols)
+            ]
+        )
         .withColumn("__hot", F.lit(True))
     )
     if hot.count() * _EST_BUCKET_KEY_BYTES <= broadcast_threshold_bytes:
         hot = F.broadcast(hot)
-    flagged = df.join(hot, on=list(bucket_cols), how="left")
+    cond = F.lit(True)
+    for i, c in enumerate(bucket_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__hk_{i}"))
+    flagged = df.join(hot, cond, "left").drop(
+        *[f"__hk_{i}" for i in range(len(bucket_cols))]
+    )
     cold = flagged.filter(F.col("__hot").isNull()).drop("__hot")
     hot_rows = flagged.filter(F.col("__hot").isNotNull()).drop("__hot")
     w = Window.partitionBy(*bucket_cols).orderBy(
@@ -476,17 +492,32 @@ def minhash_band_index(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_size: int = 5,
+    max_band_bucket: Optional[int] = None,
 ) -> DataFrame:
     """(id, band, band_key) — the persistent LSH index of a corpus
     (write it to parquet bucketed by ``band_key`` once; an arriving
     batch then joins against it without re-signing the corpus).
     Every member document is indexed (no signature pre-grouping): the
     index must answer for any member id, and the batch-vs-index join
-    is linear in postings, not quadratic in a bucket."""
+    is linear in postings, not quadratic in a bucket.
+
+    ``max_band_bucket``: cap hot buckets ONCE at build time (the cap
+    keeps the top-``cap`` postings per bucket, so any batch doc hitting
+    the bucket still finds survivors — recall of the duplicate FLAG is
+    preserved, only which corpus ids are reported narrows).  Building
+    capped and passing ``index_precapped=True`` to
+    :func:`minhash_lsh_cross_pairs` keeps the per-batch cost
+    batch-proportional; an uncapped index forces every arriving batch
+    to re-cap the whole corpus relation."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
-    return _minhash_bands(sigs, id_col, num_hashes, bands)
+    banded = _minhash_bands(sigs, id_col, num_hashes, bands)
+    if max_band_bucket is not None:
+        banded = cap_hot_buckets(
+            banded, ["band", "band_key"], id_col, max_band_bucket
+        )
+    return banded
 
 
 def minhash_lsh_cross_pairs(
@@ -498,24 +529,44 @@ def minhash_lsh_cross_pairs(
     bands: int = 16,
     shingle_size: int = 5,
     max_band_bucket: int = 50,
+    index_precapped: bool = False,
 ) -> DataFrame:
     """(new_id, corpus_id) candidates between an ARRIVING batch and an
     already-indexed corpus — the incremental form of
     :func:`minhash_lsh_candidate_pairs`: only the new batch is signed
     and banded; the corpus side is the persisted
-    :func:`minhash_band_index` relation, so cost is proportional to
-    the batch, not the corpus.  Signature parameters must match the
-    ones the index was built with."""
+    :func:`minhash_band_index` relation.  Signature parameters must
+    match the ones the index was built with.
+
+    Batch-proportional cost requires ``index_precapped=True`` with an
+    index built via ``minhash_band_index(..., max_band_bucket=...)``:
+    otherwise the corpus index is re-capped here on EVERY call — a
+    corpus-scale aggregation + cache per arriving batch (kept as the
+    safe default for un-capped indexes, since a hot corpus bucket
+    would otherwise make the join quadratic).
+
+    Recall under the new-side cap: evicted over-cap batch members
+    (eviction order is a hash of the id, identical across bands, so an
+    over-cap group of exact duplicates would otherwise emit ZERO rows
+    and enter the corpus as "unique") INHERIT their bucket anchor's
+    corpus matches — the anchor shares the evicted doc's band key, so
+    its matches through that bucket are exactly what the evicted doc
+    would have produced; extra pairs are candidates for the verifier,
+    missing pairs would be silent data corruption."""
+    from pyspark import StorageLevel
+
     new_banded = minhash_band_index(
         new_df, id_col, text_col, num_hashes, bands, shingle_size
     )
-    capped_new = cap_hot_buckets(
+    capped_new, rescue = _cap_hot_buckets_with_rescue(
         new_banded, ["band", "band_key"], id_col, max_band_bucket
     )
-    capped_idx = cap_hot_buckets(
-        index_df, ["band", "band_key"], id_col, max_band_bucket
+    capped_idx = (
+        index_df
+        if index_precapped
+        else cap_hot_buckets(index_df, ["band", "band_key"], id_col, max_band_bucket)
     )
-    return (
+    pairs = (
         capped_new.alias("n")
         .join(
             capped_idx.alias("c"),
@@ -527,7 +578,16 @@ def minhash_lsh_cross_pairs(
             F.col(f"c.{id_col}").alias("corpus_id"),
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    inherited = (
+        rescue.select(
+            F.col("id_a").alias("__anchor"), F.col("id_b").alias("__evicted")
+        )
+        .join(pairs, F.col("__anchor") == F.col("new_id"))
+        .select(F.col("__evicted").alias("new_id"), "corpus_id")
+    )
+    return pairs.unionByName(inherited).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -643,7 +703,6 @@ def simhash_signatures(
                     np.int64
                 )
                 votes = (2 * bits - 1).sum(axis=0)
-                sig = np.uint64(0)
                 sig = np.bitwise_or.reduce(
                     (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
                 )

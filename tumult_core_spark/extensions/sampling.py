@@ -206,14 +206,28 @@ def temperature_mix(
         for r in df.groupBy(source_col).count().collect()
         if r[0] is not None
     }
-    if len(counts) > 10_000:
-        raise ValueError(
-            f"{len(counts)} distinct sources; temperature_mix expects a "
-            "small source vocabulary (languages/domains), not a key column"
-        )
+    _guard_source_vocab(len(counts), "temperature_mix")
     thresholds = temperature_thresholds(counts, temperature)
     if not thresholds:  # empty input: nothing to mix
         return df
+    return _threshold_filter(df, source_col, id_col, thresholds, seed)
+
+
+def _guard_source_vocab(n: int, op: str) -> None:
+    if n > 10_000:
+        raise ValueError(
+            f"{n} distinct sources; {op} expects a small source "
+            "vocabulary (languages/domains), not a key column"
+        )
+
+
+def _threshold_filter(
+    df: DataFrame, source_col: str, id_col: str, thresholds: Dict, seed: int
+) -> DataFrame:
+    """Scan-side per-source hash filter shared by the mix samplers:
+    keep a row iff ``mix(id, seed) < thresholds[source]`` via a sorted
+    when-chain (NULL sources fall through the chain and are dropped —
+    each caller's documented contract)."""
     pos = _mix(F.col(id_col).cast("long"), seed)
     thr = None
     for s, t in sorted(thresholds.items()):
@@ -269,14 +283,26 @@ def global_shuffle(
     Rows must carry non-negative int64 ids; rows SHARING an id are
     interchangeable in the permutation (their relative order within
     the shared slot range is arbitrary), matching the id contract of
-    the other samplers here.
+    the other samplers here.  String ids that fail the long cast mix
+    via ``xxhash64`` of the string instead (deterministic, oracles for
+    castable ids unaffected); rows with a NULL id are DROPPED with the
+    same rationale as the other samplers (no identity, no
+    deterministic slot) — silently losing them through the offsets
+    join, as an earlier version did, hid real data loss.
     """
     if buckets < 1:
         raise ValueError("buckets must be >= 1")
     if position_col in df.columns:
         raise ValueError(f"column {position_col!r} already exists")
     spark = df.sparkSession
-    mix = _mix(F.col(id_col).cast("long"), seed)
+    df = df.where(F.col(id_col).isNotNull())
+    # try_cast, not cast: ANSI mode (the default) throws on a malformed
+    # string instead of yielding NULL for the coalesce to catch
+    key = F.coalesce(
+        F.col(id_col).try_cast("long"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(_MOD)),
+    )
+    mix = _mix(key, seed)
     width = (_MOD + buckets - 1) // buckets
     bucket = F.floor(mix / F.lit(width)).cast("long")
     # counts prune to the id column only; map-side combine collapses
@@ -381,28 +407,22 @@ def token_budget_mix(
     totals = {
         # coalesce: a source whose every cost is NULL sums to NULL;
         # treat it as zero inventory (threshold 0, dropped) instead of
-        # crashing float(None) in token_budget_thresholds
+        # crashing float(None) in token_budget_thresholds.  The cost
+        # column sums in its NATIVE type — a per-row long cast
+        # truncated fractional costs (a source whose every row cost
+        # < 1 summed to 0 and was dropped outright).
         r[0]: r[1] if r[1] is not None else 0
         for r in df.groupBy(source_col)
-        .agg(F.sum(F.col(cost_col).cast("long")).alias("t"))
+        .agg(F.sum(F.col(cost_col)).alias("t"))
         .collect()
         if r[0] is not None
     }
-    if len(totals) > 10_000:
-        raise ValueError(
-            f"{len(totals)} distinct sources; token_budget_mix expects a "
-            "small source vocabulary (languages/domains), not a key column"
-        )
+    _guard_source_vocab(len(totals), "token_budget_mix")
     thresholds = token_budget_thresholds(totals, budget, weights)
     if not thresholds:
         # Empty input OR every source NULL: either way no thresholds
         # exist, but NULL-source rows are still dropped per the
-        # contract above (the when-chain below does it implicitly on
-        # the normal path).
+        # contract above (the when-chain does it implicitly on the
+        # normal path).
         return df.filter(F.col(source_col).isNotNull())
-    pos = _mix(F.col(id_col).cast("long"), seed)
-    thr = None
-    for s, t in sorted(thresholds.items()):
-        cond = F.col(source_col) == F.lit(s)
-        thr = F.when(cond, F.lit(t)) if thr is None else thr.when(cond, F.lit(t))
-    return df.filter(pos < thr)
+    return _threshold_filter(df, source_col, id_col, thresholds, seed)

@@ -76,8 +76,16 @@ def approx_quantiles(
     # coalesce to per-probability NULL values so the group still
     # appears in the long-form output instead of vanishing through
     # the explode (a caller joining estimates back to the data would
-    # silently lose those groups)
-    null_qs = F.array(*[F.lit(None).cast("double") for _ in probs])
+    # silently lose those groups).  The NULL array is typed to the
+    # QUANTILE array's own element type: a hardcoded array<double>
+    # made coalesce widen bigint quantiles to double, silently
+    # changing the output type and rounding values above 2^53 (a
+    # caller equality-joining estimates back to the data would get
+    # spurious mismatches).
+    elem_type = base.schema["__qs"].dataType
+    null_qs = F.array(
+        *[F.lit(None).cast(elem_type.elementType) for _ in probs]
+    )
     base = base.withColumn("__qs", F.coalesce(F.col("__qs"), null_qs))
     out = base.select(
         *(group_cols or []),
