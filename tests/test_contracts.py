@@ -542,6 +542,11 @@ class TestMiscValidationParity:
         assert escape_column_name("q0.9(x)") == "`q0.9(x)`"
         assert escape_column_name("`done`") == "`done`"
         assert escape_column_name("plain_1") == "plain_1"
+        # embedded backticks double (Spark's quoted-identifier escape);
+        # backticks-at-both-ends alone is NOT "already escaped"
+        assert escape_column_name("a`b") == "`a``b`"
+        assert escape_column_name("`a`x`b`") == "```a``x``b```"
+        assert escape_column_name("`a``b`") == "`a``b`"
         from tumult_core_spark.exact_number import ExactNumber
 
         assert get_fullname(ExactNumber(1)).endswith("exact_number.ExactNumber")

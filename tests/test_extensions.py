@@ -2094,6 +2094,38 @@ class TestMultimodal:
         assert img is not None and img.shape == (3, 4, 3)
         assert (img[0, 0] == [10, 200, 30]).all()
 
+    def test_real_resize_rgba_and_gray_alpha(self, spark):
+        """4-channel (RGBA) and 2-channel (gray+alpha) inputs collapse
+        to the 3 color planes the P6 output promises — the raw buffer
+        previously rode behind the P6 header (RGBA re-decoded as wrong
+        RGB pixels; gray+alpha as a short-body corrupt payload)."""
+        import numpy as np
+
+        from tumult_core_spark.extensions.multimodal import _decode_pnm
+
+        rng = np.random.default_rng(3)
+        rgba = rng.integers(0, 256, (6, 5, 4), np.uint8)
+        ga = rng.integers(0, 256, (6, 5, 2), np.uint8)
+        df = spark.createDataFrame(
+            [
+                (0, bytearray(self._png(rgba, 6, 1))),
+                (1, bytearray(self._png(ga, 4, 1))),
+            ],
+            "media_id long, payload binary",
+        )
+        out = {
+            r["media_id"]: _decode_pnm(bytes(r["resized"]))
+            for r in resize_images(
+                df, "payload", "media_id", 5, 6, decoder="real"
+            ).collect()
+        }
+        # identity-size resize: RGBA row 0 equals the RGB planes
+        assert out[0] is not None and out[0].shape == (6, 5, 3)
+        assert np.array_equal(out[0], rgba[:, :, :3])
+        # gray+alpha: gray plane replicated across RGB
+        assert out[1] is not None and out[1].shape == (6, 5, 3)
+        assert np.array_equal(out[1], np.repeat(ga[:, :, :1], 3, axis=2))
+
     def test_real_bmp_decode(self):
         import struct
 
@@ -3938,6 +3970,10 @@ class TestSemistructured:
         rows = [(r["id"], None if r["element"] is None else tuple(r["element"]))
                 for r in out.collect()]
         assert rows == [(1, ("a", 1)), (1, ("b", 2)), (2, None), (3, None)]
+        # out_col colliding with an existing column fails loudly, same
+        # contract as extract_json_fields / flatten_json
+        with pytest.raises(ValueError, match="collides"):
+            json_array_explode(df, "calls", "t string", out_col="id")
 
     def test_extract_is_pure_catalyst(self, spark):
         """No Python in the plan: extraction must stay in codegen."""

@@ -119,7 +119,15 @@ def _decode_pnm(payload: bytes) -> Optional[np.ndarray]:
     data = payload[pos : pos + need]
     if len(data) < need:
         return None
-    return np.frombuffer(data, dtype=np.uint8).reshape(height, width, channels)
+    img = np.frombuffer(data, dtype=np.uint8).reshape(height, width, channels)
+    if maxval != 255:
+        # rescale to full 8-bit range (maxval 15 means 15 = white): raw
+        # samples would otherwise profile ~255/maxval times too dark in
+        # image_stats / feature extraction with no error
+        img = (
+            (img.astype(np.uint32) * 255 + maxval // 2) // maxval
+        ).astype(np.uint8)
+    return img
 
 
 _GIF_MAGICS = (b"GIF87a", b"GIF89a")
@@ -791,7 +799,10 @@ def _decode_png(payload: bytes) -> Optional[np.ndarray]:
     if color_type == 3:
         if palette is None:
             raise ValueError("palette PNG without PLTE")
-        img = palette[img[:, :, 0]]
+        # clamp out-of-range indices (corrupt palette PNGs) like the
+        # GIF/TIFF decoders do — a raw IndexError would violate the
+        # module's ValueError corrupt-file contract
+        img = palette[np.minimum(img[:, :, 0], len(palette) - 1)]
     return img
 
 
@@ -1120,7 +1131,13 @@ def extract_image_features(
     def one(payload: bytes) -> Optional[List[float]]:
         img = _try_decode(_decode_image_real, payload, decoder)
         if img is not None:
-            gray = img.mean(axis=2).ravel() / 255.0
+            # pool over COLOR planes only: averaging the alpha channel
+            # in made an opaque RGBA image's features diverge from the
+            # identical RGB image (docstring promises grayscale
+            # intensity) — slice 2ch -> gray plane, 4ch -> RGB
+            ch = img.shape[2]
+            color = img[:, :, :1] if ch == 2 else img[:, :, :3] if ch >= 4 else img
+            gray = color.mean(axis=2).ravel() / 255.0
             return _unit_norm(_segment_pool(gray, dim)).tolist()
         if decoder == "real":
             raise _codec_error("image decode")
@@ -1179,8 +1196,18 @@ def resize_images(
             rows = (np.arange(height) * h // height).clip(0, h - 1)
             cols = (np.arange(width) * w // width).clip(0, w - 1)
             resized = img[rows][:, cols]
-            if resized.shape[2] == 1:
+            # collapse to the 3 COLOR planes the P6 header promises:
+            # gray+alpha (2ch) and RGBA (4ch) previously serialized
+            # their raw buffers after a P6 header — RGBA re-decoded as
+            # silently wrong RGB pixels, gray+alpha as a short-body
+            # "corrupt" payload
+            ch = resized.shape[2]
+            if ch == 1:
                 resized = np.repeat(resized, 3, axis=2)
+            elif ch == 2:  # gray + alpha: replicate the gray plane
+                resized = np.repeat(resized[:, :, :1], 3, axis=2)
+            elif ch >= 4:  # drop alpha
+                resized = resized[:, :, :3]
             header = f"P6\n{width} {height}\n255\n".encode()
             return header + resized.astype(np.uint8).tobytes()
         if decoder == "real":

@@ -153,6 +153,13 @@ def json_array_explode(
     ``explode_outer`` — rows whose array is NULL/malformed survive
     with a NULL element, so corrupt records remain countable.
     """
+    if out_col in df.columns and not (keep_json is False and out_col == json_col):
+        # same loud collision contract as extract_json_fields /
+        # flatten_json — a silent duplicate column surfaces later as an
+        # AMBIGUOUS_REFERENCE far from the cause
+        raise ValueError(
+            f"out_col {out_col!r} collides with an existing column"
+        )
     if isinstance(element_schema, str):
         # DataType.fromDDL handles primitives ("long") and struct DDL
         # ("a long, b string") alike

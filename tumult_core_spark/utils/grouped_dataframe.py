@@ -99,7 +99,10 @@ class GroupedDataFrame:
         joined = self._keys_left_join(agged, [out_name])
         return joined.withColumn(
             out_name,
-            F.coalesce(F.col(out_name), F.lit(fill_value).cast(out_type)),
+            # joined[out_name], not F.col(out_name): release aliases may
+            # contain dots/parens (quantile columns are named
+            # 'q0.5(col)'), which F.col would parse as a struct access
+            F.coalesce(joined[out_name], F.lit(fill_value).cast(out_type)),
         )
 
     def apply_in_pandas(
@@ -167,10 +170,31 @@ class GroupedDataFrame:
             cond2 = clause if cond2 is None else cond2 & clause
         missing = keys.join(present_keys, cond2, "left_anti")
 
+        # Arrow dtype per data column, so func sees the SAME dtypes on a
+        # missing-key (empty) group as on a data-bearing one — all-object
+        # empty columns change dtype-sensitive pandas reductions
+        import numpy as np
+
+        _spark_to_pd = {
+            "tinyint": np.int8, "smallint": np.int16, "int": np.int32,
+            "bigint": np.int64, "float": np.float32, "double": np.float64,
+            "boolean": np.bool_, "string": object,
+        }
+        data_dtypes = {
+            c: _spark_to_pd.get(
+                self._dataframe.schema[c].dataType.simpleString(), object
+            )
+            for c in data_cols
+        }
+
         def empty_wrapper(key, pdf):
             import pandas as pd
 
-            out = func(pd.DataFrame({c: pd.Series(dtype=object) for c in data_cols}))
+            out = func(
+                pd.DataFrame(
+                    {c: pd.Series(dtype=data_dtypes[c]) for c in data_cols}
+                )
+            )
             for i, c in enumerate(cols):
                 out.insert(i, c, [key[i]] * len(out))
             return out[cols + out_names]

@@ -313,14 +313,27 @@ def get_fullname(obj) -> str:
 
 def escape_column_name(column_name: str) -> str:
     """Backtick-escape a column name containing special characters,
-    unless already escaped (reference ``utils/misc.py:71-86``)."""
+    unless already escaped (reference ``utils/misc.py:71-86``).
+
+    Embedded backticks are doubled (Spark SQL's escape for a literal
+    backtick inside a quoted identifier) — ``a`b`` becomes ```a``b```;
+    without the doubling the emitted fragment mis-parses.  "Already
+    escaped" requires the WHOLE name to be one quoted identifier, not
+    merely backticks at both ends (```a`x`b``` is two identifiers)."""
     import re
 
-    if re.search(r"[^a-zA-Z0-9_]", column_name) and not (
-        column_name.startswith("`") and column_name.endswith("`")
+    if not re.search(r"[^a-zA-Z0-9_]", column_name):
+        return column_name
+    if (
+        len(column_name) >= 2
+        and column_name.startswith("`")
+        and column_name.endswith("`")
+        # inner backticks must all be doubled for this to be ONE
+        # already-quoted identifier
+        and "`" not in column_name[1:-1].replace("``", "")
     ):
-        return f"`{column_name}`"
-    return column_name
+        return column_name
+    return "`" + column_name.replace("`", "``") + "`"
 
 
 def copy_if_mutable(value):
