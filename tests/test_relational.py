@@ -174,6 +174,79 @@ class TestJoins:
         t = PublicJoin(kv_domain(), SymmetricDifference(), pub)
         assert t.stability_function(1) == 2
 
+    def test_public_join_nan_key_multiplicity_counted(self, spark):
+        """NaN-keyed public rows DO fan out (Spark joins NaN = NaN as
+        TRUE even with join_on_nulls=False), so the stability factor
+        must count them — the old dropna() removed them and calibrated
+        noise too small (r15 review fix)."""
+        from tumult_core_spark.domains import SparkFloatColumnDescriptor
+
+        dom = SparkDataFrameDomain(
+            {"k": SparkFloatColumnDescriptor(allow_nan=True, size=64), "v": STR}
+        )
+        nan = float("nan")
+        pub = spark.createDataFrame(
+            [(nan, "a"), (nan, "b"), (nan, "c"), (1.0, "d")],
+            "k double, tag string",
+        )
+        t = PublicJoin(dom, SymmetricDifference(), pub)
+        assert t.stability_function(1) == 3
+        # the fan-out the factor must cover: one NaN private row -> 3
+        priv = spark.createDataFrame([(nan, "p")], "k double, v string")
+        assert t(priv).count() == 3
+
+    def test_public_join_left_factor_never_zero(self, spark, kv):
+        """A left join emits every unmatched private row null-extended,
+        so its stability factor is >= 1 even against an empty (or
+        all-NULL-key) public table — factor 0 meant zero noise."""
+        pub = spark.createDataFrame([], "k long, name string")
+        t = PublicJoin(kv_domain(), SymmetricDifference(), pub, how="left")
+        assert t.stability_function(1) == 1
+        assert t(kv).count() == kv.count()
+        # inner join against the same empty table: output always empty,
+        # stability 0 is correct there
+        t_inner = PublicJoin(kv_domain(), SymmetricDifference(), pub)
+        assert t_inner.stability_function(1) == 0
+
+    def test_join_duplicate_output_column_rejected(self, spark):
+        """left ['k','x','x_left'] x right ['k','x'] on ['k'] would
+        silently DROP the renamed 'x' column (dict overwrite); the
+        validator must reject it (the old no-op check let it through)."""
+        from tumult_core_spark.utils.join import validate_join
+
+        left = SparkDataFrameDomain({"k": INT_N, "x": STR, "x_left": STR})
+        right = SparkDataFrameDomain({"k": INT_N, "x": STR})
+        with pytest.raises(ValueError, match="duplicate output"):
+            validate_join(left, right, ["k"], "inner")
+        # but a passthrough column that merely LOOKS suffixed is valid
+        left2 = SparkDataFrameDomain({"a": INT_N, "a_left": STR})
+        right2 = SparkDataFrameDomain({"a": INT_N})
+        assert validate_join(left2, right2, ["a"], "inner") == ["a"]
+
+    def test_private_join_zero_threshold_vs_no_truncation(self, spark):
+        """tau=0 against a NO_TRUNCATION side: the zero-threshold side
+        truncates to empty, so the term is 0 — sympy's 0*inf nan must
+        not escape as UnsupportedSympyExprError."""
+        from tumult_core_spark.domains import DictDomain
+        from tumult_core_spark.transformations.join import (
+            PrivateJoin,
+            TruncationStrategy,
+        )
+
+        dd = DictDomain({"l": kv_domain(), "r": kv_domain()})
+        t = PrivateJoin(
+            dd, "l", "r",
+            TruncationStrategy.TRUNCATE, TruncationStrategy.NO_TRUNCATION,
+            0, float("inf"), join_cols=["k"],
+        )
+        assert t.stability_function({"l": 1, "r": 1}) == 0
+        with pytest.raises(ValueError, match="nonnegative int"):
+            PrivateJoin(
+                dd, "l", "r",
+                TruncationStrategy.TRUNCATE, TruncationStrategy.TRUNCATE,
+                True, 2, join_cols=["k"],
+            )
+
     def test_public_join_suffixes(self, spark, kv):
         pub = spark.createDataFrame([(1, "p")], "k long, v string")
         t = PublicJoin(kv_domain(), SymmetricDifference(), pub, join_cols=["k"])

@@ -150,14 +150,30 @@ class PublicJoin(Transformation):
         if self._stability_factor is None:
             keys = self.public_df.select(*self.join_cols)
             if not self.join_on_nulls:
-                keys = keys.dropna()
+                # drop only NULL-keyed rows (they can never match under
+                # the null-unsafe join).  NOT dropna(): Spark's na.drop
+                # also removes NaN-keyed float rows, but the join
+                # treats NaN = NaN as TRUE, so those rows DO fan out —
+                # dropping them understated the stability factor (noise
+                # calibrated too small, a DP soundness hole).
+                cond = F.lit(False)
+                for c in self.join_cols:
+                    cond = cond | F.col(c).isNull()
+                keys = keys.where(~cond)
             row = (
                 keys.groupBy(*self.join_cols)
                 .agg(F.count(F.lit(1)).alias("__m"))
                 .agg(F.max("__m").alias("m"))
                 .first()
             )
-            self._stability_factor = ExactNumber(int(row["m"] or 0))
+            m = int(row["m"] or 0)
+            if self.how == "left":
+                # a left join emits every unmatched private row
+                # null-extended, so one changed private row always
+                # changes >= 1 output row: the factor is never 0 even
+                # when the public key set is empty
+                m = max(m, 1)
+            self._stability_factor = ExactNumber(m)
         return self._stability_factor
 
     def stability_function(self, d_in: Any) -> ExactNumber:
@@ -224,7 +240,13 @@ class PrivateJoin(Transformation):
                         f"The {side}_truncation_threshold must be float('inf') "
                         f"when the {side}_truncation_strategy is NO_TRUNCATION"
                     )
-            elif not isinstance(thresh, int) or thresh < 0:
+            elif (
+                isinstance(thresh, bool)
+                or not isinstance(thresh, int)
+                or thresh < 0
+            ):
+                # bool passes isinstance(int) but ExactNumber rejects it
+                # later in stability_function — fail at construction
                 raise ValueError(
                     f"The {side}_truncation_threshold must be a nonnegative "
                     f"int for {strat}; got {thresh!r}"
@@ -257,9 +279,17 @@ class PrivateJoin(Transformation):
         s_r = truncation_strategy_stability(self.right_truncation_strategy, tau_r)
         d_l = ExactNumber(d_in[self.left_key])
         d_r = ExactNumber(d_in[self.right_key])
-        # inf * 0 = 0 convention: an untouched side contributes nothing
-        # even when the other side's strategy has infinite stability
-        # (sympy would otherwise produce nan)
+        # a zero truncation threshold on EITHER side empties the join
+        # unconditionally (that side truncates to limit(0)), so the
+        # output is a constant and the total stability is exactly 0 —
+        # this also forecloses sympy's 0 * inf = nan when the other
+        # side is NO_TRUNCATION
+        if tau_l == 0 or tau_r == 0:
+            return ExactNumber(0)
+
+        # inf * 0 = 0 convention: an untouched side (d == 0)
+        # contributes nothing even when the other side's strategy has
+        # infinite stability (sympy would otherwise produce nan)
         term_r = tau_l * s_r * d_r if d_r != 0 else ExactNumber(0)
         term_l = tau_r * s_l * d_l if d_l != 0 else ExactNumber(0)
         return term_r + term_l
@@ -319,6 +349,13 @@ class PrivateJoinOnKey(Transformation):
             raise ValueError("Both sides must appear in the AddRemoveKeys metric")
         if key_col_l not in on or key_col_r not in on:
             raise ValueError("The AddRemoveKeys key column must be a join column")
+        if new_key in input_domain.key_to_domain:
+            # a reused name would silently REPLACE an existing private
+            # table's domain, key column, and data mid-pipeline
+            # (reference validates this too)
+            raise ValueError(
+                f"new_key {new_key!r} already exists in the input domain"
+            )
         out_domain = join_output_domain(left_domain, right_domain, on, "inner", False)
         new_domains = dict(input_domain.key_to_domain)
         new_domains[new_key] = out_domain

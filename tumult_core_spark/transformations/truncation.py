@@ -26,6 +26,26 @@ from ..metrics import (
 from ..utils.truncation import limit_keys_per_group, truncate_large_groups
 
 
+def _validate_grouping_column(
+    domain: SparkDataFrameDomain, column: str
+) -> None:
+    """The IfGroupedBy column must exist (otherwise the failure is a
+    late Spark AnalysisException inside the truncation job) and must
+    not be float-typed (forbidden by the metric — metrics.py:204,
+    reference metrics.py:998 — since Spark's -0.0/NaN grouping
+    normalization diverges from the metric's multiset semantics)."""
+    from ..domains import SparkFloatColumnDescriptor
+
+    if column not in domain.schema:
+        raise ValueError(
+            f"IfGroupedBy column {column!r} is not in the input domain"
+        )
+    if isinstance(domain[column], SparkFloatColumnDescriptor):
+        raise ValueError(
+            f"IfGroupedBy on float column {column!r} is not supported"
+        )
+
+
 class LimitRowsPerGroup(Transformation):
     """Keep at most ``threshold`` rows per group.
 
@@ -47,6 +67,7 @@ class LimitRowsPerGroup(Transformation):
             )
         if threshold < 0:
             raise ValueError("threshold must be >= 0")
+        _validate_grouping_column(input_domain, input_metric.column)
         super().__init__(
             input_domain, input_metric, input_domain, SymmetricDifference()
         )
@@ -109,6 +130,7 @@ class LimitKeysPerGroup(Transformation):
             raise ValueError("Grouping and key columns must be different")
         if threshold < 0:
             raise ValueError("threshold must be >= 0")
+        _validate_grouping_column(input_domain, input_metric.column)
         grouping_column = input_metric.column
         if output_metric is None:
             output_metric = IfGroupedBy(
@@ -224,6 +246,7 @@ class LimitRowsPerKeyPerGroup(Transformation):
             )
         if grouping_column == key_column:
             raise ValueError("Grouping and key columns must be different")
+        _validate_grouping_column(input_domain, grouping_column)
         super().__init__(input_domain, input_metric, input_domain, output_metric)
         self.threshold = threshold
         self.key_column = key_column

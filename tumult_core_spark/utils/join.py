@@ -92,19 +92,32 @@ def validate_join(
         # comparison semantics make NaN = NaN TRUE, and the output
         # domain intersects allow_nan/allow_inf accordingly (see
         # join_output_domain)
-    # suffix collisions
+    # Suffix collisions: columns_after_join builds a dict, so a
+    # collision (e.g. left 'x' suffixed to 'x_left' overwritten by a
+    # literal left 'x_left') manifests as a SILENTLY SMALLER dict —
+    # column data would vanish from the join output.  Compare against
+    # the collision-free output count.  (An earlier len(dict) !=
+    # len(set(dict)) check was a no-op — dict keys are always unique —
+    # and a companion suffix heuristic flagged VALID joins whose
+    # passthrough columns merely looked suffixed.)
     out_cols = columns_after_join(
         left_domain.columns, right_domain.columns, on, how
     )
-    if len(out_cols) != len(set(out_cols)):
-        raise ValueError("Join would produce duplicate output columns")
-    for name in out_cols:
-        if name.endswith(("_left", "_right")):
-            base = name.rsplit("_", 1)[0]
-            if (
-                name in left_domain.schema or name in right_domain.schema
-            ) and base in on:
-                raise ValueError(f"Suffixed column {name!r} collides with input")
+    if how in ("left_anti", "left_semi"):
+        expected = len(left_domain.columns)
+    else:
+        expected = (
+            len(on)
+            + sum(1 for c in left_domain.columns if c not in on)
+            + sum(1 for c in right_domain.columns if c not in on)
+        )
+    if len(out_cols) != expected:
+        raise ValueError(
+            "Join would produce duplicate output columns (a suffixed "
+            "name collides with an existing column); rename before "
+            f"joining: left={left_domain.columns}, "
+            f"right={right_domain.columns}, on={list(on)}"
+        )
     return list(on)
 
 
@@ -198,7 +211,7 @@ def join(
                 expr = F.coalesce(left[l_col], right_in[r_col]).alias(name)
             else:
                 # Spark's on=[...] join already merged the key columns
-                expr = F.col(l_col).alias(name) if l_col == name else F.col(l_col).alias(name)
+                expr = F.col(l_col).alias(name)
         elif l_col is not None:
             expr = left[l_col].alias(name)
         else:

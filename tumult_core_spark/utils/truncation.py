@@ -48,6 +48,21 @@ def _row_hash(df: DataFrame) -> F.Column:
     return F.xxhash64(*[F.col(c) for c in df.columns])
 
 
+#: internal helper column names used by the truncation utilities; a
+#: user column with one of these names would produce an opaque
+#: AMBIGUOUS_REFERENCE mid-job, so reject it up front
+_RESERVED = ("__m", "__copy", "__rn", "__salt", "__cnt", "__dr")
+
+
+def _check_reserved(df: DataFrame, op: str) -> None:
+    clash = [c for c in df.columns if c in _RESERVED]
+    if clash:
+        raise ValueError(
+            f"{op}: column names {clash} collide with internal helper "
+            f"columns {_RESERVED}; rename them first"
+        )
+
+
 def truncate_large_groups(
     df: DataFrame,
     grouping_columns: List[str],
@@ -91,6 +106,7 @@ def truncate_large_groups(
         raise ValueError("threshold must be >= 0")
     if threshold == 0:
         return df.limit(0)
+    _check_reserved(df, "truncate_large_groups")
     cols = df.columns
     # copy indexes from a count aggregate, not a window: rows are fully
     # described by their columns, so regenerating min(m, threshold)
@@ -143,6 +159,7 @@ def drop_large_groups(
         raise ValueError("threshold must be >= 0")
     if threshold == 0:
         return df.limit(0)
+    _check_reserved(df, "drop_large_groups")
     cols = df.columns
     w = Window.partitionBy(*grouping_columns)
     return (
@@ -167,6 +184,7 @@ def limit_keys_per_group(
         raise ValueError("threshold must be >= 0")
     if threshold == 0:
         return df.limit(0)
+    _check_reserved(df, "limit_keys_per_group")
     cols = df.columns
     key_hash = F.xxhash64(
         *[F.col(c) for c in grouping_columns + key_columns]
