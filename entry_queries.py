@@ -2131,73 +2131,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order.  The per-round driver checks roughly the first 50 of the
     # 101 registry entries against the DuckDB oracle, so each round the
     # entries with the least-fresh driver evidence go FIRST:
-    #   r15 front block = map_revenue (the sole entry whose latest
-    #   driver-green row is r12 — it was entry #51 of the 51-entry r14
+    #   r16 front block = hll_distinct (the sole entry whose latest
+    #   driver-green row is r13 — it was entry #51 of the 51-entry r15
     #   front, exactly the one the 50-entry batch did not reach), then
-    #   the 50 entries whose latest driver-green row is r13, in their
-    #   r13 order.  The tail = the 50 entries CORRECTNESS_r14 checked,
-    #   in their r14 order.  The front is 51 entries, so with a
-    #   50-entry driver batch the LAST front entry (hll_distinct,
-    #   r13-green) may slip to r16; it carries r13 driver evidence plus
+    #   the 50 entries whose latest driver-green row is r14, in their
+    #   r14 order.  The tail = the 50 entries CORRECTNESS_r15 checked,
+    #   in their r15 order.  The front is 51 entries, so with a
+    #   50-entry driver batch the LAST front entry (partition_by_keys,
+    #   r14-green) may slip to r17; it carries r14 driver evidence plus
     #   this round's local sf0.01 sweep, so the slip is the cheapest
     #   available.
-    #   r16: rotate again — move whatever the r15 batch does not reach
-    #   back to the front, followed by the r14-green tail below.
+    #   r17: rotate again — move whatever the r16 batch does not reach
+    #   back to the front, followed by the r15-green tail below.
     return {
-        # --- r15 front: map_revenue first (only r12-stale entry) ---
-        "map_revenue": q_map_derive,
-        # --- then the 50 entries last driver-checked in r13 ---
-        "flatmap_by_key": q_flatmap_by_key,
-        "multimodal_decode": q_multimodal_decode,
-        "dict_pipeline": q_dict_pipeline,
-        "zorder_key": q_zorder_key,
-        "composition_count_sum": q_composition_count_sum,
-        "adaptive_queries": q_adaptive_queries,
-        "substring_dedup": q_substring_dedup,
-        "substring_removal": q_substring_removal,
-        "token_budget_mix": q_token_budget_mix,
-        "profile_table": q_profile_table,
-        "profile_numeric": q_profile_numeric,
-        "json_extract": q_json_extract,
-        "sq_codes": q_sq_codes,
-        "bpe_tokens": q_bpe_tokens,
-        "replace_nulls": q_replace_nulls,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ann_topk": q_ann_topk,
-        "token_counts": q_token_counts,
-        "lang_id": q_lang_id,
-        "fingerprint_distinct": q_fingerprint_distinct,
-        "quality_scores": q_quality_scores,
-        "repetition_stats": q_repetition_stats,
-        "asof_join": q_asof_join,
-        "time_rollup": q_time_rollup,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "global_shuffle": q_global_shuffle,
-        "temperature_mix": q_temperature_mix,
-        "pca_project": q_pca_project,
-        "unigram_logprob": q_unigram_logprob,
-        "weighted_sample": q_weighted_sample,
-        "fuzzy_join": q_fuzzy_join,
-        "chunk_documents": q_chunk_documents,
-        "chunk_pack": q_chunk_pack,
-        "streaming_window_counts": q_streaming_window_counts,
-        "multimodal_features": q_multimodal_features,
-        "zcdp_groupby_count": q_zcdp_groupby_count,
-        "approxdp_groupby_count": q_approxdp_groupby_count,
-        "groupby_sum_cents": q_groupby_sum_cents,
-        "groupby_column_domains": q_groupby_column_domains,
-        "drop_nulls_nans": q_drop_nulls_nans,
-        "replace_nans_infs": q_replace_nans_infs,
-        "flatmap_explode": q_flatmap_explode,
-        "grouping_flatmap": q_grouping_flatmap,
-        "fused_moments": q_fused_moments,
-        "embedding_outliers": q_embedding_outliers,
-        "pagerank": q_pagerank,
+        # --- r16 front: hll_distinct first (only r13-stale entry) ---
         "hll_distinct": q_hll_distinct,
-        # --- tail: the 50 r14-green entries in their r14 order ---
+        # --- then the 50 entries last driver-checked in r14 ---
         "approx_quantile_check": q_approx_quantile_check,
         "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_flac": q_multimodal_flac,
@@ -2248,6 +2197,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bounds": q_bounds,
         "quantile_median": q_quantile_median,
         "partition_by_keys": q_partition_by_keys,
+        # --- tail: the 50 r15-green entries in their r15 order ---
+        "map_revenue": q_map_derive,
+        "flatmap_by_key": q_flatmap_by_key,
+        "multimodal_decode": q_multimodal_decode,
+        "dict_pipeline": q_dict_pipeline,
+        "zorder_key": q_zorder_key,
+        "composition_count_sum": q_composition_count_sum,
+        "adaptive_queries": q_adaptive_queries,
+        "substring_dedup": q_substring_dedup,
+        "substring_removal": q_substring_removal,
+        "token_budget_mix": q_token_budget_mix,
+        "profile_table": q_profile_table,
+        "profile_numeric": q_profile_numeric,
+        "json_extract": q_json_extract,
+        "sq_codes": q_sq_codes,
+        "bpe_tokens": q_bpe_tokens,
+        "replace_nulls": q_replace_nulls,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_topk": q_ann_topk,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "fingerprint_distinct": q_fingerprint_distinct,
+        "quality_scores": q_quality_scores,
+        "repetition_stats": q_repetition_stats,
+        "asof_join": q_asof_join,
+        "time_rollup": q_time_rollup,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "global_shuffle": q_global_shuffle,
+        "temperature_mix": q_temperature_mix,
+        "pca_project": q_pca_project,
+        "unigram_logprob": q_unigram_logprob,
+        "weighted_sample": q_weighted_sample,
+        "fuzzy_join": q_fuzzy_join,
+        "chunk_documents": q_chunk_documents,
+        "chunk_pack": q_chunk_pack,
+        "streaming_window_counts": q_streaming_window_counts,
+        "multimodal_features": q_multimodal_features,
+        "zcdp_groupby_count": q_zcdp_groupby_count,
+        "approxdp_groupby_count": q_approxdp_groupby_count,
+        "groupby_sum_cents": q_groupby_sum_cents,
+        "groupby_column_domains": q_groupby_column_domains,
+        "drop_nulls_nans": q_drop_nulls_nans,
+        "replace_nans_infs": q_replace_nans_infs,
+        "flatmap_explode": q_flatmap_explode,
+        "grouping_flatmap": q_grouping_flatmap,
+        "fused_moments": q_fused_moments,
+        "embedding_outliers": q_embedding_outliers,
+        "pagerank": q_pagerank,
     }
 
 
