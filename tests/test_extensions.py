@@ -4480,3 +4480,110 @@ class TestApproxQuantiles:
         out = approx_quantiles(ev, "value", [0.25, 0.75]).collect()
         assert [r["prob"] for r in out] == [0.25, 0.75]
         assert out[0]["approx_quantile"] <= out[1]["approx_quantile"]
+
+
+class TestR16AdviceFixes:
+    """Pins for the four r15 ADVICE items fixed in r16: reserved-name
+    guards in the dedup helpers, verified (not trusted)
+    index_precapped, per-batch cache cleanup in the incremental dedup
+    path, and the streaming DP checkpoint hard-fail."""
+
+    def test_exact_dedup_reserved_name_rejected(self, spark):
+        from tumult_core_spark.extensions.dedup import exact_dedup
+
+        df = spark.createDataFrame([(1, "a", "x")], "k long, v string, __rest string")
+        with pytest.raises(ValueError, match="__rest"):
+            exact_dedup(df, ["k"])
+
+    def test_cap_hot_buckets_reserved_name_rejected(self, spark):
+        from tumult_core_spark.extensions.dedup import cap_hot_buckets
+
+        df = spark.createDataFrame([(1, "b", 2)], "id long, b string, __rn long")
+        with pytest.raises(ValueError, match="__rn"):
+            cap_hot_buckets(df, ["b"], "id", cap=10)
+
+    def test_index_precapped_is_verified_not_trusted(self, spark, docs, tmp_path):
+        """index_precapped=True with an index built WITHOUT
+        max_band_bucket must raise instead of silently skipping the
+        re-cap; a capped index carries the stamp — including through a
+        parquet round-trip — and is accepted."""
+        from tumult_core_spark.extensions.dedup import (
+            _PRECAPPED_META_KEY,
+            minhash_band_index,
+            minhash_lsh_cross_pairs,
+        )
+
+        corpus = docs.limit(30).select("doc_id", "text")
+        batch = corpus.filter("doc_id < 5").withColumn(
+            "doc_id", F.col("doc_id") + 5_000_000
+        )
+        uncapped = minhash_band_index(corpus, "doc_id", "text", 32, 8)
+        with pytest.raises(ValueError, match=_PRECAPPED_META_KEY):
+            minhash_lsh_cross_pairs(
+                batch, uncapped, "doc_id", "text", 32, 8, index_precapped=True
+            )
+        capped = minhash_band_index(
+            corpus, "doc_id", "text", 32, 8, max_band_bucket=16
+        )
+        assert capped.schema["band_key"].metadata[_PRECAPPED_META_KEY] == 16
+        # the stamp survives the write-once / join-many index pattern
+        path = str(tmp_path / "band_index")
+        capped.write.parquet(path)
+        reloaded = spark.read.parquet(path)
+        assert reloaded.schema["band_key"].metadata[_PRECAPPED_META_KEY] == 16
+        pairs = minhash_lsh_cross_pairs(
+            batch, reloaded, "doc_id", "text", 32, 8, index_precapped=True
+        )
+        found = {(r["new_id"], r["corpus_id"]) for r in pairs.collect()}
+        assert {(i + 5_000_000, i) for i in range(5)} <= found
+
+    def test_cross_pairs_does_not_accumulate_caches(self, spark, docs):
+        """The incremental per-batch path unpersists its intermediates
+        once the batch result is materialized: repeated batches must
+        not grow the persistent-RDD map (pre-fix: +3 cached relations
+        per batch for the session's lifetime)."""
+        from tumult_core_spark.extensions.dedup import (
+            minhash_band_index,
+            minhash_lsh_cross_pairs,
+        )
+
+        corpus = docs.limit(30).select("doc_id", "text")
+        index = minhash_band_index(corpus, "doc_id", "text", 32, 8)
+        jsc = spark.sparkContext._jsc.sc()
+
+        def n_cached():
+            return jsc.getPersistentRDDs().size()
+
+        results = []
+        before = n_cached()
+        for b in range(2):
+            batch = corpus.filter("doc_id < 5").withColumn(
+                "doc_id", F.col("doc_id") + F.lit(1_000_000 * (b + 1))
+            )
+            out = minhash_lsh_cross_pairs(batch, index, "doc_id", "text", 32, 8)
+            results.append(out)  # hold the results alive, like a real session
+            assert out.count() >= 5
+        # only the (eagerly checkpointed) RESULTS may remain cached —
+        # one per live batch result, never the per-batch intermediates
+        assert n_cached() <= before + len(results)
+
+    def test_streaming_append_without_checkpoint_hard_fails(self, spark, tmp_path):
+        """append-mode DP counts without a checkpoint re-noise every
+        window on a re-run (spend multiplies) — a hard error unless the
+        caller explicitly acknowledges single-run semantics."""
+        import datetime as dt
+
+        from tumult_core_spark.streaming import read_stream_parquet
+        from tumult_core_spark.streaming.ops import dp_windowed_counts
+
+        src = str(tmp_path / "dp_hardfail_src")
+        spark.createDataFrame(
+            [(dt.datetime(2026, 1, 1), "u")], "ts timestamp, user string"
+        ).write.parquet(src)
+        stream = read_stream_parquet(spark, src, nanos_ts_cols=["ts"])
+        start = dp_windowed_counts(
+            stream, "ts", epsilon_per_window=1.0,
+            window_duration="1 hour", watermark="0 seconds",
+        )
+        with pytest.raises(ValueError, match="allow_rerun_renoise"):
+            start(lambda pdf, bid: None, output_mode="append")

@@ -1351,3 +1351,234 @@ class TestFreezeBranchContracts:
     def test_apply_in_pandas_rejects_nonpositive_rows_per_group(self, spark):
         with pytest.raises(ValueError, match="rows_per_group"):
             self._apply_in_pandas(1, rows_per_group=0)
+
+
+class TestR16SoundnessPins:
+    """r16 adversarial review of the accountant/composition/converter
+    core: each test pins a hole found (and fixed) this round, in the
+    reference-conformance style of tests/test_relational.py.
+
+    Reference semantics matched: composition.py:88 (no interactive
+    member, including the FIRST), interactive_measurements.py:591-612
+    (parallel metric/measure grid + inner-metric match), :1285
+    (accountant answers non-interactive only), :1560-1570 (split
+    output-metric/measure grid, fixed-length ListDomain).
+    """
+
+    def _interactive_count(self, dom):
+        from tumult_core_spark.measurements.interactive import MakeInteractive
+
+        return MakeInteractive(
+            create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 1)
+        )
+
+    def test_composition_rejects_interactive_first_member(self):
+        """Pre-fix, only measurements[1:] were checked: an interactive
+        FIRST member slipped through and its queryable escaped the
+        retire cascade via a 'non-interactive' Composition."""
+        from tumult_core_spark.measurements.composition import Composition
+
+        dom = v_domain()
+        inter = self._interactive_count(dom)
+        plain = create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 1)
+        with pytest.raises(ValueError, match="interactive"):
+            Composition([inter, plain])
+        with pytest.raises(ValueError, match="interactive"):
+            Composition([inter])  # the single/first-element hole
+        with pytest.raises(ValueError, match="interactive"):
+            Composition([plain, inter])
+
+    def test_parallel_composition_metric_measure_grid(self):
+        """SumOf composes PureDP/ApproxDP, RootSumOfSquared composes
+        RhoZCDP; the off-grid pairs under-charge (e.g. L1-split zCDP
+        losses do not max-compose) and must be rejected."""
+        from tumult_core_spark.measurements.interactive import ParallelComposition
+        from tumult_core_spark.measures import RhoZCDP
+        from tumult_core_spark.metrics import RootSumOfSquared
+
+        dom = v_domain()
+        m_pure = create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 1)
+        m_zcdp = create_count_measurement(dom, SymmetricDifference(), RhoZCDP(), 1, 1)
+        # off-grid: SumOf + RhoZCDP
+        with pytest.raises(ValueError, match="incompatible"):
+            ParallelComposition(
+                ListDomain(dom, length=1), SumOf(SymmetricDifference()), [m_zcdp]
+            )
+        # off-grid: RootSumOfSquared + PureDP (RootSumOfSquared
+        # subclasses SumOf here — an isinstance check would miss this)
+        with pytest.raises(ValueError, match="incompatible"):
+            ParallelComposition(
+                ListDomain(dom, length=1),
+                RootSumOfSquared(SymmetricDifference()),
+                [m_pure],
+            )
+        # on-grid pairs construct fine
+        ParallelComposition(
+            ListDomain(dom, length=1), SumOf(SymmetricDifference()), [m_pure]
+        )
+        ParallelComposition(
+            ListDomain(dom, length=1),
+            RootSumOfSquared(SymmetricDifference()),
+            [m_zcdp],
+        )
+
+    def test_parallel_composition_inner_metric_must_match(self):
+        """A member calibrated for a different input metric receives
+        the composition's d_in in the wrong units — rejected."""
+        from tumult_core_spark.measurements.interactive import ParallelComposition
+        from tumult_core_spark.metrics import HammingDistance
+
+        dom = v_domain()
+        m_hamming = create_count_measurement(dom, HammingDistance(), PureDP(), 1, 1)
+        with pytest.raises(ValueError, match="inner metric|input metric"):
+            ParallelComposition(
+                ListDomain(dom, length=1),
+                SumOf(SymmetricDifference()),
+                [m_hamming],
+            )
+        with pytest.raises(ValueError, match="at least one"):
+            ParallelComposition(
+                ListDomain(dom, length=0), SumOf(SymmetricDifference()), []
+            )
+
+    def test_parallel_call_rejects_interactive_members(self, spark, values):
+        """The list-answer convenience form must not open every
+        partition's adaptive session simultaneously; interactive
+        members go through as_queryable's one-at-a-time protocol."""
+        from tumult_core_spark.measurements.interactive import ParallelComposition
+
+        dom = v_domain()
+        pc = ParallelComposition(
+            ListDomain(dom, length=2),
+            SumOf(SymmetricDifference()),
+            [self._interactive_count(dom), self._interactive_count(dom)],
+        )
+        parts = [values.filter("g = 'a'"), values.filter("g = 'b'")]
+        with pytest.raises(ValueError, match="as_queryable"):
+            pc(parts)
+        pc.as_queryable(parts)  # the interactive path still works
+
+    def test_sequential_queryable_bare_interactive_is_tracked(self, spark, values):
+        """Pre-fix, a BARE interactive measurement (not wrapped in
+        MeasurementQuery) was answered unwrapped: its queryable lived
+        outside the retire cascade, so two adaptive sessions could run
+        concurrently.  Now it is wrapped and the previous session is
+        retired when the next opens."""
+        from tumult_core_spark.measurements.interactive import (
+            RetirableQueryable,
+            SequentialComposition,
+        )
+
+        dom = v_domain()
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), PureDP(), d_in=1,
+            privacy_budget=PureDPBudget(4),
+        )
+        q = sc(values)
+        s0 = q(self._interactive_count(dom))
+        assert isinstance(s0, RetirableQueryable)
+        s1 = q(self._interactive_count(dom))
+        assert s0.is_retired  # opening the second session revoked the first
+        with pytest.raises(RuntimeError, match="retired"):
+            s0(None)
+        assert abs(int(s1(None)) - 201) < 60
+
+    def test_accountant_measure_rejects_interactive(self, spark, values):
+        dom = v_domain()
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), PureDP(), d_in=1,
+            privacy_budget=PureDPBudget(2),
+        )
+        acct = PrivacyAccountant.launch(sc, values)
+        with pytest.raises(ValueError, match="interactive"):
+            acct.measure(self._interactive_count(dom))
+        # nothing was charged by the rejected query
+        assert acct.privacy_budget.value == 2
+
+    def test_accountant_measure_relation_only_fallback(self, spark, values):
+        """A measurement with privacy_relation but no privacy_function
+        is answerable by claiming d_out (validated, then charged) —
+        reference interactive_measurements.py:1196-1210."""
+        from tumult_core_spark.base import Measurement
+
+        dom = v_domain()
+        inner = create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 1)
+
+        class RelationOnly(Measurement):
+            def __init__(self):
+                super().__init__(dom, SymmetricDifference(), PureDP())
+
+            def privacy_function(self, d_in):
+                raise NotImplementedError
+
+            def privacy_relation(self, d_in, d_out):
+                return ExactNumber(d_in) <= ExactNumber(d_out)
+
+            def __call__(self, data):
+                return inner(data)
+
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), PureDP(), d_in=1,
+            privacy_budget=PureDPBudget(3),
+        )
+        acct = PrivacyAccountant.launch(sc, values)
+        with pytest.raises(ValueError, match="d_out"):
+            acct.measure(RelationOnly())  # no claim -> unanswerable
+        with pytest.raises(ValueError, match="privacy relation"):
+            acct.measure(RelationOnly(), d_out="1/2")  # false claim
+        assert acct.privacy_budget.value == 3  # nothing charged yet
+        acct.measure(RelationOnly(), d_out=2)
+        assert acct.privacy_budget.value == 1  # claimed d_out charged
+
+    def test_split_metric_measure_grid(self, spark, values):
+        """An L2 (RootSumOfSquared) partition under PureDP — or an L1
+        split under zCDP — under-charges; split must reject it."""
+        from tumult_core_spark.transformations.partition import PartitionByKeys
+
+        dom = v_domain()
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), PureDP(), d_in=1,
+            privacy_budget=PureDPBudget(2),
+        )
+        acct = PrivacyAccountant.launch(sc, values)
+        part_l2 = PartitionByKeys(
+            dom, SymmetricDifference(), True, ["g"], [("a",), ("b",)]
+        )
+        with pytest.raises(ValueError, match="SumOf"):
+            acct.split(part_l2, PureDPBudget(1))
+        assert acct.privacy_budget.value == 2  # rejected split charged nothing
+        assert acct.state == AccountantState.ACTIVE
+
+        from tumult_core_spark.measures import RhoZCDP, RhoZCDPBudget
+
+        sc_z = SequentialComposition(
+            dom, SymmetricDifference(), RhoZCDP(), d_in=1,
+            privacy_budget=RhoZCDPBudget(2),
+        )
+        acct_z = PrivacyAccountant.launch(sc_z, values)
+        part_l1 = PartitionByKeys(
+            dom, SymmetricDifference(), False, ["g"], [("a",), ("b",)]
+        )
+        with pytest.raises(ValueError, match="RootSumOfSquared"):
+            acct_z.split(part_l1, RhoZCDPBudget(1))
+        children = acct_z.split(part_l2, RhoZCDPBudget(1))
+        assert len(children) == 2 and acct_z.privacy_budget.value == 1
+
+    def test_split_claimed_d_out(self, spark, values):
+        """split(d_out=...) validates the claim via stability_relation
+        and passes it to the children as their d_in."""
+        from tumult_core_spark.transformations.partition import PartitionByKeys
+
+        dom = v_domain()
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), PureDP(), d_in=2,
+            privacy_budget=PureDPBudget(2),
+        )
+        acct = PrivacyAccountant.launch(sc, values)
+        part = PartitionByKeys(
+            dom, SymmetricDifference(), False, ["g"], [("a",), ("b",)]
+        )
+        with pytest.raises(ValueError, match="stability relation"):
+            acct.split(part, PureDPBudget(1), d_out=1)  # tighter than true
+        children = acct.split(part, PureDPBudget(1), d_out=3)  # looser: fine
+        assert children[0].d_in == 3

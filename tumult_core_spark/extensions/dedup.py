@@ -28,6 +28,26 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: Schema-metadata key stamped on ``band_key`` by
+#: :func:`minhash_band_index` when built with ``max_band_bucket`` —
+#: the proof :func:`minhash_lsh_cross_pairs` demands before trusting
+#: ``index_precapped=True``.  Survives a Spark parquet round-trip
+#: (field metadata is stored in Spark's parquet schema property).
+_PRECAPPED_META_KEY = "minhash_precapped_max"
+
+
+def _check_reserved(df: DataFrame, op: str, names: tuple) -> None:
+    """Reject user columns that collide with the internal helper
+    columns ``op`` is about to add (same up-front guard as
+    utils/truncation.py:57 — a collision otherwise surfaces as an
+    opaque ambiguous-reference/overwrite error mid-job)."""
+    clash = [c for c in df.columns if c in names or c.startswith("__hk_")]
+    if clash:
+        raise ValueError(
+            f"{op}: column names {clash} collide with internal helper "
+            f"columns {names} (or the '__hk_*' prefix); rename them first"
+        )
+
 
 def exact_dedup(
     df: DataFrame,
@@ -56,6 +76,7 @@ def exact_dedup(
     """
     if keep not in ("min", "any"):
         raise ValueError(f"keep must be 'min' or 'any', got {keep!r}")
+    _check_reserved(df, "exact_dedup", ("__rest",))
     if not columns:
         return df.dropDuplicates()
     rest = [c for c in df.columns if c not in columns]
@@ -206,6 +227,7 @@ def _cap_hot_buckets_with_rescue(
     salt: int = 0x5EED,
     broadcast_threshold_bytes: int = 100 * 1024 * 1024,
     payload_cols: Optional[List[str]] = None,
+    cache_registry: Optional[list] = None,
 ):
     """(capped, rescue) — :func:`cap_hot_buckets` plus the RESCUE
     EDGES that make the cap recall-safe for candidate-pair consumers.
@@ -229,7 +251,18 @@ def _cap_hot_buckets_with_rescue(
     """
     from pyspark import StorageLevel
 
+    _check_reserved(
+        df,
+        "cap_hot_buckets",
+        ("__bsz", "__hot", "__rn", "__anchor"),
+    )
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        # callers that materialize eagerly (minhash_lsh_cross_pairs)
+        # collect the persisted relation here and unpersist it once
+        # the batch result is checkpointed — otherwise each incremental
+        # batch leaks one cached relation for the session's lifetime
+        cache_registry.append(df)
     sizes = df.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("__bsz"))
     # NULL-SAFE hot lookup: the key columns are renamed and matched
     # with <=> — a plain `on=bucket_cols` left join uses null-unsafe
@@ -517,6 +550,13 @@ def minhash_band_index(
         banded = cap_hot_buckets(
             banded, ["band", "band_key"], id_col, max_band_bucket
         )
+        # stamp the cap into the schema so index_precapped=True can be
+        # VERIFIED by minhash_lsh_cross_pairs instead of trusted — an
+        # uncapped index passed with the flag silently reintroduces
+        # the quadratic hot-bucket join the cap exists to prevent
+        banded = banded.withMetadata(
+            "band_key", {_PRECAPPED_META_KEY: int(max_band_bucket)}
+        )
     return banded
 
 
@@ -555,17 +595,43 @@ def minhash_lsh_cross_pairs(
     missing pairs would be silent data corruption."""
     from pyspark import StorageLevel
 
+    caches: list = []
     new_banded = minhash_band_index(
         new_df, id_col, text_col, num_hashes, bands, shingle_size
     )
     capped_new, rescue = _cap_hot_buckets_with_rescue(
-        new_banded, ["band", "band_key"], id_col, max_band_bucket
+        new_banded,
+        ["band", "band_key"],
+        id_col,
+        max_band_bucket,
+        cache_registry=caches,
     )
-    capped_idx = (
-        index_df
-        if index_precapped
-        else cap_hot_buckets(index_df, ["band", "band_key"], id_col, max_band_bucket)
-    )
+    if index_precapped:
+        # verify, don't trust: an index built WITHOUT max_band_bucket
+        # carries no cap stamp, and skipping the re-cap for it would
+        # reintroduce the quadratic hot-bucket join
+        meta = (
+            index_df.schema["band_key"].metadata
+            if "band_key" in index_df.columns
+            else {}
+        )
+        if _PRECAPPED_META_KEY not in (meta or {}):
+            raise ValueError(
+                "index_precapped=True but the index carries no "
+                f"{_PRECAPPED_META_KEY!r} schema metadata on band_key; "
+                "build it with minhash_band_index(..., max_band_bucket=...) "
+                "(the stamp survives a Spark parquet round-trip) or pass "
+                "index_precapped=False to re-cap here"
+            )
+        capped_idx = index_df
+    else:
+        capped_idx, _ = _cap_hot_buckets_with_rescue(
+            index_df,
+            ["band", "band_key"],
+            id_col,
+            max_band_bucket,
+            cache_registry=caches,
+        )
     pairs = (
         capped_new.alias("n")
         .join(
@@ -587,7 +653,17 @@ def minhash_lsh_cross_pairs(
         .join(pairs, F.col("__anchor") == F.col("new_id"))
         .select(F.col("__evicted").alias("new_id"), "corpus_id")
     )
-    return pairs.unionByName(inherited).distinct()
+    # the per-batch result is batch-sized; materialize it eagerly
+    # (lineage cut) so every intermediate cached this call — `pairs`
+    # and the relations persisted inside the cap helper — can be
+    # unpersisted NOW instead of accumulating across a long-lived
+    # session's batches (blocks of the localCheckpoint itself are
+    # freed by the ContextCleaner when the result is GC'd)
+    out = pairs.unionByName(inherited).distinct().localCheckpoint(eager=True)
+    pairs.unpersist()
+    for cached in caches:
+        cached.unpersist()
+    return out
 
 
 def ngram_jaccard_pairs(

@@ -30,6 +30,14 @@ class Composition(Measurement):
         if not measurements:
             raise ValueError("Composition requires at least one measurement")
         first = measurements[0]
+        # interactivity is checked for EVERY element, including the
+        # first: an interactive measurement answered through a
+        # non-interactive Composition would hand out a live queryable
+        # with no retire cascade (reference composition.py:88 rejects
+        # all of them; r16 review found the first element slipping by)
+        for m in measurements:
+            if m.is_interactive:
+                raise ValueError("Cannot compose interactive measurements")
         for m in measurements[1:]:
             if m.input_domain != first.input_domain:
                 raise DomainMismatchError(
@@ -43,8 +51,6 @@ class Composition(Measurement):
                 raise MeasureMismatchError(
                     "All measurements must share an output measure"
                 )
-            if m.is_interactive:
-                raise ValueError("Cannot compose interactive measurements")
         super().__init__(
             first.input_domain, first.input_metric, first.output_measure
         )

@@ -227,9 +227,12 @@ class SequentialQueryable(Queryable):
             raise InsufficientBudgetError(self._remaining, cost)
         if self._remaining.is_finite():
             self._remaining = self._remaining.subtract(cost)
-        if isinstance(query, MeasurementQuery):
+        if isinstance(query, MeasurementQuery) or measurement.is_interactive:
             # opening a new interactive session revokes the previous
-            # one and its entire descendant tree
+            # one and its entire descendant tree.  A BARE interactive
+            # measurement takes this path too: answering it unwrapped
+            # would leave a live queryable outside the retire cascade,
+            # letting adaptive sessions run concurrently (r16 review).
             if self._previous_queryable is not None:
                 self._previous_queryable(RetireQuery())
             answer = measurement(self._data)
@@ -291,20 +294,53 @@ class ParallelComposition(Measurement):
     in exactly one element: the round costs max_i(loss_i).
     """
 
+    #: The metric/measure pairs under which "disjoint partitions cost
+    #: the max" is a theorem (reference
+    #: ``interactive_measurements.py:597-612``): additive measures
+    #: compose across a SumOf split, zCDP across a RootSumOfSquared
+    #: split.  Off-grid pairs (e.g. SumOf + RhoZCDP) silently
+    #: under-charge and are rejected.  Exact types: RootSumOfSquared
+    #: subclasses SumOf here, so an isinstance check would let
+    #: RootSumOfSquared + PureDP through.
+    _VALID_METRIC_MEASURE: tuple = (
+        ("SumOf", "PureDP"),
+        ("SumOf", "ApproxDP"),
+        ("RootSumOfSquared", "RhoZCDP"),
+    )
+
     def __init__(
         self,
         input_domain: ListDomain,
         input_metric: Metric,
         measurements: Sequence[Measurement],
     ):
+        if not measurements:
+            raise ValueError(
+                "ParallelComposition requires at least one measurement"
+            )
         if not isinstance(input_metric, (SumOf, RootSumOfSquared)):
             raise ValueError("input metric must be SumOf or RootSumOfSquared")
         if input_domain.length is not None and input_domain.length != len(measurements):
             raise ValueError("One measurement per partition required")
         first = measurements[0]
+        combo = (type(input_metric).__name__, type(first.output_measure).__name__)
+        if combo not in self._VALID_METRIC_MEASURE:
+            raise ValueError(
+                f"Input metric {type(input_metric).__name__} is incompatible "
+                f"with output measure {type(first.output_measure).__name__}; "
+                f"valid combinations: {self._VALID_METRIC_MEASURE}"
+            )
         for m in measurements:
             if m.input_domain != input_domain.element_domain:
                 raise ValueError("Measurement domain != element domain")
+            if m.input_metric != input_metric.inner_metric:
+                raise ValueError(
+                    "Each measurement's input metric must match the inner "
+                    f"metric of the composition's input metric "
+                    f"({m.input_metric!r} != {input_metric.inner_metric!r}); "
+                    "a unit mismatch here miscalibrates every partition's "
+                    "privacy function"
+                )
             if m.output_measure != first.output_measure:
                 raise ValueError("All measurements must share an output measure")
         super().__init__(input_domain, input_metric, first.output_measure)
@@ -319,8 +355,25 @@ class ParallelComposition(Measurement):
         return max(ExactNumber(l) for l in losses)
 
     def __call__(self, data: List[Any]) -> List[Any]:
+        """Answer every partition's measurement at once (this engine's
+        non-interactive convenience form).  Restricted to
+        non-interactive members: answering interactive members here
+        would hand back a list of live queryables open SIMULTANEOUSLY,
+        escaping the one-at-a-time serialization that
+        :class:`ParallelQueryable` enforces (concurrent adaptive
+        sessions across partitions are exactly what the reference's
+        interactive form forbids, ``interactive_measurements.py:591``).
+        Use :meth:`as_queryable` for interactive members.
+        """
         if len(data) != len(self.measurements):
             raise ValueError("Partition count mismatch")
+        for m in self.measurements:
+            if m.is_interactive:
+                raise ValueError(
+                    "ParallelComposition.__call__ answers non-interactive "
+                    "measurements only; use as_queryable() so interactive "
+                    "partition sessions are opened one at a time"
+                )
         return [m(d) for m, d in zip(self.measurements, data)]
 
     def as_queryable(self, data: List[Any]) -> "ParallelQueryable":
@@ -556,16 +609,50 @@ class PrivacyAccountant:
             self._data = self._pending_transformations.pop(0)(self._data)
 
     def measure(self, measurement: Measurement, d_out: Any = None) -> Any:
+        """Answer a NON-interactive measurement, deducting its loss.
+
+        ``d_out`` (optional): when the measurement implements
+        ``privacy_function``, the claimed bound is validated against
+        the function's answer and the (tighter) function answer is
+        charged; when it does not (``NotImplementedError``), ``d_out``
+        is required, validated via ``privacy_relation``, and charged —
+        reference ``interactive_measurements.py:1196-1210``.
+        """
         self._require_active()
+        if measurement.is_interactive:
+            raise ValueError(
+                "PrivacyAccountant cannot answer interactive measurements: "
+                "the returned queryable would live outside the accountant "
+                "lifecycle (reference interactive_measurements.py:1285)"
+            )
         if measurement.input_domain != self.input_domain:
             raise ValueError("Measurement input domain does not match")
         if measurement.input_metric != self.input_metric:
             raise ValueError("Measurement input metric does not match")
         if measurement.output_measure != self.output_measure:
             raise ValueError("Measurement output measure does not match")
-        loss = measurement.privacy_function(self.d_in)
-        if d_out is not None and not measurement.output_measure.compare(loss, d_out):
-            raise ValueError(f"Measurement loss {loss} exceeds claimed {d_out}")
+        try:
+            loss = measurement.privacy_function(self.d_in)
+        except NotImplementedError:
+            if d_out is None:
+                raise ValueError(
+                    "Measurement does not implement privacy_function; "
+                    "pass d_out so the loss can be validated via "
+                    "privacy_relation"
+                ) from None
+            if not measurement.privacy_relation(self.d_in, d_out):
+                raise ValueError(
+                    "Measurement's privacy relation cannot be satisfied "
+                    f"with given d_out ({d_out})"
+                ) from None
+            loss = d_out
+        else:
+            if d_out is not None and not measurement.output_measure.compare(
+                loss, d_out
+            ):
+                raise ValueError(
+                    f"Measurement loss {loss} exceeds claimed {d_out}"
+                )
         cost = _loss_to_budget(self.output_measure, loss)
         if not self._budget.can_spend(cost):
             raise InsufficientBudgetError(self._budget, cost)
@@ -573,26 +660,77 @@ class PrivacyAccountant:
         return measurement(self._data)
 
     def split(
-        self, partition_transformation: Transformation, privacy_budget: PrivacyBudget
+        self,
+        partition_transformation: Transformation,
+        privacy_budget: PrivacyBudget,
+        d_out: Any = None,
     ) -> List["PrivacyAccountant"]:
-        """Partition the data; children share one budget deduction."""
+        """Partition the data; children share one budget deduction.
+
+        The partition transformation's output metric must be
+        :class:`SumOf` when the output measure is PureDP/ApproxDP and
+        :class:`RootSumOfSquared` when it is RhoZCDP — the pairs under
+        which "disjoint partitions cost the max" is a theorem
+        (reference ``interactive_measurements.py:1560-1570``); an
+        off-grid pair silently under-charges.  Its output domain must
+        be a fixed-length :class:`ListDomain` (a zero-length split
+        would leave this accountant WAITING_FOR_CHILDREN forever).
+        ``d_out`` (optional) claims the children's d_in; it is
+        validated via ``stability_relation`` and preferred over
+        ``stability_function`` when given.
+        """
+        from ..measures import PureDP, RhoZCDP
+
         self._require_active()
         if partition_transformation.input_domain != self.input_domain:
             raise ValueError("Partition input domain does not match")
+        if partition_transformation.input_metric != self.input_metric:
+            raise ValueError("Partition input metric does not match")
         out_domain = partition_transformation.output_domain
         if not isinstance(out_domain, ListDomain):
             raise ValueError("Partition transformation must output a ListDomain")
+        if not out_domain.length:
+            raise ValueError(
+                "Partition transformation's output domain must declare a "
+                "fixed, non-zero list length"
+            )
+        out_metric = partition_transformation.output_metric
+        required = (
+            RootSumOfSquared
+            if isinstance(self.output_measure, RhoZCDP)
+            else SumOf
+        )
+        # RootSumOfSquared subclasses SumOf: exact-type check required.
+        if type(out_metric) is not required:
+            raise ValueError(
+                f"Partition transformation's output metric must be "
+                f"{required.__name__} for output measure "
+                f"{type(self.output_measure).__name__}, got "
+                f"{type(out_metric).__name__}; any other pairing "
+                "under-charges the split"
+            )
+        if d_out is not None:
+            if not partition_transformation.stability_relation(self.d_in, d_out):
+                raise ValueError(
+                    f"Claimed d_out {d_out} does not satisfy the partition "
+                    f"transformation's stability relation at d_in {self.d_in}"
+                )
+            child_d_in = d_out
+        else:
+            child_d_in = partition_transformation.stability_function(self.d_in)
         if not self._budget.can_spend(privacy_budget):
             raise InsufficientBudgetError(self._budget, privacy_budget)
         self._budget = self._budget.subtract(privacy_budget)
         parts = partition_transformation(self._data)
-        child_d_in = partition_transformation.stability_function(self.d_in)
+        if len(parts) != out_domain.length:
+            raise ValueError(
+                f"Partition transformation produced {len(parts)} parts but "
+                f"its output domain declares length {out_domain.length}"
+            )
         self._children = [
             PrivacyAccountant(
                 out_domain.element_domain,
-                partition_transformation.output_metric.inner_metric
-                if hasattr(partition_transformation.output_metric, "inner_metric")
-                else partition_transformation.output_metric,
+                out_metric.inner_metric,
                 self.output_measure,
                 child_d_in,
                 privacy_budget,
@@ -601,8 +739,7 @@ class PrivacyAccountant:
             )
             for part in parts
         ]
-        if self._children:
-            self._children[0]._become_active()
+        self._children[0]._become_active()
         self._state = AccountantState.WAITING_FOR_CHILDREN
         return self._children
 

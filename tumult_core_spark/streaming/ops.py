@@ -500,6 +500,7 @@ def dp_windowed_counts(
         sink_writer,
         output_mode: str = "append",
         checkpoint_location: Optional[str] = None,
+        allow_rerun_renoise: bool = False,
     ):
         # The DP guarantee is noise EXACTLY ONCE per final (window,
         # group).  append satisfies it by construction (a window is
@@ -529,13 +530,26 @@ def dp_windowed_counts(
                 f"output_mode={output_mode!r}"
             )
         if output_mode == "append" and checkpoint_location is None:
+            # hard-fail, not a warning: re-noising on rerun is a
+            # DP-soundness violation (the spend dp_windowed_counts_privacy
+            # reports silently multiplies), so the caller must either
+            # checkpoint or explicitly acknowledge single-run semantics
+            if not allow_rerun_renoise:
+                raise ValueError(
+                    "dp_windowed_counts.start(append) without a "
+                    "checkpoint_location: a re-run over the same source "
+                    "re-noises every window, silently multiplying the "
+                    "privacy spend dp_windowed_counts_privacy reports. "
+                    "Pass checkpoint_location for cross-run exactly-once, "
+                    "or allow_rerun_renoise=True to acknowledge this "
+                    "query will only ever run once."
+                )
             import warnings
 
             warnings.warn(
                 "dp_windowed_counts.start(append) without a "
-                "checkpoint_location: a re-run over the same source "
-                "re-noises every window (privacy spend multiplies). "
-                "Pass checkpoint_location for cross-run exactly-once.",
+                "checkpoint_location (allow_rerun_renoise=True): the "
+                "privacy accounting assumes this query runs exactly once.",
                 stacklevel=2,
             )
         buffered = []
