@@ -2004,6 +2004,78 @@ class TestMultimodal:
         f2 = extract_image_features(df2, "payload", "media_id", dim=4, decoder="real")
         assert np.allclose(f2.collect()[0]["features"], feats[1], atol=1e-6)
 
+    def test_codec_swap_in_seam(self, spark):
+        """r16: the documented 100 TB bulk-decode story as CONTRACT —
+        register_codec swaps a library decoder in without touching any
+        operator, and the override genuinely reaches the executor-side
+        Arrow UDFs (a module monkeypatch would not: cloudpickle
+        serializes module functions by reference and each Python
+        worker re-imports the unpatched module)."""
+        import numpy as np
+
+        from tumult_core_spark.extensions.multimodal import (
+            _decode_image_real,
+            audio_features,
+            register_codec,
+            unregister_codec,
+        )
+
+        rows = [
+            (0, bytearray(self._ppm(8, 8, (255, 255, 255)))),
+            (1, bytearray(self._ppm(8, 8, (32, 32, 32)))),
+        ]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+
+        def grab(frame):
+            return {
+                r["media_id"]: r["features"]
+                for r in extract_image_features(
+                    frame, "payload", "media_id", dim=4, decoder="real"
+                ).collect()
+            }
+
+        baseline = grab(df)
+        try:
+            # 1) a library stand-in with IDENTICAL output: downstream
+            # feature rows must be identical — the swap is invisible
+            def library_stand_in(payload):
+                return _decode_image_real(payload)
+
+            register_codec("image", library_stand_in)
+            assert grab(df) == baseline
+            # 2) a codec with DIFFERENT output proves the override is
+            # actually executing on executors (not silently ignored):
+            # every payload — including one no built-in decoder could
+            # parse — decodes to the same constant image
+            junk = spark.createDataFrame(
+                [(7, bytearray(b"\x00not-an-image"))],
+                "media_id long, payload binary",
+            )
+
+            def const_codec(payload):
+                return np.full((4, 4, 3), 200, dtype=np.uint8)
+
+            register_codec("image", const_codec)
+            for frame in (df, junk):
+                for fid, feats in grab(frame).items():
+                    assert np.allclose(feats, [0.5] * 4, atol=1e-6), (fid, feats)
+        finally:
+            unregister_codec("image")
+        assert grab(df) == baseline  # built-in decoder resumed
+
+        try:
+            # audio seam: 1-second ramp at 8 kHz for any payload
+            def audio_stand_in(payload):
+                return np.linspace(-1.0, 1.0, 8000), 8000
+
+            register_codec("audio", audio_stand_in)
+            out = audio_features(
+                df, "payload", "media_id", dim=4, decoder="real"
+            ).collect()
+            assert all(r["duration_ms"] == 1000 for r in out)
+        finally:
+            unregister_codec("audio")
+
     @staticmethod
     def _y4m(w, h, y_values):
         import numpy as np

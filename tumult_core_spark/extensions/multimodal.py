@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
-from typing import Iterator, List, Optional, Tuple
+from typing import Callable, Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -1096,6 +1096,50 @@ def _codec_error(what: str) -> NotImplementedError:
 
 
 # ---------------------------------------------------------------------------
+# Codec swap-in seam
+# ---------------------------------------------------------------------------
+
+#: The bulk-decode injection registry.  The from-scratch entropy loops
+#: here (jpeg.py:35-42 documents 1-3 MB/s/core honestly) are fine for
+#: profiling and sampling but a 100 TB corpus decode wants a library
+#: (Pillow / soundfile / pyav).  ``register_codec`` swaps one in
+#: WITHOUT touching any operator: every media operator snapshots the
+#: registry at plan-build time (driver side) and captures the override
+#: into its Arrow-UDF closure, so the swapped decoder ships to
+#: executors with the task — a plain module-level monkeypatch would be
+#: invisible there, because cloudpickle serializes module functions by
+#: reference and each Python worker re-imports the unpatched module.
+#: Contract (the seam test in TestMultimodal pins it): an override for
+#: ``"image"`` maps payload-bytes -> HxWxC uint8 ndarray or None
+#: ("can't decode"); ``"audio"`` maps payload-bytes ->
+#: (float64 mono samples in [-1, 1], rate) or None — exactly the
+#: signatures of :func:`_decode_image_real` / :func:`_decode_audio_real`.
+_CODEC_OVERRIDES: Dict[str, Callable] = {}
+
+
+def register_codec(kind: str, fn: Callable) -> None:
+    """Swap a library decoder in for bulk decode (kind: 'image' or
+    'audio').  Affects operators PLANNED after the call; plans already
+    built keep the decoder they captured."""
+    if kind not in ("image", "audio"):
+        raise ValueError(f"kind must be 'image' or 'audio', got {kind!r}")
+    if not callable(fn):
+        raise TypeError("decoder override must be callable")
+    _CODEC_OVERRIDES[kind] = fn
+
+
+def unregister_codec(kind: str) -> None:
+    """Remove an override; the built-in from-scratch decoder resumes."""
+    _CODEC_OVERRIDES.pop(kind, None)
+
+
+def _snapshot_decoder(kind: str, default: Callable) -> Callable:
+    """Plan-build-time resolution of the decode callable (see
+    :data:`_CODEC_OVERRIDES` for why capture-by-closure is required)."""
+    return _CODEC_OVERRIDES.get(kind, default)
+
+
+# ---------------------------------------------------------------------------
 # Spark operators
 # ---------------------------------------------------------------------------
 
@@ -1128,8 +1172,11 @@ def extract_image_features(
         ]
     )
 
+    # plan-build-time snapshot: ships the (possibly
+    # register_codec-overridden) decoder to executors
+    decode_image = _snapshot_decoder("image", _decode_image_real)
     def one(payload: bytes) -> Optional[List[float]]:
-        img = _try_decode(_decode_image_real, payload, decoder)
+        img = _try_decode(decode_image, payload, decoder)
         if img is not None:
             # pool over COLOR planes only: averaging the alpha channel
             # in made an opaque RGBA image's features diverge from the
@@ -1189,8 +1236,11 @@ def resize_images(
         ]
     )
 
+    # plan-build-time snapshot: ships the (possibly
+    # register_codec-overridden) decoder to executors
+    decode_image = _snapshot_decoder("image", _decode_image_real)
     def one(payload: bytes) -> Optional[bytes]:
-        img = _try_decode(_decode_image_real, payload, decoder)
+        img = _try_decode(decode_image, payload, decoder)
         if img is not None:
             h, w = img.shape[:2]
             rows = (np.arange(height) * h // height).clip(0, h - 1)
@@ -1425,8 +1475,9 @@ def audio_features(
         ]
     )
 
+    decode_audio = _snapshot_decoder("audio", _decode_audio_real)
     def one(payload: bytes) -> Tuple[Optional[List[float]], Optional[int]]:
-        decoded = _try_decode(_decode_audio_real, payload, decoder)
+        decoded = _try_decode(decode_audio, payload, decoder)
         if decoded is not None:
             x, rate = decoded
             rms = np.sqrt(_segment_pool(x * x, dim))
@@ -1919,8 +1970,11 @@ def image_stats(
         fields.append(T.StructField("pos_checksum", T.DoubleType(), True))
     out_schema = T.StructType(fields)
 
+    # plan-build-time snapshot: ships the (possibly
+    # register_codec-overridden) decoder to executors
+    decode_image = _snapshot_decoder("image", _decode_image_real)
     def one(payload: bytes):
-        img = _try_decode(_decode_image_real, payload, decoder)
+        img = _try_decode(decode_image, payload, decoder)
         if img is not None:
             h, w, ch = img.shape
             # the O(pixels) checksum only when requested — the default
