@@ -2,7 +2,14 @@
 ``queries()`` entry at sf0.01 and compare with ``oracle_sql()`` via
 DuckDB (row count + columns + order-insensitive values).
 
-Run directly:  python tests/oracle_check.py [sf_dir]
+Run directly:  python tests/oracle_check.py [sf_dir] [keys|--boundary]
+
+``--boundary`` (the r16 CI-style rotation lane): checks the 15 registry
+entries straddling the driver's ~50-entry per-round cutoff (positions
+46-60).  The entries that go driver-stale are always the boundary ones
+the 50-entry batch just fails to reach (map_revenue in r14,
+hll_distinct in r15), so running this ~90-second lane once per round
+closes that gap locally.  Run it after every registry rotation.
 """
 
 from __future__ import annotations
@@ -39,7 +46,9 @@ def normalize(rows, columns):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    arg2 = sys.argv[2] if len(sys.argv) > 2 else None
+    boundary = arg2 == "--boundary"
+    only = set(arg2.split(",")) if arg2 and not boundary else None
 
     import duckdb
 
@@ -57,6 +66,9 @@ def main():
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    if boundary:
+        only = set(list(queries)[45:60])
+        print(f"# boundary lane: {sorted(only)}")
     failures = []
     for name, fn in queries.items():
         if only and name not in only:

@@ -514,6 +514,97 @@ class TestFullSparkPathNoise:
         p = ks_pvalue(ks_statistic(noise, cdf), len(noise))
         assert p > P_THRESHOLD, f"KS p={p}"
 
+    def _grouped_int_sum_noise(self, spark, measure, d_out, use_l2):
+        """iid noisy INTEGER-sum noise through the complete measurement
+        path — the r16 grid cells the float-sum tests above miss: an
+        integral measure column defaults to the DISCRETE mechanism
+        (geometric under PureDP, discrete Gaussian under zCDP),
+        matching reference test_sum.py's GEOMETRIC / DISCRETE_GAUSSIAN
+        cases."""
+        from tumult_core_spark.domains import SparkDataFrameDomain
+        from tumult_core_spark.metrics import SymmetricDifference
+        from tumult_core_spark.measurements.aggregations import (
+            create_sum_measurement,
+        )
+        from tumult_core_spark.transformations.groupby import (
+            create_groupby_from_list_of_keys,
+        )
+
+        n_groups = 2000
+        df = spark.createDataFrame(
+            [(g, 1) for g in range(n_groups)], "g long, x long"
+        )
+        dom = SparkDataFrameDomain.from_spark_schema(df.schema, strict=True)
+        gb = create_groupby_from_list_of_keys(
+            dom, SymmetricDifference(), use_l2, ["g"], [(g,) for g in range(n_groups)]
+        )
+        m = create_sum_measurement(
+            dom, SymmetricDifference(), measure, 1, d_out, "x", 0, 2,
+            groupby_transformation=gb,
+        )
+        return np.array([r["sum(x)"] - 1 for r in m(df).collect()])
+
+    def test_grouped_int_sum_noise_is_geometric(self, spark):
+        from tumult_core_spark.measures import PureDP
+
+        noise = self._grouped_int_sum_noise(spark, PureDP(), 1, False)
+        scale = 2.0  # sensitivity 2 / eps 1
+        support = np.arange(-24, 25)
+        observed = np.array([(noise == k).sum() for k in support], dtype=float)
+        expected = double_sided_geometric_pmf(support, scale) * len(noise)
+        p = chi2_pvalue(observed, expected)
+        assert p > P_THRESHOLD, f"chi2 p={p}"
+
+    def test_grouped_int_sum_noise_is_discrete_gaussian(self, spark):
+        from tumult_core_spark.measures import RhoZCDP
+
+        noise = self._grouped_int_sum_noise(spark, RhoZCDP(), "1/2", True)
+        sigma2 = 4.0  # sens^2 / (2 rho) = 4 / 1
+        support = np.arange(-16, 17)
+        observed = np.array([(noise == k).sum() for k in support], dtype=float)
+        expected = discrete_gaussian_pmf(support, sigma2) * len(noise)
+        p = chi2_pvalue(observed, expected)
+        assert p > P_THRESHOLD, f"chi2 p={p}"
+
+    def test_grouped_count_distinct_noise_is_geometric(self, spark):
+        """count_distinct's noise path (reference
+        test_count_distinct.py): the grouped distinct count is an
+        integer statistic, so under PureDP it must carry the same
+        two-sided geometric law as count — drawn through the complete
+        CountDistinctGrouped + AddNoiseToColumn path."""
+        from tumult_core_spark.domains import SparkDataFrameDomain
+        from tumult_core_spark.measures import PureDP
+        from tumult_core_spark.metrics import SymmetricDifference
+        from tumult_core_spark.measurements.aggregations import (
+            create_count_distinct_measurement,
+        )
+        from tumult_core_spark.transformations.groupby import (
+            create_groupby_from_list_of_keys,
+        )
+
+        n_groups = 2000
+        # 3 distinct values per group, one duplicated (distinct = 3)
+        df = spark.createDataFrame(
+            [(g, v) for g in range(n_groups) for v in (1, 2, 3, 3)],
+            "g long, x long",
+        )
+        dom = SparkDataFrameDomain.from_spark_schema(df.schema, strict=True)
+        gb = create_groupby_from_list_of_keys(
+            dom, SymmetricDifference(), False, ["g"], [(g,) for g in range(n_groups)]
+        )
+        m = create_count_distinct_measurement(
+            dom, SymmetricDifference(), PureDP(), 1, 1,
+            groupby_transformation=gb,
+        )
+        rows = m(df).collect()
+        col = [c for c in rows[0].asDict() if c != "g"][0]
+        noise = np.array([r[col] - 3 for r in rows])
+        support = np.arange(-8, 9)
+        observed = np.array([(noise == k).sum() for k in support], dtype=float)
+        expected = double_sided_geometric_pmf(support, 1.0) * n_groups
+        p = chi2_pvalue(observed, expected)
+        assert p > P_THRESHOLD, f"chi2 p={p}"
+
 
 def laplace_cdf(scale):
     def cdf(x):
@@ -547,6 +638,28 @@ class TestComposedMeasurementDistributions:
     through the complete Spark path with one group per sample.  The
     composed column itself is then checked to be the exact
     deterministic postprocess of those same intermediates.
+
+    GRID PARITY vs the reference's (mechanism x aggregation) matrix
+    (r16 audit; reference runs every aggregation under LAPLACE,
+    GEOMETRIC, GAUSSIAN, DISCRETE_GAUSSIAN).  create_standard_deviation
+    delegates to the variance core + sqrt postprocess
+    (aggregations.py:489) and ApproxDP(delta>0) routes through the
+    zCDP core, so each CODE PATH cell needs one full-Spark-path draw:
+
+    | reference cell | covered by |
+    |---|---|
+    | count GEOMETRIC / DISC_GAUSS | TestFullSparkPathNoise::test_grouped_count_noise_is_{geometric,discrete_gaussian} |
+    | count_distinct GEOMETRIC | TestFullSparkPathNoise::test_grouped_count_distinct_noise_is_geometric (r16; same AddNoiseToColumn path as count for the zCDP cell) |
+    | sum LAPLACE / GAUSSIAN (float col) | TestFullSparkPathNoise::test_grouped_float_sum_noise_is_{laplace,gaussian} |
+    | sum GEOMETRIC / DISC_GAUSS (int col) | TestFullSparkPathNoise::test_grouped_int_sum_noise_is_{geometric,discrete_gaussian} (r16) |
+    | average LAPLACE+GEOMETRIC | test_average_intermediates_laplace_and_geometric |
+    | average GEOMETRIC (int col: sod also discrete) | test_int_average_intermediates_all_geometric (r16) |
+    | average GAUSSIAN+DISC_GAUSS | test_approxdp_delta_pos_average_intermediates (zCDP core at matched rho) |
+    | variance LAPLACE+GEOMETRIC | test_variance_intermediates_laplace_and_geometric |
+    | variance GAUSSIAN+DISC_GAUSS | test_stddev_intermediates_gaussian_and_discrete_gaussian (same variance core, aggregations.py:489) |
+    | stddev (all mechanisms) | variance rows above + the sqrt-postprocess identity asserted in the stddev test |
+    | quantile (exp. mechanism) | TestQuantileMechanismDistribution |
+    | base mechanisms / samplers | TestSamplerDistributions (KS/chi2 vs 300-bit mpmath) |
     """
 
     N_GROUPS = 2000
@@ -688,6 +801,46 @@ class TestComposedMeasurementDistributions:
             n = max(1, r["n"])
             expect = max(0.0, r["sos_x"] / n - (r["sod_x"] / n) ** 2) ** 0.5
             assert r["std_x"] == pytest.approx(expect, abs=1e-9)
+
+    def test_int_average_intermediates_all_geometric(self, spark):
+        """Average over an INTEGER measure column (reference
+        test_average.py GEOMETRIC case): the sum-of-deviations is an
+        integer statistic, so BOTH intermediates must be two-sided
+        geometric — sod at scale sens/(eps/2)=2 (bounds [0,2], mid 1),
+        count at scale 2 — and the composed column stays the exact
+        postprocess."""
+        from tumult_core_spark.measures import PureDP
+        from tumult_core_spark.metrics import SymmetricDifference
+        from tumult_core_spark.measurements.aggregations import (
+            create_average_measurement,
+        )
+        from tumult_core_spark.domains import SparkDataFrameDomain
+        from tumult_core_spark.transformations.groupby import (
+            create_groupby_from_list_of_keys,
+        )
+
+        df = spark.createDataFrame(
+            [(g, 1) for g in range(self.N_GROUPS)], "g long, x long"
+        )
+        dom = SparkDataFrameDomain.from_spark_schema(df.schema, strict=True)
+        gb = create_groupby_from_list_of_keys(
+            dom, SymmetricDifference(), False, ["g"],
+            [(g,) for g in range(self.N_GROUPS)],
+        )
+        m = create_average_measurement(
+            dom, SymmetricDifference(), PureDP(), 1, 1, "x", 0, 2,
+            groupby_transformation=gb, keep_intermediates=True,
+            average_column="avg_x", sum_column="sod_x", count_column="n",
+        )
+        rows = m(df).collect()
+        assert len(rows) == self.N_GROUPS
+        sod_noise = np.array([r["sod_x"] - 0 for r in rows])  # x - mid = 0
+        cnt_noise = np.array([r["n"] - 1 for r in rows])
+        self._check_geometric(sod_noise, 2.0)
+        self._check_geometric(cnt_noise, 2.0)
+        for r in rows:
+            expect = r["sod_x"] / max(1, r["n"]) + 1.0
+            assert r["avg_x"] == pytest.approx(expect, abs=1e-9)
 
     def test_ungrouped_keep_intermediates_dict(self, spark):
         """Ungrouped keep_intermediates returns the dict surface with
