@@ -1047,3 +1047,42 @@ class TestStreamingDPNoiseDistribution:
         assert p > P_THRESHOLD, f"streaming DP chi2 p={p}"
         # unbiasedness sanity: mean residual ~ 0 (sd of mean ~ alpha-ish)
         assert abs(residuals.mean()) < 0.1
+
+
+class TestMechanismColumnTypeGuard:
+    """r16 review pin: the GROUPED noise path must reject a discrete
+    mechanism on a float statistic at construction (reference
+    spark_measurements.py:190-199).  Integer noise on a float sum is
+    not DP at all — the fractional part passes through exactly.  The
+    ungrouped path was already safe via ChainTM's domain match."""
+
+    def test_geometric_on_float_sum_rejected(self, spark):
+        from tumult_core_spark.domains import SparkDataFrameDomain
+        from tumult_core_spark.exceptions import DomainMismatchError
+        from tumult_core_spark.measures import PureDP
+        from tumult_core_spark.metrics import SymmetricDifference
+        from tumult_core_spark.measurements.aggregations import (
+            NoiseMechanism,
+            create_sum_measurement,
+        )
+        from tumult_core_spark.transformations.groupby import (
+            create_groupby_from_list_of_keys,
+        )
+
+        df = spark.createDataFrame([(0, 2.5)], "g long, x double")
+        dom = SparkDataFrameDomain.from_spark_schema(df.schema, strict=True)
+        gb = create_groupby_from_list_of_keys(
+            dom, SymmetricDifference(), False, ["g"], [(0,)]
+        )
+        with pytest.raises(DomainMismatchError, match="fractional"):
+            create_sum_measurement(
+                dom, SymmetricDifference(), PureDP(), 1, 1, "x", 0, 10,
+                noise_mechanism=NoiseMechanism.GEOMETRIC,
+                groupby_transformation=gb,
+            )
+        # ungrouped stays structurally safe (ChainTM domain mismatch)
+        with pytest.raises(DomainMismatchError):
+            create_sum_measurement(
+                dom, SymmetricDifference(), PureDP(), 1, 1, "x", 0, 10,
+                noise_mechanism=NoiseMechanism.GEOMETRIC,
+            )

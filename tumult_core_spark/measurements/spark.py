@@ -88,6 +88,35 @@ class AddNoiseToColumn(SparkMeasurement):
         and silently fall back to the observed-probe freeze path."""
         if measure_column not in input_domain.schema:
             raise ValueError(f"Column {measure_column!r} not in domain")
+        # The noise mechanism's scalar domain must match the column's
+        # type (reference spark_measurements.py:190-199): integer noise
+        # on a FLOAT statistic is not DP at all — the fractional part
+        # passes through exactly — and float noise on an integer column
+        # silently widens the release type.  The ungrouped path gets
+        # this check for free from ChainTM's domain match; this is the
+        # grouped path's equivalent (r16 review).
+        from ..domains import (
+            NumpyFloatDomain,
+            NumpyIntegerDomain,
+            SparkFloatColumnDescriptor,
+            SparkIntegerColumnDescriptor,
+        )
+
+        desc = input_domain[measure_column]
+        elem = measurement.input_domain.element_domain
+        integral_col = isinstance(desc, SparkIntegerColumnDescriptor)
+        float_col = isinstance(desc, SparkFloatColumnDescriptor)
+        if (integral_col and not isinstance(elem, NumpyIntegerDomain)) or (
+            float_col and not isinstance(elem, NumpyFloatDomain)
+        ):
+            from ..exceptions import DomainMismatchError
+
+            raise DomainMismatchError(
+                f"{measure_column} has descriptor {desc!r}, incompatible "
+                f"with the noise measurement's element domain {elem!r}: "
+                "discrete noise on a float statistic leaks the fractional "
+                "part exactly"
+            )
         l2 = isinstance(measurement.output_measure, RhoZCDP)
         from ..metrics import AbsoluteDifference
 
