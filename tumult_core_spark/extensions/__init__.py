@@ -21,9 +21,11 @@ from .multimodal import (
     audio_features,
     extract_image_features,
     image_stats,
+    register_codec,
     resize_images,
     sample_video_frames,
     synthesize_png_images,
+    unregister_codec,
 )
 from .packing import pack_sequences
 from .sampling import (
