@@ -1582,3 +1582,28 @@ class TestR16SoundnessPins:
             acct.split(part, PureDPBudget(1), d_out=1)  # tighter than true
         children = acct.split(part, PureDPBudget(1), d_out=3)  # looser: fine
         assert children[0].d_in == 3
+
+    def test_partition_selection_factory_group_privacy(self):
+        """r16: create_partition_selection_measurement at d_in > 1 must
+        solve for the d_in=1 delta whose group-privacy composition
+        d*e^eps*delta_1 meets the requested delta (reference
+        aggregations.py:2033-2037) — it previously solved with the raw
+        delta and tripped its own soundness assert; d_in < 1 raises."""
+        from tumult_core_spark.domains import (
+            SparkDataFrameDomain,
+            SparkStringColumnDescriptor,
+        )
+        from tumult_core_spark.measurements.aggregations import (
+            create_partition_selection_measurement,
+        )
+
+        dom = SparkDataFrameDomain({"g": SparkStringColumnDescriptor()})
+        m = create_partition_selection_measurement(dom, 1, "1/1000", d_in=2)
+        eps, delta = m.privacy_function(2)
+        assert eps <= ExactNumber(1)
+        assert delta <= ExactNumber("1/1000")
+        assert m.threshold > create_partition_selection_measurement(
+            dom, 1, "1/1000", d_in=1
+        ).threshold  # group privacy demands a strictly higher threshold
+        with pytest.raises(NotImplementedError):
+            create_partition_selection_measurement(dom, 1, "1/1000", d_in="1/2")

@@ -526,14 +526,27 @@ def create_partition_selection_measurement(
     )
     from .spark import GeometricPartitionSelection
 
+    import sympy as sp
+
     eps = ExactNumber(epsilon)
     dlt = ExactNumber(delta)
     d = ExactNumber(d_in)
     if eps <= 0 or dlt <= 0 or dlt > 1:
         raise ValueError("Need epsilon > 0 and 0 < delta <= 1")
+    if d < 1:
+        raise NotImplementedError(
+            "Creating a partition selection measurement with d_in < 1 is "
+            "not supported (reference aggregations.py:2024)"
+        )
     alpha = d / eps
-    # smallest threshold tau with 1 - CMF_alpha(tau - 2) <= delta
-    k = double_sided_geometric_inverse_cmf_exact(ExactNumber(1) - dlt, alpha)
+    # smallest threshold tau with 1 - CMF_alpha(tau - 2) <= delta_1,
+    # where delta_1 is the d_in=1 delta whose group-privacy composition
+    # (d * e^eps * delta_1, GeometricPartitionSelection.privacy_function)
+    # lands exactly on the requested delta — solving with the raw delta
+    # at d_in > 1 produced a measurement whose own soundness assert
+    # below rejected it (r16 fix; reference aggregations.py:2033-2037)
+    target = dlt if d == 1 else dlt / (d * ExactNumber(sp.exp(eps.expr)))
+    k = double_sided_geometric_inverse_cmf_exact(ExactNumber(1) - target, alpha)
     threshold = k + 2
     m = GeometricPartitionSelection(
         input_domain, threshold, alpha, count_column=count_column
