@@ -351,8 +351,15 @@ class ParallelComposition(Measurement):
         if isinstance(self.output_measure, ApproxDP):
             eps = max(ExactNumber(l[0]) for l in losses)
             delta = max(ExactNumber(l[1]) for l in losses)
-            return (eps, delta)
-        return max(ExactNumber(l) for l in losses)
+            d_out: Any = (eps, delta)
+        else:
+            d_out = max(ExactNumber(l) for l in losses)
+        # reference interactive_measurements.py:714: every member must
+        # itself satisfy the composed claim at d_in — a cheap guard
+        # against mismatched custom members (the deeper non-linear-in-d
+        # caveat is documented in LIMITATIONS.md, as in the reference)
+        assert all(m.privacy_relation(d_in, d_out) for m in self.measurements)
+        return d_out
 
     def __call__(self, data: List[Any]) -> List[Any]:
         """Answer every partition's measurement at once (this engine's
