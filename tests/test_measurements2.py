@@ -1607,3 +1607,22 @@ class TestR16SoundnessPins:
         ).threshold  # group privacy demands a strictly higher threshold
         with pytest.raises(NotImplementedError):
             create_partition_selection_measurement(dom, 1, "1/1000", d_in="1/2")
+
+    def test_sequential_composition_budget_measure_validated(self, spark, values):
+        """r16: a budget denominated in the wrong measure is rejected
+        at construction (previously a confusing can_spend crash at the
+        first query); raw numeric budgets cast through the output
+        measure, matching the reference's PrivacyBudgetInput surface."""
+        from tumult_core_spark.measures import RhoZCDP, RhoZCDPBudget
+
+        dom = v_domain()
+        with pytest.raises(ValueError, match="denominated"):
+            SequentialComposition(
+                dom, SymmetricDifference(), PureDP(), d_in=1,
+                privacy_budget=RhoZCDPBudget(1),
+            )
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), RhoZCDP(), d_in=1, privacy_budget=2
+        )
+        assert isinstance(sc.privacy_budget, RhoZCDPBudget)
+        assert sc.privacy_budget.value == 2

@@ -267,6 +267,17 @@ class SequentialComposition(Measurement):
         super().__init__(
             input_domain, input_metric, output_measure, is_interactive=True
         )
+        if not isinstance(privacy_budget, PrivacyBudget):
+            privacy_budget = PrivacyBudget.cast(output_measure, privacy_budget)
+        elif privacy_budget.measure != output_measure:
+            # validated at construction (reference validates the budget
+            # against the output measure up front) — otherwise the
+            # mismatch surfaces as a confusing can_spend crash at the
+            # first query
+            raise ValueError(
+                f"privacy_budget is denominated in {privacy_budget.measure!r} "
+                f"but the output measure is {output_measure!r}"
+            )
         self.d_in = d_in
         self.privacy_budget = privacy_budget
 
