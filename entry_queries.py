@@ -2131,73 +2131,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order.  The per-round driver checks roughly the first 50 of the
     # 101 registry entries against the DuckDB oracle, so each round the
     # entries with the least-fresh driver evidence go FIRST:
-    #   r16 front block = hll_distinct (the sole entry whose latest
-    #   driver-green row is r13 — it was entry #51 of the 51-entry r15
-    #   front, exactly the one the 50-entry batch did not reach), then
-    #   the 50 entries whose latest driver-green row is r14, in their
-    #   r14 order.  The tail = the 50 entries CORRECTNESS_r15 checked,
-    #   in their r15 order.  The front is 51 entries, so with a
-    #   50-entry driver batch the LAST front entry (partition_by_keys,
-    #   r14-green) may slip to r17; it carries r14 driver evidence plus
-    #   this round's local sf0.01 sweep, so the slip is the cheapest
-    #   available.
-    #   r17: rotate again — move whatever the r16 batch does not reach
-    #   back to the front, followed by the r15-green tail below.
+    #   r17 front block = partition_by_keys (the sole entry whose
+    #   latest driver-green row is r14 — it was entry #51 of the
+    #   51-entry r16 front, exactly the one the 50-entry batch did not
+    #   reach), then the 50 entries whose latest driver-green row is
+    #   r15, in their r15 order.  The tail = the 50 entries
+    #   CORRECTNESS_r16 checked, in their r16 order.  The front is 51
+    #   entries, so with a 50-entry driver batch the LAST front entry
+    #   (pagerank, r15-green) may slip to r18; it carries r15 driver
+    #   evidence plus this round's local sf0.01 sweep, so the slip is
+    #   the cheapest available.
+    #   r18: rotate again — move whatever the r17 batch does not reach
+    #   back to the front, followed by the r16-green tail below.
     return {
-        # --- r16 front: hll_distinct first (only r13-stale entry) ---
-        "hll_distinct": q_hll_distinct,
-        # --- then the 50 entries last driver-checked in r14 ---
-        "approx_quantile_check": q_approx_quantile_check,
-        "multimodal_jpeg": q_multimodal_jpeg,
-        "multimodal_flac": q_multimodal_flac,
-        "multimodal_gif": q_multimodal_gif,
-        "multimodal_video": q_multimodal_video,
-        "media_sniffing": q_media_sniffing,
-        "multimodal_tiff": q_multimodal_tiff,
-        "connected_components": q_connected_components,
-        "dedup_connected": q_dedup_connected,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        "training_mix": q_training_mix,
-        "decontaminate": q_decontaminate,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "bigram_logprob": q_bigram_logprob,
-        "stream_interval_join": q_stream_interval_join,
-        "profile_quantiles": q_profile_quantiles,
-        "preprocess_pipeline": q_preprocess_pipeline,
-        "rolling_aggregate": q_rolling_aggregate,
-        "sessionize_batch": q_sessionize_batch,
-        "redact_pii": q_redact_pii,
-        "variance_intermediates": q_variance_intermediates,
-        "streaming_dedup": q_streaming_dedup,
-        "sq_knn": q_sq_knn,
-        "normalize_text": q_normalize_text,
-        "add_unique_column": q_add_unique_column,
-        "join_on_nulls": q_join_on_nulls,
-        "ann_ivf": q_ann_ivf,
-        "sessionize": q_sessionize,
-        "embedding_near_dups": q_embedding_near_dups,
-        "private_join_on_key": q_private_join_on_key,
-        "limit_rows_per_key_per_group": q_limit_rows_per_key_per_group,
-        "groupby_stddev": q_groupby_stddev,
-        "filter_select": q_filter_select,
-        "rename": q_rename,
-        "groupby_count": q_groupby_count,
-        "groupby_count_distinct": q_groupby_count_distinct,
-        "groupby_sum": q_groupby_sum,
-        "total_counts": q_total_counts,
-        "average": q_average,
-        "variance": q_variance,
-        "public_join": q_public_join,
-        "private_join_drop": q_private_join_drop,
-        "limit_rows_per_group": q_limit_rows_per_group,
-        "limit_keys_per_group": q_limit_keys_per_group,
-        "partition_selection": q_partition_selection,
-        "bounds": q_bounds,
-        "quantile_median": q_quantile_median,
+        # --- r17 front: partition_by_keys first (only r14-stale entry) ---
         "partition_by_keys": q_partition_by_keys,
-        # --- tail: the 50 r15-green entries in their r15 order ---
+        # --- then the 50 entries last driver-checked in r15 ---
         "map_revenue": q_map_derive,
         "flatmap_by_key": q_flatmap_by_key,
         "multimodal_decode": q_multimodal_decode,
@@ -2248,6 +2197,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fused_moments": q_fused_moments,
         "embedding_outliers": q_embedding_outliers,
         "pagerank": q_pagerank,
+        # --- tail: the 50 r16-green entries in their r16 order ---
+        "hll_distinct": q_hll_distinct,
+        "approx_quantile_check": q_approx_quantile_check,
+        "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_flac": q_multimodal_flac,
+        "multimodal_gif": q_multimodal_gif,
+        "multimodal_video": q_multimodal_video,
+        "media_sniffing": q_media_sniffing,
+        "multimodal_tiff": q_multimodal_tiff,
+        "connected_components": q_connected_components,
+        "dedup_connected": q_dedup_connected,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "training_mix": q_training_mix,
+        "decontaminate": q_decontaminate,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "bigram_logprob": q_bigram_logprob,
+        "stream_interval_join": q_stream_interval_join,
+        "profile_quantiles": q_profile_quantiles,
+        "preprocess_pipeline": q_preprocess_pipeline,
+        "rolling_aggregate": q_rolling_aggregate,
+        "sessionize_batch": q_sessionize_batch,
+        "redact_pii": q_redact_pii,
+        "variance_intermediates": q_variance_intermediates,
+        "streaming_dedup": q_streaming_dedup,
+        "sq_knn": q_sq_knn,
+        "normalize_text": q_normalize_text,
+        "add_unique_column": q_add_unique_column,
+        "join_on_nulls": q_join_on_nulls,
+        "ann_ivf": q_ann_ivf,
+        "sessionize": q_sessionize,
+        "embedding_near_dups": q_embedding_near_dups,
+        "private_join_on_key": q_private_join_on_key,
+        "limit_rows_per_key_per_group": q_limit_rows_per_key_per_group,
+        "groupby_stddev": q_groupby_stddev,
+        "filter_select": q_filter_select,
+        "rename": q_rename,
+        "groupby_count": q_groupby_count,
+        "groupby_count_distinct": q_groupby_count_distinct,
+        "groupby_sum": q_groupby_sum,
+        "total_counts": q_total_counts,
+        "average": q_average,
+        "variance": q_variance,
+        "public_join": q_public_join,
+        "private_join_drop": q_private_join_drop,
+        "limit_rows_per_group": q_limit_rows_per_group,
+        "limit_keys_per_group": q_limit_keys_per_group,
+        "partition_selection": q_partition_selection,
+        "bounds": q_bounds,
+        "quantile_median": q_quantile_median,
     }
 
 
