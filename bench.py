@@ -700,10 +700,13 @@ _MEDIAN_INFLATION = 1.3
 # driver runs (r14/r15) while its best time IMPROVED both rounds.  The
 # min is the honest basis for such a workload: the canary already
 # normalizes ambient load for the whole window, and the per-run spread
-# of an iterative job measures scheduler noise, not the plan.  Listed
-# queries report min(runs) in "queries" (flagged in the JSON under
-# "min_basis_queries") and are exempt from the median-inflation
-# re-time, which cannot converge for them.
+# of an iterative job measures scheduler noise, not the plan.  r17
+# (per r16 ADVICE): "queries" keeps the MEDIAN for every entry — one
+# statistical basis, so consumers reading only "queries" never compare
+# a min against other entries' medians — and the listed queries' honest
+# figure is their entry in the parallel "queries_min" dict (flagged
+# under "min_basis_queries").  They remain exempt from the
+# median-inflation re-time, which cannot converge for them.
 _MIN_BASIS_QUERIES = frozenset({"components"})
 
 # --- Load canary -----------------------------------------------------
@@ -855,11 +858,7 @@ def main():
         try:
             runs, lb, la = _time_workload(spark, fn)
             timings_min[name] = round(min(runs), 3)
-            timings[name] = (
-                timings_min[name]
-                if name in _MIN_BASIS_QUERIES
-                else round(sorted(runs)[len(runs) // 2], 3)
-            )
+            timings[name] = round(sorted(runs)[len(runs) // 2], 3)
             loads[name] = [lb, la]
             if any(v is not None and v > _CONTENTION_LOAD for v in (lb, la)):
                 suspect.append(name)
@@ -899,9 +898,7 @@ def main():
         med = round(sorted(runs)[len(runs) // 2], 3)
         retimed[name] = {"first": timings[name], "retime": med, "load": [lb, la]}
         timings_min[name] = min(timings_min[name], round(min(runs), 3))
-        if name in _MIN_BASIS_QUERIES:
-            timings[name] = timings_min[name]
-        elif med < timings[name]:
+        if med < timings[name]:
             timings[name] = med
         loads[name] += [lb, la]
         if any(v is not None and v > _CONTENTION_LOAD for v in (lb, la)):
@@ -948,7 +945,15 @@ def main():
         #              max_ratio / canary load factor — both sides of
         #              the reference ratio on an idle-window basis);
         #              raw keys unchanged
-        "bench_schema_version": 4,
+        #   5 (r17+):  'queries' is median-basis for EVERY entry again
+        #              (r16 briefly substituted min(runs) for the
+        #              min_basis_queries set inside 'queries', mixing
+        #              bases at the point of use); the min-basis
+        #              figure for those entries lives in 'queries_min'
+        #              — so BENCH_r16's 'queries.components' (a min) is
+        #              ~0.3-0.5 s lower than a comparable median, and
+        #              'value' regains that much vs r16
+        "bench_schema_version": 5,
         "queries": timings,
         "queries_min": timings_min,
         "runs_per_query": 3,
@@ -967,11 +972,11 @@ def main():
         # and prefer queries_min when diffing round-over-round
         "median_inflation_threshold": _MEDIAN_INFLATION,
         "median_inflated_queries": median_inflated,
-        # iterative multi-job workloads whose "queries" entry is
-        # min(runs), not the median (see _MIN_BASIS_QUERIES): the
-        # per-run spread of a fixpoint loop measures scheduler noise,
-        # and its median tripped the inflation flag two rounds running
-        # while the best time improved
+        # iterative multi-job workloads whose honest round-over-round
+        # figure is their "queries_min" entry (see _MIN_BASIS_QUERIES):
+        # a fixpoint loop's per-run spread measures scheduler noise, so
+        # its median (still what "queries" reports, schema v5) is
+        # noisy-but-uniform-basis and exempt from the inflation re-time
         "min_basis_queries": sorted(_MIN_BASIS_QUERIES),
         # Load canary (see the _canary_kernel comment + SCALE.md
         # "Load-normalized benchmarking"): a fixed synthetic kernel

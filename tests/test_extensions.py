@@ -4659,3 +4659,65 @@ class TestR16AdviceFixes:
         )
         with pytest.raises(ValueError, match="allow_rerun_renoise"):
             start(lambda pdf, bid: None, output_mode="append")
+
+
+class TestR17AdviceFixes:
+    """Pins for the r16 ADVICE items fixed in r17: the precap stamp's
+    VALUE is compared against max_band_bucket (not just presence), and
+    the incremental dedup path offers a lazy return for
+    dynamic-allocation environments where localCheckpoint blocks are
+    unreliable."""
+
+    def test_index_precapped_value_compared_not_just_present(self, spark, docs):
+        """An index capped at a LARGER bucket size than this call's
+        max_band_bucket partially reintroduces the quadratic
+        hot-bucket join — the stamp's value must be <= the argument."""
+        from tumult_core_spark.extensions.dedup import (
+            minhash_band_index,
+            minhash_lsh_cross_pairs,
+        )
+
+        corpus = docs.limit(30).select("doc_id", "text")
+        batch = corpus.filter("doc_id < 5").withColumn(
+            "doc_id", F.col("doc_id") + 5_000_000
+        )
+        loosely_capped = minhash_band_index(
+            corpus, "doc_id", "text", 32, 8, max_band_bucket=500
+        )
+        with pytest.raises(ValueError, match="capped at 500"):
+            minhash_lsh_cross_pairs(
+                batch, loosely_capped, "doc_id", "text", 32, 8,
+                max_band_bucket=16, index_precapped=True,
+            )
+        # tighter-or-equal stamp is accepted
+        tightly_capped = minhash_band_index(
+            corpus, "doc_id", "text", 32, 8, max_band_bucket=16
+        )
+        pairs = minhash_lsh_cross_pairs(
+            batch, tightly_capped, "doc_id", "text", 32, 8,
+            max_band_bucket=16, index_precapped=True,
+        )
+        found = {(r["new_id"], r["corpus_id"]) for r in pairs.collect()}
+        assert {(i + 5_000_000, i) for i in range(5)} <= found
+
+    def test_cross_pairs_lazy_return_matches_eager(self, spark, docs):
+        """eager_checkpoint=False returns a lazily-composable plan (no
+        localCheckpoint lineage cut) with identical pairs — the
+        fallback for reliable-execution-required environments."""
+        from tumult_core_spark.extensions.dedup import (
+            minhash_band_index,
+            minhash_lsh_cross_pairs,
+        )
+
+        corpus = docs.limit(30).select("doc_id", "text")
+        index = minhash_band_index(corpus, "doc_id", "text", 32, 8)
+        batch = corpus.filter("doc_id < 5").withColumn(
+            "doc_id", F.col("doc_id") + 5_000_000
+        )
+        eager = minhash_lsh_cross_pairs(batch, index, "doc_id", "text", 32, 8)
+        lazy = minhash_lsh_cross_pairs(
+            batch, index, "doc_id", "text", 32, 8, eager_checkpoint=False
+        )
+        got_eager = {(r["new_id"], r["corpus_id"]) for r in eager.collect()}
+        got_lazy = {(r["new_id"], r["corpus_id"]) for r in lazy.collect()}
+        assert got_lazy == got_eager and len(got_lazy) >= 5

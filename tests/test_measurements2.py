@@ -1441,6 +1441,20 @@ class TestR16SoundnessPins:
                 ListDomain(dom, length=0), SumOf(SymmetricDifference()), []
             )
 
+    def test_parallel_composition_rejects_undeclared_length(self):
+        """r17 parity: a ListDomain with length=None is rejected at
+        construction (reference interactive_measurements.py:657-661)
+        — previously __call__'s partition-count check compensated at
+        answer time, but privacy_function could be consulted first."""
+        from tumult_core_spark.measurements.interactive import ParallelComposition
+
+        dom = v_domain()
+        m = create_count_measurement(dom, SymmetricDifference(), PureDP(), 1, 1)
+        with pytest.raises(ValueError, match="number of elements"):
+            ParallelComposition(
+                ListDomain(dom), SumOf(SymmetricDifference()), [m]
+            )
+
     def test_parallel_call_rejects_interactive_members(self, spark, values):
         """The list-answer convenience form must not open every
         partition's adaptive session simultaneously; interactive
@@ -1530,6 +1544,50 @@ class TestR16SoundnessPins:
         acct.measure(RelationOnly(), d_out=2)
         assert acct.privacy_budget.value == 1  # claimed d_out charged
 
+    def test_split_failure_leaves_ledger_unchanged(self, spark, values):
+        """r17: split runs the partition transformation (and the
+        parts-length check) BEFORE deducting the budget — a
+        wrong-part-count failure must leave the accountant ACTIVE
+        with its full budget, not ACTIVE-but-spent with no children."""
+        from tumult_core_spark.base import Transformation
+        from tumult_core_spark.domains import ListDomain
+        from tumult_core_spark.measurements.interactive import AccountantState
+        from tumult_core_spark.transformations.partition import PartitionByKeys
+
+        dom = v_domain()
+
+        class LyingPartition(Transformation):
+            # declares 3 parts, produces 2
+            def __init__(self):
+                super().__init__(
+                    dom,
+                    SymmetricDifference(),
+                    ListDomain(dom, length=3),
+                    SumOf(SymmetricDifference()),
+                )
+
+            def stability_function(self, d_in):
+                return ExactNumber(d_in)
+
+            def __call__(self, data):
+                return [data.filter("g = 'a'"), data.filter("g = 'b'")]
+
+        sc = SequentialComposition(
+            dom, SymmetricDifference(), PureDP(), d_in=1,
+            privacy_budget=PureDPBudget(2),
+        )
+        acct = PrivacyAccountant.launch(sc, values)
+        with pytest.raises(ValueError, match="parts"):
+            acct.split(LyingPartition(), PureDPBudget(1))
+        assert acct.privacy_budget.value == 2  # nothing charged
+        assert acct.state == AccountantState.ACTIVE
+        # the accountant is still fully usable after the failed split
+        part = PartitionByKeys(
+            dom, SymmetricDifference(), False, ["g"], [("a",), ("b",)]
+        )
+        children = acct.split(part, PureDPBudget(1))
+        assert len(children) == 2 and acct.privacy_budget.value == 1
+
     def test_split_metric_measure_grid(self, spark, values):
         """An L2 (RootSumOfSquared) partition under PureDP — or an L1
         split under zCDP — under-charges; split must reject it."""
@@ -1607,6 +1665,36 @@ class TestR16SoundnessPins:
         ).threshold  # group privacy demands a strictly higher threshold
         with pytest.raises(NotImplementedError):
             create_partition_selection_measurement(dom, 1, "1/1000", d_in="1/2")
+
+    def test_partition_selection_factory_infinite_budget(self, spark):
+        """r17: an infinite ApproxDP budget (eps = inf, or delta = 1)
+        takes the reference's alpha=0 / threshold=0 branch
+        (aggregations.py:2044-2046) instead of crashing in the CMF
+        solve with an opaque 'p must be in (0, 1]'; the resulting
+        measurement releases every nonempty group's exact count."""
+        from tumult_core_spark.domains import (
+            SparkDataFrameDomain,
+            SparkStringColumnDescriptor,
+        )
+        from tumult_core_spark.measurements.aggregations import (
+            create_partition_selection_measurement,
+        )
+
+        dom = SparkDataFrameDomain({"g": SparkStringColumnDescriptor()})
+        for eps, dlt in [(float("inf"), "1/1000"), (1, 1), (float("inf"), 1)]:
+            m = create_partition_selection_measurement(dom, eps, dlt)
+            assert m.alpha == 0 and m.threshold == 0
+            e, d = m.privacy_function(1)
+            assert not e.is_finite and d == 0
+        df = spark.createDataFrame(
+            [("a",)] * 3 + [("b",)] * 1, schema="g string"
+        )
+        m = create_partition_selection_measurement(dom, float("inf"), 1)
+        got = {
+            (r["g"], r["count"])
+            for r in m(df).collect()
+        }
+        assert got == {("a", 3), ("b", 1)}  # exact counts, nothing dropped
 
     def test_sequential_composition_budget_measure_validated(self, spark, values):
         """r16: a budget denominated in the wrong measure is rejected

@@ -570,6 +570,7 @@ def minhash_lsh_cross_pairs(
     shingle_size: int = 5,
     max_band_bucket: int = 50,
     index_precapped: bool = False,
+    eager_checkpoint: bool = True,
 ) -> DataFrame:
     """(new_id, corpus_id) candidates between an ARRIVING batch and an
     already-indexed corpus — the incremental form of
@@ -623,6 +624,17 @@ def minhash_lsh_cross_pairs(
                 "(the stamp survives a Spark parquet round-trip) or pass "
                 "index_precapped=False to re-cap here"
             )
+        # the stamp's VALUE matters too: an index capped at a much
+        # larger bucket size partially reintroduces the quadratic
+        # hot-bucket join this verification exists to prevent (r17)
+        stamped_cap = int(meta[_PRECAPPED_META_KEY])
+        if stamped_cap > int(max_band_bucket):
+            raise ValueError(
+                f"index_precapped=True but the index was capped at "
+                f"{stamped_cap} (> max_band_bucket={max_band_bucket}); "
+                "rebuild the index with the tighter cap or pass "
+                "index_precapped=False to re-cap here"
+            )
         capped_idx = index_df
     else:
         capped_idx, _ = _cap_hot_buckets_with_rescue(
@@ -658,8 +670,18 @@ def minhash_lsh_cross_pairs(
     # and the relations persisted inside the cap helper — can be
     # unpersisted NOW instead of accumulating across a long-lived
     # session's batches (blocks of the localCheckpoint itself are
-    # freed by the ContextCleaner when the result is GC'd)
-    out = pairs.unionByName(inherited).distinct().localCheckpoint(eager=True)
+    # freed by the ContextCleaner when the result is GC'd).
+    # CAVEAT: localCheckpoint blocks are NON-RELIABLE — losing an
+    # executor that holds them (dynamic allocation, decommissioning)
+    # makes the returned DataFrame unrecomputable, and the eager
+    # materialization triggers a job inside this call.  Pass
+    # eager_checkpoint=False in such environments to get the previous
+    # lazy return; the caller then owns unpersisting the cap helper's
+    # cached relations (returned DataFrame keeps them alive).
+    combined = pairs.unionByName(inherited).distinct()
+    if not eager_checkpoint:
+        return combined
+    out = combined.localCheckpoint(eager=True)
     pairs.unpersist()
     for cached in caches:
         cached.unpersist()

@@ -528,6 +528,8 @@ def create_partition_selection_measurement(
 
     import sympy as sp
 
+    from ..measures import ApproxDPBudget
+
     eps = ExactNumber(epsilon)
     dlt = ExactNumber(delta)
     d = ExactNumber(d_in)
@@ -537,6 +539,15 @@ def create_partition_selection_measurement(
         raise NotImplementedError(
             "Creating a partition selection measurement with d_in < 1 is "
             "not supported (reference aggregations.py:2024)"
+        )
+    if not ApproxDPBudget(eps, dlt).is_finite():
+        # Infinite budget (eps = inf or delta = 1): no noise, no
+        # threshold — every nonempty group is released exactly
+        # (reference aggregations.py:2044-2046 returns alpha=0,
+        # threshold=0 instead of attempting the CMF solve, which
+        # would crash on p outside (0, 1]).
+        return GeometricPartitionSelection(
+            input_domain, 0, 0, count_column=count_column
         )
     alpha = d / eps
     # smallest threshold tau with 1 - CMF_alpha(tau - 2) <= delta_1,
@@ -552,10 +563,13 @@ def create_partition_selection_measurement(
         input_domain, threshold, alpha, count_column=count_column
     )
     actual_eps, actual_delta = m.privacy_function(d)
-    assert actual_eps <= eps and actual_delta <= dlt, (
-        f"partition selection solved wrong: ({actual_eps}, {actual_delta}) "
-        f"> ({eps}, {dlt})"
-    )
+    # explicit raise, not `assert`: the solved-threshold soundness
+    # check must survive `python -O` (r17)
+    if not (actual_eps <= eps and actual_delta <= dlt):
+        raise AssertionError(
+            f"partition selection solved wrong: ({actual_eps}, {actual_delta}) "
+            f"> ({eps}, {dlt})"
+        )
     return m
 
 

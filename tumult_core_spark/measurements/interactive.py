@@ -331,7 +331,17 @@ class ParallelComposition(Measurement):
             )
         if not isinstance(input_metric, (SumOf, RootSumOfSquared)):
             raise ValueError("input metric must be SumOf or RootSumOfSquared")
-        if input_domain.length is not None and input_domain.length != len(measurements):
+        if input_domain.length is None:
+            # reference interactive_measurements.py:657-661: an
+            # undeclared-length ListDomain is rejected at construction
+            # (r17 — previously __call__'s partition-count check
+            # compensated at answer time, but privacy_function could
+            # be consulted before any data arrived)
+            raise ValueError(
+                "Input domain for ParallelComposition must specify the "
+                "number of elements"
+            )
+        if input_domain.length != len(measurements):
             raise ValueError("One measurement per partition required")
         first = measurements[0]
         combo = (type(input_metric).__name__, type(first.output_measure).__name__)
@@ -368,8 +378,15 @@ class ParallelComposition(Measurement):
         # reference interactive_measurements.py:714: every member must
         # itself satisfy the composed claim at d_in — a cheap guard
         # against mismatched custom members (the deeper non-linear-in-d
-        # caveat is documented in LIMITATIONS.md, as in the reference)
-        assert all(m.privacy_relation(d_in, d_out) for m in self.measurements)
+        # caveat is documented in LIMITATIONS.md, as in the reference).
+        # Raised explicitly rather than via `assert` so the soundness
+        # check survives `python -O` (r17; the reference's own assert
+        # does not).
+        if not all(m.privacy_relation(d_in, d_out) for m in self.measurements):
+            raise AssertionError(
+                "ParallelComposition member fails its own privacy relation "
+                f"at d_in={d_in!r}, composed d_out={d_out!r}"
+            )
         return d_out
 
     def __call__(self, data: List[Any]) -> List[Any]:
@@ -738,13 +755,18 @@ class PrivacyAccountant:
             child_d_in = partition_transformation.stability_function(self.d_in)
         if not self._budget.can_spend(privacy_budget):
             raise InsufficientBudgetError(self._budget, privacy_budget)
-        self._budget = self._budget.subtract(privacy_budget)
+        # Run the partition transformation (and its parts-length check)
+        # BEFORE deducting the budget: a failing split must leave the
+        # ledger unchanged rather than an ACTIVE accountant with the
+        # budget spent and no children (r17).  No data has been
+        # released at this point, so the un-deducted failure is sound.
         parts = partition_transformation(self._data)
         if len(parts) != out_domain.length:
             raise ValueError(
                 f"Partition transformation produced {len(parts)} parts but "
                 f"its output domain declares length {out_domain.length}"
             )
+        self._budget = self._budget.subtract(privacy_budget)
         self._children = [
             PrivacyAccountant(
                 out_domain.element_domain,
