@@ -80,6 +80,17 @@ class ExactNumber:
             return float("-inf")
         # 30 significant digits, then nudge one ulp in the safe direction.
         approx = float(self._expr.evalf(30))
+        if approx in (float("inf"), float("-inf")):
+            # a FINITE value beyond double range (e.g. 10**500):
+            # Fraction(inf) below would raise OverflowError.  The
+            # conservative double rounds away from zero to the
+            # infinity, toward zero to +-DBL_MAX (r17).
+            import sys
+
+            toward_inf = (approx > 0) == round_up
+            if toward_inf:
+                return approx
+            return sys.float_info.max if approx > 0 else -sys.float_info.max
         exact_cmp = sp.Rational(Fraction(approx)) if approx == approx else None
         if exact_cmp is None:
             raise ValueError(f"Cannot convert {self._expr} to float")

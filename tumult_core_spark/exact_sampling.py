@@ -139,17 +139,23 @@ def _resolve_laplace(
     import mpmath
 
     iv = mpmath.iv
-    while True:
-        if n and not (bits == 0 or bits + 1 == (1 << n)):
-            # p touching {0,1} leaves the icdf unbounded: refine first
-            iv.prec = n + 20
-            lo = _laplace_icdf_enclosure(mu, b, bits, n, iv)
-            hi = _laplace_icdf_enclosure(mu, b, bits + 1, n, iv)
-            a, c = _endpoint_float(lo.a), _endpoint_float(hi.b)
-            if a == c:
-                return a
-        bits = (bits << step_size) | _randbits(step_size)
-        n += step_size
+    old_prec = iv.prec
+    try:
+        while True:
+            if n and not (bits == 0 or bits + 1 == (1 << n)):
+                # p touching {0,1} leaves the icdf unbounded: refine first
+                iv.prec = n + 20
+                lo = _laplace_icdf_enclosure(mu, b, bits, n, iv)
+                hi = _laplace_icdf_enclosure(mu, b, bits + 1, n, iv)
+                a, c = _endpoint_float(lo.a), _endpoint_float(hi.b)
+                if a == c:
+                    return a
+            bits = (bits << step_size) | _randbits(step_size)
+            n += step_size
+    finally:
+        # iv.prec is GLOBAL mpmath state: restore so a raised/returned
+        # path never leaks an inflated working precision (r17 hygiene)
+        iv.prec = old_prec
 
 
 def sample_laplace(mu: float, b: float, step_size: int = 63) -> float:
@@ -232,22 +238,26 @@ def sample_gaussian(
     if sigma_squared == 0:
         return float(mu)
     iv = mpmath.iv
+    old_prec = iv.prec
     n = 0
     bits = 0
-    while True:
-        bits = (bits << step_size) | _randbits(step_size)
-        n += step_size
-        if bits == 0 or bits + 1 == (1 << n):
-            continue
-        iv.prec = n + 20
-        scale = iv.sqrt(iv.mpf(sigma_squared)) * iv.sqrt(iv.mpf(2))
-        # 2p - 1 at p = bits/2^n is the exact dyadic (2*bits - 2^n)/2^n
-        lo = _erfinv_enclosure(2 * bits - (1 << n), n, n + 20, iv, mpmath)
-        hi = _erfinv_enclosure(2 * (bits + 1) - (1 << n), n, n + 20, iv, mpmath)
-        out = iv.mpf(mu) + scale * iv.mpf([lo.a, hi.b])
-        a, c = _endpoint_float(out.a), _endpoint_float(out.b)
-        if a == c:
-            return a
+    try:
+        while True:
+            bits = (bits << step_size) | _randbits(step_size)
+            n += step_size
+            if bits == 0 or bits + 1 == (1 << n):
+                continue
+            iv.prec = n + 20
+            scale = iv.sqrt(iv.mpf(sigma_squared)) * iv.sqrt(iv.mpf(2))
+            # 2p - 1 at p = bits/2^n is the exact dyadic (2*bits - 2^n)/2^n
+            lo = _erfinv_enclosure(2 * bits - (1 << n), n, n + 20, iv, mpmath)
+            hi = _erfinv_enclosure(2 * (bits + 1) - (1 << n), n, n + 20, iv, mpmath)
+            out = iv.mpf(mu) + scale * iv.mpf([lo.a, hi.b])
+            a, c = _endpoint_float(out.a), _endpoint_float(out.b)
+            if a == c:
+                return a
+    finally:
+        iv.prec = old_prec  # global mpmath state; see _resolve_laplace
 
 
 # ---------------------------------------------------------------------------
@@ -278,6 +288,16 @@ _SLOP = 1.000001  # absorbs float rounding of the margin arithmetic itself
 # such (absurd, but legal) scales route every draw through the scalar
 # interval loop instead of the vectorized fast path
 _EXTREME_SCALE = 1e-280
+# dd.sqrt's separate floor: its internal two_prod(s0, s0) error leg
+# underflows once the ARGUMENT (sigma^2, not sigma) nears the
+# subnormal range — measured rel error 2^-79 at 1e-300 and 2^-53 at
+# 1e-310, both above the 2^-88 budget, vs 2^-107 at 1e-290 (r17; see
+# the accuracy note on dd.sqrt).  The gaussian guard compares sigma^2
+# against THIS constant: the previous `sigma_squared <
+# _EXTREME_SCALE**2` underflowed to 0.0 and never fired, so a
+# subnormal sigma^2 reached the dd pipeline with a sqrt error the
+# certification margin does not cover.
+_DD_SQRT_MIN = 1e-290
 _CHUNK = 1 << 18  # dd pipelines are memory-bound; stay cache-resident
 
 
@@ -441,7 +461,7 @@ def gaussian_exact_vec(mu: np.ndarray, sigma_squared: float) -> np.ndarray:
         raise ValueError("sigma_squared must be >= 0")
     if sigma_squared == 0:
         return mu.copy()
-    if sigma_squared < _EXTREME_SCALE**2:
+    if sigma_squared < _DD_SQRT_MIN:
         return np.array([
             _resolve_gaussian_pair(float(m), None, float(sigma_squared), 0, 0, 0, 0)[0]
             for m in mu

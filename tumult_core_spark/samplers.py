@@ -287,24 +287,38 @@ def bernoulli_exp(gamma: Fraction) -> bool:
     return _bernoulli_exp_frac(gamma)
 
 
+def _one_sided_geometric_exact(scale: Fraction) -> int:
+    """Exact geometric number-of-failures, P[X=k] = (1-q) q^k with
+    q = exp(-1/scale), by certified band inversion (the scalar form of
+    :func:`_geometric_failures_exact_vec`): reveal a 53-bit uniform
+    prefix and resolve its band exactly in interval arithmetic.
+
+    O(1) expected draws for ANY scale.  This replaces the r1-r16
+    Bernoulli(exp(-1/scale)) success-counting loop, which cost
+    O(scale) Bernoulli trials per sample (5.7 s/draw measured at scale
+    2e5) and tripped its 1e7 magnitude safety cap with probability
+    exp(-1e7/scale) — a ~37%-per-draw RuntimeError at scale 1e7, i.e.
+    at the legal budget epsilon = d_in * 1e-7 (r17 samplers review)."""
+    g = rng()
+    m = int(g.integers(0, 1 << _PREFIX_BITS))
+    return _resolve_band_index(m, _PREFIX_BITS, scale)
+
+
 def geometric_exact(scale: Union[int, Fraction]) -> int:
     """Exact two-sided geometric with P[X=k] ∝ exp(-|k|/scale).
 
-    Pure integer/Fraction arithmetic; no float ever touches the sample.
+    Magnitude by certified band inversion (exact for every
+    infinite-precision uniform; see :func:`_one_sided_geometric_exact`),
+    then a fair sign with the duplicate zero rejected — the same
+    magnitude/sign construction as before, with an O(1) magnitude draw.
     """
     scale = Fraction(scale)
     if scale == 0:
         return 0
     if scale < 0:
         raise ValueError("scale must be >= 0")
-    t = Fraction(1) / scale
     while True:
-        # sample one-sided geometric: successes of Bernoulli(exp(-t))
-        magnitude = 0
-        while bernoulli_exp(t):
-            magnitude += 1
-            if magnitude > 10_000_000:  # safety against pathological scales
-                raise RuntimeError("geometric sampler diverged")
+        magnitude = _one_sided_geometric_exact(scale)
         sign_positive = _bernoulli(Fraction(1, 2))
         if magnitude == 0 and not sign_positive:
             continue  # reject duplicate zero so zero isn't double-weighted
@@ -330,12 +344,15 @@ def discrete_gaussian_exact(sigma_squared: Union[int, Fraction]) -> int:
 
 
 def _discrete_laplace_exact(scale: Fraction) -> int:
-    """Exact discrete Laplace over Z with P[Y=y] ∝ exp(-|y|/scale)."""
-    inv = Fraction(1) / scale
+    """Exact discrete Laplace over Z with P[Y=y] ∝ exp(-|y|/scale).
+
+    Magnitude by certified band inversion — O(1) expected for any
+    scale, where the previous Bernoulli success-counting loop cost
+    O(scale) trials per proposal (the discrete-Gaussian proposal scale
+    is t = floor(sigma) + 1, so large sigma^2 made every proposal a
+    multi-second loop; r17 samplers review)."""
     while True:
-        magnitude = 0
-        while bernoulli_exp(inv):
-            magnitude += 1
+        magnitude = _one_sided_geometric_exact(scale)
         positive = _bernoulli(Fraction(1, 2))
         if magnitude == 0 and not positive:
             continue
@@ -362,11 +379,17 @@ def _discrete_laplace_exact(scale: Fraction) -> int:
 # ``noise_mechanisms.py``; ``random/discrete_gaussian.py``), at
 # vectorized-NumPy throughput.
 #
-# The float margins assume libm ``exp`` errs by well under ~1000 ulps
-# (every mainstream libm is <= 1 ulp); the enclosures widen by a
-# relative 1e-15 (~4500 ulps) on top of the propagated argument
-# rounding, so certified answers hold with enormous slack, and a draw
-# inside the widened band just takes the rigorous per-value path.
+# Margin accounting (r17 re-derivation): the enclosure of exp(-arg)
+# widens by relative 1e-15*(1+arg).  The propagated argument rounding
+# (one correctly-rounded int/int division for inv_s plus the j*inv_s
+# product) contributes <= 2u*arg ~ 8.4e-15 at the worst certifiable
+# argument (arg <= 53 ln 2 + 1 ~ 37.7, since certification requires
+# m > 0), where the margin is 3.9e-14 — leaving ~135 ulps of
+# tolerance for libm ``exp``'s own error (every mainstream libm is
+# <= 1 ulp, so the real slack is two orders); at small arguments the
+# tolerance is ~4 ulps on top of the fully-covered propagation.  A
+# draw inside the widened band just takes the rigorous per-value
+# path, so an overestimate only costs speed.
 
 _PREFIX_BITS = 53
 _TWO53 = float(1 << 53)
@@ -433,7 +456,13 @@ def _geometric_failures_exact_vec(scale: Fraction, size: int) -> np.ndarray:
     _, bk1_hi = bounds(k + 1.0)
     # certified iff the whole prefix interval sits inside [B(k+1), B(k))
     ok = (m > 0) & (u_lo >= bk1_hi) & (u_hi <= bk_lo)
-    out = k.astype(np.int64)
+    # a certified k is always < 2^53 (k and k+1 must differ as floats
+    # for the band test to be satisfiable), so this cast is exact for
+    # every kept entry; clamping first keeps huge uncertified
+    # candidates (scale > ~2.5e17) from tripping numpy's invalid-cast
+    # warning before the exact resolver overwrites them (or fails
+    # closed with OverflowError on assignment)
+    out = np.minimum(k, 2.0**62).astype(np.int64)
     for i in np.flatnonzero(~ok):
         out[i] = _resolve_band_index(int(m[i]), _PREFIX_BITS, scale)
     return out
