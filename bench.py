@@ -782,6 +782,39 @@ def _probe_canary(spark, warm: bool) -> list:
     return runs
 
 
+def _probe_io_canary() -> dict:
+    """Fixed sequential-read probe — DIAGNOSTIC ONLY, never part of the
+    normalization basis (which stays pinned to the CPU kernel so
+    normalized totals remain comparable across rounds).
+
+    The CPU canary is blind to page-cache/disk pressure: the r17 drift
+    experiment (SCALE.md "r15->r16 bench drift attribution") showed two
+    driver windows with near-identical CPU canary factors producing a
+    +7% total swing that a controlled back-to-back run reversed.  This
+    probe times a raw sequential read of a fixed parquet file (page
+    cache + memory bandwidth) at the start/middle/end of the window so
+    future uniform drifts can be attributed without re-running the
+    experiment; consumers compare runs_sec mins across rounds.
+    """
+    path = os.path.join(SF_DIR, "lineitem.parquet")
+    runs = []
+    n = 0
+    try:
+        for _ in range(3):
+            start = time.perf_counter()
+            n = 0
+            with open(path, "rb") as f:
+                while True:
+                    block = f.read(1 << 22)
+                    if not block:
+                        break
+                    n += len(block)
+            runs.append(round(time.perf_counter() - start, 4))
+    except OSError as exc:  # pragma: no cover
+        return {"error": str(exc)}
+    return {"bytes": n, "runs_sec": runs}
+
+
 def _time_workload(spark, fn):
     """Warmup + 3-5 timed runs (see comments in main); returns
     (runs, load_before, load_after)."""
@@ -849,12 +882,14 @@ def main():
     # Canary probe 1/3: before any workload window opens.
     canary_probes = {"start": _probe_canary(spark, warm=True)}
     canary_loads = {"start": _loadavg()}
+    io_probes = {"start": _probe_io_canary()}
     middle_at = len(BENCHES) // 2
     for i, (name, fn) in enumerate(BENCHES.items()):
         if i == middle_at:
             # Canary probe 2/3: mid-window, between workloads.
             canary_probes["middle"] = _probe_canary(spark, warm=False)
             canary_loads["middle"] = _loadavg()
+            io_probes["middle"] = _probe_io_canary()
         try:
             runs, lb, la = _time_workload(spark, fn)
             timings_min[name] = round(min(runs), 3)
@@ -912,6 +947,7 @@ def main():
     # Canary probe 3/3: after the last workload (and re-time) window.
     canary_probes["end"] = _probe_canary(spark, warm=False)
     canary_loads["end"] = _loadavg()
+    io_probes["end"] = _probe_io_canary()
     total = round(sum(v for v in timings.values() if v is not None), 3)
     # Load factor: median of the three per-probe MINS vs the pinned
     # idle baseline (min filters the bench's own transient heap
@@ -988,6 +1024,9 @@ def main():
             "kernel": "range(150M) groupBy(100k keys) sum -> checksum",
             "probes_sec": canary_probes,
             "probe_loads_1min": canary_loads,
+            # diagnostic sequential-read probe (see _probe_io_canary):
+            # NOT part of the normalization basis
+            "io_probes": io_probes,
             "baseline_sec": _CANARY_BASELINE_SEC,
             "basis": "median of per-probe mins vs pinned idle-min baseline",
             "median_of_probe_mins_sec": canary_median,
