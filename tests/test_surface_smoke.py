@@ -283,6 +283,24 @@ class TestScalarMechanismsDirect:
             assert double_sided_geometric_inverse_cmf_exact(p, alpha) == k
         assert double_sided_geometric_cmf_exact(0, alpha) > ExactNumber("1/2") - ExactNumber("1/100")
 
+    def test_inverse_cmf_boundary_values(self):
+        """r17 guard: p > 1 and p = 1 (alpha > 0) must raise — CMF < 1
+        at every finite k, so the doubling search would never
+        terminate; p = 1 at alpha = 0 (point mass) inverts to 0."""
+        import pytest
+
+        from tumult_core_spark.utils.distributions import (
+            double_sided_geometric_inverse_cmf_exact as inv,
+        )
+
+        with pytest.raises(ValueError, match=r"\(0, 1\]"):
+            inv("11/10", ExactNumber(2))
+        with pytest.raises(ValueError, match="no finite inverse"):
+            inv(1, ExactNumber(2))
+        with pytest.raises(ValueError, match=r"\(0, 1\]"):
+            inv(0, ExactNumber(2))
+        assert inv(1, ExactNumber(0)) == 0
+
     def test_bernoulli_exp_mean(self):
         from tumult_core_spark.samplers import bernoulli_exp
 

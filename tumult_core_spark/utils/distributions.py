@@ -55,8 +55,17 @@ def double_sided_geometric_inverse_cmf_exact(
     """Smallest integer k with CMF(k) >= p (exact arithmetic)."""
     target = ExactNumber(p)
     a = ExactNumber(alpha)
-    if target <= 0:
+    if target <= 0 or target > 1:
         raise ValueError("p must be in (0, 1]")
+    if target == 1 and a != 0:
+        # CMF(k) < 1 strictly at every finite k for alpha > 0, so the
+        # doubling search below would never terminate (r17 guard; the
+        # only in-package caller keeps p < 1 by construction — the
+        # partition-selection factory's infinite-budget branch returns
+        # before this solve)
+        raise ValueError(
+            "p = 1 has no finite inverse for alpha > 0 (CMF < 1 everywhere)"
+        )
     # exponential then binary search
     lo, hi = -1, 1
     while double_sided_geometric_cmf_exact(lo, a) >= target:
