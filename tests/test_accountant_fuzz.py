@@ -155,7 +155,9 @@ OPS = st.lists(
         st.sampled_from(
             [
                 "measure",
+                "measure_claimed",
                 "transform",
+                "transform_claimed",
                 "queue",
                 "split",
                 "retire",
@@ -214,8 +216,45 @@ class TestAccountantFuzz:
                     assert after == tuple(
                         b - e for b, e in zip(before, expected)
                     ), f"{kind} measure deducted wrong amount"
+                elif op == "measure_claimed":
+                    # the claimed-d_out form: a too-tight claim is
+                    # rejected with nothing deducted; an exact claim is
+                    # accepted and charges the function answer
+                    if acct.input_domain != DOM:
+                        continue
+                    m = cost_measurement(kind, cost)
+                    loss = m.privacy_function(acct.d_in)
+                    tight = (
+                        (ExactNumber(loss[0]) / 2, loss[1])
+                        if kind == "approx"
+                        else ExactNumber(loss) / 2
+                    )
+                    with pytest.raises(ValueError, match="exceeds claimed"):
+                        acct.measure(m, d_out=tight)
+                    assert _vals(acct.privacy_budget) == before
+                    expected = _loss_vals(kind, loss)
+                    acct.measure(m, d_out=loss)
+                    after = _vals(acct.privacy_budget)
+                    assert after == tuple(
+                        b - e for b, e in zip(before, expected)
+                    )
                 elif op == "transform":
                     acct.transform_in_place(AddOne())
+                    assert _vals(acct.privacy_budget) == before
+                elif op == "transform_claimed":
+                    # a d_out claim tighter than the stability function
+                    # is rejected BEFORE the data mutates; the exact
+                    # claim is accepted and costs nothing
+                    if acct.input_domain != DOM:
+                        continue
+                    d_before = acct.d_in
+                    with pytest.raises(ValueError, match="stability relation"):
+                        acct.transform_in_place(
+                            AddOne(), d_out=ExactNumber(acct.d_in) / 2
+                        )
+                    assert acct.d_in == d_before
+                    acct.transform_in_place(AddOne(), d_out=d_before)
+                    assert acct.d_in == d_before
                     assert _vals(acct.privacy_budget) == before
                 elif op == "queue":
                     acct.queue_transformation(AddOne())
