@@ -262,7 +262,11 @@ def _randbelow(d: int) -> int:
 
 def _bernoulli(p: Fraction) -> bool:
     """Exact Bernoulli(p) using rejection-free integer comparison."""
-    assert 0 <= p <= 1
+    # explicit raise, not `assert`: this is the exact-Bernoulli
+    # primitive of the DP samplers, and under `python -O` a stripped
+    # assert would let p > 1 silently degenerate to Bernoulli(1) (r17)
+    if not 0 <= p <= 1:
+        raise ValueError(f"Bernoulli probability must be in [0, 1], got {p}")
     # draw a uniform integer in [0, denominator) and compare to numerator
     return _randbelow(p.denominator) < p.numerator
 
