@@ -119,12 +119,20 @@ class TestReplayVerification:
         # every element must have been bit-exactly checked
         assert checked >= n - 5, (checked, undetermined)
 
-    def test_gaussian_vec_rounds_true_real(self):
+    @pytest.mark.parametrize("mu_kind", ["small", "large"])
+    def test_gaussian_vec_rounds_true_real(self, mu_kind):
         import mpmath
 
         n = 800
         sigma_squared = 2.5
-        mu = np.linspace(-3.0, 3.0, n)
+        # "large": |mu| >> sigma exercises the dd add at extreme
+        # magnitude imbalance, where a naive margin would miss the
+        # mu-rounding term (arith margin carries |x|)
+        mu = (
+            np.linspace(-3.0, 3.0, n)
+            if mu_kind == "small"
+            else np.full(n, 1e9) + np.linspace(0.0, 7.0, n)
+        )
         replay = _seeded()
         out = exact_sampling.gaussian_exact_vec(mu, sigma_squared)
         nc = (n + 1) // 2
