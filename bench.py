@@ -703,11 +703,16 @@ _MEDIAN_INFLATION = 1.3
 # of an iterative job measures scheduler noise, not the plan.  r17
 # (per r16 ADVICE): "queries" keeps the MEDIAN for every entry — one
 # statistical basis, so consumers reading only "queries" never compare
-# a min against other entries' medians — and the listed queries' honest
-# figure is their entry in the parallel "queries_min" dict (flagged
-# under "min_basis_queries").  They remain exempt from the
+# a min against other entries' medians — and any listed query's honest
+# figure is its entry in the parallel "queries_min" dict (flagged
+# under "min_basis_queries").  Listed queries are exempt from the
 # median-inflation re-time, which cannot converge for them.
-_MIN_BASIS_QUERIES = frozenset({"components"})
+#
+# EMPTY since r17: `components` (the only member, r14-r16) stopped
+# being an iterative fixpoint at bench scale — the size-gated local
+# finish makes it 3 fixed jobs, so its median is as stable as any
+# other query's and the exemption rationale is gone.
+_MIN_BASIS_QUERIES = frozenset()
 
 # --- Load canary -----------------------------------------------------
 # A fixed, data-free, pure-JVM groupBy-sum kernel (150M rows -> 100k

@@ -1209,7 +1209,10 @@ class TestConnectedComponents:
         df = spark.createDataFrame(
             [(i, i + 1) for i in range(120)], "id_a long, id_b long"
         )
-        got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, local_finish_edges=0).collect()
+        }
         assert got == {i: 0 for i in range(121)}
 
     def test_no_checkpoint_block_accumulation(self, spark):
@@ -1226,7 +1229,7 @@ class TestConnectedComponents:
         baseline = len(
             spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
         )
-        connected_components(df).count()
+        connected_components(df, local_finish_edges=0).count()
         after = len(
             spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
         )
@@ -1248,7 +1251,9 @@ class TestConnectedComponents:
         )
         got = {
             r["node"]: r["component"]
-            for r in connected_components(df, checkpoint_dir=cdir).collect()
+            for r in connected_components(
+                df, checkpoint_dir=cdir, local_finish_edges=0
+            ).collect()
         }
         assert got == {i: 0 for i in range(121)}
         rdd_dirs = [
@@ -4721,3 +4726,93 @@ class TestR17AdviceFixes:
         got_eager = {(r["new_id"], r["corpus_id"]) for r in eager.collect()}
         got_lazy = {(r["new_id"], r["corpus_id"]) for r in lazy.collect()}
         assert got_lazy == got_eager and len(got_lazy) >= 5
+
+
+class TestLocalFinishCC:
+    """r17: size-gated driver-side union-find finish for small edge
+    sets in connected_components (the star rounds remain the scale
+    path; tests of that machinery pass local_finish_edges=0)."""
+
+    def test_local_and_distributed_paths_agree(self, spark):
+        import random
+
+        from tumult_core_spark.extensions import components
+
+        rnd = random.Random(41)
+        nodes = rnd.sample(range(10**6), 400)
+        pairs = [(rnd.choice(nodes), rnd.choice(nodes)) for _ in range(350)]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        local = {
+            r["node"]: r["component"]
+            for r in components.connected_components(df).collect()
+        }
+        assert components.last_run_stats["mode"] == "local"
+        assert components.last_run_stats["rounds"] == 0
+        dist = {
+            r["node"]: r["component"]
+            for r in components.connected_components(
+                df, local_finish_edges=0
+            ).collect()
+        }
+        assert components.last_run_stats["mode"] == "distributed"
+        assert components.last_run_stats["rounds"] >= 1
+        assert local == dist and len(local) > 0
+
+    def test_local_path_handles_self_loops_and_nulls(self, spark):
+        from tumult_core_spark.extensions import components
+
+        df = spark.createDataFrame(
+            [(1, 2), (None, 3), (4, None), (5, 5)],
+            "id_a long, id_b long",
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in components.connected_components(df).collect()
+        }
+        assert components.last_run_stats["mode"] == "local"
+        assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5}
+
+    def test_gate_on_input_rows_routes_distributed(self, spark):
+        """Inputs above the row gate take the star rounds; the gate is
+        on INPUT rows (one cheap scan), so driver memory is bounded by
+        the gate itself — no secondary collect cap needed."""
+        from tumult_core_spark.extensions import components
+
+        df = spark.createDataFrame(
+            [(1, 2), (3, 4), (5, 6), (7, 8)], "id_a long, id_b long"
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in components.connected_components(
+                df, local_finish_edges=3  # 4 input rows > 3: distributed
+            ).collect()
+        }
+        assert components.last_run_stats["mode"] == "distributed"
+        assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 5, 7: 7, 8: 7}
+
+    def test_local_path_long_path_graph(self, spark):
+        """The vectorized hook+jump union-find must converge on the
+        adversarial path graph too (deep trees stress pointer
+        jumping), with the same min-id labels."""
+        from tumult_core_spark.extensions import components
+
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(500)], "id_a long, id_b long"
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in components.connected_components(df).collect()
+        }
+        assert components.last_run_stats["mode"] == "local"
+        assert got == {i: 0 for i in range(501)}
+
+    def test_local_result_is_frozen_relation(self, spark):
+        """The local path returns an immutable LocalTableScan (Arrow) —
+        re-reads never recompute the union-find or rescan the input."""
+        from tumult_core_spark.extensions import components
+
+        df = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+        out = components.connected_components(df)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "LocalRelation" in plan or "LocalTableScan" in plan, plan
+        assert out.count() == 3

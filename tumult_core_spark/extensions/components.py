@@ -34,11 +34,31 @@ from pyspark.storagelevel import StorageLevel
 from ..utils.misc import cut_lineage, free_local_checkpoint
 
 #: diagnostics from the most recent ``connected_components`` call in
-#: this process (currently ``{"rounds": <fixpoint rounds used>}``).
-#: Written by the library, read by bench.py's sf_sweep so a
-#: round-over-round sweep-factor change can be attributed to fixpoint
-#: round-count variance vs a real per-round cost change.
+#: this process: ``{"rounds": <fixpoint rounds used>, "mode":
+#: "distributed" | "local", "edges": <canonical edge count, or input
+#: row count on the local path>}`` (``rounds`` is 0 on the
+#: local-finish path).  Written by the
+#: library, read by bench.py's sf_sweep so a round-over-round
+#: sweep-factor change can be attributed to fixpoint round-count
+#: variance vs a real per-round cost change.
 last_run_stats: dict = {}
+
+#: Inputs at or below this many ROWS finish DRIVER-SIDE with one Arrow
+#: collect + a vectorized numpy union-find instead of the O(log n)
+#: alternating-star rounds (r17).  Rationale: below a few million
+#: edges the star rounds' cost is almost entirely fixed per-round
+#: overhead (4+ Spark jobs, 2 localCheckpoints, a fingerprint
+#: aggregate — per round), while the local finish is one count job +
+#: one collect job + ~100 ms of numpy; this is the standard "finish
+#: the residual graph locally" hybrid used by production
+#: MapReduce/Spark CC implementations (the same paper's authors note
+#: most real graphs collapse to a tiny residual after 1-2 rounds).
+#: Gating on the INPUT row count (not the canonical edge count) keeps
+#: the decision to one cheap scan and bounds EVERYTHING the local path
+#: collects: pairs <= gate rows (~32 MB through Arrow at 2M), distinct
+#: nodes <= 2x that.  Pass ``local_finish_edges=0`` to force the
+#: distributed path (tests of the star machinery do).
+LOCAL_FINISH_EDGES = 2_000_000
 
 
 def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -84,12 +104,89 @@ def _star_round(e: DataFrame, large: bool, dedupe: bool = True) -> DataFrame:
     return out.dropDuplicates(["u", "v"]) if dedupe else out
 
 
+def _raw_nodes(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Every distinct castable node id of the input relation (both
+    endpoints, NULLs and failed long casts dropped)."""
+    return (
+        edges.select(F.col(src).cast("long").alias("node"))
+        .unionByName(edges.select(F.col(dst).cast("long").alias("node")))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+    )
+
+
+def _local_finish(edges: DataFrame, src: str, dst: str, cap: int) -> DataFrame:
+    """Driver-side finish for a small input: one Arrow collect of the
+    raw (src, dst) pairs, then a fully VECTORIZED numpy union-find —
+    min-directed hooking (``np.minimum.at``) alternated with pointer
+    jumping to a fixpoint, the Shiloach-Vishkin shape, so there is no
+    per-edge Python loop.  Node ids stay int64 end-to-end (no float
+    round-trip: ids above 2^53 would corrupt through a NaN-sentinel
+    conversion), NULL/uncastable endpoints drop from edges but their
+    non-NULL partners still count as nodes, and self-loops make their
+    node a singleton — identical semantics to the distributed path.
+    Hooking always attaches the larger root under the smaller over
+    ids' sorted dense indices, so every final root IS its component's
+    minimum id, matching the distributed fixpoint's convention
+    exactly.  Returns the mapping as an immutable ``LocalTableScan``
+    relation (re-reads never recompute; broadcasts for free
+    downstream).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    spark = edges.sparkSession
+    tbl = (
+        edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        .limit(cap + 1)
+        .toArrow()
+    )
+    col_a, col_b = tbl.column("a"), tbl.column("b")
+    # node universe: every non-null endpoint (drop_null keeps int64)
+    a_nn = col_a.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
+    b_nn = col_b.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([a_nn, b_nn]))
+    # edges: rows with BOTH endpoints valid, self-loops dropped
+    both = tbl.drop_null()
+    ea = both.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+    eb = both.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = ea != eb
+    iu = np.searchsorted(nodes, ea[keep])
+    iv = np.searchsorted(nodes, eb[keep])
+    parent = np.arange(len(nodes), dtype=np.int64)
+    while len(iu):
+        pu, pv = parent[iu], parent[iv]
+        if not (pu != pv).any():
+            break
+        # hook: larger root under smaller (parents only ever DECREASE,
+        # so concurrent conflicting hooks resolve to the minimum and
+        # the loop terminates)
+        np.minimum.at(parent, np.maximum(pu, pv), np.minimum(pu, pv))
+        # pointer-jump to an idempotent forest (everyone at a root)
+        while True:
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+    # nodes is sorted, so dense-index minima ARE id minima
+    out = pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "component": pa.array(nodes[parent], pa.int64()),
+        }
+    )
+    return spark.createDataFrame(out)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 50,
     checkpoint_dir: Optional[str] = None,
+    local_finish_edges: int = LOCAL_FINISH_EDGES,
 ) -> DataFrame:
     """(node, component) for every node of the pair relation, where
     ``component`` is the smallest node id in its connected component.
@@ -105,11 +202,32 @@ def connected_components(
     cluster pass an HDFS/S3 path here to switch every round to a
     RELIABLE ``checkpoint()`` that survives executor loss (see
     ``utils.misc.cut_lineage``).
+
+    ``local_finish_edges``: inputs at or below this many ROWS (default
+    :data:`LOCAL_FINISH_EDGES`; 0 disables) skip the star rounds
+    entirely and finish with a vectorized driver-side union-find over
+    one Arrow collect — identical output (component = minimum id),
+    driver memory bounded by the gate itself, and none of the
+    per-round job/checkpoint overhead that dominates small graphs.  At
+    100 TB the input takes the distributed rounds; the hybrid is what
+    production CC pipelines do with small residuals.
     """
     spark = edges.sparkSession
+    if local_finish_edges > 0:
+        # one cheap scan (no shuffle) decides the path and bounds
+        # everything the local path would collect
+        n_input = edges.count()
+        if n_input <= local_finish_edges:
+            result = _local_finish(edges, src, dst, local_finish_edges)
+            last_run_stats.update(rounds=0, mode="local", edges=n_input)
+            return result
     e = _canonical_edges(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
+    # the count materializes the cache the first star round would have
+    # materialized anyway, and right-sizes the first round's partitioning
+    n_edges = e.count()
+    last_run_stats.update(mode="distributed", edges=n_edges)
     default_par = spark.sparkContext.defaultParallelism
-    par = default_par
+    par = max(2, min(default_par, n_edges // 100_000 + 1))
     prev_fp = None
     rounds_used = 0
     for rounds_used in range(1, max_rounds + 1):
@@ -160,16 +278,11 @@ def connected_components(
     # such nodes never enter the fixpoint — they are singletons of
     # their own component, not absentees.  One node-cardinality left
     # join at output; no effect when the input has no self-loops.
-    # isNotNull guards both NULL endpoints and string ids that fail the
-    # long cast — _canonical_edges' a != b predicate silently drops
-    # NULLs, so without the filter a NULL endpoint would surface here
-    # as a spurious (NULL, NULL) output row
-    raw_nodes = (
-        edges.select(F.col(src).cast("long").alias("node"))
-        .unionByName(edges.select(F.col(dst).cast("long").alias("node")))
-        .filter(F.col("node").isNotNull())
-        .distinct()
-    )
+    # isNotNull (inside _raw_nodes) guards both NULL endpoints and
+    # string ids that fail the long cast — _canonical_edges' a != b
+    # predicate silently drops NULLs, so without the filter a NULL
+    # endpoint would surface here as a spurious (NULL, NULL) output row
+    raw_nodes = _raw_nodes(edges, src, dst)
     return raw_nodes.join(mapped, "node", "left").select(
         "node", F.coalesce("component", F.col("node")).alias("component")
     )
