@@ -1280,12 +1280,16 @@ class TestConnectedComponents:
         )
         got = {
             r["doc_id"]: r["canonical_id"]
-            for r in canonical_duplicates(pairs, checkpoint_dir=d1).collect()
+            for r in canonical_duplicates(
+                pairs, checkpoint_dir=d1, local_finish_edges=0
+            ).collect()
         }
         assert got == {1: 1, 5: 1, 9: 1, 2: 2, 4: 2}
         got2 = {
             r["doc_id"]: r["canonical_id"]
-            for r in canonical_duplicates(pairs, checkpoint_dir=d2).collect()
+            for r in canonical_duplicates(
+                pairs, checkpoint_dir=d2, local_finish_edges=0
+            ).collect()
         }
         assert got2 == got
         for d in (d1, d2):

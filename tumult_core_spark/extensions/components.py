@@ -372,6 +372,7 @@ def canonical_duplicates(
     id_col: str = "id_a",
     id_col_b: str = "id_b",
     checkpoint_dir: Optional[str] = None,
+    local_finish_edges: int = LOCAL_FINISH_EDGES,
 ) -> DataFrame:
     """(doc_id, canonical_id) for every document that appears in the
     near-duplicate pair relation: the canonical is the smallest id of
@@ -386,7 +387,11 @@ def canonical_duplicates(
     loss on a cluster; the default local checkpoint is fastest but not
     fault-tolerant at scale."""
     comp = connected_components(
-        pairs, src=id_col, dst=id_col_b, checkpoint_dir=checkpoint_dir
+        pairs,
+        src=id_col,
+        dst=id_col_b,
+        checkpoint_dir=checkpoint_dir,
+        local_finish_edges=local_finish_edges,
     )
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
