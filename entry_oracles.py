@@ -1560,6 +1560,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey + 2000000, CAST(c.c_nationkey AS BIGINT)
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         """,
+        # identical oracle for the forced-distributed variant: the star
+        # rounds and the local union-find compute the same fixpoint
+        # (component = minimum id), so output is path-independent
+        "connected_components_dist": """
+            SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS node,
+                   CAST(c_nationkey AS BIGINT) AS component
+            FROM customer
+            UNION ALL
+            SELECT c_custkey + 1000000, CAST(c_nationkey AS BIGINT)
+            FROM customer
+            UNION ALL
+            SELECT o.o_orderkey + 2000000, CAST(c.c_nationkey AS BIGINT)
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
         # three identical copies per base doc form a 3-clique; the
         # canonical of each copy is the base doc id (cluster min)
         "dedup_connected": """

@@ -1945,6 +1945,30 @@ def q_connected_components(spark, sf_dir):
     return connected_components(cust.unionByName(orders))
 
 
+def q_connected_components_dist(spark, sf_dir):
+    """Same nation<-customer<-orders component graph as
+    ``connected_components``, but with ``local_finish_edges=0`` so the
+    DISTRIBUTED alternating large-star/small-star rounds run even at
+    oracle scale.  Output is path-independent by design (component =
+    minimum id either way); this entry exists so the star machinery —
+    the path that actually runs at 100 TB — keeps driver-side oracle
+    evidence after the r17 size-gated local finish made the default
+    path resolve locally at every shipped SF."""
+    from tumult_core_spark.extensions.components import connected_components
+
+    cust = _load(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") + F.lit(1_000_000)).alias("id_a"),
+        F.col("c_nationkey").cast("long").alias("id_b"),
+    )
+    orders = _load(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") + F.lit(2_000_000)).alias("id_a"),
+        (F.col("o_custkey") + F.lit(1_000_000)).alias("id_b"),
+    )
+    return connected_components(
+        cust.unionByName(orders), local_finish_edges=0
+    )
+
+
 def q_dedup_connected(spark, sf_dir):
     """Canonical-doc selection over verified near-dup pairs: three
     identical copies of each base doc form a 3-clique; the canonical
@@ -2129,75 +2153,28 @@ def q_embedding_near_dups(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS A ROTATION SCHEDULE, not alphabetical and not build
     # order.  The per-round driver checks roughly the first 50 of the
-    # 101 registry entries against the DuckDB oracle, so each round the
+    # 102 registry entries against the DuckDB oracle, so each round the
     # entries with the least-fresh driver evidence go FIRST:
-    #   r17 front block = partition_by_keys (the sole entry whose
-    #   latest driver-green row is r14 — it was entry #51 of the
-    #   51-entry r16 front, exactly the one the 50-entry batch did not
-    #   reach), then the 50 entries whose latest driver-green row is
-    #   r15, in their r15 order.  The tail = the 50 entries
-    #   CORRECTNESS_r16 checked, in their r16 order.  The front is 51
-    #   entries, so with a 50-entry driver batch the LAST front entry
-    #   (pagerank, r15-green) may slip to r18; it carries r15 driver
-    #   evidence plus this round's local sf0.01 sweep, so the slip is
-    #   the cheapest available.
-    #   r18: rotate again — move whatever the r17 batch does not reach
-    #   back to the front, followed by the r16-green tail below.
+    #   r18 front block = pagerank (the sole entry whose latest
+    #   driver-green row is r15 — it was entry #51 of the 51-entry r17
+    #   front, exactly the one the 50-entry batch did not reach), then
+    #   connected_components_dist (NEW this round: the forced-
+    #   distributed star-path variant, no driver evidence yet), then
+    #   the 50 entries whose latest driver-green row is r16, in their
+    #   r16 order.  The tail = the 50 entries CORRECTNESS_r17 checked,
+    #   in their r17 order.  The front is 52 entries, so with a
+    #   50-entry driver batch the last TWO front entries (bounds,
+    #   quantile_median — both r16-green) may slip to r19; they carry
+    #   r16 driver evidence plus this round's local sweeps, the
+    #   cheapest available slip.
+    #   r19: rotate again — move whatever the r18 batch does not reach
+    #   back to the front, followed by the r17-green tail below.
     return {
-        # --- r17 front: partition_by_keys first (only r14-stale entry) ---
-        "partition_by_keys": q_partition_by_keys,
-        # --- then the 50 entries last driver-checked in r15 ---
-        "map_revenue": q_map_derive,
-        "flatmap_by_key": q_flatmap_by_key,
-        "multimodal_decode": q_multimodal_decode,
-        "dict_pipeline": q_dict_pipeline,
-        "zorder_key": q_zorder_key,
-        "composition_count_sum": q_composition_count_sum,
-        "adaptive_queries": q_adaptive_queries,
-        "substring_dedup": q_substring_dedup,
-        "substring_removal": q_substring_removal,
-        "token_budget_mix": q_token_budget_mix,
-        "profile_table": q_profile_table,
-        "profile_numeric": q_profile_numeric,
-        "json_extract": q_json_extract,
-        "sq_codes": q_sq_codes,
-        "bpe_tokens": q_bpe_tokens,
-        "replace_nulls": q_replace_nulls,
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ann_topk": q_ann_topk,
-        "token_counts": q_token_counts,
-        "lang_id": q_lang_id,
-        "fingerprint_distinct": q_fingerprint_distinct,
-        "quality_scores": q_quality_scores,
-        "repetition_stats": q_repetition_stats,
-        "asof_join": q_asof_join,
-        "time_rollup": q_time_rollup,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "global_shuffle": q_global_shuffle,
-        "temperature_mix": q_temperature_mix,
-        "pca_project": q_pca_project,
-        "unigram_logprob": q_unigram_logprob,
-        "weighted_sample": q_weighted_sample,
-        "fuzzy_join": q_fuzzy_join,
-        "chunk_documents": q_chunk_documents,
-        "chunk_pack": q_chunk_pack,
-        "streaming_window_counts": q_streaming_window_counts,
-        "multimodal_features": q_multimodal_features,
-        "zcdp_groupby_count": q_zcdp_groupby_count,
-        "approxdp_groupby_count": q_approxdp_groupby_count,
-        "groupby_sum_cents": q_groupby_sum_cents,
-        "groupby_column_domains": q_groupby_column_domains,
-        "drop_nulls_nans": q_drop_nulls_nans,
-        "replace_nans_infs": q_replace_nans_infs,
-        "flatmap_explode": q_flatmap_explode,
-        "grouping_flatmap": q_grouping_flatmap,
-        "fused_moments": q_fused_moments,
-        "embedding_outliers": q_embedding_outliers,
+        # --- r18 front: pagerank first (only r15-stale entry), then the
+        # --- new forced-distributed CC entry (no driver evidence yet)
         "pagerank": q_pagerank,
-        # --- tail: the 50 r16-green entries in their r16 order ---
+        "connected_components_dist": q_connected_components_dist,
+        # --- then the 50 entries last driver-checked in r16 ---
         "hll_distinct": q_hll_distinct,
         "approx_quantile_check": q_approx_quantile_check,
         "multimodal_jpeg": q_multimodal_jpeg,
@@ -2248,6 +2225,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_selection": q_partition_selection,
         "bounds": q_bounds,
         "quantile_median": q_quantile_median,
+        # --- tail: the 50 r17-green entries in their r17 order ---
+        "partition_by_keys": q_partition_by_keys,
+        "map_revenue": q_map_derive,
+        "flatmap_by_key": q_flatmap_by_key,
+        "multimodal_decode": q_multimodal_decode,
+        "dict_pipeline": q_dict_pipeline,
+        "zorder_key": q_zorder_key,
+        "composition_count_sum": q_composition_count_sum,
+        "adaptive_queries": q_adaptive_queries,
+        "substring_dedup": q_substring_dedup,
+        "substring_removal": q_substring_removal,
+        "token_budget_mix": q_token_budget_mix,
+        "profile_table": q_profile_table,
+        "profile_numeric": q_profile_numeric,
+        "json_extract": q_json_extract,
+        "sq_codes": q_sq_codes,
+        "bpe_tokens": q_bpe_tokens,
+        "replace_nulls": q_replace_nulls,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_topk": q_ann_topk,
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "fingerprint_distinct": q_fingerprint_distinct,
+        "quality_scores": q_quality_scores,
+        "repetition_stats": q_repetition_stats,
+        "asof_join": q_asof_join,
+        "time_rollup": q_time_rollup,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "global_shuffle": q_global_shuffle,
+        "temperature_mix": q_temperature_mix,
+        "pca_project": q_pca_project,
+        "unigram_logprob": q_unigram_logprob,
+        "weighted_sample": q_weighted_sample,
+        "fuzzy_join": q_fuzzy_join,
+        "chunk_documents": q_chunk_documents,
+        "chunk_pack": q_chunk_pack,
+        "streaming_window_counts": q_streaming_window_counts,
+        "multimodal_features": q_multimodal_features,
+        "zcdp_groupby_count": q_zcdp_groupby_count,
+        "approxdp_groupby_count": q_approxdp_groupby_count,
+        "groupby_sum_cents": q_groupby_sum_cents,
+        "groupby_column_domains": q_groupby_column_domains,
+        "drop_nulls_nans": q_drop_nulls_nans,
+        "replace_nans_infs": q_replace_nans_infs,
+        "flatmap_explode": q_flatmap_explode,
+        "grouping_flatmap": q_grouping_flatmap,
+        "fused_moments": q_fused_moments,
+        "embedding_outliers": q_embedding_outliers,
     }
 
 

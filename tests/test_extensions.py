@@ -4731,6 +4731,36 @@ class TestR17AdviceFixes:
         got_lazy = {(r["new_id"], r["corpus_id"]) for r in lazy.collect()}
         assert got_lazy == got_eager and len(got_lazy) >= 5
 
+    def test_cross_pairs_lazy_cache_registry(self, spark, docs):
+        """r18 ADVICE: eager_checkpoint=False hands the persisted
+        intermediates to the caller via cache_registry so a long-lived
+        session can unpersist them once the lazy result materializes
+        (previously they accumulated until clearCache)."""
+        from tumult_core_spark.extensions.dedup import (
+            minhash_band_index,
+            minhash_lsh_cross_pairs,
+        )
+
+        corpus = docs.limit(30).select("doc_id", "text")
+        index = minhash_band_index(corpus, "doc_id", "text", 32, 8)
+        batch = corpus.filter("doc_id < 5").withColumn(
+            "doc_id", F.col("doc_id") + 5_000_000
+        )
+        registry: list = []
+        lazy = minhash_lsh_cross_pairs(
+            batch, index, "doc_id", "text", 32, 8,
+            eager_checkpoint=False, cache_registry=registry,
+        )
+        assert lazy.count() >= 5
+        assert registry, "no persisted intermediates handed back"
+        for cached in registry:
+            lvl = cached.storageLevel
+            assert lvl.useMemory or lvl.useDisk
+            cached.unpersist()
+        for cached in registry:
+            lvl = cached.storageLevel
+            assert not (lvl.useMemory or lvl.useDisk)
+
 
 class TestLocalFinishCC:
     """r17: size-gated driver-side union-find finish for small edge
@@ -4793,6 +4823,54 @@ class TestLocalFinishCC:
         }
         assert components.last_run_stats["mode"] == "distributed"
         assert got == {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 5, 7: 7, 8: 7}
+
+    def test_local_finish_returns_none_past_cap(self, spark):
+        """r18 ADVICE: _local_finish requests cap+1 rows, so a collect
+        that sees MORE than cap rows proves the gating count() went
+        stale — it must refuse (return None), never silently drop the
+        edges past the limit."""
+        from tumult_core_spark.extensions.components import _local_finish
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+        )
+        assert _local_finish(df, "id_a", "id_b", cap=2) is None
+        ok = _local_finish(df, "id_a", "id_b", cap=3)
+        assert ok is not None and ok.count() == 4
+
+    def test_stale_gating_count_falls_back_distributed(self, spark):
+        """End-to-end: if the input grows between the gating count()
+        and the Arrow collect (live/nondeterministic source), the
+        local finish refuses and connected_components takes the
+        distributed star rounds — labels stay correct."""
+        from tumult_core_spark.extensions import components
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+        )
+
+        class StaleCount:
+            """Delegates everything to the real DataFrame but reports
+            a stale (too-small) row count, simulating growth between
+            plan and collect."""
+
+            def __init__(self, inner):
+                self._inner = inner
+
+            def count(self):
+                return 2
+
+            def __getattr__(self, name):
+                return getattr(self._inner, name)
+
+        got = {
+            r["node"]: r["component"]
+            for r in components.connected_components(
+                StaleCount(df), local_finish_edges=2
+            ).collect()
+        }
+        assert components.last_run_stats["mode"] == "distributed"
+        assert got == {i: 1 for i in range(1, 6)}
 
     def test_local_path_long_path_graph(self, spark):
         """The vectorized hook+jump union-find must converge on the

@@ -353,3 +353,23 @@ class TestRngLifecycle:
         neg = -big
         assert neg.to_float(round_up=True) == -sys.float_info.max
         assert neg.to_float(round_up=False) == float("-inf")
+
+    def test_resolve_gaussian_pair_restores_iv_prec(self):
+        """r18 ADVICE: _resolve_gaussian_pair must restore the global
+        mpmath iv.prec it mutates (the other resolvers got try/finally
+        in r17; this one is reachable from gaussian_exact_vec's
+        extreme-scale fallback since the _DD_SQRT_MIN gate fix)."""
+        import mpmath
+
+        from tumult_core_spark.exact_sampling import _resolve_gaussian_pair
+
+        old = mpmath.iv.prec
+        try:
+            z, none = _resolve_gaussian_pair(1.5, None, 1e-300, 0, 0, 0, 0)
+            assert none is None and abs(z - 1.5) < 1e-100
+            assert mpmath.iv.prec == old
+            z_cos, z_sin = _resolve_gaussian_pair(0.0, 0.0, 1.0, 0, 0, 0, 0)
+            assert z_sin is not None
+            assert mpmath.iv.prec == old
+        finally:
+            mpmath.iv.prec = old

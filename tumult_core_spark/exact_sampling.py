@@ -416,31 +416,35 @@ def _resolve_gaussian_pair(
     iv = mpmath.iv
     z_cos: Optional[float] = None
     z_sin: Optional[float] = None if mu_sin is not None else float("nan")
-    while True:
-        if u_bits != 0:
-            iv.prec = max(u_n, v_n) + 30
-            u_iv = iv.mpf([u_bits, u_bits + 1]) / iv.mpf(1 << u_n)
-            v_iv = iv.mpf([v_bits, v_bits + 1]) / iv.mpf(1 << v_n)
-            r = iv.sqrt(iv.mpf(-2) * iv.log(u_iv)) * iv.sqrt(
-                iv.mpf(sigma_squared)
-            )
-            theta = iv.mpf(2) * iv.pi * v_iv
-            if z_cos is None:
-                out = iv.mpf(mu_cos) + r * iv.cos(theta)
-                a, b2 = _endpoint_float(out.a), _endpoint_float(out.b)
-                if a == b2:
-                    z_cos = a
-            if z_sin is None:
-                out = iv.mpf(mu_sin) + r * iv.sin(theta)
-                a, b2 = _endpoint_float(out.a), _endpoint_float(out.b)
-                if a == b2:
-                    z_sin = a
-            if z_cos is not None and z_sin is not None:
-                return z_cos, (z_sin if mu_sin is not None else None)
-        u_bits = (u_bits << step_size) | _randbits(step_size)
-        u_n += step_size
-        v_bits = (v_bits << step_size) | _randbits(step_size)
-        v_n += step_size
+    old_prec = iv.prec
+    try:
+        while True:
+            if u_bits != 0:
+                iv.prec = max(u_n, v_n) + 30
+                u_iv = iv.mpf([u_bits, u_bits + 1]) / iv.mpf(1 << u_n)
+                v_iv = iv.mpf([v_bits, v_bits + 1]) / iv.mpf(1 << v_n)
+                r = iv.sqrt(iv.mpf(-2) * iv.log(u_iv)) * iv.sqrt(
+                    iv.mpf(sigma_squared)
+                )
+                theta = iv.mpf(2) * iv.pi * v_iv
+                if z_cos is None:
+                    out = iv.mpf(mu_cos) + r * iv.cos(theta)
+                    a, b2 = _endpoint_float(out.a), _endpoint_float(out.b)
+                    if a == b2:
+                        z_cos = a
+                if z_sin is None:
+                    out = iv.mpf(mu_sin) + r * iv.sin(theta)
+                    a, b2 = _endpoint_float(out.a), _endpoint_float(out.b)
+                    if a == b2:
+                        z_sin = a
+                if z_cos is not None and z_sin is not None:
+                    return z_cos, (z_sin if mu_sin is not None else None)
+            u_bits = (u_bits << step_size) | _randbits(step_size)
+            u_n += step_size
+            v_bits = (v_bits << step_size) | _randbits(step_size)
+            v_n += step_size
+    finally:
+        iv.prec = old_prec
 
 
 @_chunked

@@ -115,7 +115,9 @@ def _raw_nodes(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
 
 
-def _local_finish(edges: DataFrame, src: str, dst: str, cap: int) -> DataFrame:
+def _local_finish(
+    edges: DataFrame, src: str, dst: str, cap: int
+) -> Optional[DataFrame]:
     """Driver-side finish for a small input: one Arrow collect of the
     raw (src, dst) pairs, then a fully VECTORIZED numpy union-find —
     min-directed hooking (``np.minimum.at``) alternated with pointer
@@ -131,6 +133,13 @@ def _local_finish(edges: DataFrame, src: str, dst: str, cap: int) -> DataFrame:
     exactly.  Returns the mapping as an immutable ``LocalTableScan``
     relation (re-reads never recompute; broadcasts for free
     downstream).
+
+    Returns ``None`` when the collect sees MORE than ``cap`` rows —
+    the gating ``count()`` went stale between plan and collect (live
+    source, nondeterministic input), so finishing locally would
+    silently drop edges past the limit and mislabel components.  The
+    caller falls back to the distributed rounds in that case; the
+    stale-count signal is free because ``cap + 1`` rows were requested.
     """
     import numpy as np
     import pyarrow as pa
@@ -143,6 +152,8 @@ def _local_finish(edges: DataFrame, src: str, dst: str, cap: int) -> DataFrame:
         .limit(cap + 1)
         .toArrow()
     )
+    if tbl.num_rows > cap:
+        return None
     col_a, col_b = tbl.column("a"), tbl.column("b")
     # node universe: every non-null endpoint (drop_null keeps int64)
     a_nn = col_a.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
@@ -219,8 +230,11 @@ def connected_components(
         n_input = edges.count()
         if n_input <= local_finish_edges:
             result = _local_finish(edges, src, dst, local_finish_edges)
-            last_run_stats.update(rounds=0, mode="local", edges=n_input)
-            return result
+            if result is not None:
+                last_run_stats.update(rounds=0, mode="local", edges=n_input)
+                return result
+            # the collect saw more rows than the gating count() — the
+            # input grew between plan and collect; take the safe path
     e = _canonical_edges(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
     # the count materializes the cache the first star round would have
     # materialized anyway, and right-sizes the first round's partitioning

@@ -571,6 +571,7 @@ def minhash_lsh_cross_pairs(
     max_band_bucket: int = 50,
     index_precapped: bool = False,
     eager_checkpoint: bool = True,
+    cache_registry: Optional[list] = None,
 ) -> DataFrame:
     """(new_id, corpus_id) candidates between an ARRIVING batch and an
     already-indexed corpus — the incremental form of
@@ -593,7 +594,12 @@ def minhash_lsh_cross_pairs(
     corpus matches — the anchor shares the evicted doc's band key, so
     its matches through that bucket are exactly what the evicted doc
     would have produced; extra pairs are candidates for the verifier,
-    missing pairs would be silent data corruption."""
+    missing pairs would be silent data corruption.
+
+    ``cache_registry``: only meaningful with ``eager_checkpoint=False``
+    — pass a list to receive every DataFrame this call persisted, and
+    unpersist them yourself after materializing the (lazy) result;
+    otherwise the blocks live until ``spark.catalog.clearCache()``."""
     from pyspark import StorageLevel
 
     caches: list = []
@@ -676,10 +682,18 @@ def minhash_lsh_cross_pairs(
     # makes the returned DataFrame unrecomputable, and the eager
     # materialization triggers a job inside this call.  Pass
     # eager_checkpoint=False in such environments to get the previous
-    # lazy return; the caller then owns unpersisting the cap helper's
-    # cached relations (returned DataFrame keeps them alive).
+    # lazy return; the caller then owns unpersisting the persisted
+    # intermediates (the returned DataFrame keeps them alive) — pass
+    # ``cache_registry`` (a list) to receive handles to every relation
+    # this call persisted, and ``.unpersist()`` each once the lazy
+    # result is materialized.  Without a registry the only recourse is
+    # ``spark.catalog.clearCache()`` — the blocks otherwise accumulate
+    # across a long-lived session's batches.
     combined = pairs.unionByName(inherited).distinct()
     if not eager_checkpoint:
+        if cache_registry is not None:
+            cache_registry.append(pairs)
+            cache_registry.extend(caches)
         return combined
     out = combined.localCheckpoint(eager=True)
     pairs.unpersist()

@@ -10,11 +10,16 @@ Two tiers, same distributions:
   per-value ``Series.apply`` loops
   (``pandas_measurements/series.py:305-309``) with whole-batch array
   sampling.
-* **Exact integer samplers** (``fractions.Fraction`` arithmetic, no
-  floats anywhere) for the two-sided geometric and discrete Gaussian,
-  following the published rejection samplers of Canonne, Kapralov &
-  Steinke, "The Discrete Gaussian for Differential Privacy"
-  (arXiv:2004.00010).  Used on the scalar driver path where
+* **Exact integer samplers** for the two-sided geometric and discrete
+  Gaussian, following the published rejection samplers of Canonne,
+  Kapralov & Steinke, "The Discrete Gaussian for Differential
+  Privacy" (arXiv:2004.00010).  The Bernoulli/rejection core is pure
+  ``fractions.Fraction`` arithmetic; the magnitude draw (r17) is the
+  certified band inversion — interval arithmetic over revealed
+  uniform bits, refined until the rounded value is determined, so the
+  output law stays exact while the draw is O(1) at any scale (the
+  prior all-Fraction Bernoulli loop was O(scale) and crashed at legal
+  budgets α≥1e7).  Used on the scalar driver path where
   floating-point attacks matter most (cf. reference
   ``tmlt/core/random/discrete_gaussian.py``).
 
