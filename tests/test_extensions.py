@@ -3462,6 +3462,61 @@ class TestStreamIntervalJoin:
         with pytest.raises(ValueError, match="colliding"):
             stream_interval_join(a, b, ["k"], "t1", "t2")
 
+    def test_join_state_expires_with_watermark(self, spark, tmp_path):
+        """r18 review pin: the two-sided event-time bound plus the
+        watermark must let Spark EVICT old join state — the property
+        that keeps the state store bounded on an unbounded stream.
+        Verified through the state-operator metrics: after batches
+        whose event times advance far past the interval bound, the
+        final state row count reflects only the recent epoch, not the
+        whole history."""
+        import datetime
+        import time as _time
+
+        from tumult_core_spark.streaming.ops import (
+            read_stream_parquet,
+            stream_interval_join,
+            write_stream_memory,
+        )
+
+        ld, rd = str(tmp_path / "ivj_l"), str(tmp_path / "ivj_r")
+        t0 = datetime.datetime(2024, 1, 1)
+
+        def ts(h):
+            return t0 + datetime.timedelta(hours=h)
+
+        # three epochs 100 h apart: epoch-0 state (20 rows/side) is
+        # expired long before epoch 200 processes (bound 600 s,
+        # watermark 1 h)
+        epochs = [(0, 20), (100, 2), (200, 2)]
+        for h, n in epochs:
+            spark.createDataFrame(
+                [(k, ts(h)) for k in range(n)], "k long, lts timestamp"
+            ).coalesce(1).write.mode("append").parquet(ld)
+            spark.createDataFrame(
+                [(k, ts(h)) for k in range(n)], "k long, rts timestamp"
+            ).coalesce(1).write.mode("append").parquet(rd)
+            _time.sleep(1.05)
+
+        joined = stream_interval_join(
+            read_stream_parquet(spark, ld, max_files_per_trigger=1),
+            read_stream_parquet(spark, rd, max_files_per_trigger=1),
+            ["k"], "lts", "rts", 0, 600,
+        )
+        q = write_stream_memory(joined, "ivj_state_out")
+        q.awaitTermination(180)
+        # correctness: same-epoch same-key pairs only
+        assert spark.table("ivj_state_out").count() == sum(n for _, n in epochs)
+        state_totals = [
+            op["numRowsTotal"]
+            for p in q.recentProgress
+            for op in (p.get("stateOperators") or [])
+        ]
+        assert state_totals, "no state-operator metrics recorded"
+        # peak state saw the big epoch; final state only the recent one
+        assert max(state_totals) >= 40
+        assert state_totals[-1] < 10, state_totals
+
 
 class TestStreamingNearDedup:
     def test_near_identical_docs_collapse(self, spark, tmp_path):
@@ -3773,10 +3828,11 @@ class TestStreamingDP:
         def sink(pdf, batch_id):
             collected.append(pdf)
 
+        event_types = ["click", "error", "purchase", "signup", "view"]
         start = dp_windowed_counts(
             stream, "ts", epsilon_per_window=1.0,
             window_duration="24 hours", watermark="0 seconds",
-            group_cols=["event_type"],
+            group_cols=["event_type"], public_group_keys=event_types,
         )
         q = start(sink, output_mode="complete")
         q.awaitTermination(180)
@@ -3788,6 +3844,12 @@ class TestStreamingDP:
         assert set(["window_start", "window_end", "event_type", "noisy_count"]) <= set(out.columns)
         true_total = static.count()
         assert abs(out["noisy_count"].sum() - true_total) < 100
+        # the release support is the public grid: every window carries
+        # every public key exactly once
+        per_window = out.groupby(["window_start"])["event_type"].apply(
+            lambda s: sorted(s)
+        )
+        assert all(v == event_types for v in per_window)
 
     def test_dp_windowed_counts_accounting(self, spark, tmp_path):
         """Privacy accounting of the streaming DP counts (see
@@ -3855,6 +3917,169 @@ class TestStreamingDP:
         assert dp_windowed_counts_privacy(0.5, 0, "event") == 0.0
         with pytest.raises(ValueError, match="neighboring"):
             dp_windowed_counts_privacy(0.5, k, "row")
+
+
+class TestR18StreamingReview:
+    """Pins from the r18 adversarial review of the streaming DP/state
+    surface: grouped DP counts must have a PUBLIC release support
+    (the batch GroupBy public-keys hazard, streaming edition), and
+    stateful_sessionize uses half-open session semantics so the
+    close rule is tear-free at the exact-gap boundary."""
+
+    def test_grouped_release_requires_public_keys(self, spark, tmp_path):
+        """group_cols without public_group_keys releases data-dependent
+        group presence (infinite loss for a singleton group) — a hard
+        error unless explicitly acknowledged."""
+        import datetime as dt
+
+        from tumult_core_spark.streaming import read_stream_parquet
+        from tumult_core_spark.streaming.ops import dp_windowed_counts
+
+        src = str(tmp_path / "dp_groups_src")
+        spark.createDataFrame(
+            [(dt.datetime(2026, 1, 1), "a")], "ts timestamp, g string"
+        ).write.parquet(src)
+        stream = read_stream_parquet(spark, src, nanos_ts_cols=["ts"])
+        with pytest.raises(ValueError, match="public_group_keys"):
+            dp_windowed_counts(
+                stream, "ts", epsilon_per_window=1.0, group_cols=["g"]
+            )
+        # explicit acknowledgment or a key list constructs fine
+        dp_windowed_counts(
+            stream, "ts", epsilon_per_window=1.0, group_cols=["g"],
+            allow_data_dependent_groups=True,
+        )
+        dp_windowed_counts(
+            stream, "ts", epsilon_per_window=1.0, group_cols=["g"],
+            public_group_keys=["a", "b"],
+        )
+        # key validation: arity, NULLs, duplicates, keys-without-groups
+        with pytest.raises(ValueError, match="values"):
+            dp_windowed_counts(
+                stream, "ts", epsilon_per_window=1.0, group_cols=["g"],
+                public_group_keys=[("a", "x")],
+            )
+        with pytest.raises(ValueError, match="NULL"):
+            dp_windowed_counts(
+                stream, "ts", epsilon_per_window=1.0, group_cols=["g"],
+                public_group_keys=["a", None],
+            )
+        with pytest.raises(ValueError, match="duplicates"):
+            dp_windowed_counts(
+                stream, "ts", epsilon_per_window=1.0, group_cols=["g"],
+                public_group_keys=["a", "a"],
+            )
+        with pytest.raises(ValueError, match="group_cols is empty"):
+            dp_windowed_counts(
+                stream, "ts", epsilon_per_window=1.0,
+                public_group_keys=["a"],
+            )
+
+    def test_public_grid_zero_fills_and_drops_nonpublic(self, spark, tmp_path):
+        """With public keys the release is EXACTLY (emitted windows) x
+        (public keys): absent cells come back as noised zeros (exact 0
+        at epsilon=inf) and rows for non-public keys are dropped,
+        never disclosed."""
+        import datetime as dt
+
+        import pandas as pd
+
+        from tumult_core_spark.streaming import read_stream_parquet
+        from tumult_core_spark.streaming.ops import dp_windowed_counts
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        base = dt.datetime(2026, 1, 1, 0, 0, 0)
+        rows = [
+            # window 0: 3 "a" events and a NON-public "z" event
+            (base + dt.timedelta(minutes=m), g)
+            for m, g in [(0, "a"), (10, "a"), (20, "a"), (30, "z")]
+        ] + [
+            # window 1: only "b" events — "a" must 0-fill
+            (base + dt.timedelta(minutes=60 + m), "b") for m in (0, 10)
+        ]
+        src = str(tmp_path / "dp_grid_src")
+        spark.createDataFrame(rows, "ts timestamp, g string").coalesce(
+            1
+        ).write.parquet(src)
+        collected = []
+        stream = read_stream_parquet(spark, src, nanos_ts_cols=["ts"])
+        start = dp_windowed_counts(
+            stream, "ts", epsilon_per_window=float("inf"),
+            window_duration="1 hour", watermark="0 seconds",
+            group_cols=["g"], public_group_keys=["a", "b"],
+        )
+        q = start(lambda pdf, bid: collected.append(pdf), output_mode="complete")
+        q.awaitTermination(120)
+        out = pd.concat(collected, ignore_index=True)
+        got = {
+            (r["window_start"].to_pydatetime(), r["g"]): int(r["noisy_count"])
+            for _, r in out.iterrows()
+        }
+        w0, w1 = base, base + dt.timedelta(hours=1)
+        assert got == {
+            (w0, "a"): 3,
+            (w0, "b"): 0,   # 0-filled absent cell
+            (w1, "a"): 0,   # 0-filled absent cell
+            (w1, "b"): 2,
+        }
+        assert "z" not in set(out["g"])  # non-public key never released
+
+    def test_sessionize_half_open_gap_boundary(self, spark, tmp_path):
+        """An event at EXACTLY last+gap starts a new session (half-open
+        [start, last+gap) semantics, matching the built-in
+        session_window) — in both the in-batch split and the
+        state-merge path.  This is what makes the close rule tear-free:
+        a closed session can never be extended by a still-admissible
+        event."""
+        import datetime
+        import time as _time
+
+        from tumult_core_spark.streaming.ops import (
+            read_stream_parquet,
+            stateful_sessionize,
+            write_stream_memory,
+        )
+
+        d = str(tmp_path / "halfopen_in")
+        t0 = datetime.datetime(2024, 1, 1)
+
+        def ts(s):
+            return t0 + datetime.timedelta(seconds=s)
+
+        schema = "user long, ts timestamp"
+        batches = [
+            # in-batch boundary: 0 and 100 with gap=100 -> two sessions
+            [(1, ts(0)), (1, ts(100))],
+            # state-merge boundary: 200 is exactly 100 after 100
+            [(1, ts(200)), (1, ts(210))],
+            [(9, ts(20000))],  # watermark pusher closes everything
+        ]
+        for b in batches:
+            spark.createDataFrame(b, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(d)
+            _time.sleep(1.05)
+
+        stream = read_stream_parquet(spark, d, max_files_per_trigger=1)
+        sess = stateful_sessionize(
+            stream, "user", "ts", gap="100 seconds", watermark="1 hour"
+        )
+        q = write_stream_memory(sess, "halfopen_sessions", output_mode="append")
+        q.awaitTermination(120)
+        rows = {
+            (
+                r["user"],
+                int((r["session_start"] - t0).total_seconds()),
+                int((r["session_end"] - t0).total_seconds()),
+                r["n_events"],
+            )
+            for r in spark.table("halfopen_sessions").collect()
+        }
+        assert rows == {
+            (1, 0, 0, 1),
+            (1, 100, 100, 1),
+            (1, 200, 210, 2),
+        }, rows
 
 
 class TestReviewRegressions:

@@ -224,7 +224,12 @@ def stateful_sessionize(
     for: per-user state holds ALL open session intervals (arrays of
     ``(start, last, n_events)``), batches merge into them vectorized,
     and a session is emitted ONLY once the event-time watermark has
-    passed ``last + gap`` — closing any earlier would be wrong in
+    reached ``last + gap``.  Sessions are HALF-OPEN, matching the
+    built-in ``session_window``: events merge iff strictly closer
+    than ``gap`` (an event at exactly ``last + gap`` starts a new
+    session), which is also what makes the close rule sound — any
+    event the watermark still admits is too far from a closed
+    session to have merged into it.  Closing earlier would be wrong in
     append mode: an in-watermark out-of-order event may still arrive
     and bridge two intervals that look gap-separated today (emitting
     a gap-split interval at split time tore one true session into
@@ -315,9 +320,11 @@ def stateful_sessionize(
                     [iv[2] for iv in open_],
                 )
             )
-            # fire when the watermark passes the EARLIEST open close
+            # fire when the watermark passes the EARLIEST open close;
+            # max(1, ·): Spark rejects non-positive timeout timestamps,
+            # which epoch-adjacent event times would otherwise produce
             state.setTimeoutTimestamp(
-                (min(iv[1] for iv in open_) + gap_ns) // 1_000_000
+                max(1, (min(iv[1] for iv in open_) + gap_ns) // 1_000_000)
             )
         else:
             state.remove()
@@ -349,7 +356,18 @@ def stateful_sessionize(
         # interval's `last`, and a stored interval may bridge two batch
         # segments that look gap-separated when the batch is considered
         # alone.
-        cuts = np.flatnonzero(np.diff(ts) > gap_ns)
+        # HALF-OPEN merge semantics (r18): events merge iff strictly
+        # closer than `gap` — a session spans [start, last + gap), so
+        # an event at exactly last + gap starts a NEW session.  This
+        # matches the built-in ``session_window`` AND makes the close
+        # rule tear-free: a session closes when wm >= last + gap, and
+        # any still-admissible event (ts >= wm) satisfies
+        # ts - last >= gap, so it could never have merged anyway.
+        # With the previous merge-at-equality (<=) rule, an event at
+        # exactly ts == last + gap == wm was both admissible and
+        # mergeable into an already-closed session — a 1-ns boundary
+        # tear in append mode.
+        cuts = np.flatnonzero(np.diff(ts) >= gap_ns)
         bounds = np.concatenate(([0], cuts + 1, [len(ts)]))
         intervals = [
             (int(ts[b]), int(ts[e - 1]), int(e - b))
@@ -362,7 +380,7 @@ def stateful_sessionize(
         merged = [intervals[0]]
         for s, e, k in intervals[1:]:
             ms, me, mk = merged[-1]
-            if s - me <= gap_ns:
+            if s - me < gap_ns:
                 merged[-1] = (ms, max(me, e), mk + k)
             else:
                 merged.append((s, e, k))
@@ -436,6 +454,8 @@ def dp_windowed_counts(
     watermark: str = "2 hours",
     group_cols: Optional[List[str]] = None,
     count_column: str = "noisy_count",
+    public_group_keys: Optional[List] = None,
+    allow_data_dependent_groups: bool = False,
 ):
     """Differentially-private streaming windowed counts.
 
@@ -446,6 +466,32 @@ def dp_windowed_counts(
     the watermark closes it, every (window, group) row is final when
     noised — re-noising on recomputation is prevented by the sink
     batch-id dedup contract plus the append-only emission.
+
+    THE RELEASE SUPPORT MUST BE PUBLIC (r18).  A grouped count that
+    releases rows only for groups PRESENT in the data reveals a
+    group's non-emptiness with certainty — one event whose group is
+    otherwise empty creates an entire output row, an infinite
+    privacy-loss event no noise on the count hides.  This is exactly
+    why the batch path's ``GroupBy`` requires a public key list (or a
+    partition-selection mechanism).  Streaming parity:
+
+    - ``group_cols`` set and ``public_group_keys`` given: each emitted
+      window releases EXACTLY one row per public key — cells with no
+      data are 0-filled (then noised like any other), and rows whose
+      key is NOT in the public list are dropped before release, never
+      disclosed.  Keys are tuples in ``group_cols`` order (bare
+      scalars accepted for a single column); NULL-valued keys are not
+      supported (a NULL group never matches, so its rows drop).
+    - ``group_cols`` set and no keys: raises, unless
+      ``allow_data_dependent_groups=True`` explicitly acknowledges
+      that group presence is being published (sound only when the
+      group domain is public knowledge AND every group is non-empty
+      in every window with probability ~1, e.g. dense telemetry).
+
+    The WINDOW set itself remains data-dependent either way: Spark
+    emits a tumbling window only if it holds at least one event, and
+    watermark progress is itself a function of observed event times —
+    see :func:`dp_windowed_counts_privacy` for the accounting caveat.
 
     The noise runs in an Arrow-batched ``mapInPandas`` on executors
     (the foreachBatch boundary evaluates each batch exactly once per
@@ -465,6 +511,39 @@ def dp_windowed_counts(
             f"got {epsilon_per_window}"
         )
     group_cols = list(group_cols or [])
+    if public_group_keys is not None and not group_cols:
+        raise ValueError("public_group_keys given but group_cols is empty")
+    if group_cols and public_group_keys is None and not allow_data_dependent_groups:
+        raise ValueError(
+            "dp_windowed_counts with group_cols releases one row per "
+            "(window, group) PRESENT IN THE DATA — a data-dependent "
+            "support that reveals a group's non-emptiness with "
+            "certainty, which no amount of count noise hides (the same "
+            "hazard the batch GroupBy's public-keys requirement "
+            "exists for).  Pass public_group_keys=[...] to release a "
+            "0-filled row per public key per window, or "
+            "allow_data_dependent_groups=True to explicitly publish "
+            "group presence."
+        )
+    key_rows: Optional[List[tuple]] = None
+    if public_group_keys is not None:
+        key_rows = [
+            k if isinstance(k, tuple) else (k,) for k in public_group_keys
+        ]
+        if not key_rows:
+            raise ValueError("public_group_keys must be non-empty")
+        if any(len(k) != len(group_cols) for k in key_rows):
+            raise ValueError(
+                f"every public key must have {len(group_cols)} values "
+                f"(one per column of {group_cols})"
+            )
+        if any(v is None for k in key_rows for v in k):
+            raise ValueError(
+                "NULL public group keys are not supported (a NULL key "
+                "never equi-joins, so its cells could never be filled)"
+            )
+        if len(set(key_rows)) != len(key_rows):
+            raise ValueError("public_group_keys contains duplicates")
     # ONE windowed-count implementation: the exact relation is
     # windowed_counts' output, renamed (duplicating the
     # watermark/window/agg block here is how the two copies drift)
@@ -488,6 +567,30 @@ def dp_windowed_counts(
         list(out_fields) + [T.StructField(count_column, T.LongType(), True)]
     )
     out_cols = [f.name for f in out_schema.fields]
+    counts_cols = [f.name for f in counts.schema.fields]
+    keys_schema = T.StructType([counts.schema[c] for c in group_cols])
+
+    def fill_public_grid(batch_df: DataFrame) -> DataFrame:
+        """(emitted windows) x (public keys), exact counts 0-filled.
+
+        The left join FROM the public grid both fills absent cells and
+        drops rows whose key is not public — the release support is
+        the grid, independent of which groups the data contains.  The
+        grid is release-cardinality (windows x keys), so the
+        broadcast cross join is trivially small."""
+        sp = batch_df.sparkSession
+        keys_df = sp.createDataFrame(key_rows, schema=keys_schema)
+        wins = batch_df.select("window_start", "window_end").distinct()
+        grid = wins.crossJoin(F.broadcast(keys_df))
+        return (
+            grid.join(
+                batch_df, ["window_start", "window_end", *group_cols], "left"
+            )
+            .withColumn(
+                "__exact", F.coalesce(F.col("__exact"), F.lit(0).cast("long"))
+            )
+            .select(*counts_cols)
+        )
 
     def add_noise(batches):
         for pdf in batches:
@@ -564,6 +667,8 @@ def dp_windowed_counts(
                     "released: complete mode only releases after a "
                     "clean single-batch run.)"
                 )
+            if key_rows is not None:
+                batch_df = fill_public_grid(batch_df)
             noised = batch_df.mapInPandas(add_noise, schema=out_schema)
             # mapInPandas over a foreachBatch frame runs on executors;
             # collect only the (already noised, group-cardinality) rows
@@ -614,6 +719,23 @@ def dp_windowed_counts_privacy(
       with unbounded rows per window also has unbounded sensitivity —
       bound it upstream with LimitRowsPerGroup before relying on this
       number.)
+
+    SUPPORT CAVEAT (r18): these numbers cover the released COUNT
+    VALUES over a given release support.  The GROUP dimension of the
+    support is public when ``public_group_keys`` is used (each window
+    releases exactly the public grid).  The WINDOW dimension is not:
+    Spark emits a tumbling window only when it holds ≥1 event, and
+    watermark progress (hence emission timing) is a function of
+    observed event times — so which windows appear in the release is
+    itself data-dependent.  On a sparse stream, one event whose
+    window is otherwise empty creates that window's rows, an
+    infinite-loss disclosure of the window's non-emptiness.  The
+    accounting above is therefore conditional on treating the
+    released window set as public — accurate for dense streams where
+    every window is non-empty with certainty; for sparse streams,
+    restrict release to a pre-declared public window schedule
+    upstream (filter to the schedule, count suppressed windows as
+    released zeros) before relying on these numbers.
     """
     if epsilon_per_window < 0:
         raise ValueError("epsilon_per_window must be >= 0")
