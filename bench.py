@@ -478,6 +478,17 @@ def sf_sweep(spark, k: int = 10, reps: int = None):
         # so factor ~ rounds_kx/rounds_1x x per-round data growth)
         return {"rounds": components_mod.last_run_stats.get("rounds")}
 
+    def op_components_dist(scale):
+        # r18: the DEFAULT path resolves locally at every shipped sweep
+        # scale since the r17 local-finish gate, so the distributed
+        # star rounds — the path that actually runs at 100 TB — get
+        # their own sweep entry with the gate disabled.  Output is
+        # path-independent; this measures the star machinery's scaling.
+        from tumult_core_spark.extensions import components as components_mod
+
+        connected_components(edges(scale), local_finish_edges=0).count()
+        return {"rounds": components_mod.last_run_stats.get("rounds")}
+
     def op_dedup_paragraphs(scale):
         dedup_paragraphs(docs(scale), separator=" table ").count()
 
@@ -551,6 +562,7 @@ def sf_sweep(spark, k: int = 10, reps: int = None):
 
     ops = {
         "components": op_components,
+        "components_dist": op_components_dist,
         "dedup_paragraphs": op_dedup_paragraphs,
         "text_quality": op_text_quality,
         "bpe": op_bpe,
@@ -626,8 +638,42 @@ def sf_sweep(spark, k: int = 10, reps: int = None):
         except Exception as exc:  # pragma: no cover
             results[name] = {"error": str(exc)[:200]}
             print(f"# sf_sweep {name} failed: {exc}", file=sys.stderr)
+    # r18: one point ABOVE the local-finish gate on the DEFAULT path,
+    # pinning the crossover: the gate must actually route distributed
+    # once the input exceeds LOCAL_FINISH_EDGES rows (at sf0.1 that is
+    # ~13 id-shifted copies of the 165k-edge graph).  Capped so tiny
+    # local SFs do not synthesize a hundred copies just to cross it.
+    crossover = None
+    try:
+        from tumult_core_spark.extensions import components as components_mod
+        from tumult_core_spark.extensions.components import LOCAL_FINISH_EDGES
+
+        rows_1x = edges(1).count()
+        scale_over = LOCAL_FINISH_EDGES // max(rows_1x, 1) + 1
+        if scale_over <= 40:
+            spark.catalog.clearCache()
+            start = time.perf_counter()
+            connected_components(edges(scale_over)).count()
+            elapsed = round(time.perf_counter() - start, 3)
+            crossover = {
+                "scale": scale_over,
+                "edges": components_mod.last_run_stats.get("edges"),
+                "mode": components_mod.last_run_stats.get("mode"),
+                "rounds": components_mod.last_run_stats.get("rounds"),
+                "sec": elapsed,
+                "gate_rows": LOCAL_FINISH_EDGES,
+            }
+        else:
+            crossover = {
+                "skipped": f"gate needs {scale_over}x copies at this SF",
+                "gate_rows": LOCAL_FINISH_EDGES,
+            }
+    except Exception as exc:  # pragma: no cover
+        crossover = {"error": str(exc)[:200]}
+        print(f"# sf_sweep components crossover failed: {exc}", file=sys.stderr)
     return {
         "scale_multiplier": k,
+        "components_gate_crossover": crossover,
         "timed_reps": reps,
         "method": "k id-shifted disjoint copies of the SF tables, "
         f"{reps} interleaved (1x, kx) timed rep pairs on the same "
@@ -691,6 +737,17 @@ _CONTENTION_LOAD = 1.2 * CPUS
 # is comparable round-over-round even when the whole window ran on a
 # busy box.
 _MEDIAN_INFLATION = 1.3
+
+# IO-window suspicion threshold (r18): an io probe whose FIRST
+# sequential read is >= this factor over the window's cached floor
+# indicates cold page cache / disk pressure the CPU canary cannot see
+# (the attributed r15/r16 drift, SCALE.md).  Diagnostic flag only —
+# never part of the normalization basis.  The absolute floor keeps
+# sub-millisecond jitter on tiny SF files (sf0.01 lineitem reads in
+# 0.1-1 ms) from tripping a ratio meant for the 50-80 ms cold reads
+# the r17 driver window actually showed.
+_IO_SUSPECT_FACTOR = 5.0
+_IO_SUSPECT_MIN_SEC = 0.02
 
 # Iterative multi-job workloads recorded on a MIN basis instead of the
 # median: connected-components runs a fixpoint loop of 2 rounds at
@@ -966,6 +1023,25 @@ def main():
     canary_median = probe_mins[len(probe_mins) // 2]
     canary_factor = max(1.0, canary_median / _CANARY_BASELINE_SEC)
     total_normalized = round(total / canary_factor, 3)
+    # IO-window self-annotation (r18): the CPU canary cannot see
+    # page-cache/disk pressure (the attributed r15/r16 drift), so any
+    # io probe whose FIRST read is >= 5x the window's cached floor
+    # marks the window suspect — the flag annotates round-over-round
+    # comparisons; it never touches the normalization basis.
+    io_suspect_probes = []
+    io_floor = None
+    valid_io = {
+        k: v for k, v in io_probes.items() if isinstance(v.get("runs_sec"), list)
+    }
+    if valid_io:
+        io_floor = min(min(v["runs_sec"]) for v in valid_io.values())
+        if io_floor > 0:
+            io_suspect_probes = sorted(
+                k
+                for k, v in valid_io.items()
+                if v["runs_sec"][0] >= _IO_SUSPECT_FACTOR * io_floor
+                and v["runs_sec"][0] >= _IO_SUSPECT_MIN_SEC
+            )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # cross-SF scale evidence (skippable for quick local iteration)
     sweep = None
@@ -1032,12 +1108,25 @@ def main():
             # diagnostic sequential-read probe (see _probe_io_canary):
             # NOT part of the normalization basis
             "io_probes": io_probes,
+            # r18: self-annotation for round-over-round comparisons —
+            # probes whose first read was >= _IO_SUSPECT_FACTOR x the
+            # window's cached floor (page-cache/disk pressure invisible
+            # to the CPU canary); window_suspect mirrors it at the top
+            # level.  Annotates, never normalizes.
+            "io_suspect_factor": _IO_SUSPECT_FACTOR,
+            "io_cached_floor_sec": io_floor,
+            "io_suspect_probes": io_suspect_probes,
             "baseline_sec": _CANARY_BASELINE_SEC,
             "basis": "median of per-probe mins vs pinned idle-min baseline",
             "median_of_probe_mins_sec": canary_median,
             "load_factor": round(canary_factor, 3),
         },
         "value_canary_normalized": total_normalized,
+        # true when any io probe saw a cold-cache first read (see
+        # canary.io_suspect_probes): compare this round's numbers to
+        # other rounds with extra care — the ambient IO conditions
+        # differed from a warm window even if the CPU canary was idle
+        "window_suspect": bool(io_suspect_probes),
     }
     if retimed:
         out["retimed_after_contention"] = retimed
@@ -1131,6 +1220,9 @@ def compact_line(out: dict, limit: int = 1900) -> str:
         "contended": out.get("contended", False),
         "value_canary_normalized": out.get("value_canary_normalized"),
         "canary_load_factor": out.get("canary", {}).get("load_factor"),
+        # r18: cold-cache self-annotation (see canary.io_suspect_probes
+        # in the details file) — annotates, never normalizes
+        "window_suspect": out.get("window_suspect", False),
         "details": "BENCH_DETAILS.json",
     }
     if out.get("contended"):

@@ -58,11 +58,31 @@ def main():
         )
         decontaminate(d, holdout, "doc_id", "text", threshold=0.99).count()
 
+    def op_decontaminate_fixed_holdout(scale):
+        # r18 (verdict #5): the production shape — the CORPUS grows with
+        # scale while the holdout (eval sets) stays fixed at its 1x
+        # size.  The both-sides-scaled variant above conflates index
+        # growth with probe growth; this one pins the W-per-corpus-copy
+        # a user actually pays when decontaminating ever-larger
+        # training sets against the same benchmarks.
+        d = docs(scale)
+        holdout = docs(1).filter("doc_id % 50 = 0").withColumn(
+            "doc_id", F.col("doc_id") + 500_000_000
+        )
+        decontaminate(d, holdout, "doc_id", "text", threshold=0.99).count()
+
     ops = {
         "substring_dedup": op_substring_dedup,
         "dedup_paragraphs": op_dedup_paragraphs,
         "decontaminate": op_decontaminate,
+        "decontaminate_fixed_holdout": op_decontaminate_fixed_holdout,
     }
+    if len(sys.argv) > 1:
+        wanted = set(sys.argv[1].split(","))
+        unknown = wanted - set(ops)
+        if unknown:
+            raise SystemExit(f"unknown ops: {sorted(unknown)}")
+        ops = {k: v for k, v in ops.items() if k in wanted}
 
     results = {name: {k: [] for k in SCALES} for name in ops}
     # warm-up pass: one un-timed 1x run per op (JVM/codegen/Arrow spin-up)

@@ -4024,6 +4024,66 @@ class TestR18StreamingReview:
         }
         assert "z" not in set(out["g"])  # non-public key never released
 
+    def test_append_checkpoint_rerun_releases_nothing_new(self, spark, tmp_path):
+        """r18 review pin (exactly-once across runs): a second
+        start(append) over the same checkpoint re-releases NOTHING —
+        previously released windows are never re-noised — and new data
+        later releases only newly closed windows."""
+        import datetime as dt
+        import time as _time
+
+        import pandas as pd
+
+        from tumult_core_spark.streaming import read_stream_parquet
+        from tumult_core_spark.streaming.ops import dp_windowed_counts
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        src = str(tmp_path / "dp_rerun_src")
+        ckpt = str(tmp_path / "dp_rerun_ckpt")
+        base = dt.datetime(2026, 1, 1)
+
+        def write_file(rows):
+            spark.createDataFrame(rows, "ts timestamp").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            _time.sleep(1.05)
+
+        write_file([(base + dt.timedelta(minutes=m),) for m in (0, 5, 10)])
+        write_file([(base + dt.timedelta(hours=2),)])
+
+        def drain():
+            got = []
+            stream = read_stream_parquet(
+                spark, src, nanos_ts_cols=["ts"], max_files_per_trigger=1
+            )
+            start = dp_windowed_counts(
+                stream, "ts", epsilon_per_window=1.0,
+                window_duration="1 hour", watermark="0 seconds",
+            )
+            q = start(
+                lambda pdf, bid: got.append(pdf),
+                output_mode="append", checkpoint_location=ckpt,
+            )
+            q.awaitTermination(120)
+            parts = [p for p in got if len(p)]
+            return pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
+
+        out1 = drain()
+        # run 1 closed exactly the 0h window (the 2h window stays open)
+        assert len(out1) == 1
+        assert out1["window_start"].iloc[0].to_pydatetime() == base
+        # run 2, same checkpoint, same source: NOTHING re-released
+        out2 = drain()
+        assert len(out2) == 0, out2
+        # new data advances the watermark: only the newly closed 2h
+        # window releases; the 0h window is not re-noised/re-released
+        write_file([(base + dt.timedelta(hours=4),)])
+        out3 = drain()
+        assert len(out3) == 1
+        assert out3["window_start"].iloc[0].to_pydatetime() == base + dt.timedelta(
+            hours=2
+        )
+
     def test_sessionize_half_open_gap_boundary(self, spark, tmp_path):
         """An event at EXACTLY last+gap starts a new session (half-open
         [start, last+gap) semantics, matching the built-in
