@@ -138,6 +138,29 @@ class RowsToRowsTransformation:
         return [dict(o) for o in self.trusted_f(rows)]
 
 
+def _widen_for_python(data: DataFrame) -> DataFrame:
+    """Round-robin repartition a NARROW input before ``mapInPandas``.
+
+    ``mapInPandas`` parallelism equals input partitions, and a small
+    parquet scan packs into a handful of file-split partitions
+    (sf0.1 lineitem: 3), serializing the Python row work on that many
+    cores while the rest idle — the dominant cost of the map_flatmap
+    bench entry (~2x the whole-query time).  Catalyst cannot know the
+    downstream stage is Python-CPU-bound, so the operator widens to
+    the session default parallelism when the input is narrower than
+    half of it.  The shuffled relation is the already-column-pruned
+    map input (small by construction), so the exchange costs far less
+    than the serialization it removes; at scale, scans carry at least
+    default-parallelism partitions and this is a no-op.  Row-wise
+    semantics are unaffected (the multiset of rows is preserved).
+    """
+    sc = data.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if data.rdd.getNumPartitions() * 2 <= target:
+        return data.repartition(target)
+    return data
+
+
 def _batch_mapper(
     fn: Callable[[Dict[str, Any]], List[Dict[str, Any]]],
     out_names: List[str],
@@ -180,7 +203,7 @@ class Map(Transformation):
         out_schema = self.output_domain.spark_schema
         out_names = list(self.output_domain.schema)
         mapper = _batch_mapper(lambda row: [rt(row)], out_names, out_schema)
-        return data.mapInPandas(mapper, schema=out_schema)
+        return _widen_for_python(data).mapInPandas(mapper, schema=out_schema)
 
 
 class FlatMap(Transformation):
@@ -228,7 +251,7 @@ class FlatMap(Transformation):
         out_names = list(self.output_domain.schema)
         fn = (lambda row: rt(row)[:k]) if k is not None else rt
         mapper = _batch_mapper(fn, out_names, out_schema)
-        return data.mapInPandas(mapper, schema=out_schema)
+        return _widen_for_python(data).mapInPandas(mapper, schema=out_schema)
 
 
 class GroupingFlatMap(Transformation):
@@ -298,7 +321,7 @@ class GroupingFlatMap(Transformation):
             return deduped
 
         mapper = _batch_mapper(fn, out_names, out_schema)
-        return data.mapInPandas(mapper, schema=out_schema)
+        return _widen_for_python(data).mapInPandas(mapper, schema=out_schema)
 
 
 class FlatMapByKey(Transformation):
