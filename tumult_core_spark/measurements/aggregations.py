@@ -667,8 +667,17 @@ def create_bounds_measurement(
     )
 
     spark = SparkSession.active()
-    rank_keys = spark.createDataFrame(
-        [(i,) for i in range(lo_rank, hi_rank + 1)], f"{rank_col} int"
+    from ..utils.misc import local_rows_df
+    from pyspark.sql import types as _T
+
+    # JVM-local single-partition grid: the classic createDataFrame(list)
+    # path costs one Python task per core per evaluation of the rank
+    # relation (utils.misc.local_rows_df), and this grid is evaluated
+    # by the 0-fill join, the SVT persist, and the release freeze
+    rank_keys = local_rows_df(
+        spark,
+        [(i,) for i in range(lo_rank, hi_rank + 1)],
+        _T.StructType([_T.StructField(rank_col, _T.IntegerType(), False)]),
     )
     if groupby_transformation is None:
         keys = rank_keys

@@ -32,6 +32,7 @@ from ..metrics import (
     SymmetricDifference,
 )
 from ..utils.grouped_dataframe import GroupedDataFrame
+from ..utils.misc import local_rows_df
 
 _DRIVER_PRODUCT_LIMIT = 100_000  # above this, build the key product in Spark
 
@@ -126,7 +127,10 @@ def compute_full_domain_df(
         total *= s
     if total <= _DRIVER_PRODUCT_LIMIT:
         rows = list(itertools.product(*[column_to_values[c] for c in names]))
-        return spark.createDataFrame(rows, schema=schema)
+        # JVM-local relation sized to the row count: the classic
+        # createDataFrame(list) path costs one Python task per core
+        # per evaluation (see utils.misc.local_rows_df)
+        return local_rows_df(spark, rows, schema)
     result = None
     for c in names:
         fld = schema[c]
@@ -167,5 +171,5 @@ def create_groupby_from_list_of_keys(
     spark = SparkSession.active()
     schema = T.StructType([input_domain[c].to_field(c) for c in groupby_columns])
     key_list = list(keys)
-    keys_df = spark.createDataFrame(key_list, schema=schema)
+    keys_df = local_rows_df(spark, key_list, schema)
     return GroupBy(input_domain, input_metric, use_l2, keys_df, n_keys=len(key_list))

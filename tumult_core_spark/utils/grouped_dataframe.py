@@ -148,6 +148,24 @@ class GroupedDataFrame:
         keys_hinted = broadcast_below(keys, n, est_row_bytes=32 * len(cols) + 32)
         present = self._dataframe.join(keys_hinted, cond, "left_semi")
 
+        # applyInPandas shuffles to spark.sql.shuffle.partitions; with a
+        # small public key set most partitions are EMPTY yet each still
+        # runs a Python task (~150-300 ms of runner round trip on a warm
+        # worker).  One task per group is also the maximum useful
+        # parallelism (a group cannot split across tasks), so when the
+        # key count is below the configured partition count, pre-hash
+        # the rows into exactly that many partitions — groupBy reuses
+        # the partitioning (HashPartitioning on the group columns
+        # satisfies the required clustered distribution) and plans NO
+        # second exchange.  At scale (n >= shuffle partitions) this is
+        # a no-op.
+        spark = self._dataframe.sparkSession
+        try:
+            shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            shuffle_parts = 200
+        apply_parts = max(1, min(shuffle_parts, n))
+
         key_fields = [self._group_keys.schema[c] for c in cols]
         full_schema = T.StructType(list(key_fields) + list(output_schema.fields))
         out_names = [f.name for f in output_schema.fields]
@@ -158,6 +176,8 @@ class GroupedDataFrame:
                 result.insert(i, c, [key[i]] * len(result))
             return result[cols + out_names]
 
+        if apply_parts < shuffle_parts:
+            present = present.repartition(apply_parts, *cols)
         result = present.groupBy(*cols).applyInPandas(wrapper, schema=full_schema)
 
         # Public keys with no data rows: anti-join them out as a
@@ -199,6 +219,8 @@ class GroupedDataFrame:
                 out.insert(i, c, [key[i]] * len(out))
             return out[cols + out_names]
 
+        if apply_parts < shuffle_parts:
+            missing = missing.repartition(apply_parts, *cols)
         fill = missing.groupBy(*cols).applyInPandas(empty_wrapper, schema=full_schema)
         return result.unionByName(fill)
 

@@ -286,6 +286,52 @@ def coerce_lit(value, data_type):
     return F.lit(value).cast(data_type)
 
 
+_LOCAL_ROWS_PER_PARTITION = 25_000
+
+
+def local_rows_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """A small driver-known row list as a JVM-local relation.
+
+    ``spark.createDataFrame(list)`` routes through ``parallelize`` +
+    ``applySchemaToPythonRDD``: every *evaluation* of the relation runs
+    one near-empty **Python** task per default-parallelism partition
+    (~150-300 ms of Python-runner round trip each on a warm worker),
+    and public-key relations are evaluated several times per
+    measurement — the 0-fill left join, the apply semi/anti joins, the
+    release freeze.  Building the same rows as a pyarrow Table instead
+    embeds them as an immutable JVM ``LocalTableScan`` (the same
+    mechanism :func:`sanitize_df` uses for frozen releases): zero
+    Python tasks, no parallelize stage, and a ``coalesce`` sized to the
+    row count keeps every downstream stage of the keys' lineage (the
+    per-group noise UDF above the fill join) at one task per ~25k rows
+    instead of one near-empty task per core.  At scale nothing changes:
+    key grids too large for the driver are built distributed
+    (``compute_full_domain_df``'s crossJoin branch) and never pass
+    through here.
+
+    Falls back to the classic ``createDataFrame`` for values the Arrow
+    bridge cannot represent; the result is identical either way (the
+    relation is the same multiset of rows).
+    """
+    rows = list(rows)
+    try:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(schema)
+        arrays = [
+            pa.array([row[i] for row in rows], type=arrow_schema.field(i).type)
+            for i in range(len(arrow_schema))
+        ]
+        tbl = pa.Table.from_arrays(arrays, schema=arrow_schema)
+        df = spark.createDataFrame(tbl, schema=schema)
+    except Exception:  # exotic types: keep the classic path
+        df = spark.createDataFrame(rows, schema=schema)
+    n_part = max(1, -(-len(rows) // _LOCAL_ROWS_PER_PARTITION))
+    default_par = spark.sparkContext.defaultParallelism
+    return df.coalesce(min(n_part, default_par))
+
+
 def get_nonconflicting_string(strs) -> str:
     """A string guaranteed distinct from every input (reference
     ``utils/misc.py:19-26``): one character longer than the longest
