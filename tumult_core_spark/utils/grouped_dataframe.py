@@ -170,6 +170,63 @@ class GroupedDataFrame:
         full_schema = T.StructType(list(key_fields) + list(output_schema.fields))
         out_names = [f.name for f in output_schema.fields]
 
+        # FUSED one-stage plan (r18): instead of a second full pass
+        # over the data (dropDuplicates of the data's keys + anti-join
+        # + a SECOND applyInPandas stage for the empty public keys),
+        # union one typed SENTINEL row per public key into the
+        # semi-joined data and run ONE applyInPandas.  Every public
+        # key's group then exists by construction; the wrapper drops
+        # the sentinel rows before calling ``func``, so a key with no
+        # data rows hands ``func`` an EMPTY frame whose dtypes come
+        # from the same Arrow batch as data-bearing groups (typed
+        # non-null defaults keep int columns int).  Removes per
+        # release: one full data aggregation, one join, one Python
+        # stage, and the union of two Python-stage outputs.  Falls
+        # back to the two-stage path for data column types without a
+        # typed default literal.
+        _defaults = {
+            "tinyint": F.lit(0), "smallint": F.lit(0), "int": F.lit(0),
+            "bigint": F.lit(0), "float": F.lit(0.0), "double": F.lit(0.0),
+            "boolean": F.lit(False), "string": F.lit(""),
+            "date": F.lit("1970-01-01"), "timestamp": F.lit("1970-01-01"),
+            "timestamp_ntz": F.lit("1970-01-01"),
+        }
+        sentinel_cols = {}
+        fused = True
+        for c in data_cols:
+            dt = self._dataframe.schema[c].dataType
+            base = _defaults.get(dt.simpleString())
+            if base is None:
+                fused = False
+                break
+            sentinel_cols[c] = base.cast(dt).alias(c)
+
+        if fused:
+            from .misc import get_nonconflicting_string
+
+            marker = get_nonconflicting_string(self._dataframe.columns + cols)
+            sentinels = keys.select(
+                *[F.col(c) for c in cols],
+                *[sentinel_cols[c] for c in data_cols],
+                F.lit(True).alias(marker),
+            )
+            combined = present.select(
+                *[F.col(c) for c in cols + data_cols]
+            ).withColumn(marker, F.lit(False)).unionByName(sentinels)
+
+            def fused_wrapper(key, pdf):
+                real = pdf.loc[~pdf[marker], data_cols].reset_index(drop=True)
+                result = func(real)
+                for i, c in enumerate(cols):
+                    result.insert(i, c, [key[i]] * len(result))
+                return result[cols + out_names]
+
+            if apply_parts < shuffle_parts:
+                combined = combined.repartition(apply_parts, *cols)
+            return combined.groupBy(*cols).applyInPandas(
+                fused_wrapper, schema=full_schema
+            )
+
         def wrapper(key, pdf):
             result = func(pdf[data_cols])
             for i, c in enumerate(cols):
