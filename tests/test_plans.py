@@ -384,12 +384,18 @@ def test_fused_moments_single_scan_single_exchange(spark, sf_dir, monkeypatch):
     (the groupBy agg); avg/var/stddev are all post-processing over the
     (sod, sos, count) relation, and the 4-row public-keys join
     broadcasts.  sanitize_df is patched to pass-through so the
-    pre-materialize plan is inspectable."""
+    pre-materialize plan is inspectable.  The driver-side release
+    freeze (freeze_noised_release, r18) would otherwise collapse the
+    whole plan to a LocalTableScan before it can be inspected — force
+    the executor path for this plan-shape gate."""
     import tumult_core_spark.utils.misc as misc
 
     monkeypatch.setattr(
         misc, "sanitize_df",
         lambda df, materialize_output=True, known_rows=None: df,
+    )
+    monkeypatch.setattr(
+        misc, "freeze_noised_release", lambda df, specs, known_rows: None
     )
     import __spark_entry__ as E
 
@@ -845,3 +851,165 @@ def test_centroid_assignment_no_shuffle_no_window(spark, sf_dir):
     assert "Exchange" not in plan, plan
     assert "Window" not in plan, plan
     assert "MapInPandas" in plan, plan
+
+
+def test_driver_side_release_freeze_matches_executor_path(spark, lineitem):
+    """r18: grouped releases with a public-key row bound draw noise
+    DRIVER-side over the frozen pre-noise aggregate
+    (utils.misc.freeze_noised_release) — zero ArrowEvalPython stages,
+    zero REBALANCE exchanges, same mechanism invoked once.  Gates:
+    (a) scale-0 outputs identical to the executor pandas-UDF path,
+    same schema; (b) the frozen plan is a LocalTableScan; (c) a
+    release exceeding the declared bound still raises; (d) ineligible
+    inputs (no bound / bound over SMALL_RELEASE_ROWS) fall back to the
+    executor path BEFORE any draw."""
+    import tumult_core_spark.utils.misc as misc
+    from tumult_core_spark.measures import PureDP
+    from tumult_core_spark.measurements.aggregations import (
+        create_count_measurement,
+        create_sum_measurement,
+    )
+    from tumult_core_spark.transformations.groupby import (
+        create_groupby_from_list_of_keys,
+    )
+
+    dom = SparkDataFrameDomain.from_spark_schema(lineitem.schema, strict=True)
+    keys = [("A",), ("N",), ("R",), ("ZZ",)]
+    gb = create_groupby_from_list_of_keys(
+        dom, SymmetricDifference(), False, ["l_returnflag"], keys
+    )
+    m = create_count_measurement(
+        dom, SymmetricDifference(), PureDP(), 1, float("inf"),
+        groupby_transformation=gb,
+    )
+    driver_out = m(lineitem)
+    assert "LocalTableScan" in plan_of(driver_out)
+    driver_rows = sorted(driver_out.collect())
+
+    # identical executor-path run (freeze disabled): same rows, schema
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        misc, "freeze_noised_release", lambda df, specs, known_rows: None
+    ):
+        exec_out = m(lineitem)
+    assert sorted(exec_out.collect()) == driver_rows
+    assert exec_out.schema == driver_out.schema
+
+    # float sum keeps the double release type on both paths
+    gb2 = create_groupby_from_list_of_keys(
+        dom, SymmetricDifference(), False, ["l_returnflag"], keys
+    )
+    ms = create_sum_measurement(
+        dom, SymmetricDifference(), PureDP(), 1, float("inf"),
+        measure_column="l_extendedprice", lower=0, upper=100_000,
+        groupby_transformation=gb2, sum_column="s",
+    )
+    sum_out = ms(lineitem)
+    assert dict(sum_out.dtypes)["s"] == "double"
+    assert "LocalTableScan" in plan_of(sum_out)
+
+    # bound violation still raises loudly (caller bug, not data event)
+    from tumult_core_spark.measurements.noise import (
+        AddGeometricNoise, AddNoiseToSeries,
+    )
+    from tumult_core_spark.measurements.spark import AddNoiseToColumn
+
+    counted = lineitem.groupBy("l_returnflag").count()
+    cdom = SparkDataFrameDomain.from_spark_schema(counted.schema)
+    bad = AddNoiseToColumn(
+        cdom, AddNoiseToSeries(AddGeometricNoise(0)), "count",
+        known_release_rows=1,
+    )
+    with pytest.raises(AssertionError, match="known_rows"):
+        bad(counted)
+
+    # a bound above SMALL_RELEASE_ROWS is ineligible: freeze must bail
+    # (and the executor path then routes through sanitize_df's large
+    # branch) — checked directly on the helper, pre-draw
+    assert (
+        misc.freeze_noised_release(
+            counted, [("count", None, "long")], misc.SMALL_RELEASE_ROWS + 1
+        )
+        is None
+    )
+    assert misc.freeze_noised_release(counted, [("count", None, "long")], None) is None
+
+
+def test_svt_driver_release_matches_distributed_path(spark):
+    """r18: SparseVectorPrefixSums with a declared ``known_input_rows``
+    (the bounds factory's public (#keys) x (#ranks) grid) releases
+    DRIVER-side over one collected Arrow table.  Gates: (a) alpha=0
+    outputs identical to the distributed path, same schema, grouped
+    and ungrouped; (b) the frozen plan is a LocalTableScan with no
+    Window/Exchange/ArrowEvalPython; (c) exceeding the declared bound
+    raises; (d) no bound / oversized bound / nulls / duplicate
+    (group, rank) pairs fall back to the distributed path pre-draw."""
+    from tumult_core_spark.domains import (
+        SparkIntegerColumnDescriptor,
+        SparkStringColumnDescriptor,
+    )
+    from tumult_core_spark.measurements.spark import SparseVectorPrefixSums
+    from tumult_core_spark.utils.misc import SMALL_RELEASE_ROWS
+
+    rows = [
+        (g, r, c)
+        for g in ("a", "b")
+        for r, c in [(0, 1), (1, 4), (2, 10), (3, 0)]
+    ]
+    data = spark.createDataFrame(rows, "g string, rank int, cnt bigint")
+    dom = SparkDataFrameDomain(
+        {
+            "g": SparkStringColumnDescriptor(),
+            "rank": SparkIntegerColumnDescriptor(size=32),
+            "cnt": SparkIntegerColumnDescriptor(size=64),
+        }
+    )
+
+    def make(**kw):
+        return SparseVectorPrefixSums(
+            dom, "cnt", "rank", alpha=0, grouping_columns=["g"], **kw
+        )
+
+    driver_out = make(known_input_rows=8)(data)
+    plan = plan_of(driver_out)
+    assert "LocalTableScan" in plan
+    for node in ("Window", "Exchange", "ArrowEvalPython"):
+        assert node not in plan, plan
+    dist_out = make()(data)
+    assert sorted(driver_out.collect()) == sorted(dist_out.collect())
+    assert driver_out.schema == dist_out.schema
+
+    # ungrouped parity
+    flat = spark.createDataFrame(
+        [(0, 1), (1, 4), (2, 10), (3, 0)], "rank int, cnt bigint"
+    )
+    fdom = SparkDataFrameDomain(
+        {
+            "rank": SparkIntegerColumnDescriptor(size=32),
+            "cnt": SparkIntegerColumnDescriptor(size=64),
+        }
+    )
+    fd = SparseVectorPrefixSums(fdom, "cnt", "rank", alpha=0, known_input_rows=4)(flat)
+    fx = SparseVectorPrefixSums(fdom, "cnt", "rank", alpha=0)(flat)
+    assert "LocalTableScan" in plan_of(fd)
+    assert fd.collect() == fx.collect()
+    assert fd.schema == fx.schema
+
+    # a declared bound the data exceeds raises loudly (caller bug)
+    with pytest.raises(AssertionError, match="known_input_rows"):
+        make(known_input_rows=3)(data)
+
+    # ineligible inputs return None from the driver branch, pre-draw
+    m = make(known_input_rows=8)
+    assert m._driver_release is not None
+    assert make(known_input_rows=SMALL_RELEASE_ROWS + 1)._driver_release(data) is None
+    assert make()._driver_release(data) is None
+    with_null = spark.createDataFrame(
+        [("a", 0, None), ("a", 1, 3)], "g string, rank int, cnt bigint"
+    )
+    assert make(known_input_rows=8)._driver_release(with_null) is None
+    dup = spark.createDataFrame(
+        [("a", 0, 1), ("a", 0, 2)], "g string, rank int, cnt bigint"
+    )
+    assert make(known_input_rows=8)._driver_release(dup) is None

@@ -679,17 +679,22 @@ def create_bounds_measurement(
         [(i,) for i in range(lo_rank, hi_rank + 1)],
         _T.StructType([_T.StructField(rank_col, _T.IntegerType(), False)]),
     )
+    n_ranks = hi_rank - lo_rank + 1
     if groupby_transformation is None:
         keys = rank_keys
         group_cols: List[str] = []
+        n_grid = n_ranks
     else:
         gb = groupby_transformation
         if gb.input_domain != input_domain or gb.input_metric != input_metric:
             raise ValueError("groupby_transformation does not match input")
         keys = gb.group_keys.crossJoin(rank_keys)
         group_cols = gb.groupby_columns
+        # public constant: (#keys) x (#ranks) when the key count is
+        # declared — feeds the SVT driver-release gate below
+        n_grid = None if gb.n_keys is None else gb.n_keys * n_ranks
 
-    full_gb = GroupBy(derive.output_domain, input_metric, False, keys)
+    full_gb = GroupBy(derive.output_domain, input_metric, False, keys, n_keys=n_grid)
     count_t = CountGrouped(full_gb.output_domain, full_gb.output_metric, "__count")
     pre = ChainTT(ChainTT(derive, full_gb), count_t)
     stability = pre.stability_function(d_in_e)
@@ -702,6 +707,7 @@ def create_bounds_measurement(
         alpha=alpha,
         grouping_columns=group_cols,
         threshold_fraction=float(threshold),
+        known_input_rows=n_grid,
     )
     m = ChainTM(pre, svt)
 
@@ -910,11 +916,11 @@ class FusedMomentsMeasurement(Measurement):
                     for s in stat_cols
                 ],
             )
-            noisy = joined
+            from .noise import AddNoiseToSeries
+
+            specs = []
             for s in stat_cols:
                 mech = self._mechs[s]
-                from .noise import AddNoiseToSeries
-
                 series_mech = AddNoiseToSeries(mech)
                 if series_mech.adds_no_noise:
                     continue
@@ -923,12 +929,26 @@ class FusedMomentsMeasurement(Measurement):
                     if type(mech).__name__ in ("AddLaplaceNoise", "AddGaussianNoise")
                     else "long"
                 )
+                specs.append((s, series_mech, out_type))
+            known_rows = getattr(gdf, "n_keys", None)
+            # public-key-bounded release: draw all three statistics'
+            # noise driver-side over the frozen pre-noise aggregate —
+            # one job, no ArrowEvalPython stages, no REBALANCE (see
+            # utils.misc.freeze_noised_release); large key sets keep
+            # the executor pandas-UDF path below
+            from ..utils.misc import freeze_noised_release
+
+            frozen = freeze_noised_release(joined, specs, known_rows)
+            if frozen is not None:
+                return self.postprocess(frozen)
+            noisy = joined
+            for s, series_mech, out_type in specs:
                 udf = F.pandas_udf(
                     lambda col, m=series_mech: m(col), returnType=out_type
                 ).asNondeterministic()
                 noisy = noisy.withColumn(s, udf(F.col(s)))
             return self.postprocess(
-                sanitize_df(noisy, known_rows=getattr(gdf, "n_keys", None))
+                sanitize_df(noisy, known_rows=known_rows)
             )
         row = data.agg(*exprs).first()
         stats = {}

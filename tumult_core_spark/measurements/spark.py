@@ -134,17 +134,45 @@ class AddNoiseToColumn(SparkMeasurement):
     def privacy_function(self, d_in: Any) -> Any:
         return self.measurement.privacy_function(d_in)
 
-    def call_unsanitized(self, data: DataFrame) -> DataFrame:
+    def _out_type(self) -> str:
         from .noise import AddGaussianNoise, AddLaplaceNoise
 
-        inner = self.measurement
         # Laplace/Gaussian emit continuous values; geometric/discrete
         # Gaussian stay integral.
-        out_type = (
+        return (
             "double"
-            if isinstance(inner.noise_mechanism, (AddLaplaceNoise, AddGaussianNoise))
+            if isinstance(
+                self.measurement.noise_mechanism,
+                (AddLaplaceNoise, AddGaussianNoise),
+            )
             else "long"
         )
+
+    def __call__(self, data: DataFrame) -> DataFrame:
+        """Grouped releases with a public-key row bound draw their
+        noise DRIVER-side over the frozen pre-noise aggregate
+        (:func:`~..utils.misc.freeze_noised_release`): one Spark job,
+        no ArrowEvalPython stage, no REBALANCE exchange — the same
+        single-invocation pattern :class:`GeometricPartitionSelection`
+        ships.  Key sets above the small-release threshold (or callers
+        without a bound) keep the executor pandas-UDF path unchanged."""
+        if self.sanitize_output:
+            from ..utils.misc import freeze_noised_release
+
+            inner = self.measurement
+            fn = None if inner.adds_no_noise else inner
+            frozen = freeze_noised_release(
+                data,
+                [(self.measure_column, fn, self._out_type())],
+                self.known_release_rows,
+            )
+            if frozen is not None:
+                return frozen
+        return super().__call__(data)
+
+    def call_unsanitized(self, data: DataFrame) -> DataFrame:
+        inner = self.measurement
+        out_type = self._out_type()
         if inner.adds_no_noise:
             return data.withColumn(
                 self.measure_column, F.col(self.measure_column).cast(out_type)
@@ -400,7 +428,17 @@ class SparseVectorPrefixSums(SparkMeasurement):
         alpha,
         grouping_columns=None,
         threshold_fraction: float = 0.95,
+        known_input_rows: Optional[int] = None,
     ):
+        """``known_input_rows``: a-priori upper bound on the bin-count
+        input's TOTAL row count when the caller knows one — for the
+        bounds factory the input is the public rank grid 0-fill-joined
+        per public group key, so the bound is (#ranks) x (#keys), a
+        public constant.  With the bound declared (and unique ranks
+        per group, verified pre-draw), the whole SVT release runs
+        DRIVER-side over one collected Arrow table: one Spark job, no
+        window/join stages, no ArrowEvalPython stages, same mechanisms
+        invoked once each.  ``None`` keeps the distributed path."""
         from ..metrics import AbsoluteDifference as _AD
 
         grouping_columns = list(grouping_columns or [])
@@ -423,6 +461,7 @@ class SparseVectorPrefixSums(SparkMeasurement):
         self.rank_column = rank_column
         self.grouping_columns = grouping_columns
         self.threshold_fraction = threshold_fraction
+        self.known_input_rows = known_input_rows
 
     def privacy_function(self, d_in: Any) -> ExactNumber:
         d = ExactNumber(d_in)
@@ -444,6 +483,120 @@ class SparseVectorPrefixSums(SparkMeasurement):
             return data.select(*self.grouping_columns).distinct().count()
         return 1
 
+    def _driver_release(self, data: DataFrame) -> Optional[DataFrame]:
+        """DRIVER-side SVT release over one collected Arrow table.
+
+        Eligible when the caller declared ``known_input_rows`` (the
+        bounds factory's public (#ranks) x (#keys) grid) at or below
+        the small-release gate.  One Spark job (the bounded collect of
+        the pre-noise bin counts) replaces the distributed plan's
+        group-count job, totals-count job, window, join, REBALANCE
+        exchange, and two ArrowEvalPython stages.  The release law is
+        identical: the same two :class:`AddNoiseToSeries` mechanisms
+        are invoked exactly once each over the same vectors (per-group
+        totals; rank-ordered prefix sums), and the pick rule — the
+        minimum rank whose noisy prefix crosses ``threshold_fraction``
+        of the noisy total, else the maximum rank — is unchanged.
+
+        Returns ``None`` (fall back to the distributed path, BEFORE
+        any draw) when: no bound / bound over the gate, a column type
+        outside the Arrow driver-release set, nulls in any used
+        column, or duplicate (group, rank) pairs.  The bound and every
+        bail-out condition are functions of the public grid or of the
+        pre-noise data alone, never of a draw, so the branch adds no
+        observation and each mechanism still runs exactly once.  Row
+        order is the canonical all-columns sort of the released values
+        and the result embeds as an immutable ``LocalTableScan`` — the
+        same freeze contract as ``sanitize_df``'s small branch.
+        """
+        from ..utils.misc import SMALL_RELEASE_ROWS, _DRIVER_RELEASE_TYPES
+
+        bound = self.known_input_rows
+        if bound is None or bound > SMALL_RELEASE_ROWS:
+            return None
+        gcols = self.grouping_columns
+        rank, cnt = self.rank_column, self.count_column
+        used = [*gcols, rank, cnt]
+        narrow = data.select(*used)
+        for fld in narrow.schema.fields:
+            if fld.dataType.simpleString() not in _DRIVER_RELEASE_TYPES:
+                return None
+
+        import numpy as np
+        import pyarrow as pa
+
+        from .noise import AddGeometricNoise
+
+        head = narrow.limit(bound + 1).toArrow()
+        if head.num_rows > bound:
+            raise AssertionError(
+                f"SVT input produced more than the declared "
+                f"known_input_rows={bound} rows (>= {head.num_rows}); "
+                "the bin-count relation must have at most one row per "
+                "public (group, rank) pair"
+            )
+        if any(head.column(c).null_count for c in used):
+            return None
+        pdf = head.to_pandas()
+        # unique rank per (group,) row — guaranteed for the factory's
+        # 0-filled public grid, verified pre-draw for external callers
+        if pdf.duplicated(subset=[*gcols, rank]).any():
+            return None
+        pdf = pdf.sort_values([*gcols, rank], kind="mergesort").reset_index(
+            drop=True
+        )
+
+        if gcols:
+            grouped = pdf.groupby(gcols, sort=True, dropna=False)
+            totals = grouped[cnt].sum()
+            prefix = grouped[cnt].cumsum()
+            group_codes = grouped.ngroup().to_numpy()
+        else:
+            import pandas as pd
+
+            totals = pd.Series([pdf[cnt].sum()])
+            prefix = pdf[cnt].cumsum()
+            group_codes = np.zeros(len(pdf), dtype=np.int64)
+
+        if self.alpha == 0:
+            noisy_totals = totals.astype("float64")
+            noisy_prefix = prefix.to_numpy()
+        else:
+            total_mech = AddNoiseToSeries(AddGeometricNoise(self.alpha / 2))
+            prefix_mech = AddNoiseToSeries(AddGeometricNoise(self.alpha))
+            noisy_totals = total_mech(totals.astype("int64"))
+            noisy_prefix = prefix_mech(prefix.astype("int64")).to_numpy()
+        thresholds = (
+            float(self.threshold_fraction) * noisy_totals.to_numpy().astype("float64")
+        )
+        ranks = pdf[rank].to_numpy()
+        crossed = noisy_prefix >= thresholds[group_codes]
+        n_groups = len(thresholds)
+        picked = np.empty(n_groups, dtype=ranks.dtype)
+        for g in range(n_groups):
+            mask = group_codes == g
+            hits = ranks[mask][crossed[mask]]
+            picked[g] = hits.min() if hits.size else ranks[mask].max()
+
+        out_fields = [narrow.schema[c] for c in gcols] + [narrow.schema[rank]]
+        out_schema = T.StructType(out_fields)
+        arrays = []
+        if gcols:
+            key_rows = totals.index
+            for i, c in enumerate(gcols):
+                vals = (
+                    key_rows.get_level_values(i)
+                    if len(gcols) > 1
+                    else key_rows
+                )
+                arrays.append(
+                    pa.array(list(vals), type=head.schema.field(c).type)
+                )
+        arrays.append(pa.array(picked, type=head.schema.field(rank).type))
+        tbl = pa.table(arrays, names=[*gcols, rank])
+        tbl = tbl.sort_by([(c, "ascending") for c in tbl.column_names])
+        return data.sparkSession.createDataFrame(tbl, schema=out_schema)
+
     def __call__(self, data: DataFrame) -> DataFrame:
         """Sanitized release with the input persisted for the call.
 
@@ -464,9 +617,17 @@ class SparseVectorPrefixSums(SparkMeasurement):
         three additional full scans of the upstream plan with cache
         reads — a small loss at 600k rows, the only sane plan when the
         upstream is a 100 TB scan+aggregate.
+
+        With ``known_input_rows`` declared (r18), the whole release
+        instead runs driver-side over ONE collected Arrow table — see
+        :meth:`_driver_release`; ineligible inputs keep the persisted
+        distributed path below unchanged.
         """
         if not self.sanitize_output:
             return self.call_unsanitized(data)
+        frozen = self._driver_release(data)
+        if frozen is not None:
+            return frozen
         from pyspark.storagelevel import StorageLevel
 
         # Cache ownership stays with the caller: if the input is

@@ -286,6 +286,102 @@ def coerce_lit(value, data_type):
     return F.lit(value).cast(data_type)
 
 
+#: Spark simpleString type names sortable/collectable through the Arrow
+#: driver-release path below (primitive, pa.Table.sort_by-supported).
+_DRIVER_RELEASE_TYPES = frozenset(
+    {
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "string", "boolean", "date", "timestamp", "timestamp_ntz",
+    }
+)
+
+
+def freeze_noised_release(df, noise_specs, known_rows):
+    """Freeze a small grouped noisy release with DRIVER-side noise.
+
+    ``df`` is the PRE-noise release relation (e.g. the 0-filled grouped
+    aggregate), ``known_rows`` the caller's a-priori public-key row
+    bound, and ``noise_specs`` an ordered list of
+    ``(column, series_fn, out_type)`` — ``series_fn`` a
+    ``pd.Series -> pd.Series`` mechanism (:class:`AddNoiseToSeries`)
+    or ``None`` for a pure cast, ``out_type`` ``"long"`` / ``"double"``.
+
+    Returns the frozen release, or **None when ineligible** (caller
+    falls back to the executor pandas-UDF path + :func:`sanitize_df`):
+    no bound, bound over :data:`SMALL_RELEASE_ROWS`, a non-primitive
+    column type, or nulls in a noise column.  Every ineligibility check
+    runs BEFORE any mechanism invocation, so bailing out never discards
+    a draw and the executor fallback is still the mechanism's single
+    invocation.
+
+    Why: the executor path runs one ``ArrowEvalPython`` stage plus a
+    ``REBALANCE`` exchange per release just to noise a public-key-sized
+    relation (dozens-to-thousands of rows) — each a full Python-runner
+    round trip.  For a release whose row bound is a public constant,
+    the same mechanism applied ONCE driver-side to the collected
+    pre-noise Arrow table is the identical distribution with zero
+    Python stages and zero extra exchanges; this is exactly the
+    pattern :class:`GeometricPartitionSelection` has shipped since r14
+    (``_release_from_candidates``).  The accounting is unchanged: the
+    branch is chosen from ``known_rows`` (noise-independent), nothing
+    observed here depends on a draw, and each mechanism is invoked
+    exactly once.  Row order is the canonical all-columns sort of the
+    RELEASED values — a function of the release alone, so it carries
+    no input-order side channel — and the result embeds as an
+    immutable JVM ``LocalTableScan``, so the noise is frozen (re-reads
+    cannot re-sample).  At scale nothing changes: key sets above
+    :data:`SMALL_RELEASE_ROWS` keep the distributed executor path.
+    """
+    if known_rows is None or known_rows > SMALL_RELEASE_ROWS:
+        return None
+    for fld in df.schema.fields:
+        if fld.dataType.simpleString() not in _DRIVER_RELEASE_TYPES:
+            return None
+    spec_cols = {c for c, _, _ in noise_specs}
+    if not spec_cols.issubset(set(df.columns)):
+        return None
+
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    head = df.limit(known_rows + 1).toArrow()
+    if head.num_rows > known_rows:
+        raise AssertionError(
+            f"release produced more than the declared "
+            f"known_rows={known_rows} rows (>= {head.num_rows}); "
+            "grouped releases must have at most one row per "
+            "public group key"
+        )
+    # nulls in a spec column (impossible for the 0-filled factory
+    # releases) would reach the mechanism as NaN — or silently turn
+    # null into NaN on a pure cast: bail out pre-draw either way
+    for col, _, _ in noise_specs:
+        if head.column(col).null_count:
+            return None
+
+    target_fields = []
+    by_name = {c: (fn, out_type) for c, fn, out_type in noise_specs}
+    for fld in df.schema.fields:
+        if fld.name in by_name:
+            out_type = by_name[fld.name][1]
+            dt = T.LongType() if out_type == "long" else T.DoubleType()
+            target_fields.append(T.StructField(fld.name, dt, fld.nullable))
+        else:
+            target_fields.append(fld)
+    target_schema = T.StructType(target_fields)
+
+    for col, fn, out_type in noise_specs:
+        ser = head.column(col).to_pandas()
+        if fn is not None:
+            ser = fn(ser)
+        pa_type = pa.int64() if out_type == "long" else pa.float64()
+        idx = head.schema.get_field_index(col)
+        arr = pa.array(ser.to_numpy(), type=pa_type)
+        head = head.set_column(idx, pa.field(col, pa_type), arr)
+    head = head.sort_by([(c, "ascending") for c in head.column_names])
+    return df.sparkSession.createDataFrame(head, schema=target_schema)
+
+
 _LOCAL_ROWS_PER_PARTITION = 25_000
 
 
