@@ -246,10 +246,14 @@ class TestExtremeScales:
         for s2 in (1e-300, 5e-324, 1e-291):
             out = exact_sampling.gaussian_exact_vec(np.zeros(16), s2)
             assert np.all(np.isfinite(out))
-            # magnitudes consistent with sigma = sqrt(s2)
+            # magnitudes consistent with sigma = sqrt(s2); the spread
+            # check runs in sigma-normalized space — np.std(out) itself
+            # UNDERFLOWS for s2 = 5e-324 (each out ~ 1e-162, so the
+            # variance ~ 1e-324 rounds subnormally to 0 on some draws,
+            # making the raw-space assertion a coin flip)
             sigma = np.sqrt(s2)
             assert np.all(np.abs(out) < 10 * sigma)
-            assert np.std(out) > 0.2 * sigma
+            assert np.std(out / sigma) > 0.2
 
     def test_gaussian_just_above_guard_certifies(self):
         out = exact_sampling.gaussian_exact_vec(np.zeros(64), 1e-289)
