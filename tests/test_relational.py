@@ -114,15 +114,23 @@ class TestTruncation:
         assert rows1 == rows3
 
     def test_truncate_large_groups_salted_plan(self, spark):
-        # a hot key must be pre-ranked per input-partition salt: the
-        # plan carries TWO Window nodes, the local one keyed by __salt
+        # r18: a hot key must still be pre-ranked map-side before the
+        # global window's exchange, but the engine now provides that
+        # pass — a rank-limit at or under
+        # spark.sql.optimizer.windowGroupLimitThreshold plans as
+        # WindowGroupLimit with a PARTIAL pre-shuffle stage
+        # (SPARK-37099), so the manual salted window (an extra full
+        # Exchange+Sort) is skipped as redundant
         df = spark.range(0, 10_000, 1, 8).select(
             (F.col("id") % 3).alias("k"), F.col("id").alias("v")
         )
         out = truncate_large_groups(df, ["k"], 5)
         plan = out._jdf.queryExecution().optimizedPlan().toString()
-        assert plan.count("Window") >= 2
-        assert "__salt" in plan
+        phys = out._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" not in plan  # redundant pass gone
+        # the engine's map-side guard must actually be planned: a
+        # partial WindowGroupLimit below the final one
+        assert phys.count("WindowGroupLimit") >= 2, phys
         # exact result: 5 rows per group, independent of partitioning
         counts = [r["n"] for r in out.groupBy("k").agg(F.count("*").alias("n")).collect()]
         assert counts == [5, 5, 5]
@@ -130,6 +138,29 @@ class TestTruncation:
             map(tuple, truncate_large_groups(df.repartition(17), ["k"], 5).collect())
         )
         assert repartitioned == sorted(map(tuple, out.collect()))
+
+    def test_truncate_large_groups_salted_fallback(self, spark):
+        # when the engine's rank-limit rewrite cannot fire (threshold
+        # above the conf), the manual salted local pass must return —
+        # and the released multiset must be identical on both paths
+        df = spark.range(0, 10_000, 1, 8).select(
+            (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+        )
+        key = "spark.sql.optimizer.windowGroupLimitThreshold"
+        old = spark.conf.get(key)
+        try:
+            spark.conf.set(key, "3")  # threshold 5 > 3 -> salted pass
+            salted = truncate_large_groups(df, ["k"], 5)
+            plan = salted._jdf.queryExecution().optimizedPlan().toString()
+            assert "__salt" in plan
+            assert plan.count("Window") >= 2
+            salted_rows = sorted(map(tuple, salted.collect()))
+        finally:
+            spark.conf.set(key, old)
+        plain_rows = sorted(
+            map(tuple, truncate_large_groups(df, ["k"], 5).collect())
+        )
+        assert salted_rows == plain_rows
 
     def test_drop_large_groups(self, spark, kv):
         out = drop_large_groups(kv, ["k"], 2)

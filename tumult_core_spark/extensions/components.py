@@ -188,6 +188,9 @@ def _local_finish(
             "component": pa.array(nodes[parent], pa.int64()),
         }
     )
+    # the collect doubles as the path gate (no separate count job), so
+    # the run stats are stamped here where the row count is known
+    last_run_stats.update(rounds=0, mode="local", edges=tbl.num_rows)
     return spark.createDataFrame(out)
 
 
@@ -225,16 +228,17 @@ def connected_components(
     """
     spark = edges.sparkSession
     if local_finish_edges > 0:
-        # one cheap scan (no shuffle) decides the path and bounds
-        # everything the local path would collect
-        n_input = edges.count()
-        if n_input <= local_finish_edges:
-            result = _local_finish(edges, src, dst, local_finish_edges)
-            if result is not None:
-                last_run_stats.update(rounds=0, mode="local", edges=n_input)
-                return result
-            # the collect saw more rows than the gating count() — the
-            # input grew between plan and collect; take the safe path
+        # no gating count(): the bounded limit(cap+1) collect inside
+        # _local_finish IS the gate — at small scale this saves a full
+        # scan-and-count job, and at 100 TB Spark's incremental
+        # executeTake reads only as many splits as it takes to exceed
+        # the cap before falling back, instead of counting every edge
+        # first (r18, guide §1.2/§5: don't compute things you throw
+        # away).  Driver memory stays bounded by cap+1 rows either way.
+        result = _local_finish(edges, src, dst, local_finish_edges)
+        if result is not None:
+            return result
+        # more than cap rows arrived — take the distributed path
     e = _canonical_edges(edges, src, dst).persist(StorageLevel.MEMORY_AND_DISK)
     # the count materializes the cache the first star round would have
     # materialized anyway, and right-sizes the first round's partitioning

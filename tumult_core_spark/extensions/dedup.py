@@ -433,11 +433,11 @@ def minhash_signatures(
                 {id_col: pdf[id_col].to_numpy(), "minhash": [r.tolist() for r in sigs]}
             )
 
-    return (
-        df.select(id_col, text_col)
-        .filter(F.col(text_col).isNotNull())
-        .mapInPandas(compute, schema=out_schema)
-    )
+    from ..transformations.map import _widen_for_python
+
+    return _widen_for_python(
+        df.select(id_col, text_col).filter(F.col(text_col).isNotNull())
+    ).mapInPandas(compute, schema=out_schema)
 
 
 def minhash_lsh_candidate_pairs(
@@ -821,11 +821,11 @@ def simhash_signatures(
                 sigs[i] = sig.astype(np.int64)
             yield pd.DataFrame({id_col: ids, "simhash": sigs})
 
-    return (
-        df.select(id_col, text_col)
-        .filter(F.col(text_col).isNotNull())
-        .mapInPandas(compute, schema=out_schema)
-    )
+    from ..transformations.map import _widen_for_python
+
+    return _widen_for_python(
+        df.select(id_col, text_col).filter(F.col(text_col).isNotNull())
+    ).mapInPandas(compute, schema=out_schema)
 
 
 def simhash_near_duplicates(

@@ -53,14 +53,30 @@ def _clean_records(pdf: pd.DataFrame) -> List[Dict[str, Any]]:
     cols = []
     for c in names:
         s = pdf[c]
-        vals = s.tolist()
         kind = s.dtype.kind
+        # null-free fast path: the per-element rebuild below is the
+        # single largest plumbing cost per row, and most batches carry
+        # no nulls — one vectorized hasnans check skips it (r18,
+        # guide §4 per-task work)
         if kind in "fc":  # float NaN -> None (pandas null convention)
-            vals = [None if v != v else v for v in vals]
+            vals = s.tolist()
+            if s.hasnans:
+                vals = [None if v != v else v for v in vals]
         elif kind == "M":  # NaT -> None
-            vals = [None if pd.isna(v) else v for v in vals]
+            vals = s.tolist()
+            if s.hasnans:
+                vals = [None if pd.isna(v) else v for v in vals]
         elif kind == "O":
-            vals = [None if v is None or (isinstance(v, float) and v != v) else v for v in vals]
+            vals = s.tolist()
+            if s.hasnans:
+                vals = [
+                    None
+                    if v is None or (isinstance(v, float) and v != v)
+                    else v
+                    for v in vals
+                ]
+        else:
+            vals = s.tolist()
         cols.append(vals)
     return [dict(zip(names, row)) for row in zip(*cols)]
 
@@ -93,10 +109,11 @@ class RowToRowTransformation:
         self.augment = augment
 
     def __call__(self, row: Dict[str, Any]) -> Dict[str, Any]:
-        out = dict(self.trusted_f(row))
+        out = self.trusted_f(row)
         if self.augment:
-            out = {**row, **out}
-        return out
+            # the merge is itself the defensive copy — no dict() first
+            return {**row, **out}
+        return dict(out)
 
 
 class RowToRowsTransformation:
@@ -117,7 +134,8 @@ class RowToRowsTransformation:
     def __call__(self, row: Dict[str, Any]) -> List[Dict[str, Any]]:
         outs = self.trusted_f(row)
         if self.augment:
-            return [{**row, **dict(o)} for o in outs]
+            # the merge is itself the defensive copy — no dict() first
+            return [{**row, **o} for o in outs]
         return [dict(o) for o in outs]
 
 

@@ -131,6 +131,29 @@ def truncate_large_groups(
     )
     order_key = F.xxhash64(*[F.col(c) for c in cols], F.col("__copy"))
     tiebreak = [F.col(c) for c in cols] + [F.col("__copy")]
+    # r18 (guide §2.4): Spark 3.5+/4 plans a rank-limit filter as
+    # WindowGroupLimit with a PARTIAL map-side pass BEFORE the window's
+    # exchange (SPARK-37099) whenever the limit is at or under
+    # spark.sql.optimizer.windowGroupLimitThreshold — each input
+    # partition then ships at most ``threshold`` rows per group, which
+    # is exactly the hot-key protection the manual salted pass provides
+    # (the physical input partition IS the salt), without the salted
+    # window's extra full Exchange+Sort.  Keep the manual pass only
+    # when the engine's optimization cannot fire (threshold above the
+    # conf, or the rewrite disabled with -1): the released multiset is
+    # identical either way, since a local pass only pre-filters a
+    # superset of every group's global top-``threshold``.
+    if salt_buckets and salt_buckets > 1:
+        try:
+            _wgl = int(
+                df.sparkSession.conf.get(
+                    "spark.sql.optimizer.windowGroupLimitThreshold", "1000"
+                )
+            )
+        except (TypeError, ValueError):  # pragma: no cover
+            _wgl = 1000
+        if _wgl != -1 and threshold <= _wgl:
+            salt_buckets = 0
     if salt_buckets and salt_buckets > 1:
         salted = df.withColumn(
             "__salt", (F.spark_partition_id() % salt_buckets).cast("int")
