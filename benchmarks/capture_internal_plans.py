@@ -102,6 +102,76 @@ def main():
     count_t = CountGrouped(full_gb.output_domain, full_gb.output_metric, "__count")
     plans["bounds"] = count_t(full_gb(derive(li_pk)))
 
+    # private_join: truncation (TRUNCATE both sides) + inner join — the
+    # r18 salted-pass gating shows up as one fewer Exchange per side
+    from tumult_core_spark.domains import DictDomain
+    from tumult_core_spark.transformations.join import (
+        PrivateJoin,
+        TruncationStrategy,
+    )
+
+    li_j = li.select(F.col("l_orderkey").alias("okey"), "l_quantity")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.col("o_orderkey").alias("okey"), "o_totalprice"
+    )
+    dd = DictDomain(
+        {
+            "l": SparkDataFrameDomain.from_spark_schema(li_j.schema),
+            "r": SparkDataFrameDomain.from_spark_schema(orders.schema),
+        }
+    )
+    pj = PrivateJoin(
+        dd, "l", "r", TruncationStrategy.TRUNCATE,
+        TruncationStrategy.TRUNCATE, 4, 2,
+    )
+    plans["private_join"] = pj({"l": li_j, "r": orders})
+
+    # map_flatmap: the Map leg (the FlatMap leg has the same shape)
+    from tumult_core_spark.domains import (
+        SparkFloatColumnDescriptor,
+        SparkRowDomain,
+    )
+    from tumult_core_spark.transformations.map import (
+        Map,
+        RowToRowTransformation,
+    )
+    from tumult_core_spark.transformations.rows import Select
+
+    sel = Select(dom, SymmetricDifference(), ["l_extendedprice", "l_discount"])
+    in_schema = dict(sel.output_domain.schema)
+    out_schema = dict(in_schema)
+    out_schema["revenue"] = SparkFloatColumnDescriptor(size=64)
+    m = Map(
+        SymmetricDifference(),
+        RowToRowTransformation(
+            SparkRowDomain(in_schema),
+            SparkRowDomain(out_schema),
+            lambda r: {"revenue": r["l_extendedprice"] * (1 - r["l_discount"])},
+            augment=True,
+        ),
+    )
+    plans["map_flatmap"] = (sel | m)(li)
+
+    # dedup_minhash: banded LSH candidate pairs (r18: widened signature
+    # stage)
+    from tumult_core_spark.extensions.dedup import minhash_lsh_candidate_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plans["dedup_minhash"] = minhash_lsh_candidate_pairs(
+        docs, "doc_id", "text", 64, 16
+    )
+
+    # ann_topk: brute-force KNN (r18: widened corpus scoring stage)
+    from tumult_core_spark.extensions.similarity import brute_force_knn
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries_df = embs.filter("vec_id < 100").select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    plans["ann_topk"] = brute_force_knn(
+        embs, queries_df, "vec_id", "qid", "embedding", k=10
+    )
+
     for name, df in plans.items():
         with open(os.path.join(outdir, f"{name}_{suffix}.txt"), "w") as f:
             f.write(explain_str(df))

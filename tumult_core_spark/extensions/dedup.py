@@ -433,11 +433,19 @@ def minhash_signatures(
                 {id_col: pdf[id_col].to_numpy(), "minhash": [r.tolist() for r in sigs]}
             )
 
-    from ..transformations.map import _widen_for_python
-
-    return _widen_for_python(
-        df.select(id_col, text_col).filter(F.col(text_col).isNotNull())
-    ).mapInPandas(compute, schema=out_schema)
+    # NOT widened before the Python stage (r18, measured and rejected):
+    # the signature compute is ~0.4 s single-task at bench scale while
+    # widening repartitions the PERSISTED banded relation to
+    # default-parallelism partitions, multiplying every downstream
+    # cache-consumer stage's task count (~6 branches x 32 tasks of
+    # pure overhead for 80k cached rows) — interleaved A/B showed
+    # widen-on 2-3x slower.  At 100 TB the scan is already wide and a
+    # widen would be a no-op, so it buys nothing at either scale.
+    return (
+        df.select(id_col, text_col)
+        .filter(F.col(text_col).isNotNull())
+        .mapInPandas(compute, schema=out_schema)
+    )
 
 
 def minhash_lsh_candidate_pairs(
@@ -821,11 +829,12 @@ def simhash_signatures(
                 sigs[i] = sig.astype(np.int64)
             yield pd.DataFrame({id_col: ids, "simhash": sigs})
 
-    from ..transformations.map import _widen_for_python
-
-    return _widen_for_python(
-        df.select(id_col, text_col).filter(F.col(text_col).isNotNull())
-    ).mapInPandas(compute, schema=out_schema)
+    # not widened — same finding as minhash_signatures (r18)
+    return (
+        df.select(id_col, text_col)
+        .filter(F.col(text_col).isNotNull())
+        .mapInPandas(compute, schema=out_schema)
+    )
 
 
 def simhash_near_duplicates(

@@ -122,17 +122,16 @@ def brute_force_knn(
     # NULL corpus vectors can never match — drop them JVM-side (the
     # IsNotNull filter pushes into the scan) instead of letting the
     # ragged batch crash the BLAS matmul inside the Python worker
-    # widen a narrow corpus scan before the Python scoring stage: the
-    # sf-scale embeddings parquet is ONE split, which serializes the
-    # whole matmul on one core (the per-batch top-k prefilter is
-    # batching-independent for the final window's ordering: scores are
-    # row-local, so every global top-k row survives its own batch)
-    from ..transformations.map import _widen_for_python
-
-    candidates = _widen_for_python(
+    # NOT widened before the Python stage (r18, measured and
+    # rejected): the batched BLAS scoring is milliseconds at bench
+    # scale, so a widen only adds a shuffle plus 32 task overheads; at
+    # 100 TB the corpus scan is already wide and the widen would be a
+    # no-op.  See minhash_signatures for the full finding.
+    candidates = (
         corpus.select(corpus_id, vector_col)
         .where(F.col(vector_col).isNotNull())
-    ).mapInPandas(score_batches, schema=out_schema)
+        .mapInPandas(score_batches, schema=out_schema)
+    )
     w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(corpus_id))
     return (
         candidates.withColumn("rank", F.row_number().over(w))
