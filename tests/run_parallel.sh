@@ -11,7 +11,8 @@ cd "$(dirname "$0")/.."
 python -m pytest tests/test_extensions.py tests/test_oracle_guard.py -q "$@" &
 A=$!
 python -m pytest tests/test_codec_properties.py tests/test_noise_distributions.py \
-  tests/test_csprng.py tests/test_prdp.py tests/test_property_exact.py -q "$@" &
+  tests/test_csprng.py tests/test_prdp.py tests/test_property_exact.py \
+  tests/test_accountant_fuzz.py tests/test_sampler_soundness.py -q "$@" &
 B=$!
 python -m pytest tests/test_contracts.py tests/test_e2e_slice.py \
   tests/test_foundation.py tests/test_measurements2.py tests/test_plans.py \
