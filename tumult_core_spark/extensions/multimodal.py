@@ -1079,11 +1079,22 @@ def _fake_stats(payload: bytes):
 
 
 def _fake_features(payload: bytes, dim: int) -> np.ndarray:
-    """Deterministic unit-norm pseudo-embedding from the payload hash."""
+    """Deterministic unit-norm pseudo-embedding from the payload hash.
+
+    The norm uses ``math.fsum`` over float64 squares: exactly-rounded
+    summation is bit-identical on every CPU, where ``np.linalg.norm``'s
+    SIMD dispatch (AVX2 vs AVX-512 lane association) can differ by an
+    ulp between machines — enough to flip a round-half-up digit at a
+    rounding boundary and break the cross-machine fixture oracle
+    (observed r18: 3 of 5000 sf0.1 rows).
+    """
+    import math
+
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
     rng = np.random.default_rng(seed)
     v = rng.standard_normal(dim).astype(np.float32)
-    return v / max(float(np.linalg.norm(v)), 1e-12)
+    norm = math.sqrt(math.fsum(float(x) * float(x) for x in v))
+    return v / max(norm, 1e-12)
 
 
 def _codec_error(what: str) -> NotImplementedError:
