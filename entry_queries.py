@@ -2155,77 +2155,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # order.  The per-round driver checks roughly the first 50 of the
     # 102 registry entries against the DuckDB oracle, so each round the
     # entries with the least-fresh driver evidence go FIRST:
-    #   r18 front block = pagerank (the sole entry whose latest
-    #   driver-green row is r15 — it was entry #51 of the 51-entry r17
-    #   front, exactly the one the 50-entry batch did not reach), then
-    #   connected_components_dist (NEW this round: the forced-
-    #   distributed star-path variant, no driver evidence yet), then
-    #   the 50 entries whose latest driver-green row is r16, in their
-    #   r16 order.  The tail = the 50 entries CORRECTNESS_r17 checked,
-    #   in their r17 order.  The front is 52 entries, so with a
-    #   50-entry driver batch the last TWO front entries (bounds,
-    #   quantile_median — both r16-green) may slip to r19; they carry
-    #   r16 driver evidence plus this round's local sweeps, the
-    #   cheapest available slip.
-    #   r19: rotate again — move whatever the r18 batch does not reach
-    #   back to the front, followed by the r17-green tail below.
+    #   r19 front block = bounds and quantile_median FIRST (the two
+    #   entries the r18 50-entry batch did not reach — and exactly the
+    #   paths carrying r18's biggest optimizations, the SVT
+    #   driver-release and the fused grouped apply; the r18 verdict's
+    #   ordered item #1), then the 50 entries whose latest driver-green
+    #   row is r17, in their r17 order.  The tail = the 50 entries
+    #   CORRECTNESS_r18 checked, in their r18 order.  The front is 52
+    #   entries, so with a 50-entry driver batch the last TWO front
+    #   entries (fused_moments, embedding_outliers — both r17-green)
+    #   may slip; they are the least-stale available slip.
+    #   r20+: rotate again — whatever this round's batch does not
+    #   reach goes back to the front.
     return {
-        # --- r18 front: pagerank first (only r15-stale entry), then the
-        # --- new forced-distributed CC entry (no driver evidence yet)
-        "pagerank": q_pagerank,
-        "connected_components_dist": q_connected_components_dist,
-        # --- then the 50 entries last driver-checked in r16 ---
-        "hll_distinct": q_hll_distinct,
-        "approx_quantile_check": q_approx_quantile_check,
-        "multimodal_jpeg": q_multimodal_jpeg,
-        "multimodal_flac": q_multimodal_flac,
-        "multimodal_gif": q_multimodal_gif,
-        "multimodal_video": q_multimodal_video,
-        "media_sniffing": q_media_sniffing,
-        "multimodal_tiff": q_multimodal_tiff,
-        "connected_components": q_connected_components,
-        "dedup_connected": q_dedup_connected,
-        "hash_split": q_hash_split,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        "training_mix": q_training_mix,
-        "decontaminate": q_decontaminate,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "bigram_logprob": q_bigram_logprob,
-        "stream_interval_join": q_stream_interval_join,
-        "profile_quantiles": q_profile_quantiles,
-        "preprocess_pipeline": q_preprocess_pipeline,
-        "rolling_aggregate": q_rolling_aggregate,
-        "sessionize_batch": q_sessionize_batch,
-        "redact_pii": q_redact_pii,
-        "variance_intermediates": q_variance_intermediates,
-        "streaming_dedup": q_streaming_dedup,
-        "sq_knn": q_sq_knn,
-        "normalize_text": q_normalize_text,
-        "add_unique_column": q_add_unique_column,
-        "join_on_nulls": q_join_on_nulls,
-        "ann_ivf": q_ann_ivf,
-        "sessionize": q_sessionize,
-        "embedding_near_dups": q_embedding_near_dups,
-        "private_join_on_key": q_private_join_on_key,
-        "limit_rows_per_key_per_group": q_limit_rows_per_key_per_group,
-        "groupby_stddev": q_groupby_stddev,
-        "filter_select": q_filter_select,
-        "rename": q_rename,
-        "groupby_count": q_groupby_count,
-        "groupby_count_distinct": q_groupby_count_distinct,
-        "groupby_sum": q_groupby_sum,
-        "total_counts": q_total_counts,
-        "average": q_average,
-        "variance": q_variance,
-        "public_join": q_public_join,
-        "private_join_drop": q_private_join_drop,
-        "limit_rows_per_group": q_limit_rows_per_group,
-        "limit_keys_per_group": q_limit_keys_per_group,
-        "partition_selection": q_partition_selection,
+        # --- r19 front: the two entries the r18 driver batch missed
+        # --- (the most-optimized r18 paths: SVT driver-release freeze,
+        # --- fused single-stage grouped apply)
         "bounds": q_bounds,
         "quantile_median": q_quantile_median,
-        # --- tail: the 50 r17-green entries in their r17 order ---
+        # --- then the 50 entries last driver-checked in r17 ---
         "partition_by_keys": q_partition_by_keys,
         "map_revenue": q_map_derive,
         "flatmap_by_key": q_flatmap_by_key,
@@ -2276,6 +2224,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_flatmap": q_grouping_flatmap,
         "fused_moments": q_fused_moments,
         "embedding_outliers": q_embedding_outliers,
+        # --- tail: the 50 entries CORRECTNESS_r18 checked, in
+        # --- their r18 order ---
+        "pagerank": q_pagerank,
+        "connected_components_dist": q_connected_components_dist,
+        "hll_distinct": q_hll_distinct,
+        "approx_quantile_check": q_approx_quantile_check,
+        "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_flac": q_multimodal_flac,
+        "multimodal_gif": q_multimodal_gif,
+        "multimodal_video": q_multimodal_video,
+        "media_sniffing": q_media_sniffing,
+        "multimodal_tiff": q_multimodal_tiff,
+        "connected_components": q_connected_components,
+        "dedup_connected": q_dedup_connected,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "training_mix": q_training_mix,
+        "decontaminate": q_decontaminate,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "bigram_logprob": q_bigram_logprob,
+        "stream_interval_join": q_stream_interval_join,
+        "profile_quantiles": q_profile_quantiles,
+        "preprocess_pipeline": q_preprocess_pipeline,
+        "rolling_aggregate": q_rolling_aggregate,
+        "sessionize_batch": q_sessionize_batch,
+        "redact_pii": q_redact_pii,
+        "variance_intermediates": q_variance_intermediates,
+        "streaming_dedup": q_streaming_dedup,
+        "sq_knn": q_sq_knn,
+        "normalize_text": q_normalize_text,
+        "add_unique_column": q_add_unique_column,
+        "join_on_nulls": q_join_on_nulls,
+        "ann_ivf": q_ann_ivf,
+        "sessionize": q_sessionize,
+        "embedding_near_dups": q_embedding_near_dups,
+        "private_join_on_key": q_private_join_on_key,
+        "limit_rows_per_key_per_group": q_limit_rows_per_key_per_group,
+        "groupby_stddev": q_groupby_stddev,
+        "filter_select": q_filter_select,
+        "rename": q_rename,
+        "groupby_count": q_groupby_count,
+        "groupby_count_distinct": q_groupby_count_distinct,
+        "groupby_sum": q_groupby_sum,
+        "total_counts": q_total_counts,
+        "average": q_average,
+        "variance": q_variance,
+        "public_join": q_public_join,
+        "private_join_drop": q_private_join_drop,
+        "limit_rows_per_group": q_limit_rows_per_group,
+        "limit_keys_per_group": q_limit_keys_per_group,
+        "partition_selection": q_partition_selection,
     }
-
-
