@@ -226,6 +226,21 @@ def repetition_stats(
         ).alias("__toks"),
         F.split(txt, r"\n").alias("__lines"),
     )
+    # symbol_word_ratio is a pure function of the document, so compute
+    # it ONCE here and let it RIDE the aggregations as a functionally-
+    # dependent extra group key (constant within each doc's groups)
+    # instead of re-scanning the corpus for a second symbols relation
+    # and joining it back on the id: the join cost two Exchanges (or a
+    # doc-sized broadcast) plus a FULL second parquet scan +
+    # re-tokenize of every document, versus 8 bytes per exploded item
+    # row here (r19, guide §2.4 remove shuffles / §1.2 don't recompute)
+    pre = pre.withColumn(
+        "__sym",
+        (
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(_SYMBOL_REGEX), 0))
+            / F.greatest(F.size(F.col("__toks")), F.lit(1))
+        ).cast("double"),
+    )
     toks = F.col("__toks")
 
     def _tag(kind, item):
@@ -254,13 +269,18 @@ def repetition_stats(
         _grams("T", 3),
     )
     exploded = pre.select(
-        F.col(id_col), F.explode(items).alias("e")
-    ).select(id_col, F.col("e.kind").alias("kind"), F.col("e.item").alias("item"))
-    counted = exploded.groupBy(id_col, "kind", "item").agg(
+        F.col(id_col), F.col("__sym"), F.explode(items).alias("e")
+    ).select(
+        id_col,
+        "__sym",
+        F.col("e.kind").alias("kind"),
+        F.col("e.item").alias("item"),
+    )
+    counted = exploded.groupBy(id_col, "__sym", "kind", "item").agg(
         F.count(F.lit(1)).alias("cnt")
     )
     chars = F.col("cnt") * F.length("item")
-    per_kind = counted.groupBy(id_col, "kind").agg(
+    per_kind = counted.groupBy(id_col, "__sym", "kind").agg(
         F.sum("cnt").alias("total"),
         F.count(F.lit(1)).alias("distinct_n"),
         F.sum(chars).alias("total_chars"),
@@ -274,7 +294,7 @@ def repetition_stats(
     def _kind(kind, col):
         return F.max(F.when(F.col("kind") == kind, col))
 
-    stats = per_kind.groupBy(id_col).agg(
+    stats = per_kind.groupBy(id_col, "__sym").agg(
         _kind("L", F.col("total")).alias("n_lines"),
         (
             (_kind("L", F.col("total")) - _kind("L", F.col("distinct_n")))
@@ -299,14 +319,17 @@ def repetition_stats(
             F.lit(0.0),
         ).alias("dup_trigram_char_frac"),
     )
-    symbols = pre.select(
-        F.col(id_col),
-        (
-            F.size(F.regexp_extract_all(F.col(text_col), F.lit(_SYMBOL_REGEX), 0))
-            / F.greatest(F.size(toks), F.lit(1))
-        ).cast("double").alias("symbol_word_ratio"),
+    # same output schema/column order as the former stats-join-symbols
+    # shape; __sym carried through the aggregations IS the ratio
+    out = stats.select(
+        id_col,
+        "n_lines",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top_bigram_char_frac",
+        "dup_trigram_char_frac",
+        F.col("__sym").alias("symbol_word_ratio"),
     )
-    out = stats.join(symbols, id_col)
     t = REPETITION_THRESHOLDS
     return out.withColumn(
         "keep",
@@ -335,11 +358,27 @@ def tfidf_top_terms(
     broadcast: at corpus scale the vocabulary does not fit a
     broadcast), and a per-document top-k window.  The corpus size N
     rides along as a broadcast scalar.
+
+    The tf relation feeds TWO consumers (the df aggregation and the
+    join's probe side), and Catalyst CANNOT share their exchange: the
+    df consumer prunes the unused count column, rewriting its subtree
+    to a distinct-style aggregate that no longer matches the tf
+    subtree (verified in the r19 plan capture: two FileScans, two
+    explodes, no ReusedExchange — the same finding recorded at
+    ``duplicate_substring_spans``).  So tf is persisted for the call:
+    postings-scale, MEMORY_AND_DISK spills rather than OOMs, and
+    Spark's ContextCleaner unpersists when the returned plan is
+    garbage collected — the same convention as ``decontaminate`` and
+    ``duplicate_substring_spans``.  This halves the corpus scans and
+    explodes per evaluation.
     """
+    from pyspark import StorageLevel
+
     tf = (
         df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
